@@ -1,0 +1,26 @@
+"""Cross-engine determinism helpers for the DuckDB differential oracle.
+
+Spark's ``round()`` on DOUBLE rounds the value's shortest decimal
+representation (java.math.BigDecimal.valueOf → HALF_UP) while DuckDB rounds
+the binary value — so a mean that prints as ``4201.315`` rounds to 4201.32
+in Spark and 4201.31 in DuckDB. Both engines agree when the value is first
+brought to an exact DECIMAL(30,10) and *then* rounded, so every float
+emitted by an oracle-checked query goes through :func:`dround` (Spark) and
+:func:`sql_round` (oracle SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dround(col: Column | str, scale: int = 2) -> Column:
+    """Deterministic cross-engine round: double → decimal(30,10) → round → double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c.cast("decimal(30,10)"), scale).cast("double")
+
+
+def sql_round(expr: str, scale: int = 2) -> str:
+    """The DuckDB-side twin of :func:`dround` as a SQL fragment."""
+    return f"CAST(round(CAST(({expr}) AS DECIMAL(30,10)), {scale}) AS DOUBLE)"

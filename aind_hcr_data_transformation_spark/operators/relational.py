@@ -1,0 +1,859 @@
+"""Relational core: scans, projections, predicates, joins, aggregations,
+sorts, set operations, scalar-function families (SURVEY.md §2.3-§2.5, §2.7-§2.9).
+
+The reference has no relational operators (it is a CZI→Zarr ETL pipeline);
+its closest analogs are cited per query. Everything here is stock DataFrame
+API so Catalyst gets full pushdown/pruning/reordering freedom; the only
+physical hints are ``broadcast()`` on dimension tables — the Spark
+restatement of the reference's driver-side metadata broadcast pattern
+(``zeiss_job.py:123-130,145-157``).
+
+Scale notes (100 TB): every query below shuffles only on its aggregation or
+join keys; dimension joins are broadcast so the fact table never shuffles
+for them; filters sit directly on scan columns so they push into the
+parquet reader (verify with ``.explain`` → ``PushedFilters``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.compat import dround
+from ..tables import load_table
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.5 A5)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan→filter→hash aggregate over lineitem.
+
+    The canonical partial+final hash aggregate: map-side combine means the
+    shuffle carries one row per (flag, status) per task regardless of input
+    size — the plan that survives 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            dround(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            dround(F.avg("l_quantity"), 2).alias("avg_qty"),
+            dround(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            dround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(round(CAST((sum(l_quantity)) AS DECIMAL(30,10)), 2) AS DOUBLE)                                            AS sum_qty,
+  CAST(round(CAST((sum(l_extendedprice)) AS DECIMAL(30,10)), 2) AS DOUBLE)                                       AS sum_base_price,
+  CAST(round(CAST((sum(l_extendedprice * (1 - l_discount))) AS DECIMAL(30,10)), 2) AS DOUBLE)                    AS sum_disc_price,
+  CAST(round(CAST((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) AS DECIMAL(30,10)), 2) AS DOUBLE)      AS sum_charge,
+  CAST(round(CAST((avg(l_quantity)) AS DECIMAL(30,10)), 2) AS DOUBLE)                                            AS avg_qty,
+  CAST(round(CAST((avg(l_extendedprice)) AS DECIMAL(30,10)), 2) AS DOUBLE)                                       AS avg_price,
+  CAST(round(CAST((avg(l_discount)) AS DECIMAL(30,10)), 4) AS DOUBLE)                                            AS avg_disc,
+  count(*)                                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General aggregate family: sum/avg/min/max/count/count_distinct/stddev.
+
+    Reference analog: the deliberately-skipped channel statistics
+    (``czi_to_zarr.py:543-555`` hard-codes min/max "because da.percentile
+    would take so much time") — Spark computes all of these in one pass.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        dround(F.sum("o_totalprice"), 2).alias("sum_price"),
+        dround(F.avg("o_totalprice"), 2).alias("avg_price"),
+        dround(F.min("o_totalprice"), 2).alias("min_price"),
+        dround(F.max("o_totalprice"), 2).alias("max_price"),
+        dround(F.stddev_samp("o_totalprice"), 2).alias("std_price"),
+    )
+
+
+AGG_STATS_SQL = """
+SELECT
+  o_orderstatus,
+  count(*)                          AS n_orders,
+  count(DISTINCT o_custkey)         AS n_customers,
+  CAST(round(CAST((sum(o_totalprice)) AS DECIMAL(30,10)), 2) AS DOUBLE)       AS sum_price,
+  CAST(round(CAST((avg(o_totalprice)) AS DECIMAL(30,10)), 2) AS DOUBLE)       AS avg_price,
+  CAST(round(CAST((min(o_totalprice)) AS DECIMAL(30,10)), 2) AS DOUBLE)       AS min_price,
+  CAST(round(CAST((max(o_totalprice)) AS DECIMAL(30,10)), 2) AS DOUBLE)       AS max_price,
+  CAST(round(CAST((stddev_samp(o_totalprice)) AS DECIMAL(30,10)), 2) AS DOUBLE) AS std_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets with GROUPING() disambiguation of the NULL rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+    )
+
+
+AGG_ROLLUP_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(round(CAST((sum(l_quantity)) AS DECIMAL(30,10)), 2) AS DOUBLE)                  AS sum_qty,
+  count(*)                                   AS n_rows,
+  CAST(grouping(l_returnflag) AS INTEGER)    AS g_flag,
+  CAST(grouping(l_linestatus) AS INTEGER)    AS g_status
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping sets)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dround(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  count(*)                                     AS n_orders,
+  CAST(round(CAST((sum(o_totalprice)) AS DECIMAL(30,10)), 2) AS DOUBLE)                  AS sum_price,
+  CAST(grouping(o_orderstatus) AS INTEGER)     AS g_status,
+  CAST(grouping(o_orderpriority) AS INTEGER)   AS g_priority
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().pivot()`` — order counts per status pivoted by priority.
+
+    Pivot values are declared explicitly (not inferred): on 100 TB an
+    inferred pivot triggers an extra distinct-scan job over the fact table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    priorities = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", priorities)
+        .agg(F.count(F.lit(1)))
+    )
+    # Stable SQL-friendly column names.
+    renames = {
+        "1-URGENT": "n_urgent",
+        "2-HIGH": "n_high",
+        "3-MEDIUM": "n_medium",
+        "4-NOT SPECIFIED": "n_notspec",
+        "5-LOW": "n_low",
+    }
+    for old, new in renames.items():
+        piv = piv.withColumnRenamed(old, new)
+    # pivot emits NULL for empty cells; normalize to 0 like the oracle's
+    # conditional-aggregation form.
+    return piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames.values()],
+    )
+
+
+AGG_PIVOT_SQL = """
+SELECT
+  o_orderstatus,
+  count(*) FILTER (WHERE o_orderpriority = '1-URGENT')        AS n_urgent,
+  count(*) FILTER (WHERE o_orderpriority = '2-HIGH')          AS n_high,
+  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')        AS n_medium,
+  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+  count(*) FILTER (WHERE o_orderpriority = '5-LOW')           AS n_low
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL ``approx_count_distinct`` next to the exact count (SURVEY X9).
+
+    No oracle: DuckDB's approx_count_distinct uses a different HLL build, so
+    estimates differ by design — driver records the rows-only check.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / predicates (SURVEY §2.3 P9)
+# ---------------------------------------------------------------------------
+
+
+def proj_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full predicate surface: comparison, IN, BETWEEN, LIKE, CASE WHEN,
+    boolean composition, and computed projections.
+
+    Reference analogs: ``is_file`` scan filter (``zeiss_job.py:52``),
+    scale-type filter (``zeiss_job.py:79-81``), dtype→minmax projection
+    (``czi_to_zarr.py:535-549``). All predicates sit on scan columns so
+    they push down to the parquet reader.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderstatus").isin("F", "O"))
+            & (F.col("o_totalprice").between(1000.0, 400000.0))
+            & (F.col("o_orderpriority").like("%URGENT%") | (F.col("o_orderpriority") == "2-HIGH"))
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            dround(F.col("o_totalprice") * 1.1, 2).alias("price_with_fee"),
+            F.when(F.col("o_totalprice") > 200000, "big")
+            .when(F.col("o_totalprice") > 50000, "mid")
+            .otherwise("small")
+            .alias("size_class"),
+            (F.col("o_orderstatus") == "F").alias("is_final"),
+        )
+    )
+
+
+PROJ_FILTER_SQL = """
+SELECT
+  o_orderkey,
+  o_custkey,
+  CAST(round(CAST((o_totalprice * 1.1) AS DECIMAL(30,10)), 2) AS DOUBLE) AS price_with_fee,
+  CASE WHEN o_totalprice > 200000 THEN 'big'
+       WHEN o_totalprice > 50000  THEN 'mid'
+       ELSE 'small' END         AS size_class,
+  o_orderstatus = 'F'           AS is_final
+FROM orders
+WHERE o_orderstatus IN ('F', 'O')
+  AND o_totalprice BETWEEN 1000.0 AND 400000.0
+  AND (o_orderpriority LIKE '%URGENT%' OR o_orderpriority = '2-HIGH')
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: TPC-H Q3-shaped scan → filter → 3-way join → agg → top-k.
+
+    This is the reference's whole pipeline shape in miniature (SURVEY §7 M0):
+    deterministic scan (S1/O1) → filter (P1) → broadcast metadata join
+    (§2.4a, ``zeiss_job.py:123-130``) → aggregate (A1) → ordered sink.
+
+    Physical plan at scale: customer (filtered) broadcasts; orders⋈lineitem
+    is the one shuffle, on o_orderkey; top-k is TakeOrderedAndProject (no
+    global sort materialization).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT
+  l_orderkey,
+  o_orderdate,
+  o_orderpriority,
+  CAST(round(CAST((sum(l_extendedprice * (1 - l_discount))) AS DECIMAL(30,10)), 2) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join: three broadcast dims + two fact joins.
+
+    region→nation→customer chain broadcasts end-to-end; lineitem⋈orders and
+    ⋈supplier shuffle on their keys. The n_nationkey equality between
+    customer and supplier is the classic "local supplier" correlation.
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .join(
+            sup,
+            (li.l_suppkey == sup.s_suppkey) & (dim.c_nationkey == sup.s_nationkey),
+        )
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+Q5_SQL = """
+SELECT
+  n_name,
+  CAST(round(CAST((sum(l_extendedprice * (1 - l_discount))) AS DECIMAL(30,10)), 2) AS DOUBLE) AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey   = c_custkey
+JOIN lineitem ON l_orderkey  = o_orderkey
+JOIN supplier ON l_suppkey   = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join — the reference's metadata-broadcast
+    pattern (one acquisition.json fanned out to every stack conversion,
+    ``zeiss_job.py:123-130,145-157``) as a relational operator."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dround(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+    )
+
+
+JOIN_BROADCAST_SQL = """
+SELECT
+  r_name,
+  n_name,
+  count(*)                   AS n_customers,
+  CAST(round(CAST((avg(c_acctbal)) AS DECIMAL(30,10)), 2) AS DOUBLE)   AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def join_shuffle_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-side equi join (sort-merge / shuffle-hash — Catalyst + AQE
+    choose): lineitem ⋈ orders on the order key, both sides big."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            dround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+JOIN_SHUFFLE_SQL = """
+SELECT
+  o_orderpriority,
+  count(*)                        AS n_lineitems,
+  CAST(round(CAST((sum(l_extendedprice)) AS DECIMAL(30,10)), 2) AS DOUBLE)  AS sum_price
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no orders (null side)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dround(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+JOIN_OUTER_SQL = """
+SELECT
+  c_custkey,
+  count(o_orderkey)                              AS n_orders,
+  CAST(round(CAST((coalesce(sum(o_totalprice), 0.0)) AS DECIMAL(30,10)), 2) AS DOUBLE)     AS total_spent
+FROM customer
+LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers that have at least one urgent order.
+
+    Semi joins carry only the left side through the shuffle — at 100 TB
+    that halves the data movement vs join+distinct.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no urgent orders (existence negation)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+"""
+
+
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join, implemented scale-aware via bucketing.
+
+    Semantics: lineitem rows whose quantity falls within ±2 of a part's
+    size, for small parts. A naive theta join is a broadcast-nested-loop
+    over the whole fact table; instead we attach integer bucket keys on
+    both sides (explode the ±2 window on the *small* side only) and
+    equi-join on the bucket — the BNLJ becomes a broadcast hash join, which
+    is the strategy that survives 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    small = part.filter(F.col("p_size") <= 5).select("p_partkey", "p_size")
+    # Explode each part into the integer quantity buckets it can match.
+    buckets = small.select(
+        "p_partkey",
+        "p_size",
+        F.explode(
+            F.sequence(F.col("p_size") - F.lit(2), F.col("p_size") + F.lit(2))
+        ).alias("qty_bucket"),
+    )
+    return (
+        li.withColumn("qty_bucket", F.col("l_quantity").cast("int"))
+        .join(F.broadcast(buckets), "qty_bucket")
+        # bucket is integer-exact only for whole quantities; re-apply the
+        # precise predicate for fractional quantities.
+        .filter(
+            (F.col("l_quantity") >= F.col("p_size") - 2)
+            & (F.col("l_quantity") <= F.col("p_size") + 2)
+        )
+        .groupBy("p_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+JOIN_RANGE_SQL = """
+SELECT
+  p_size,
+  count(*)                  AS n_matches,
+  CAST(round(CAST((sum(l_quantity)) AS DECIMAL(30,10)), 2) AS DOUBLE) AS sum_qty
+FROM lineitem
+JOIN part ON l_quantity BETWEEN p_size - 2 AND p_size + 2
+WHERE p_size <= 5
+GROUP BY p_size
+"""
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cross join (candidate generation primitive for similarity
+    search): every region × nation pair with a name-overlap flag."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select(
+        "r_regionkey",
+        "n_nationkey",
+        (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home"),
+        F.concat_ws("-", F.col("r_name"), F.col("n_name")).alias("pair_name"),
+    )
+
+
+JOIN_CROSS_SQL = """
+SELECT
+  r_regionkey,
+  n_nationkey,
+  n_regionkey = r_regionkey          AS is_home,
+  concat(r_name, '-', n_name)        AS pair_name
+FROM region
+CROSS JOIN nation
+"""
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every event, the value of the same user's most
+    recent 'purchase' event at or before it (SURVEY §2.4 as-of row).
+
+    Implemented the scale path: union the two sides, one window sort per
+    user, carry the last non-null purchase value forward
+    (``last(..., ignorenulls=True)``) — a single shuffle on user_id, no
+    range join, no per-row subquery. The oracle states the identical
+    algorithm in ANSI SQL.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pv"),
+        # purchases sort before other events at the identical timestamp so
+        # an event sees a purchase with ts == its own ts (>= semantics).
+        F.when(F.col("event_type") == "purchase", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("pri"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "pri", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        marked.withColumn("last_purchase_value", dround(F.last("pv", ignorenulls=True).over(w), 2))
+        .select("event_id", "user_id", "event_type", "last_purchase_value")
+    )
+
+
+JOIN_ASOF_SQL = """
+SELECT
+  event_id,
+  user_id,
+  event_type,
+  CAST(round(CAST((last_value(pv IGNORE NULLS) OVER (
+    PARTITION BY user_id
+    ORDER BY ts, pri, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  )) AS DECIMAL(30,10)), 2) AS DOUBLE) AS last_purchase_value
+FROM (
+  SELECT
+    event_id, user_id, ts, event_type,
+    CASE WHEN event_type = 'purchase' THEN value END AS pv,
+    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS pri
+  FROM events
+) marked
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ordered top-k (TakeOrderedAndProject — per-partition heaps,
+    only k rows per partition reach the driver; no full sort at scale).
+
+    Reference analog: deterministic path sort ``zeiss_job.py:56-57`` (O1)
+    + natural subblock sort ``utils/utils.py:499-504`` (O2).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", dround("o_totalprice", 2).alias("o_totalprice"))
+        .limit(25)
+    )
+
+
+SORT_TOPK_SQL = """
+SELECT o_orderkey, o_custkey, CAST(round(CAST((o_totalprice) AS DECIMAL(30,10)), 2) AS DOUBLE) AS o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+"""
+
+
+def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key mixed-direction sort with a deterministic total order.
+
+    Returned as a set (driver hash is order-insensitive) but the limit
+    requires the order to be total — every key chain ends in a unique key.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.orderBy(
+            F.asc("c_mktsegment"), F.desc("c_acctbal"), F.asc("c_custkey")
+        )
+        .select("c_custkey", "c_mktsegment", dround("c_acctbal", 2).alias("c_acctbal"))
+        .limit(100)
+    )
+
+
+SORT_MULTIKEY_SQL = """
+SELECT c_custkey, c_mktsegment, CAST(round(CAST((c_acctbal) AS DECIMAL(30,10)), 2) AS DOUBLE) AS c_acctbal
+FROM customer
+ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over nation keys of customers vs suppliers,
+    tagged by which set each key came from."""
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    c_nations = cust.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s_nations = sup.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = c_nations.intersect(s_nations).withColumn("tag", F.lit("both"))
+    cust_only = c_nations.exceptAll(s_nations).withColumn("tag", F.lit("customer_only"))
+    sup_only = s_nations.exceptAll(c_nations).withColumn("tag", F.lit("supplier_only"))
+    return both.unionByName(cust_only).unionByName(sup_only)
+
+
+SET_OPS_SQL = """
+WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, 'both' AS tag          FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+UNION ALL
+SELECT nationkey, 'customer_only' AS tag FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+UNION ALL
+SELECT nationkey, 'supplier_only' AS tag FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function families (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One of each scalar family the reference touches: string formatting
+    (channel-color hex ``f"{color:06x}"`` → ``lpad(hex(..))``,
+    ``czi_to_zarr.py:76``), path-stem regexes (``zeiss_job.py:135``), date
+    parts, ceil-division (level shapes, ``czi_to_zarr.py:185-187``)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") < 200).select(
+        "o_orderkey",
+        F.lower(F.col("o_orderpriority")).alias("prio_lower"),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_digit"),
+        F.lpad(F.lower(F.hex(F.col("o_orderkey"))), 6, "0").alias("key_hex"),
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.ceil(F.col("o_totalprice") / 1000.0).cast("long").alias("price_kilo_ceil"),
+        F.floor(F.col("o_totalprice") / 1000.0).cast("long").alias("price_kilo_floor"),
+        F.pmod(F.col("o_orderkey"), F.lit(7)).cast("long").alias("key_mod7"),
+        dround(F.sqrt(F.col("o_totalprice")), 4).alias("price_sqrt"),
+        F.length(F.col("o_orderstatus")).alias("status_len"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+    )
+
+
+SCALAR_SQL = """
+SELECT
+  o_orderkey,
+  lower(o_orderpriority)                              AS prio_lower,
+  substring(o_orderpriority, 1, 1)                    AS prio_digit,
+  lpad(lower(to_hex(o_orderkey)), 6, '0')             AS key_hex,
+  CAST(year(o_orderdate)  AS BIGINT)                  AS o_year,
+  CAST(month(o_orderdate) AS BIGINT)                  AS o_month,
+  CAST(day(o_orderdate)   AS BIGINT)                  AS o_day,
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+  CAST(ceil(o_totalprice / 1000.0)  AS BIGINT)        AS price_kilo_ceil,
+  CAST(floor(o_totalprice / 1000.0) AS BIGINT)        AS price_kilo_floor,
+  o_orderkey % 7                                      AS key_mod7,
+  CAST(round(CAST((sqrt(o_totalprice)) AS DECIMAL(30,10)), 4) AS DOUBLE)                        AS price_sqrt,
+  CAST(length(o_orderstatus) AS INTEGER)              AS status_len,
+  o_orderstatus || '|' || o_orderpriority             AS status_prio
+FROM orders
+WHERE o_orderkey < 200
+"""
+
+
+def scalar_json_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON navigation (S9's acquisition.json scale extraction analog,
+    ``zeiss_job.py:62-87``) + array-function family over documents."""
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    ev_part = ev.filter(F.col("event_id") < 200).select(
+        F.col("event_id").alias("row_id"),
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("json_k"),
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("string").alias("first_tokens"),
+    )
+    doc_part = docs.filter(F.col("doc_id") < 200).select(
+        (F.col("doc_id") + 100000).alias("row_id"),
+        F.lit(None).cast("long").alias("json_k"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), 1, 3),
+            ",",
+        ).alias("first_tokens"),
+    )
+    return ev_part.unionByName(doc_part)
+
+
+SCALAR_JSON_SQL = """
+SELECT
+  event_id                                          AS row_id,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS json_k,
+  CAST(NULL AS BIGINT)                              AS n_tokens,
+  CAST(NULL AS VARCHAR)                             AS first_tokens
+FROM events
+WHERE event_id < 200
+UNION ALL
+SELECT
+  doc_id + 100000                                   AS row_id,
+  CAST(NULL AS BIGINT)                              AS json_k,
+  CAST(len(string_split(text, ' ')) AS BIGINT)      AS n_tokens,
+  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',') AS first_tokens
+FROM documents
+WHERE doc_id < 200
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "proj_filter_predicates": proj_filter_predicates,
+    "join_broadcast_dim": join_broadcast_dim,
+    "join_shuffle_equi": join_shuffle_equi,
+    "join_outer": join_outer,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_range_bucketed": join_range_bucketed,
+    "join_cross": join_cross,
+    "join_asof": join_asof,
+    "agg_stats": agg_stats,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_pivot": agg_pivot,
+    "agg_approx_distinct": agg_approx_distinct,
+    "sort_topk": sort_topk,
+    "sort_multikey": sort_multikey,
+    "set_ops": set_ops,
+    "scalar_string_date_math": scalar_string_date_math,
+    "scalar_json_array": scalar_json_array,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_region_revenue": Q5_SQL,
+    "proj_filter_predicates": PROJ_FILTER_SQL,
+    "join_broadcast_dim": JOIN_BROADCAST_SQL,
+    "join_shuffle_equi": JOIN_SHUFFLE_SQL,
+    "join_outer": JOIN_OUTER_SQL,
+    "join_semi": JOIN_SEMI_SQL,
+    "join_anti": JOIN_ANTI_SQL,
+    "join_range_bucketed": JOIN_RANGE_SQL,
+    "join_cross": JOIN_CROSS_SQL,
+    "join_asof": JOIN_ASOF_SQL,
+    "agg_stats": AGG_STATS_SQL,
+    "agg_rollup": AGG_ROLLUP_SQL,
+    "agg_cube": AGG_CUBE_SQL,
+    "agg_pivot": AGG_PIVOT_SQL,
+    # agg_approx_distinct: intentionally no oracle (HLL builds differ)
+    "sort_topk": SORT_TOPK_SQL,
+    "sort_multikey": SORT_MULTIKEY_SQL,
+    "set_ops": SET_OPS_SQL,
+    "scalar_string_date_math": SCALAR_SQL,
+    "scalar_json_array": SCALAR_JSON_SQL,
+}

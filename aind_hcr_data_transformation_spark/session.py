@@ -1,0 +1,92 @@
+"""SparkSession construction with scale-aware defaults.
+
+Replaces the reference's hand-rolled execution substrate (SLURM array jobs +
+static round-robin partitioning + dask threaded scheduler,
+``zeiss_job.py:29-60,218-220``, ``scripts/submit_job.sh:3-21``): Spark's
+scheduler does dynamic placement, AQE re-plans shuffles at runtime, and the
+same session config scales from ``local[32]`` to a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32] test harness; on a real cluster the same
+# settings hold except parallelism-derived ones, which scale with cores.
+_DEFAULT_CONFS: dict[str, str] = {
+    # Adaptive Query Execution: runtime shuffle-partition coalescing, skew-join
+    # splitting, and dynamic broadcast demotion — the engine's first line of
+    # defense at 100 TB where static planning guesses wrong.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Broadcast threshold: dims like region/nation/supplier stay broadcast
+    # even at sf 100; AQE upgrades sort-merge → broadcast when a side turns
+    # out small at runtime.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow for every pandas_udf / mapInPandas / toPandas crossing.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Deterministic timestamp semantics for the DuckDB differential oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet carries TIMESTAMP(NANOS); read as long + convert
+    # (see tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet: zstd mirrors the reference's Blosc-zstd-3 choice
+    # (models.py:52-56) for the tabular layer.
+    "spark.sql.parquet.compression.codec": "zstd",
+    # Partition sizing: 128 MB splits keep scan tasks balanced; at 100 TB
+    # that is ~800k tasks, well within scheduler capacity.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # In-memory columnar cache compression.
+    "spark.sql.inMemoryColumnarStorage.compressed": "true",
+    "spark.sql.shuffle.partitions": "32",
+    # Off-heap friendly UI noise reduction for bench runs.
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def cpu_parallelism() -> int:
+    """Worker-thread count for local mode (driver override via env)."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "aind-hcr-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine defaults.
+
+    ``master=None`` honors an externally-configured cluster (spark-submit)
+    and falls back to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER_URL"):
+        builder = builder.master(f"local[{cpu_parallelism()}]")
+    confs = dict(_DEFAULT_CONFS)
+    if extra_conf:
+        confs.update(extra_conf)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return spark
+
+
+def apply_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable confs to an existing session.
+
+    The driver hands us a pre-built SparkSession in ``entry()``; static confs
+    (memory, master) are fixed by then, but SQL confs are runtime-settable
+    and needed for oracle agreement (UTC) and performance (AQE).
+    """
+    for k, v in _DEFAULT_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # static conf on a live session — keep going
+            pass
+    return spark
