@@ -1,0 +1,350 @@
+"""Window functions and event-time windows (SURVEY.md §2.6, §2.10).
+
+The reference has no ranking/lag/frames (its only "window" is the tumbling
+spatial window of the multiscale mean, ``czi_to_zarr.py:446-452``, covered
+by groupBy in operators/downsample.py). This module provides the full
+analytic-window surface plus event-time tumbling/sliding/session windows
+over the ``events`` table — the exact functions Structured Streaming uses,
+so ``streaming/`` reuses these semantics unchanged on ``readStream``.
+
+Scale note: each query shuffles once, on its ``partitionBy``/``groupBy``
+keys. Window partitions here are per-user / per-flag, i.e. millions of
+small partitions at 100 TB — the shape window sorts want. Nothing orders
+the whole table globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.compat import dround
+from ..tables import load_table
+
+# ---------------------------------------------------------------------------
+# Ranking / offset / frame windows (§2.6)
+# ---------------------------------------------------------------------------
+
+
+def win_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price: row_number + ntile over a total
+    order (unique tiebreak — SURVEY §7 hard-part 5: never rely on
+    nondeterministic row order for assignment)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            dround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            F.row_number().over(w).alias("rn"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+WIN_RANK_TOPN_SQL = """
+SELECT * FROM (
+  SELECT
+    o_custkey,
+    o_orderkey,
+    CAST(round(CAST((o_totalprice) AS DECIMAL(30,10)), 2) AS DOUBLE) AS o_totalprice,
+    row_number() OVER w AS rn,
+    ntile(4)     OVER w AS quartile
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+)
+WHERE rn <= 3
+"""
+
+
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / cume_dist with ties (all four are
+    tie-stable, so the result is deterministic without a unique tiebreak)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        dround(F.col("l_quantity"), 2).alias("l_quantity"),
+        F.rank().over(w).alias("qty_rank"),
+        F.dense_rank().over(w).alias("qty_dense_rank"),
+        dround(F.percent_rank().over(w), 6).alias("qty_pct_rank"),
+        dround(F.cume_dist().over(w), 6).alias("qty_cume_dist"),
+    )
+
+
+WIN_RANK_DENSE_SQL = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  l_returnflag,
+  CAST(round(CAST((l_quantity) AS DECIMAL(30,10)), 2) AS DOUBLE) AS l_quantity,
+  rank()       OVER w AS qty_rank,
+  dense_rank() OVER w AS qty_dense_rank,
+  CAST(round(CAST((percent_rank() OVER w) AS DECIMAL(30,10)), 6) AS DOUBLE) AS qty_pct_rank,
+  CAST(round(CAST((cume_dist()    OVER w) AS DECIMAL(30,10)), 6) AS DOUBLE) AS qty_cume_dist
+FROM lineitem
+WHERE l_orderkey < 100
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+"""
+
+
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead offsets per user ordered by event time, with inter-event gap
+    in integer microseconds (exact — no float time arithmetic)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        dround(F.lag("value", 1).over(w), 2).alias("prev_value"),
+        dround(F.lead("value", 1).over(w), 2).alias("next_value"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w))).alias(
+            "gap_us"
+        ),
+    )
+
+
+WIN_LAG_LEAD_SQL = """
+SELECT
+  event_id,
+  user_id,
+  CAST(round(CAST((lag(value, 1)  OVER w) AS DECIMAL(30,10)), 2) AS DOUBLE) AS prev_value,
+  CAST(round(CAST((lead(value, 1) OVER w) AS DECIMAL(30,10)), 2) AS DOUBLE) AS next_value,
+  epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregates (sum/count/max) with an explicit ROWS frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        dround(F.sum("value").over(w), 2).alias("running_sum"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+        dround(F.max("value").over(w), 2).alias("running_max"),
+    )
+
+
+WIN_RUNNING_SQL = """
+SELECT
+  event_id,
+  user_id,
+  CAST(round(CAST((sum(value) OVER w) AS DECIMAL(30,10)), 2) AS DOUBLE) AS running_sum,
+  count(*) OVER w AS running_n,
+  CAST(round(CAST((max(value) OVER w) AS DECIMAL(30,10)), 2) AS DOUBLE) AS running_max
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+)
+"""
+
+
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: trailing 10-minute sum of value per user, ordered by
+    exact integer epoch-microseconds (RANGE on the physical time axis)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        dround(F.sum("value").over(w), 2).alias("trailing_10m_sum"),
+        F.count(F.lit(1)).over(w).alias("trailing_10m_n"),
+    )
+
+
+WIN_RANGE_FRAME_SQL = """
+SELECT
+  event_id,
+  user_id,
+  CAST(round(CAST((sum(value) OVER w) AS DECIMAL(30,10)), 2) AS DOUBLE) AS trailing_10m_sum,
+  count(*) OVER w AS trailing_10m_n
+FROM (SELECT *, epoch_us(ts) AS ts_us FROM events)
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts_us
+  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last over an explicit full-partition frame (the frame must be
+    UNBOUNDED..UNBOUNDED or ``last`` degenerates to "current row")."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    )
+
+
+WIN_FIRST_LAST_SQL = """
+SELECT
+  event_id,
+  user_id,
+  first_value(event_type) OVER w AS first_type,
+  last_value(event_type)  OVER w AS last_type
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (§2.10) — same functions Structured Streaming uses
+# ---------------------------------------------------------------------------
+
+
+def evw_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time windows per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+EVW_TUMBLING_SQL = """
+SELECT
+  time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+  event_type,
+  count(*) AS n_events,
+  CAST(round(CAST((sum(value)) AS DECIMAL(30,10)), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY window_start, event_type
+"""
+
+
+def evw_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 10-minute width, 5-minute slide (every event lands
+    in exactly two windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+EVW_SLIDING_SQL = """
+SELECT
+  time_bucket(INTERVAL '5 minutes', ts) - k.k * INTERVAL '5 minutes' AS window_start,
+  event_type,
+  count(*) AS n_events,
+  CAST(round(CAST((sum(value)) AS DECIMAL(30,10)), 2) AS DOUBLE) AS sum_value
+FROM events
+CROSS JOIN (VALUES (0), (1)) k(k)
+GROUP BY window_start, event_type
+"""
+
+
+def evw_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap per user
+    (sessionization — ``session_window`` is the batch twin of the
+    Structured Streaming operator)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("sum_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "sum_value")
+    )
+
+
+EVW_SESSION_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *,
+         CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sessions AS (
+  SELECT *,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT
+  user_id,
+  min(ts)  AS session_start,
+  count(*) AS n_events,
+  CAST(round(CAST((sum(value)) AS DECIMAL(30,10)), 2) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+QUERIES = {
+    "win_rank_topn": win_rank_topn,
+    "win_rank_dense": win_rank_dense,
+    "win_lag_lead": win_lag_lead,
+    "win_running": win_running,
+    "win_range_frame": win_range_frame,
+    "win_first_last": win_first_last,
+    "evw_tumbling": evw_tumbling,
+    "evw_sliding": evw_sliding,
+    "evw_session": evw_session,
+}
+
+ORACLES = {
+    "win_rank_topn": WIN_RANK_TOPN_SQL,
+    "win_rank_dense": WIN_RANK_DENSE_SQL,
+    "win_lag_lead": WIN_LAG_LEAD_SQL,
+    "win_running": WIN_RUNNING_SQL,
+    "win_range_frame": WIN_RANGE_FRAME_SQL,
+    "win_first_last": WIN_FIRST_LAST_SQL,
+    "evw_tumbling": EVW_TUMBLING_SQL,
+    "evw_sliding": EVW_SLIDING_SQL,
+    "evw_session": EVW_SESSION_SQL,
+}

@@ -136,13 +136,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # The driver hands queries a session we didn't build; timestamp semantics
+    # must not depend on its timezone config (oracle agreement needs UTC).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # integer `div`, not `/`: nano epochs (~1.7e18) exceed double's 2^53
+        # exact-integer range, so float division drifts by ±1 µs.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 
