@@ -19,10 +19,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from aind_hcr_data_transformation_spark.operators import relational, windows
+from aind_hcr_data_transformation_spark.operators import (
+    pipeline_queries,
+    relational,
+    windows,
+)
 from aind_hcr_data_transformation_spark.session import apply_session_confs
 
-_MODULES = [relational, windows]
+_MODULES = [relational, windows, pipeline_queries]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,455 @@
+"""The reference's pipeline operators, relationally expressed and
+oracle-checked (SURVEY §7 M2).
+
+Each query mirrors a concrete reference operator (file:line cited per
+function) over the driver-provided tables — stand-in "stacks" are derived
+deterministically from table columns, and voxel grids are generated inline
+with ``sequence``/``explode`` on both engines, so the DuckDB oracle pins
+the exact semantics (round-robin multisets, jump planning, ceil-edge
+windowed means, dtype truncation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.compat import dround
+from ..tables import load_table
+from .downsample import downsample_relational
+
+# ---------------------------------------------------------------------------
+# S1/O1/P1: deterministic stack-catalog scan
+# ---------------------------------------------------------------------------
+
+
+def pipe_stack_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-scan semantics of ``_get_partitioned_list_of_stack_paths``
+    (``zeiss_job.py:42-60``): glob → drop non-files (``is_file``,
+    ``zeiss_job.py:52``) → lexicographic sort for cross-node determinism
+    (``zeiss_job.py:56``) → stem extraction (``zeiss_job.py:135``).
+
+    Stand-in paths come from documents; one synthetic directory row
+    exercises the is_file filter.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    catalog = docs.select(
+        F.concat(F.lit("SPIM/"), F.col("source"), F.lit("_"), F.col("doc_id").cast("string"), F.lit(".czi")).alias("path"),
+        F.lit(True).alias("is_file"),
+    )
+    dir_row = spark.createDataFrame(
+        [("SPIM/derivatives", False)], "path string, is_file boolean"
+    )
+    return (
+        catalog.unionByName(dir_row)
+        .filter(F.col("is_file"))
+        .select(
+            "path",
+            F.regexp_extract(F.col("path"), r"([^/]+)\.czi$", 1).alias("stack_name"),
+        )
+    )
+
+
+PIPE_STACK_CATALOG_SQL = r"""
+SELECT
+  path,
+  regexp_extract(path, '([^/]+)\.czi$', 1) AS stack_name
+FROM (
+  SELECT 'SPIM/' || source || '_' || CAST(doc_id AS VARCHAR) || '.czi' AS path,
+         TRUE AS is_file
+  FROM documents
+  UNION ALL
+  SELECT 'SPIM/derivatives', FALSE
+)
+WHERE is_file
+"""
+
+
+# ---------------------------------------------------------------------------
+# X1: round-robin partition assignment
+# ---------------------------------------------------------------------------
+
+
+def pipe_partition_roundrobin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``partition_list`` round-robin split (``zeiss_job.py:29-40``,
+    ``models.py:35-45``): sorted stack list dealt modulo
+    ``num_of_partitions``. Spark replaces the SLURM plumbing, but the
+    assignment itself must be reproducible, so it goes through
+    ``row_number() over (order by path)`` — never
+    ``monotonically_increasing_id`` (SURVEY §7 hard-part 5). The oracle
+    pins the multiset-per-partition invariant the reference's own tests
+    check (``tests/test_zeiss_job.py:43-57``).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    paths = docs.select(
+        F.concat(F.lit("SPIM/"), F.col("source"), F.lit("_"), F.col("doc_id").cast("string"), F.lit(".czi")).alias("path"),
+        "doc_id",
+    )
+    n_partitions = 5
+    assigned = paths.withColumn(
+        "partition_id",
+        ((F.row_number().over(Window.orderBy("path")) - 1) % n_partitions).cast("int"),
+    )
+    return assigned.groupBy("partition_id").agg(
+        F.count(F.lit(1)).alias("n_stacks"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.min("path").alias("first_path"),
+        F.max("path").alias("last_path"),
+    )
+
+
+PIPE_ROUNDROBIN_SQL = """
+WITH paths AS (
+  SELECT 'SPIM/' || source || '_' || CAST(doc_id AS VARCHAR) || '.czi' AS path,
+         doc_id
+  FROM documents
+), assigned AS (
+  SELECT path, doc_id,
+         CAST((row_number() OVER (ORDER BY path) - 1) % 5 AS INTEGER) AS partition_id
+  FROM paths
+)
+SELECT
+  partition_id,
+  count(*)            AS n_stacks,
+  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+  min(path)           AS first_path,
+  max(path)           AS last_path
+FROM assigned
+GROUP BY partition_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# S2/S3/K3: jump planning and block-index generation
+# ---------------------------------------------------------------------------
+
+
+def pipe_block_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``generate_jumps`` (``utils/utils.py:398-415``) applied per stack:
+    z-slab start offsets every ``jump_size`` planes, end clamped to the
+    extent — the block-index DataFrame that replaces the reference's
+    eager ``czi_block_generator`` loop (``utils/utils.py:462-526``).
+
+    Stand-in z-extents derive from part sizes; jump=128 matches the
+    default chunk (``models.py:62-66``).
+    """
+    part = load_table(spark, sf_dir, "part")
+    jump = 128
+    stacks = part.select(
+        "p_partkey", (F.col("p_size") * 17 + 1).alias("z_extent")
+    )
+    return stacks.select(
+        "p_partkey",
+        "z_extent",
+        F.explode(
+            F.sequence(F.lit(0), F.col("z_extent") - 1, F.lit(jump))
+        ).alias("z0"),
+    ).select(
+        "p_partkey",
+        "z0",
+        F.least(F.col("z0") + jump, F.col("z_extent")).alias("z1"),
+    )
+
+
+PIPE_BLOCK_INDEX_SQL = """
+SELECT
+  p_partkey,
+  CAST(z0 AS INTEGER)                              AS z0,
+  CAST(least(z0 + 128, p_size * 17 + 1) AS INTEGER) AS z1
+FROM part, unnest(range(0, p_size * 17 + 1, 128)) t(z0)
+"""
+
+
+def pipe_block_grid_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``BlockedArrayWriter.gen_slices`` (``zarr_writer.py:129-186``):
+    row-major tiling of an N-D shape by a block shape, last block per
+    dimension truncated. One synthetic stack per nation (shape varies with
+    the nation key) tiled by 16×32×32 blocks."""
+    nation = load_table(spark, sf_dir, "nation")
+    bz, by, bx = 16, 32, 32
+    shaped = nation.select(
+        "n_nationkey",
+        (F.lit(40) + F.col("n_nationkey")).alias("sz"),
+        F.lit(64).alias("sy"),
+        (F.lit(64) + (F.col("n_nationkey") % 3)).alias("sx"),
+    )
+    return (
+        shaped.select(
+            "n_nationkey", "sz", "sy", "sx",
+            F.explode(F.sequence(F.lit(0), F.col("sz") - 1, F.lit(bz))).alias("z0"),
+        )
+        .select(
+            "n_nationkey", "sz", "sy", "sx", "z0",
+            F.explode(F.sequence(F.lit(0), F.col("sy") - 1, F.lit(by))).alias("y0"),
+        )
+        .select(
+            "n_nationkey", "sz", "sy", "sx", "z0", "y0",
+            F.explode(F.sequence(F.lit(0), F.col("sx") - 1, F.lit(bx))).alias("x0"),
+        )
+        .select(
+            "n_nationkey",
+            "z0",
+            F.least(F.col("z0") + bz, F.col("sz")).alias("z1"),
+            "y0",
+            F.least(F.col("y0") + by, F.col("sy")).alias("y1"),
+            "x0",
+            F.least(F.col("x0") + bx, F.col("sx")).alias("x1"),
+        )
+    )
+
+
+PIPE_BLOCK_GRID_SQL = """
+WITH shaped AS (
+  SELECT n_nationkey,
+         40 + n_nationkey       AS sz,
+         64                     AS sy,
+         64 + (n_nationkey % 3) AS sx
+  FROM nation
+)
+SELECT
+  n_nationkey,
+  CAST(z0 AS INTEGER)                 AS z0,
+  CAST(least(z0 + 16, sz) AS INTEGER) AS z1,
+  CAST(y0 AS INTEGER)                 AS y0,
+  CAST(least(y0 + 32, sy) AS INTEGER) AS y1,
+  CAST(x0 AS INTEGER)                 AS x0,
+  CAST(least(x0 + 32, sx) AS INTEGER) AS x1
+FROM shaped,
+     unnest(range(0, sz, 16)) tz(z0),
+     unnest(range(0, sy, 32)) ty(y0),
+     unnest(range(0, sx, 32)) tx(x0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1/A2/X10: windowed-mean downsample + cascade
+# ---------------------------------------------------------------------------
+
+_GRID_Z, _GRID_Y, _GRID_X = 40, 32, 32  # Z=40 exercises the partial last
+# window at every level (ceil semantics, czi_to_zarr.py:185-187)
+
+
+def _voxel_grid(spark: SparkSession) -> DataFrame:
+    """Deterministic ramp voxels v(z,y,x) = (z*1000 + y*10 + x) % 65536
+    (FIXTURES.md B2) generated inline — closed-form golden values."""
+    return (
+        spark.range(1)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(_GRID_Z - 1))).alias("z"))
+        .select("z", F.explode(F.sequence(F.lit(0), F.lit(_GRID_Y - 1))).alias("y"))
+        .select("z", "y", F.explode(F.sequence(F.lit(0), F.lit(_GRID_X - 1))).alias("x"))
+        .select(
+            F.col("z").cast("int").alias("z"),
+            F.col("y").cast("int").alias("y"),
+            F.col("x").cast("int").alias("x"),
+            ((F.col("z") * 1000 + F.col("y") * 10 + F.col("x")) % 65536)
+            .cast("int")
+            .alias("v"),
+        )
+    )
+
+
+_VOXEL_GRID_SQL = f"""
+  SELECT CAST(z AS INTEGER) AS z, CAST(y AS INTEGER) AS y, CAST(x AS INTEGER) AS x,
+         CAST((z*1000 + y*10 + x) % 65536 AS INTEGER) AS v
+  FROM unnest(range(0, {_GRID_Z})) tz(z),
+       unnest(range(0, {_GRID_Y})) ty(y),
+       unnest(range(0, {_GRID_X})) tx(x)
+"""
+
+
+def pipe_downsample_level1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One windowed-mean pyramid level (``compute_pyramid``,
+    ``czi_to_zarr.py:410-454``): 2×2×2 non-overlapping mean,
+    dtype-preserving truncation (``preserve_dtype=True`` →
+    integer ``astype``; floor == trunc for non-negative voxels)."""
+    return downsample_relational(_voxel_grid(spark), (2, 2, 2), True)
+
+
+PIPE_DOWNSAMPLE_SQL = f"""
+WITH voxels AS ({_VOXEL_GRID_SQL})
+SELECT
+  CAST(z // 2 AS INTEGER) AS z,
+  CAST(y // 2 AS INTEGER) AS y,
+  CAST(x // 2 AS INTEGER) AS x,
+  CAST(floor(avg(v)) AS INTEGER) AS v
+FROM voxels
+GROUP BY 1, 2, 3
+"""
+
+
+def pipe_multiscale_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level cascade (``czi_to_zarr.py:623-653``): level 2 computed
+    from level 1 — NOT from level 0 — with truncation applied at *each*
+    level (the compounding-truncation semantics the read-back loop
+    implies; a single 4×4×4 mean would differ)."""
+    level1 = downsample_relational(_voxel_grid(spark), (2, 2, 2), True)
+    return downsample_relational(level1, (2, 2, 2), True)
+
+
+PIPE_CASCADE_SQL = f"""
+WITH voxels AS ({_VOXEL_GRID_SQL}),
+level1 AS (
+  SELECT CAST(z // 2 AS INTEGER) AS z, CAST(y // 2 AS INTEGER) AS y,
+         CAST(x // 2 AS INTEGER) AS x, CAST(floor(avg(v)) AS INTEGER) AS v
+  FROM voxels GROUP BY 1, 2, 3
+)
+SELECT CAST(z // 2 AS INTEGER) AS z, CAST(y // 2 AS INTEGER) AS y,
+       CAST(x // 2 AS INTEGER) AS x, CAST(floor(avg(v)) AS INTEGER) AS v
+FROM level1 GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# A4/X9: the statistics the reference skipped
+# ---------------------------------------------------------------------------
+
+
+def pipe_voxel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The display-range percentiles the reference hard-codes away
+    (``czi_to_zarr.py:543-555``: "da.percentile … would take so much
+    time") — computed for real: exact interpolated percentiles (0.001,
+    0.95) per group, plus min/max, over lineitem prices."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dround(F.min("l_extendedprice"), 2).alias("p_min"),
+        dround(F.expr("percentile(l_extendedprice, 0.001)"), 2).alias("p_low"),
+        dround(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("p_high"),
+        dround(F.max("l_extendedprice"), 2).alias("p_max"),
+    )
+
+
+PIPE_VOXEL_STATS_SQL = """
+SELECT
+  l_returnflag,
+  CAST(round(CAST((min(l_extendedprice)) AS DECIMAL(30,10)), 2) AS DOUBLE) AS p_min,
+  CAST(round(CAST((quantile_cont(l_extendedprice, 0.001)) AS DECIMAL(30,10)), 2) AS DOUBLE) AS p_low,
+  CAST(round(CAST((quantile_cont(l_extendedprice, 0.95))  AS DECIMAL(30,10)), 2) AS DOUBLE) AS p_high,
+  CAST(round(CAST((max(l_extendedprice)) AS DECIMAL(30,10)), 2) AS DOUBLE) AS p_max
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# S8/S9/P2: acquisition.json voxel-resolution extraction
+# ---------------------------------------------------------------------------
+
+_ACQ_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "tiles",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "coordinate_transformations",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField("type", T.StringType()),
+                                        T.StructField("scale", T.ArrayType(T.StringType())),
+                                    ]
+                                )
+                            ),
+                        )
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def pipe_acquisition_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_get_voxel_resolution`` (``zeiss_job.py:62-87``): navigate an
+    acquisition.json document, keep the ``type=="scale"`` transform
+    (filter+first, P2 ``zeiss_job.py:79-81``), ``float()`` the
+    string-typed scale values, and reorder disk-order X,Y,Z → Z,Y,X.
+
+    One acquisition document per nation is synthesized as a JSON string
+    (scale varies with the key), then parsed back — exercising both JSON
+    construction and navigation."""
+    nation = load_table(spark, sf_dir, "nation")
+    doc = nation.select(
+        "n_nationkey",
+        F.concat(
+            F.lit('{"tiles": [{"coordinate_transformations": ['),
+            F.lit('{"type": "translation", "translation": ["0", "0", "0"]}, '),
+            F.lit('{"type": "scale", "scale": ["'),
+            (F.col("n_nationkey") * 0.1 + 0.5).cast("string"),
+            F.lit('", "0.748", "1.0"]}]}]}'),
+        ).alias("acq_json"),
+    )
+    parsed = doc.select(
+        "n_nationkey",
+        F.from_json(F.col("acq_json"), _ACQ_SCHEMA).alias("acq"),
+    )
+    scale_xyz = parsed.select(
+        "n_nationkey",
+        F.element_at(
+            F.filter(
+                F.element_at(F.col("acq.tiles"), 1)["coordinate_transformations"],
+                lambda t: t["type"] == F.lit("scale"),
+            ),
+            1,
+        )["scale"].alias("scale"),
+    )
+    return scale_xyz.select(
+        "n_nationkey",
+        F.element_at("scale", 3).cast("double").alias("scale_z"),
+        F.element_at("scale", 2).cast("double").alias("scale_y"),
+        F.element_at("scale", 1).cast("double").alias("scale_x"),
+    )
+
+
+PIPE_ACQUISITION_SQL = """
+WITH doc AS (
+  SELECT n_nationkey,
+         '{"tiles": [{"coordinate_transformations": ['
+         || '{"type": "translation", "translation": ["0", "0", "0"]}, '
+         || '{"type": "scale", "scale": ["'
+         || CAST(n_nationkey * 0.1 + 0.5 AS VARCHAR)
+         || '", "0.748", "1.0"]}]}]}' AS acq_json
+  FROM nation
+), transforms AS (
+  SELECT n_nationkey,
+         json_extract(acq_json, '$.tiles[0].coordinate_transformations[' || i || ']') AS t
+  FROM doc, unnest(range(0, 2)) u(i)
+), scale AS (
+  SELECT n_nationkey, json_extract(t, '$.scale') AS s
+  FROM transforms
+  WHERE json_extract_string(t, '$.type') = 'scale'
+)
+SELECT
+  n_nationkey,
+  CAST(json_extract_string(s, '$[2]') AS DOUBLE) AS scale_z,
+  CAST(json_extract_string(s, '$[1]') AS DOUBLE) AS scale_y,
+  CAST(json_extract_string(s, '$[0]') AS DOUBLE) AS scale_x
+FROM scale
+"""
+
+
+QUERIES = {
+    "pipe_stack_catalog": pipe_stack_catalog,
+    "pipe_partition_roundrobin": pipe_partition_roundrobin,
+    "pipe_block_index": pipe_block_index,
+    "pipe_block_grid_3d": pipe_block_grid_3d,
+    "pipe_downsample_level1": pipe_downsample_level1,
+    "pipe_multiscale_cascade": pipe_multiscale_cascade,
+    "pipe_voxel_stats": pipe_voxel_stats,
+    "pipe_acquisition_scale": pipe_acquisition_scale,
+}
+
+ORACLES = {
+    "pipe_stack_catalog": PIPE_STACK_CATALOG_SQL,
+    "pipe_partition_roundrobin": PIPE_ROUNDROBIN_SQL,
+    "pipe_block_index": PIPE_BLOCK_INDEX_SQL,
+    "pipe_block_grid_3d": PIPE_BLOCK_GRID_SQL,
+    "pipe_downsample_level1": PIPE_DOWNSAMPLE_SQL,
+    "pipe_multiscale_cascade": PIPE_CASCADE_SQL,
+    "pipe_voxel_stats": PIPE_VOXEL_STATS_SQL,
+    "pipe_acquisition_scale": PIPE_ACQUISITION_SQL,
+}
