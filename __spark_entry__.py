@@ -20,13 +20,17 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from aind_hcr_data_transformation_spark.operators import (
+    dedup,
+    multimodal,
     pipeline_queries,
     relational,
+    similarity,
+    textops,
     windows,
 )
 from aind_hcr_data_transformation_spark.session import apply_session_confs
 
-_MODULES = [relational, windows, pipeline_queries]
+_MODULES = [relational, windows, pipeline_queries, dedup, similarity, textops, multimodal]
 
 
 def entry(spark: SparkSession) -> DataFrame:

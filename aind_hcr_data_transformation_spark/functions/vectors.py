@@ -1,0 +1,49 @@
+"""Embedding-vector math, deterministic across Spark and DuckDB.
+
+Cosine similarity is computed with an explicit left-associated fold over
+double-cast elements on BOTH engines — identical IEEE-754 operation
+sequences produce bit-identical doubles, so similarity thresholds and
+top-k rank cuts agree exactly with the oracle (no tolerance games).
+
+Spark side stays JVM-only: ``zip_with`` + ``aggregate`` run inside
+whole-stage codegen — no Python UDF in the hot path (SURVEY §2.11 policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: dimensionality of the embeddings table (FIXTURES.md §A)
+EMB_DIM = 64
+
+
+def spark_dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<float> columns in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def spark_cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity in double precision."""
+    return spark_dot(a, b) / (F.sqrt(spark_dot(a, a)) * F.sqrt(spark_dot(b, b)))
+
+
+def sql_dot(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """DuckDB twin of :func:`spark_dot`: explicit left-assoc term chain
+    (``list_sum``/aggregate order is unspecified; a chain is not)."""
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+
+
+def sql_cosine(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """DuckDB twin of :func:`spark_cosine`."""
+    return (
+        f"(({sql_dot(a, b, dim)})"
+        f" / (sqrt({sql_dot(a, a, dim)}) * sqrt({sql_dot(b, b, dim)})))"
+    )

@@ -1,0 +1,479 @@
+"""Deduplication operators for LLM-training-data pipelines (SURVEY §2.12;
+BASELINE.json north star): exact, bag-of-words fingerprint, MinHash+LSH,
+SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+
+The synthetic corpus has no true duplicates, so near-dup queries PLANT
+deterministic mutants inside the query (a mutated copy of every 20th
+document / 50th embedding, id offset +1,000,000) — the oracle then pins
+both the pipeline mechanics and the recall of the planted pairs.
+
+Scale design (100 TB):
+
+* exact/fingerprint — one hash-shuffle on the key; map-side combine.
+* MinHash LSH — explode shingles → min-agg per (doc, hash) → band-key
+  shuffle → equi-join on band key. Candidate verification touches only
+  bucket-mates, never the cross product. All shuffles are on
+  high-cardinality keys (shingle, band) → no skew hot spots.
+* SimHash — one explode + two hash-aggregates; the 16-bit signature is an
+  equi-join key for near-dup blocking.
+* embedding near-dup — label blocking (stand-in for an IVF coarse
+  quantizer) turns O(n²) into per-bucket joins.
+
+MinHash here is md5-based (k independent hash functions = md5 of a salted
+shingle): md5 is available and bit-identical in both engines, which makes
+the whole LSH pipeline oracle-checkable — a seeded murmur/xxhash would be
+faster at production scale but unverifiable against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.compat import dround
+from ..functions.vectors import EMB_DIM, spark_cosine, sql_cosine
+from ..tables import load_table
+
+# ---------------------------------------------------------------------------
+# corpus with planted near-duplicates
+# ---------------------------------------------------------------------------
+
+_MUT_OFFSET = 1_000_000
+
+
+def _corpus_with_mutants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-dup mutants: every 20th doc re-appears with its
+    first two tokens dropped and id offset by 1e6."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutants = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(
+            (F.col("doc_id") + _MUT_OFFSET).alias("doc_id"),
+            F.array_join(
+                F.slice(F.split(F.col("text"), " "), 3, 100000), " "
+            ).alias("text"),
+        )
+    )
+    return docs.unionByName(mutants)
+
+
+_CORPUS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_MUT_OFFSET} AS doc_id,
+         array_to_string(string_split(text, ' ')[3:], ' ') AS text
+  FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact + fingerprint dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-group identical texts, keep the smallest id.
+
+    Deterministic keeper choice via ``min`` — never ``dropDuplicates``,
+    which keeps an arbitrary row per key (same determinism rule as the
+    reference's sorted scan, ``zeiss_job.py:56``)."""
+    corpus = _corpus_with_mutants(spark, sf_dir)
+    return corpus.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("keeper_id", "n_copies")
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM ({_CORPUS_SQL})
+GROUP BY text
+"""
+
+
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the sorted distinct token set
+    (order/duplication-insensitive content hash)."""
+    corpus = _corpus_with_mutants(spark, sf_dir)
+    fp = corpus.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))),
+                " ",
+            )
+        ).alias("fingerprint"),
+    )
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+DEDUP_FINGERPRINT_SQL = f"""
+SELECT
+  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint,
+  min(doc_id) AS keeper_id,
+  count(*)    AS n_docs
+FROM ({_CORPUS_SQL})
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 8  # minhash functions
+_BAND_SIZE = 2  # rows per LSH band → 4 bands
+_JACCARD_THRESHOLD = 0.5
+
+
+def _shingles(corpus: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — distinct 3-word shingles.
+
+    Docs under 3 tokens are dropped BEFORE the index transform: Spark's
+    ``sequence(1, size-2)`` with ``size < 3`` would generate a *descending*
+    sequence and index out of range."""
+    toks = corpus.select("doc_id", F.split(F.col("text"), " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i),
+                        F.element_at(F.col("t"), i + 1),
+                        F.element_at(F.col("t"), i + 2),
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    )
+
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id, unnest(list_distinct(
+           [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+         )) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM ({_CORPUS_SQL}))
+  WHERE len(t) >= 3
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pipeline, fully relational:
+
+    shingle → k salted-md5 minhashes → band signatures → bucket join →
+    exact-Jaccard verification of bucket-mates only.
+
+    At 100 TB every stage is a hash shuffle on a high-cardinality key;
+    no stage materializes candidate pairs beyond actual bucket
+    collisions (the LSH guarantee)."""
+    corpus = _corpus_with_mutants(spark, sf_dir)
+    sh = _shingles(corpus)
+    # k minhashes per doc: min over md5(salt|shingle)
+    hashed = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_HASHES - 1))).alias("h"),
+        "shingle",
+    ).select(
+        "doc_id",
+        "h",
+        F.md5(F.concat_ws("|", F.col("h").cast("string"), F.col("shingle"))).alias("hv"),
+    )
+    minhashes = hashed.groupBy("doc_id", "h").agg(F.min("hv").alias("minh"))
+    # band signature = ordered concat of the band's minhashes
+    bands = (
+        minhashes.withColumn("band", (F.col("h") / _BAND_SIZE).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("h", "minh"))),
+                    lambda s: s["minh"],
+                ),
+                "|",
+            ).alias("band_key")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    # exact-Jaccard verification over shingle sets, bucket-mates only
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    s1 = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    common = (
+        candidates.join(s1, "doc1")
+        .join(s2, ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = (
+        common.join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_shingles", "n1"), "doc1")
+        .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_shingles", "n2"), "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            dround(
+                F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+hashed AS (
+  SELECT doc_id, h, md5(CAST(h AS VARCHAR) || '|' || shingle) AS hv
+  FROM sh, unnest(range(0, {_N_HASHES})) u(h)
+),
+minhashes AS (
+  SELECT doc_id, h, min(hv) AS minh FROM hashed GROUP BY doc_id, h
+),
+bands AS (
+  SELECT doc_id, CAST(h // {_BAND_SIZE} AS INTEGER) AS band,
+         string_agg(minh, '|' ORDER BY h) AS band_key
+  FROM minhashes GROUP BY 1, 2
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc1, c.doc2, count(*) AS n_common
+  FROM candidates c
+  JOIN sh s1 ON s1.doc_id = c.doc1
+  JOIN sh s2 ON s2.doc_id = c.doc2 AND s2.shingle = s1.shingle
+  GROUP BY c.doc1, c.doc2
+)
+SELECT doc1, doc2, jaccard FROM (
+  SELECT doc1, doc2,
+    CAST(round(CAST((CAST(n_common AS DOUBLE) / (z1.n_shingles + z2.n_shingles - n_common)) AS DECIMAL(30,10)), 6) AS DOUBLE) AS jaccard
+  FROM common
+  JOIN sizes z1 ON z1.doc_id = doc1
+  JOIN sizes z2 ON z2.doc_id = doc2
+)
+WHERE jaccard >= {_JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (threshold-verified pairwise, blocked by planted ids)
+# ---------------------------------------------------------------------------
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct n-gram-Jaccard near-dup over the shingle inverted index —
+    the verification stage of LSH run standalone: pairs sharing ≥1
+    shingle, scored exactly, thresholded at 0.4.
+
+    The shingle join IS the blocking: only pairs with actual overlap are
+    ever materialized (inverted-index join, not a cross join)."""
+    corpus = _corpus_with_mutants(spark, sf_dir)
+    sh = _shingles(corpus)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    s1 = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    common = (
+        s1.join(s2, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_shingles", "n1"), "doc1")
+        .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_shingles", "n2"), "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            dround(
+                F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.4)
+    )
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+common AS (
+  SELECT s1.doc_id AS doc1, s2.doc_id AS doc2, count(*) AS n_common
+  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2, jaccard FROM (
+  SELECT doc1, doc2,
+    CAST(round(CAST((CAST(n_common AS DOUBLE) / (z1.n_shingles + z2.n_shingles - n_common)) AS DECIMAL(30,10)), 6) AS DOUBLE) AS jaccard
+  FROM common
+  JOIN sizes z1 ON z1.doc_id = doc1
+  JOIN sizes z2 ON z2.doc_id = doc2
+)
+WHERE jaccard >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: each distinct token votes ±1 on every
+    bit of its 16-bit hash (first 4 hex digits of md5); a bit is set when
+    the vote sum is positive. Near-dups then block on signature equality.
+
+    Output: (doc_id, simhash) for every corpus document."""
+    corpus = _corpus_with_mutants(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int").alias("h16"),
+    )
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
+        "h16",
+    ).select(
+        "doc_id",
+        "b",
+        # expr form: the python shiftright/shiftleft wrappers take only
+        # literal shift amounts, not columns
+        F.when(F.expr("shiftright(h16, b) & 1") == 1, 1)
+        .otherwise(-1)
+        .alias("vote"),
+    )
+    bitsum = bits.groupBy("doc_id", "b").agg(F.sum("vote").alias("s"))
+    return (
+        bitsum.select(
+            "doc_id",
+            F.when(F.col("s") > 0, F.expr("shiftleft(1, b)"))
+            .otherwise(0)
+            .alias("bitval"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").cast("int").alias("simhash"))
+    )
+
+
+# DuckDB has no conv(hex, 16, 10); reconstruct the 16-bit value from nibble
+# positions in a hex alphabet (deterministic, engine-agnostic).
+_NIBBLE = "(instr('0123456789abcdef', substr(md5(tok), {pos}, 1)) - 1)"
+_H16_SQL = (
+    f"({_NIBBLE.format(pos=1)} * 4096 + {_NIBBLE.format(pos=2)} * 256 + "
+    f"{_NIBBLE.format(pos=3)} * 16 + {_NIBBLE.format(pos=4)})"
+)
+
+DEDUP_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM ({_CORPUS_SQL})
+),
+hashed AS (SELECT doc_id, {_H16_SQL} AS h16 FROM toks),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN (h16 >> b) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM hashed, unnest(range(0, 16)) u(b)
+),
+bitsum AS (SELECT doc_id, b, sum(vote) AS s FROM bits GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS INTEGER) AS simhash
+FROM bitsum
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: planted perturbed copies (every 50th vector,
+    first component ×1.1) recovered by cosine ≥ 0.98 within label blocks.
+
+    Label blocking stands in for an IVF coarse quantizer: the join is
+    per-bucket, never the full cross product. Cosine folds are
+    bit-identical across engines (functions/vectors.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mutants = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + _MUT_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) * F.lit(1.1)).cast("float")),
+            F.slice("embedding", 2, EMB_DIM - 1),
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(mutants)
+    a = corpus.select(
+        F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"), "label"
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"), "label"
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            dround(spark_cosine(F.col("e1"), F.col("e2")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.98)
+    )
+
+
+DEDUP_EMB_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_MUT_OFFSET} AS vec_id,
+         list_prepend(CAST(CAST(embedding[1] AS DOUBLE) * 1.1 AS FLOAT), embedding[2:]) AS embedding,
+         label
+  FROM embeddings WHERE vec_id % 50 = 0
+)
+SELECT id1, id2, cos FROM (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+    CAST(round(CAST(({sql_cosine('a.embedding', 'b.embedding')}) AS DECIMAL(30,10)), 6) AS DOUBLE) AS cos
+  FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+WHERE cos >= 0.98
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_fingerprint": dedup_fingerprint,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_embedding_cosine": DEDUP_EMB_SQL,
+}

@@ -1,0 +1,144 @@
+"""Similarity search over the embeddings table (SURVEY §2.12).
+
+Two paths, as a production ANN stack would have:
+
+* :func:`sim_cosine_topk` — brute-force exact top-k: broadcast the (few)
+  query vectors against the (huge) corpus; one scan, per-partition heaps
+  via window rank. The O(n·q) baseline and the recall oracle for ANN.
+* :func:`sim_ann_signlsh` — random-hyperplane-style LSH using the sign
+  pattern of leading components as the bucket key (deterministic, so the
+  oracle can replay it): candidates come only from the query's bucket —
+  the join is equi on the signature, never a cross product. This is the
+  shape that scales: at 100 TB the bucket key becomes an IVF/PQ coarse
+  code; the Spark plan (broadcast queries ⋈ bucketed corpus → windowed
+  top-k) is unchanged.
+
+Cosine math: engine-deterministic folds from functions/vectors.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.compat import dround
+from ..functions.vectors import spark_cosine, sql_cosine
+from ..tables import load_table
+
+_N_QUERIES = 5
+_TOP_K = 10
+_LSH_BITS = 4
+
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for query vectors (vec_id < 5)
+    against the whole corpus (self excluded); ties broken by vec_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        load_table(spark, sf_dir, "embeddings")
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            dround(spark_cosine(F.col("qe"), F.col("embedding")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+    )
+
+
+SIM_TOPK_SQL = f"""
+WITH queries AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+    CAST(round(CAST(({sql_cosine('q.qe', 'e.embedding')}) AS DECIMAL(30,10)), 6) AS DOUBLE) AS cos
+  FROM embeddings e JOIN queries q ON e.vec_id <> q.qid
+)
+SELECT qid, vec_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {_TOP_K}
+"""
+
+
+def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-pattern LSH ANN: bucket = sign bits of the first 4 components;
+    top-3 per query within its bucket. Deterministic stand-in for
+    random-hyperplane LSH (hyperplanes = coordinate axes) so DuckDB can
+    replay it exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def bucket(col: str) -> F.Column:
+        b = F.lit(0)
+        for i in range(_LSH_BITS):
+            b = b + F.when(
+                F.element_at(F.col(col), i + 1) >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+        return b.cast("int")
+
+    corpus = emb.select("vec_id", "embedding", bucket("embedding").alias("bucket"))
+    queries = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        "bucket",
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            dround(spark_cosine(F.col("qe"), F.col("embedding")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 3
+    )
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {{col}}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_LSH_BITS)
+)
+
+SIM_ANN_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding,
+         CAST({_BUCKET_SQL.format(col='embedding')} AS INTEGER) AS bucket
+  FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS qid, embedding AS qe, bucket FROM corpus WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT q.qid, c.vec_id,
+    CAST(round(CAST(({sql_cosine('q.qe', 'c.embedding')}) AS DECIMAL(30,10)), 6) AS DOUBLE) AS cos
+  FROM corpus c JOIN queries q ON c.bucket = q.bucket AND c.vec_id <> q.qid
+)
+SELECT qid, vec_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 3
+"""
+
+
+QUERIES = {
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_ann_signlsh": sim_ann_signlsh,
+}
+
+ORACLES = {
+    "sim_cosine_topk": SIM_TOPK_SQL,
+    "sim_ann_signlsh": SIM_ANN_SQL,
+}

@@ -1,0 +1,210 @@
+"""Text analysis operators for LLM-data pipelines (SURVEY §2.12):
+language ID, quality scoring, token statistics, top-k vocabulary.
+
+All JVM-side (split/explode/regexp/aggregate — no Python in the hot
+path); per-document work is embarrassingly parallel, and the only
+shuffles are the final small aggregations (token counts shuffle on the
+token itself — high cardinality, no skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.compat import dround
+from ..tables import load_table
+
+# tiny per-language stopword lexicons (language ID by stopword voting)
+_LEXICON: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "zh": ("的", "是", "在"),
+}
+
+
+def _lexicon_df(spark: SparkSession) -> DataFrame:
+    rows = [(lang, w) for lang, words in _LEXICON.items() for w in words]
+    return spark.createDataFrame(rows, "cand_lang string, word string")
+
+
+_LEXICON_SQL = "VALUES " + ", ".join(
+    f"('{lang}', '{w}')" for lang, words in _LEXICON.items() for w in words
+)
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID: tokens join a broadcast lexicon; the
+    language with the most hits wins (ties → lexicographically first;
+    no hits → 'und'). The lexicon join is the reference's
+    metadata-broadcast pattern again (``zeiss_job.py:123-130``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    votes = (
+        toks.join(F.broadcast(_lexicon_df(spark)), "word")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("cand_lang"))
+    best = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "n_hits")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("pred_lang"), F.lit("und")).alias("pred_lang"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        )
+    )
+
+
+TEXT_LANGID_SQL = f"""
+WITH lexicon(cand_lang, word) AS ({_LEXICON_SQL}),
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+votes AS (
+  SELECT doc_id, cand_lang, count(*) AS n_hits
+  FROM toks JOIN lexicon USING (word)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, cand_lang AS pred_lang, n_hits FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, cand_lang ASC) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, d.lang,
+       coalesce(b.pred_lang, 'und') AS pred_lang,
+       coalesce(b.n_hits, 0)        AS n_hits
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token count (whitespace + word-regex),
+    mean token length, stopword ratio, distinct-token ratio, and a
+    composite score — the heuristics LLM-data pipelines filter on."""
+    docs = load_table(spark, sf_dir, "documents")
+    en_stop = F.array(*[F.lit(w) for w in _LEXICON["en"]])
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"\w+")).alias("n_words_re"),
+        dround(
+            (F.length("text") - F.size(toks) + 1) / F.size(toks), 6
+        ).alias("mean_tok_len"),
+        dround(
+            F.size(F.array_intersect(toks, en_stop))
+            / F.size(F.array_distinct(toks)),
+            6,
+        ).alias("stop_distinct_ratio"),
+        dround(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+_EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _LEXICON["en"]) + "]"
+
+TEXT_QUALITY_SQL = rf"""
+SELECT
+  doc_id,
+  CAST(length(text) AS INTEGER) AS len_chars,
+  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '\w+')) AS INTEGER) AS n_words_re,
+  CAST(round(CAST((CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / len(string_split(text, ' '))) AS DECIMAL(30,10)), 6) AS DOUBLE) AS mean_tok_len,
+  CAST(round(CAST((CAST(len(list_intersect(list_distinct(string_split(text, ' ')), {_EN_STOP_SQL})) AS DOUBLE) / len(list_distinct(string_split(text, ' ')))) AS DECIMAL(30,10)), 6) AS DOUBLE) AS stop_distinct_ratio,
+  CAST(round(CAST((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) AS DECIMAL(30,10)), 6) AS DOUBLE) AS distinct_ratio
+FROM documents
+"""
+
+
+def text_tokens_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: global token frequencies, top-20 (count desc,
+    token asc) — explode → hash-agg (map-side combined) → top-k heap."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+TEXT_TOPK_SQL = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
+def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bigram statistics: distinct bigrams and repetition
+    rate (total/distinct) — the n-gram profile behind lang-ID models."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.split(F.col("text"), " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bigrams = toks.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    return bigrams.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("bigram").alias("n_distinct"),
+        dround(F.count(F.lit(1)) / F.countDistinct("bigram"), 6).alias(
+            "repetition_rate"
+        ),
+    )
+
+
+TEXT_NGRAM_SQL = """
+WITH bigrams AS (
+  SELECT lang, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+  FROM (SELECT lang, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 2
+)
+SELECT lang,
+       count(*) AS n_bigrams,
+       count(DISTINCT bigram) AS n_distinct,
+       CAST(round(CAST((CAST(count(*) AS DOUBLE) / count(DISTINCT bigram)) AS DECIMAL(30,10)), 6) AS DOUBLE) AS repetition_rate
+FROM bigrams
+GROUP BY lang
+"""
+
+
+QUERIES = {
+    "text_langid": text_langid,
+    "text_quality": text_quality,
+    "text_tokens_topk": text_tokens_topk,
+    "text_ngram_stats": text_ngram_stats,
+}
+
+ORACLES = {
+    "text_langid": TEXT_LANGID_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_tokens_topk": TEXT_TOPK_SQL,
+    "text_ngram_stats": TEXT_NGRAM_SQL,
+}
