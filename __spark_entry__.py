@@ -29,8 +29,18 @@ from aind_hcr_data_transformation_spark.operators import (
     windows,
 )
 from aind_hcr_data_transformation_spark.session import apply_session_confs
+from aind_hcr_data_transformation_spark.streaming import events as streaming_events
 
-_MODULES = [relational, windows, pipeline_queries, dedup, similarity, textops, multimodal]
+_MODULES = [
+    relational,
+    windows,
+    pipeline_queries,
+    dedup,
+    similarity,
+    textops,
+    multimodal,
+    streaming_events,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

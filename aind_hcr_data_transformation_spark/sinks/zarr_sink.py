@@ -1,0 +1,182 @@
+"""Zarr v2 sink written from ``foreachPartition`` tasks (SURVEY §2.2
+K1/K2; §3.2 restatement of ``czi_stack_zarr_writer``'s store loop,
+``czi_to_zarr.py:585-608``).
+
+This is a self-contained zarr v2 writer (the format is JSON metadata +
+one compressed C-order file per chunk): no ``zarr`` package needed. The
+stdlib ``zlib`` codec is a registered zarr v2 codec, standing in for the
+reference's Blosc-zstd-3 (``models.py:52-56``) which plugs in via
+numcodecs when available. ``dimension_separator="/"`` matches the
+reference (``czi_to_zarr.py:592``).
+
+Concurrency model: block rows are chunk-aligned, so concurrent tasks
+write disjoint chunk files — the same non-overlapping-regions guarantee
+the reference relies on, minus its per-block serialization
+(``zarr_writer.py:196-213``), because Spark's scheduler already bounds
+in-flight work (SURVEY §4 X4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from typing import Any, Iterable
+
+import numpy as np
+
+from ..plans.blocks import gen_slices
+
+ZARR_FORMAT = 2
+
+
+def _dtype_descr(dtype: np.dtype) -> str:
+    d = np.dtype(dtype)
+    return d.str  # e.g. '<u2'
+
+
+def init_group(path: str, attrs: dict[str, Any] | None = None) -> None:
+    """Create a zarr group: ``.zgroup`` + optional ``.zattrs``."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": ZARR_FORMAT}, f)
+    if attrs is not None:
+        write_attrs(path, attrs)
+
+
+def write_attrs(path: str, attrs: dict[str, Any]) -> None:
+    """Write/overwrite a node's ``.zattrs`` (metadata doc, K5)."""
+    with open(os.path.join(path, ".zattrs"), "w") as f:
+        json.dump(attrs, f, indent=2)
+
+
+def init_array(
+    path: str,
+    shape: tuple[int, ...],
+    chunks: tuple[int, ...],
+    dtype: str | np.dtype,
+    compressor: str = "zlib",
+    compressor_kwargs: dict[str, Any] | None = None,
+    fill_value: int | float = 0,
+) -> None:
+    """Create a zarr v2 array node (``.zarray``), chunked and compressed —
+    the ``create_dataset`` analog (``czi_to_zarr.py:585-593``)."""
+    if len(shape) != len(chunks):
+        raise ValueError(f"rank mismatch: shape {shape} vs chunks {chunks}")
+    os.makedirs(path, exist_ok=True)
+    if compressor == "zlib":
+        level = (compressor_kwargs or {}).get("level", 3)
+        comp: dict[str, Any] | None = {"id": "zlib", "level": level}
+    elif compressor == "none":
+        comp = None
+    else:
+        raise ValueError(f"unsupported compressor {compressor!r}")
+    meta = {
+        "zarr_format": ZARR_FORMAT,
+        "shape": list(shape),
+        "chunks": list(chunks),
+        "dtype": _dtype_descr(np.dtype(dtype)),
+        "compressor": comp,
+        "fill_value": fill_value,
+        "order": "C",
+        "filters": None,
+        "dimension_separator": "/",
+    }
+    with open(os.path.join(path, ".zarray"), "w") as f:
+        json.dump(meta, f)
+
+
+def _read_array_meta(path: str) -> dict[str, Any]:
+    with open(os.path.join(path, ".zarray")) as f:
+        return json.load(f)
+
+
+def write_region(path: str, region_offset: tuple[int, ...], data: np.ndarray) -> None:
+    """Write an ndarray into the array at ``region_offset`` — the
+    ``pyramid_group[..., zslice, :, :] = block`` analog
+    (``czi_to_zarr.py:596-608``).
+
+    The region must be chunk-aligned on every axis (its offset a multiple
+    of the chunk, its extent either a chunk multiple or reaching the array
+    edge) so concurrent writers never touch the same chunk file."""
+    meta = _read_array_meta(path)
+    shape, chunks = meta["shape"], meta["chunks"]
+    dtype = np.dtype(meta["dtype"])
+    comp = meta["compressor"]
+    if data.ndim != len(shape):
+        raise ValueError(f"rank mismatch: data {data.shape} vs array {shape}")
+    for off, ext, c, s in zip(region_offset, data.shape, chunks, shape):
+        if off % c != 0:
+            raise ValueError(f"region offset {region_offset} not chunk-aligned to {chunks}")
+        if ext % c != 0 and off + ext != s:
+            raise ValueError(
+                f"region extent {data.shape} neither chunk-multiple nor flush "
+                f"with array edge {shape}"
+            )
+    # split the region into chunk tiles; pad edge tiles to full chunk shape
+    for sl in gen_slices(tuple(data.shape), tuple(chunks)):
+        tile = data[sl]
+        if tile.shape != tuple(chunks):
+            padded = np.full(tuple(chunks), meta["fill_value"], dtype=dtype)
+            padded[tuple(slice(0, e) for e in tile.shape)] = tile
+            tile = padded
+        chunk_idx = [
+            (off + s.start) // c for off, s, c in zip(region_offset, sl, chunks)
+        ]
+        raw = np.ascontiguousarray(tile, dtype=dtype).tobytes()
+        if comp is not None:
+            raw = zlib.compress(raw, comp.get("level", 3))
+        key_parts = [str(i) for i in chunk_idx]
+        chunk_path = os.path.join(path, *key_parts[:-1])
+        os.makedirs(chunk_path, exist_ok=True)
+        tmp = os.path.join(chunk_path, f".{key_parts[-1]}.tmp.{os.getpid()}")
+        with open(tmp, "wb") as f:
+            f.write(raw)
+        os.replace(tmp, os.path.join(chunk_path, key_parts[-1]))
+
+
+def read_array(path: str) -> np.ndarray:
+    """Assemble the whole array (test-scale verification reader; the
+    production read path is the block-index scan)."""
+    meta = _read_array_meta(path)
+    shape, chunks = meta["shape"], meta["chunks"]
+    dtype = np.dtype(meta["dtype"])
+    comp = meta["compressor"]
+    out = np.full(shape, meta["fill_value"], dtype=dtype)
+    for sl in gen_slices(tuple(shape), tuple(chunks)):
+        idx = [s.start // c for s, c in zip(sl, chunks)]
+        chunk_file = os.path.join(path, *[str(i) for i in idx])
+        if not os.path.exists(chunk_file):
+            continue
+        with open(chunk_file, "rb") as f:
+            raw = f.read()
+        if comp is not None:
+            raw = zlib.decompress(raw)
+        tile = np.frombuffer(raw, dtype=dtype).reshape(tuple(chunks))
+        out[sl] = tile[tuple(slice(0, s.stop - s.start) for s in sl)]
+    return out
+
+
+def write_blocks_to_zarr(
+    blocks,  # DataFrame of sources.czi.BLOCK_SCHEMA rows
+    array_path: str,
+    shape: tuple[int, ...],
+    chunks: tuple[int, ...],
+    dtype: str,
+    compressor: str = "zlib",
+    compressor_kwargs: dict[str, Any] | None = None,
+) -> None:
+    """Distributed write: every block row lands in its region via
+    ``foreachPartition`` — one Spark action replaces the reference's
+    sequential block loop (``zarr_writer.py:188-213``), the scheduler
+    bounding concurrency instead of hand-serialization."""
+    init_array(array_path, shape, chunks, dtype, compressor, compressor_kwargs)
+
+    def write_partition(rows: Iterable[Any]) -> None:
+        for row in rows:
+            arr = np.frombuffer(row.block, dtype=np.dtype(row.dtype)).reshape(
+                tuple(row.shape)
+            )
+            write_region(array_path, (row.t, row.c, row.z0, 0, 0), arr)
+
+    blocks.foreachPartition(write_partition)

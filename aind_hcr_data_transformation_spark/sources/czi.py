@@ -1,0 +1,186 @@
+"""CZI stack source: catalog scan → block-index DataFrame → distributed
+slab reads via ``mapInPandas`` (SURVEY §2.1 S1-S7, §3.2 restatement).
+
+The reference reads a CZI stack as sequential z-slabs on one node
+(``czi_block_generator`` ``utils/utils.py:462-526``; threaded subblock
+assembly ``read_slices_czi`` ``utils/utils.py:284-395``). Here the *block
+index* is data (one row per slab), Spark schedules slabs across
+executors, and each task keeps the reference's in-task thread pool for
+I/O-bound subblock reads (SURVEY §4 X5 — threads inside the task are not
+Spark's job).
+
+The CZI codec itself (``czifile``) is not installed in this environment;
+``reader="synthetic"`` generates the deterministic voxel ramp of
+FIXTURES.md B2 through the SAME schema/batching path, so every
+distributed mechanism (index, shuffle, Arrow batches, sink) is exercised
+for real. ``reader="czifile"`` is the production path, import-gated.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: one row per z-slab block; payload is raw C-order bytes + shape/dtype tag
+#: (BinaryType + tag instead of ArrayType: Spark SQL has no unsigned types,
+#: SURVEY §1.3 / §7 hard-part 1)
+BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("stack_name", T.StringType()),
+        T.StructField("t", T.IntegerType()),
+        T.StructField("c", T.IntegerType()),
+        T.StructField("z0", T.IntegerType()),
+        T.StructField("z1", T.IntegerType()),
+        T.StructField("shape", T.ArrayType(T.IntegerType())),
+        T.StructField("dtype", T.StringType()),
+        T.StructField("block", T.BinaryType()),
+    ]
+)
+
+
+def stack_catalog(spark: SparkSession, input_dir: str, suffix: str = ".czi") -> DataFrame:
+    """Deterministic stack catalog (``_get_partitioned_list_of_stack_paths``
+    glob+filter+sort, ``zeiss_job.py:42-60``): regular files under
+    ``input_dir`` ending in ``suffix``, lexicographically sorted.
+
+    Driver-side listing mirrors the reference (one directory, thousands of
+    stacks); for object-store scale swap in
+    ``spark.read.format("binaryFile")`` listing with the same output
+    schema."""
+    entries = []
+    root = os.path.join(input_dir, "SPIM")
+    search_dirs = [root if os.path.isdir(root) else input_dir]
+    for d in search_dirs:
+        for name in os.listdir(d):
+            p = os.path.join(d, name)
+            if name.endswith(suffix) and os.path.isfile(p):
+                entries.append((p, os.path.splitext(name)[0], os.path.getsize(p)))
+    schema = "path string, stack_name string, size_bytes long"
+    return spark.createDataFrame(entries, schema).orderBy("path")
+
+
+def block_index(stacks: DataFrame, chunk_z: int = 128) -> DataFrame:
+    """Block-index DataFrame: stacks × z-slab bounds
+    (``generate_jumps`` ``utils/utils.py:398-415`` as ``sequence``+
+    ``explode``). ``stacks`` must carry ``z_extent`` (and may carry any
+    identity columns — they ride along)."""
+    return stacks.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0), F.col("z_extent") - 1, F.lit(chunk_z))
+        ).alias("z0"),
+    ).withColumn("z1", F.least(F.col("z0") + chunk_z, F.col("z_extent")))
+
+
+def synthetic_ramp_block(
+    z0: int, z1: int, y: int, x: int, dtype: str = "uint16"
+) -> np.ndarray:
+    """Deterministic voxel ramp v(z,y,x) = (z*1000 + y*10 + x) % 65536
+    (FIXTURES.md B2) for a z-slab — closed-form goldens for every test."""
+    zz, yy, xx = np.meshgrid(
+        np.arange(z0, z1, dtype=np.int64),
+        np.arange(y, dtype=np.int64),
+        np.arange(x, dtype=np.int64),
+        indexing="ij",
+    )
+    return ((zz * 1000 + yy * 10 + xx) % 65536).astype(dtype)
+
+
+def _read_slab_czifile(path: str, z0: int, z1: int) -> np.ndarray:
+    """Production slab read (S5/S6): open the CZI, assemble subblocks
+    ``[z0, z1)`` concurrently (thread pool inside the task —
+    ``utils/utils.py:358-379``)."""
+    try:
+        import czifile  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env without codec
+        raise NotImplementedError(
+            "czifile is not available in this environment; use reader='synthetic' "
+            "(the distributed plumbing is identical)"
+        ) from exc
+    from concurrent.futures import ThreadPoolExecutor
+
+    with czifile.CziFile(path) as czi:  # pragma: no cover - env without codec
+        subblocks = [
+            sb
+            for sb in czi.filtered_subblock_directory
+            if z0 <= sb.start[czi.axes.index("Z")] < z1
+        ]
+        subblocks.sort(key=lambda sb: sb.start[czi.axes.index("Z")])
+        out: dict[int, np.ndarray] = {}
+
+        def fetch(sb: Any) -> None:
+            out[sb.start[czi.axes.index("Z")]] = np.squeeze(sb.data_segment().data())
+
+        workers = max(1, min((os.cpu_count() or 2) // 2, len(subblocks)))
+        with ThreadPoolExecutor(workers) as pool:
+            list(pool.map(fetch, subblocks))
+        return np.stack([out[k] for k in sorted(out)], axis=0)
+
+
+def read_blocks(
+    index: DataFrame,
+    geometry: dict[str, tuple[int, int]],
+    reader: str = "synthetic",
+    dtype: str = "uint16",
+) -> DataFrame:
+    """Distributed slab read: ``mapInPandas`` over the block index — each
+    Arrow batch of (stack, z0, z1) rows becomes block rows with binary
+    payloads. ``geometry`` maps stack_name → (Y, X) plane extent.
+
+    One task reads many slabs; payloads never pass through the driver and
+    flow straight to the sink stage (SURVEY §3.2 Spark restatement).
+    """
+    if reader not in ("synthetic", "czifile"):
+        raise ValueError(f"unknown reader {reader!r}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict[str, Any]] = []
+            for row in pdf.itertuples(index=False):
+                y, x = geometry[row.stack_name]
+                if reader == "synthetic":
+                    arr = synthetic_ramp_block(row.z0, row.z1, y, x, dtype)
+                else:
+                    arr = _read_slab_czifile(row.path, row.z0, row.z1).astype(dtype)
+                rows.append(
+                    {
+                        "stack_name": row.stack_name,
+                        "t": 0,
+                        "c": 0,
+                        "z0": int(row.z0),
+                        "z1": int(row.z1),
+                        "shape": [1, 1, *arr.shape],
+                        "dtype": str(arr.dtype),
+                        "block": arr.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
+
+    return index.mapInPandas(gen, BLOCK_SCHEMA)
+
+
+def synthetic_stack_blocks(
+    spark: SparkSession,
+    stack_names: list[str],
+    z_extent: int,
+    y: int,
+    x: int,
+    chunk_z: int = 128,
+    n_read_partitions: int | None = None,
+) -> DataFrame:
+    """End-to-end synthetic source: catalog → block index → distributed
+    ramp reads. The test/bench twin of a real CZI directory."""
+    stacks = spark.createDataFrame(
+        [(s, z_extent) for s in stack_names], "stack_name string, z_extent int"
+    )
+    idx = block_index(stacks, chunk_z)
+    if n_read_partitions:
+        idx = idx.repartition(n_read_partitions)
+    return read_blocks(idx, {s: (y, x) for s in stack_names})

@@ -1,0 +1,89 @@
+"""Streaming event pipelines: file-source ``readStream`` over the events
+table with watermarked event-time windows, run to completion with the
+``availableNow`` trigger (bounded backfill — the mode that makes a
+streaming pipeline testable and oracle-checkable).
+
+Because batch ``window()``/``session_window`` and streaming windows share
+one implementation, the streaming tumbling aggregate below is
+oracle-checked against the SAME DuckDB SQL as the batch version
+(operators/windows.py) — the strongest statement that the upgrade path
+preserves semantics.
+
+Scale notes: in production the file source becomes Kafka; the watermark
+bounds state store size (late rows beyond 1 hour are dropped), and the
+shuffle is on (window, event_type) — exactly as in batch.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.compat import dround
+from ..tables import SCHEMAS
+
+from ..operators.windows import EVW_TUMBLING_SQL
+
+
+def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet with the declared schema and
+    the nanos→micros conversion of tables.load_table."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # file streams take a directory; glob-filter down to the events table
+    raw = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregate, executed as a bounded stream
+    (availableNow) into a memory sink; returns the final result table.
+
+    Matches the batch ``evw_tumbling`` oracle exactly.
+    """
+    events = streaming_events(spark, sf_dir)
+    windowed = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink_name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(
+        tempfile.gettempdir(), f"ckpt_{sink_name}"
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name)
+
+
+QUERIES = {
+    "stream_tumbling_counts": stream_tumbling_counts,
+}
+
+ORACLES = {
+    # identical semantics to the batch tumbling window — same oracle
+    "stream_tumbling_counts": EVW_TUMBLING_SQL,
+}

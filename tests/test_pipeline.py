@@ -1,0 +1,101 @@
+"""End-to-end conversion test: synthetic stack → multiscale OME-Zarr via
+Spark stages, verified voxel-by-voxel against numpy goldens — the real
+integration coverage the reference mocks out (``tests/test_integration.py``
+patches ``run_job``; SURVEY §5)."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from aind_hcr_data_transformation_spark.config import ZarrConversionSettings
+from aind_hcr_data_transformation_spark.operators.blockwise import windowed_mean_nd
+from aind_hcr_data_transformation_spark.pipeline import (
+    convert_synthetic_stack,
+    dtype_minmax,
+)
+from aind_hcr_data_transformation_spark.sinks.zarr_sink import read_array
+from aind_hcr_data_transformation_spark.sources.czi import synthetic_ramp_block
+
+
+def test_dtype_minmax():
+    assert dtype_minmax("uint16") == (0.0, 65535.0)
+    assert dtype_minmax("uint8") == (0.0, 255.0)
+    lo, hi = dtype_minmax("float32")
+    assert lo < 0 < hi
+
+
+def test_settings_validation():
+    with pytest.raises(ValueError):
+        ZarrConversionSettings(chunk_size=(0, 1, 1))
+    with pytest.raises(ValueError):
+        ZarrConversionSettings(scale_factor=(1, 2, 2))
+    with pytest.raises(ValueError):
+        ZarrConversionSettings(compressor_name="lz77")
+    with pytest.raises(ValueError):
+        ZarrConversionSettings.from_dict({"nope": 1})
+    s = ZarrConversionSettings.from_dict(
+        {"chunk_size": [16, 16, 16], "downsample_levels": 3}
+    )
+    assert s.chunk_size == (16, 16, 16)
+
+
+def test_full_conversion(spark, tmp_path):
+    """FIXTURES.md B4 geometry: 40×32×32 ramp, chunk 16³, 3 levels."""
+    settings = ZarrConversionSettings(
+        output_directory=str(tmp_path),
+        chunk_size=(16, 16, 16),
+        scale_factor=(2, 2, 2),
+        downsample_levels=3,
+    )
+    group = convert_synthetic_stack(
+        spark, settings, "stackA", z_extent=40, y=32, x=32,
+        voxel_size=(1.0, 0.748, 0.748), origin=(0.0, 0.0, 0.0),
+    )
+
+    # metadata document
+    attrs = json.load(open(f"{group}/.zattrs"))
+    assert attrs["omero"]["name"] == "stackA"
+    assert attrs["omero"]["channels"][0]["window"]["max"] == 65535.0
+    datasets = attrs["multiscales"][0]["datasets"]
+    assert [d["path"] for d in datasets] == ["0", "1", "2"]
+    lvl1_scale = datasets[1]["coordinateTransformations"][0]["scale"]
+    assert lvl1_scale == [1.0, 1.0, 2.0, 1.496, 1.496]
+
+    # level 0 bytes: exact ramp
+    golden0 = synthetic_ramp_block(0, 40, 32, 32)
+    out0 = read_array(f"{group}/0")
+    assert out0.shape == (1, 1, 40, 32, 32)
+    np.testing.assert_array_equal(out0[0, 0], golden0)
+
+    # pyramid levels: cascaded windowed means with ceil edges + truncation
+    golden1 = windowed_mean_nd(golden0, (2, 2, 2))
+    out1 = read_array(f"{group}/1")
+    assert out1.shape == (1, 1, 20, 16, 16)
+    np.testing.assert_array_equal(out1[0, 0], golden1)
+
+    golden2 = windowed_mean_nd(golden1, (2, 2, 2))
+    out2 = read_array(f"{group}/2")
+    assert out2.shape == (1, 1, 10, 8, 8)
+    np.testing.assert_array_equal(out2[0, 0], golden2)
+
+
+def test_conversion_partial_last_slab(spark, tmp_path):
+    """z_extent not divisible by chunk nor factor: 23 planes, chunk 8."""
+    settings = ZarrConversionSettings(
+        output_directory=str(tmp_path),
+        chunk_size=(8, 16, 16),
+        scale_factor=(2, 2, 2),
+        downsample_levels=2,
+    )
+    group = convert_synthetic_stack(
+        spark, settings, "odd", z_extent=23, y=16, x=16
+    )
+    golden0 = synthetic_ramp_block(0, 23, 16, 16)
+    np.testing.assert_array_equal(read_array(f"{group}/0")[0, 0], golden0)
+    golden1 = windowed_mean_nd(golden0, (2, 2, 2))
+    out1 = read_array(f"{group}/1")
+    assert out1.shape == (1, 1, 12, 8, 8)
+    np.testing.assert_array_equal(out1[0, 0], golden1)

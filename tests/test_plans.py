@@ -1,0 +1,132 @@
+"""Planner invariants — mirrors the reference's own test strategy
+(SURVEY §5: partition round-robin multiset equality
+``tests/test_zeiss_job.py:43-57``; planner validation
+``tests/test_compress/test_zarr_writer.py:16-61``)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given
+from hypothesis import strategies as st
+
+from aind_hcr_data_transformation_spark.plans.blocks import (
+    byte_size,
+    expand_chunks,
+    gen_slices,
+    generate_jumps,
+    get_block_shape,
+)
+from aind_hcr_data_transformation_spark.plans.partitioning import partition_list
+
+
+class TestGenerateJumps:
+    def test_basic(self):
+        assert generate_jumps(40, 16) == [0, 16, 32]
+        assert generate_jumps(128, 128) == [0]
+        assert generate_jumps(129, 128) == [0, 128]
+
+    def test_invalid(self):
+        with pytest.raises(ValueError):
+            generate_jumps(0, 16)
+        with pytest.raises(ValueError):
+            generate_jumps(10, 0)
+
+    @given(st.integers(1, 10_000), st.integers(1, 512))
+    def test_covers_extent(self, n, jump):
+        jumps = generate_jumps(n, jump)
+        assert jumps[0] == 0
+        assert jumps[-1] < n
+        assert all(b - a == jump for a, b in zip(jumps, jumps[1:]))
+        assert len(jumps) == math.ceil(n / jump)
+
+
+class TestGenSlices:
+    def test_exact_tiling(self):
+        tiles = list(gen_slices((4, 4), (2, 2)))
+        assert len(tiles) == 4
+        assert tiles[0] == (slice(0, 2), slice(0, 2))
+        assert tiles[-1] == (slice(2, 4), slice(2, 4))
+
+    def test_truncated_edges(self):
+        tiles = list(gen_slices((5, 3), (2, 2)))
+        assert tiles[-1] == (slice(4, 5), slice(2, 3))
+
+    @given(
+        st.tuples(st.integers(1, 40), st.integers(1, 40), st.integers(1, 40)),
+        st.tuples(st.integers(1, 17), st.integers(1, 17), st.integers(1, 17)),
+    )
+    def test_partition_of_space(self, shape, block):
+        """Tiles are disjoint and cover every cell exactly once."""
+        import numpy as np
+
+        cover = np.zeros(shape, dtype=int)
+        for sl in gen_slices(shape, block):
+            cover[sl] += 1
+        assert (cover == 1).all()
+
+    def test_rank_mismatch(self):
+        with pytest.raises(ValueError):
+            list(gen_slices((4, 4), (2,)))
+
+
+class TestExpandChunks:
+    def test_validation(self):
+        # mirrors tests/test_compress/test_zarr_writer.py:29-38
+        with pytest.raises(ValueError):
+            expand_chunks((0, 1, 1), (5, 5, 5), 100, 2)
+        with pytest.raises(ValueError):
+            expand_chunks((6, 1, 1), (5, 5, 5), 100, 2)
+        with pytest.raises(ValueError):
+            expand_chunks((1, 1, 1), (5, 5, 5), 0, 2)
+        with pytest.raises(ValueError):
+            byte_size((0, 3), 2)
+
+    def test_clamped_to_shape(self):
+        # get_block_shape clamps base chunks to the array before expanding
+        # (zarr_writer.py:215-247); expand_chunks itself rejects oversize
+        out = get_block_shape((1, 1, 64, 64, 64), 2, target_size_mb=10**6)
+        assert out == (64, 64, 64)
+
+    @given(
+        st.tuples(st.integers(1, 64), st.integers(1, 64), st.integers(1, 64)),
+        st.integers(1, 6),
+        st.sampled_from(["iso", "cycle"]),
+    )
+    def test_never_exceeds_shape(self, chunks, mult, mode):
+        shape = tuple(c * mult for c in chunks)
+        out = expand_chunks(chunks, shape, 1 << 30, 2, mode)
+        assert all(o <= s for o, s in zip(out, shape))
+        assert all(o >= 1 for o in out)
+
+    def test_block_shape_target(self):
+        # 19,200 MB job default (models.py:77-81) against a big array
+        shape = (1, 1, 4096, 8192, 8192)
+        out = get_block_shape(shape, itemsize=2, target_size_mb=19_200)
+        size_mb = byte_size(out, 2) / 1024 / 1024
+        assert 0.25 * 19_200 <= size_mb <= 2 * 19_200
+
+
+class TestPartitionList:
+    def test_round_robin(self):
+        # mirrors tests/test_zeiss_job.py:43-57 invariants
+        items = [f"s{i}" for i in range(11)]
+        parts = partition_list(items, 4)
+        assert len(parts) == 4
+        assert sorted(sum(parts, [])) == sorted(items)
+        assert [len(p) for p in parts] == [3, 3, 3, 2]
+        assert parts[0] == ["s0", "s4", "s8"]
+
+    def test_invalid(self):
+        with pytest.raises(ValueError):
+            partition_list([1], 0)
+
+    @given(st.lists(st.integers(), max_size=200), st.integers(1, 17))
+    def test_multiset_preserved(self, items, n):
+        parts = partition_list(items, n)
+        assert len(parts) == n
+        assert sorted(sum(parts, [])) == sorted(items)
+        # balanced: sizes differ by at most 1
+        sizes = [len(p) for p in parts]
+        assert max(sizes) - min(sizes) <= 1
