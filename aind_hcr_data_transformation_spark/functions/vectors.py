@@ -32,6 +32,13 @@ def spark_cosine(a: Column, b: Column) -> Column:
     return spark_dot(a, b) / (F.sqrt(spark_dot(a, a)) * F.sqrt(spark_dot(b, b)))
 
 
+def spark_cosine_prenorm(dot: Column, n2a: Column, n2b: Column) -> Column:
+    """Cosine from a pairwise dot and per-vector squared norms computed
+    once per vector (same IEEE op sequence as :func:`spark_cosine`, ~3×
+    less per-pair work — the form the O(n²)-ish joins use)."""
+    return dot / (F.sqrt(n2a) * F.sqrt(n2b))
+
+
 def sql_dot(a: str, b: str, dim: int = EMB_DIM) -> str:
     """DuckDB twin of :func:`spark_dot`: explicit left-assoc term chain
     (``list_sum``/aggregate order is unspecified; a chain is not)."""

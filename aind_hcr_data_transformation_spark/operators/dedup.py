@@ -31,7 +31,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.compat import dround
-from ..functions.vectors import EMB_DIM, spark_cosine, sql_cosine
+from ..functions.vectors import (
+    EMB_DIM,
+    spark_cosine_prenorm,
+    spark_dot,
+    sql_cosine,
+)
 from ..tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -176,30 +181,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions (the LSH guarantee)."""
     corpus = _corpus_with_mutants(spark, sf_dir)
     sh = _shingles(corpus)
-    # k minhashes per doc: min over md5(salt|shingle)
+    # k salted hashes per shingle computed inline, then ONE hash-aggregate
+    # with k positional mins — no ×k row explosion, no second shuffle
+    # (map-side partial mins shrink the shuffle to one row per doc).
     hashed = sh.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_N_HASHES - 1))).alias("h"),
-        "shingle",
-    ).select(
-        "doc_id",
-        "h",
-        F.md5(F.concat_ws("|", F.col("h").cast("string"), F.col("shingle"))).alias("hv"),
+        *[
+            F.md5(F.concat_ws("|", F.lit(str(h)), F.col("shingle"))).alias(f"hv{h}")
+            for h in range(_N_HASHES)
+        ],
     )
-    minhashes = hashed.groupBy("doc_id", "h").agg(F.min("hv").alias("minh"))
-    # band signature = ordered concat of the band's minhashes
-    bands = (
-        minhashes.withColumn("band", (F.col("h") / _BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("h", "minh"))),
-                    lambda s: s["minh"],
-                ),
-                "|",
-            ).alias("band_key")
-        )
+    signature = hashed.groupBy("doc_id").agg(
+        *[F.min(f"hv{h}").alias(f"minh{h}") for h in range(_N_HASHES)]
+    )
+    # band signature = ordered concat of the band's minhashes; unpivot the
+    # k columns into (band, band_key) rows via stack()
+    n_bands = _N_HASHES // _BAND_SIZE
+    stack_args = ", ".join(
+        f"{b}, concat_ws('|', {', '.join(f'minh{h}' for h in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE))})"
+        for b in range(n_bands)
+    )
+    bands = signature.select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {stack_args}) as (band, band_key)"),
     )
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
@@ -423,12 +427,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
         "label",
     )
-    corpus = emb.select("vec_id", "embedding", "label").unionByName(mutants)
+    corpus = (
+        emb.select("vec_id", "embedding", "label")
+        .unionByName(mutants)
+        # squared norm once per vector, not once per pair (the pair join
+        # below multiplies work by the bucket size)
+        .withColumn("n2", spark_dot(F.col("embedding"), F.col("embedding")))
+    )
     a = corpus.select(
-        F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"), "label"
+        F.col("vec_id").alias("id1"),
+        F.col("embedding").alias("e1"),
+        F.col("n2").alias("n2a"),
+        "label",
     )
     b = corpus.select(
-        F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"), "label"
+        F.col("vec_id").alias("id2"),
+        F.col("embedding").alias("e2"),
+        F.col("n2").alias("n2b"),
+        "label",
     )
     return (
         a.join(b, "label")
@@ -436,7 +452,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id1",
             "id2",
-            dround(spark_cosine(F.col("e1"), F.col("e2")), 6).alias("cos"),
+            dround(
+                spark_cosine_prenorm(
+                    spark_dot(F.col("e1"), F.col("e2")),
+                    F.col("n2a"),
+                    F.col("n2b"),
+                ),
+                6,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= 0.98)
     )

@@ -453,3 +453,45 @@ ORACLES = {
     "pipe_voxel_stats": PIPE_VOXEL_STATS_SQL,
     "pipe_acquisition_scale": PIPE_ACQUISITION_SQL,
 }
+
+
+def pipe_pad_squeeze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-shape normalization as array-column ops (SURVEY §2.3 P3-P6):
+    ``pad_array_n_d`` left-pads with 1s to rank 5 (``utils/utils.py:37-59``),
+    ``extract_data`` squeezes size-1 dims (``utils/utils.py:62-112``).
+
+    Synthetic shape vectors derive from part attributes."""
+    part = load_table(spark, sf_dir, "part")
+    shapes = part.select(
+        "p_partkey",
+        F.array(
+            F.lit(1), (F.col("p_size") % 4 + 1), F.lit(1), (F.col("p_size") + 10)
+        ).alias("shape"),
+    )
+    return shapes.select(
+        "p_partkey",
+        F.concat(
+            F.array_repeat(F.lit(1), 5 - F.size("shape")), F.col("shape")
+        ).alias("padded_5d"),
+        F.filter("shape", lambda s: s != 1).alias("squeezed"),
+        F.aggregate(
+            "shape", F.lit(1).cast("long"), lambda acc, s: acc * s
+        ).alias("n_voxels"),
+    )
+
+
+PIPE_PAD_SQUEEZE_SQL = """
+WITH shapes AS (
+  SELECT p_partkey, [1, p_size % 4 + 1, 1, p_size + 10] AS shape FROM part
+)
+SELECT
+  p_partkey,
+  list_concat([1 for _ in range(5 - len(shape))], shape) AS padded_5d,
+  list_filter(shape, s -> s != 1)                        AS squeezed,
+  CAST(list_aggregate(shape, 'product') AS BIGINT)       AS n_voxels
+FROM shapes
+"""
+
+
+QUERIES["pipe_pad_squeeze"] = pipe_pad_squeeze
+ORACLES["pipe_pad_squeeze"] = PIPE_PAD_SQUEEZE_SQL

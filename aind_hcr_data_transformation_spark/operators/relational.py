@@ -857,3 +857,155 @@ ORACLES = {
     "scalar_string_date_math": SCALAR_SQL,
     "scalar_json_array": SCALAR_JSON_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Coverage additions: natural sort, correlated subquery, HAVING, nulls
+# ---------------------------------------------------------------------------
+
+
+def sort_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural sort of strings with embedded numbers ('src2' < 'src10') —
+    the ``natsorted`` subblock ordering of the reference
+    (``utils/utils.py:499-504``, SURVEY §2.7 O2): sort key = (text prefix,
+    numeric suffix), materialized as rank columns so the order is
+    hash-checkable."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sources = docs.select("source").distinct()
+    keyed = sources.select(
+        "source",
+        F.regexp_extract("source", r"^([^0-9]*)", 1).alias("prefix"),
+        F.regexp_extract("source", r"([0-9]+)$", 1).cast("long").alias("num"),
+    )
+    w = Window.orderBy(F.asc("prefix"), F.asc("num"), F.asc("source"))
+    return keyed.select(
+        "source", "prefix", "num", F.row_number().over(w).alias("nat_rank")
+    )
+
+
+SORT_NATURAL_SQL = r"""
+SELECT
+  source,
+  prefix,
+  num,
+  CAST(row_number() OVER (ORDER BY prefix ASC, num ASC, source ASC) AS INTEGER) AS nat_rank
+FROM (
+  SELECT source,
+         regexp_extract(source, '^([^0-9]*)', 1) AS prefix,
+         CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) AS num
+  FROM (SELECT DISTINCT source FROM documents)
+)
+"""
+
+
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: parts cheaper than their brand's mean
+    price. Spark SQL decorrelates this into the same broadcast-join-on-
+    aggregate plan the DataFrame form would build (SURVEY §4 X12 —
+    subquery decorrelation is Catalyst's job, no hand-rewriting)."""
+    part = load_table(spark, sf_dir, "part")
+    part.createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand,
+               CAST(round(CAST(p_retailprice AS DECIMAL(30,10)), 2) AS DOUBLE) AS p_retailprice
+        FROM part_v p
+        WHERE p_retailprice < (
+          SELECT avg(p2.p_retailprice) FROM part_v p2 WHERE p2.p_brand = p.p_brand
+        )
+        """
+    )
+
+
+SUBQUERY_CORRELATED_SQL = """
+SELECT p_partkey, p_brand,
+       CAST(round(CAST(p_retailprice AS DECIMAL(30,10)), 2) AS DOUBLE) AS p_retailprice
+FROM part p
+WHERE p_retailprice < (
+  SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+)
+"""
+
+
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING: post-aggregation predicate (filter on agg output)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .filter(F.col("n_items") >= 40)
+    )
+
+
+AGG_HAVING_SQL = """
+SELECT l_partkey, count(*) AS n_items,
+       CAST(round(CAST(sum(l_quantity) AS DECIMAL(30,10)), 2) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY l_partkey
+HAVING count(*) >= 40
+"""
+
+
+def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics over genuinely-null data (the unmatched side of an
+    outer join): coalesce / nullif / null-safe equality / IS NULL."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    joined = cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left")
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_urgent"),
+        F.max("o_totalprice").alias("max_urgent_price"),
+    )
+    return per_cust.select(
+        "c_custkey",
+        F.coalesce(F.col("max_urgent_price"), F.lit(-1.0)).alias("price_or_default"),
+        F.nullif(F.col("n_urgent"), F.lit(0)).alias("n_urgent_or_null"),
+        F.col("max_urgent_price").isNull().alias("no_urgent"),
+        F.col("max_urgent_price").eqNullSafe(F.lit(None).cast("double")).alias(
+            "nullsafe_eq_null"
+        ),
+    )
+
+
+SCALAR_NULL_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey,
+         count(o_orderkey)  AS n_urgent,
+         max(o_totalprice)  AS max_urgent_price
+  FROM customer
+  LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+    ON o.o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+SELECT
+  c_custkey,
+  coalesce(max_urgent_price, -1.0)                    AS price_or_default,
+  nullif(n_urgent, 0)                                 AS n_urgent_or_null,
+  max_urgent_price IS NULL                            AS no_urgent,
+  max_urgent_price IS NOT DISTINCT FROM CAST(NULL AS DOUBLE) AS nullsafe_eq_null
+FROM per_cust
+"""
+
+
+QUERIES.update(
+    {
+        "sort_natural": sort_natural,
+        "subquery_correlated": subquery_correlated,
+        "agg_having": agg_having,
+        "scalar_null_handling": scalar_null_handling,
+    }
+)
+ORACLES.update(
+    {
+        "sort_natural": SORT_NATURAL_SQL,
+        "subquery_correlated": SUBQUERY_CORRELATED_SQL,
+        "agg_having": AGG_HAVING_SQL,
+        "scalar_null_handling": SCALAR_NULL_SQL,
+    }
+)

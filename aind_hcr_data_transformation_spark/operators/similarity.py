@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.compat import dround
-from ..functions.vectors import spark_cosine, sql_cosine
+from ..functions.vectors import spark_cosine_prenorm, spark_dot, sql_cosine
 from ..tables import load_table
 
 _N_QUERIES = 5
@@ -33,17 +33,27 @@ _LSH_BITS = 4
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-10 for query vectors (vec_id < 5)
     against the whole corpus (self excluded); ties broken by vec_id."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "n2", spark_dot(F.col("embedding"), F.col("embedding"))
+    )
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("n2").alias("qn2"),
     )
     scored = (
-        load_table(spark, sf_dir, "embeddings")
-        .join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            dround(spark_cosine(F.col("qe"), F.col("embedding")), 6).alias("cos"),
+            dround(
+                spark_cosine_prenorm(
+                    spark_dot(F.col("qe"), F.col("embedding")),
+                    F.col("qn2"),
+                    F.col("n2"),
+                ),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -85,10 +95,16 @@ def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         return b.cast("int")
 
-    corpus = emb.select("vec_id", "embedding", bucket("embedding").alias("bucket"))
+    corpus = emb.select(
+        "vec_id",
+        "embedding",
+        bucket("embedding").alias("bucket"),
+        spark_dot(F.col("embedding"), F.col("embedding")).alias("n2"),
+    )
     queries = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
+        F.col("n2").alias("qn2"),
         "bucket",
     )
     scored = (
@@ -97,7 +113,14 @@ def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "vec_id",
-            dround(spark_cosine(F.col("qe"), F.col("embedding")), 6).alias("cos"),
+            dround(
+                spark_cosine_prenorm(
+                    spark_dot(F.col("qe"), F.col("embedding")),
+                    F.col("qn2"),
+                    F.col("n2"),
+                ),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
