@@ -1,0 +1,87 @@
+"""Physical-plan property tests (SURVEY §4): the optimizations the engine
+relies on at 100 TB must be visible in the plan, not assumed — predicate
+pushdown, column pruning, broadcast dimension joins, top-k without global
+sort, map-side partial aggregation, and a JVM-only hot path.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    import __spark_entry__ as m
+
+    return m.queries()
+
+
+def test_q1_pushdown_and_pruning(spark, queries):
+    plan = plan_of(queries["q1_pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the 4 untouched lineitem columns never leave the scan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert col not in read_schema
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_q3_topk_and_broadcast(spark, queries):
+    plan = plan_of(queries["q3_shipping_priority"](spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan  # no global sort materialization
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # segment filter pushed to the customer scan
+    full = plan_of(queries["q3_shipping_priority"](spark, SF))
+    assert "EqualTo(c_mktsegment,BUILDING)" in full
+
+
+def test_dimension_joins_broadcast(spark, queries):
+    plan = plan_of(queries["join_broadcast_dim"](spark, SF), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_anti_never_cartesian(spark, queries):
+    for name in ("join_semi", "join_anti"):
+        plan = plan_of(queries[name](spark, SF), "simple")
+        assert "CartesianProduct" not in plan
+        assert "LeftSemi" in plan or "LeftAnti" in plan
+
+
+def test_range_join_is_hash_not_bnlj(spark, queries):
+    """The bucketed rewrite must turn the theta join into a hash join."""
+    plan = plan_of(queries["join_range_bucketed"](spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+
+
+def test_downsample_partial_aggregation(spark, queries):
+    plan = plan_of(queries["pipe_downsample_level1"](spark, SF), "simple")
+    assert "partial_avg" in plan  # combine before shuffle
+
+
+def test_no_row_python_udf_anywhere(spark, queries):
+    """Policy (SURVEY §2.11): no row-at-a-time Python UDF in ANY query.
+    Arrow-vectorized exchanges (MapInPandas / ArrowEvalPython) are the
+    only sanctioned Python crossings."""
+    for name, fn in queries.items():
+        if name.startswith("stream_"):
+            continue  # streaming queries execute on construction
+        plan = plan_of(fn(spark, SF), "simple")
+        assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
+
+
+def test_multimodal_uses_arrow_batches(spark, queries):
+    plan = plan_of(queries["multimodal_binary_features"](spark, SF), "simple")
+    assert "MapInPandas" in plan
