@@ -1,0 +1,73 @@
+"""CLI entrypoint — the engine twin of the reference's
+``job_entrypoint`` (``zeiss_job.py:230-249``):
+
+    python -m aind_hcr_data_transformation_spark --job-settings '<json>'
+
+Settings JSON matches :class:`config.ZarrConversionSettings` (reference
+defaults). For environments without real CZI inputs, ``--synthetic
+Z,Y,X`` converts a deterministic ramp stack end-to-end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="aind_hcr_data_transformation_spark")
+    parser.add_argument(
+        "--job-settings",
+        type=str,
+        default="{}",
+        help="JSON settings (ZarrConversionSettings fields)",
+    )
+    parser.add_argument(
+        "--synthetic",
+        type=str,
+        default=None,
+        metavar="Z,Y,X",
+        help="convert a synthetic ramp stack with the given extent",
+    )
+    parser.add_argument("--stack-name", type=str, default="synthetic_stack")
+    args = parser.parse_args(argv)
+
+    from .config import ZarrConversionSettings
+    from .session import get_spark
+
+    settings = ZarrConversionSettings.from_dict(json.loads(args.job_settings))
+    spark = get_spark("zarr-conversion")
+    start = time.time()
+    if args.synthetic:
+        from .pipeline import convert_synthetic_stack
+
+        z, y, x = (int(v) for v in args.synthetic.split(","))
+        group = convert_synthetic_stack(
+            spark, settings, args.stack_name, z_extent=z, y=y, x=x
+        )
+        # JobResponse analog (zeiss_job.py:224-226)
+        print(
+            json.dumps(
+                {
+                    "status_code": 200,
+                    "message": f"wrote {group} in {time.time() - start:.1f}s",
+                }
+            )
+        )
+        return 0
+    print(
+        json.dumps(
+            {
+                "status_code": 400,
+                "message": "no input: real CZI inputs need the czifile codec "
+                "(sources/czi.py reader='czifile'); use --synthetic Z,Y,X here",
+            }
+        )
+    )
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -20,8 +20,11 @@ import os
 import tempfile
 import uuid
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.compat import dround
 from ..tables import SCHEMAS
@@ -87,3 +90,89 @@ ORACLES = {
     # identical semantics to the batch tumbling window — same oracle
     "stream_tumbling_counts": EVW_TUMBLING_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (SURVEY custom-operator ladder, step b): per-user running totals kept
+    in explicit GroupState across micro-batches, emitted in update mode.
+
+    Run bounded (availableNow, single source file → one batch), the final
+    update per user equals the batch aggregate — so even this custom
+    state machine is DuckDB-oracle-checked.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = streaming_events(spark, sf_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                # decimal-routed round happens post-hoc below; emit raw here
+                "sum_value": [s],
+            }
+        )
+
+    totals = (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink_name = f"stream_user_totals_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name).select(
+        "user_id", "n_events", dround(F.col("sum_value"), 2).alias("sum_value")
+    )
+
+
+STREAM_USER_TOTALS_SQL = """
+SELECT
+  user_id,
+  count(*) AS n_events,
+  CAST(round(CAST(sum(value) AS DECIMAL(30,10)), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+QUERIES["stream_user_totals"] = stream_user_totals
+ORACLES["stream_user_totals"] = STREAM_USER_TOTALS_SQL
