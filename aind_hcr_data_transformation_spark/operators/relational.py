@@ -526,19 +526,29 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.col("p_size") - F.lit(2), F.col("p_size") + F.lit(2))
         ).alias("qty_bucket"),
     )
+    # Eager aggregation below the join (a rewrite Catalyst does not apply
+    # itself): the join result is aggregated per p_size and every lineitem
+    # row contributes only count/sum weight — so collapse lineitem to one
+    # row per distinct quantity FIRST, then fan out. Turns a
+    # |lineitem|×matches join intermediate into a |distinct qty|×matches
+    # one; the reduction ratio grows linearly with table size.
+    qty_agg = li.groupBy(F.col("l_quantity").alias("qty")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("qty_sum"),
+    )
     return (
-        li.withColumn("qty_bucket", F.col("l_quantity").cast("int"))
+        qty_agg.withColumn("qty_bucket", F.col("qty").cast("int"))
         .join(F.broadcast(buckets), "qty_bucket")
         # bucket is integer-exact only for whole quantities; re-apply the
         # precise predicate for fractional quantities.
         .filter(
-            (F.col("l_quantity") >= F.col("p_size") - 2)
-            & (F.col("l_quantity") <= F.col("p_size") + 2)
+            (F.col("qty") >= F.col("p_size") - 2)
+            & (F.col("qty") <= F.col("p_size") + 2)
         )
         .groupBy("p_size")
         .agg(
-            F.count(F.lit(1)).alias("n_matches"),
-            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.sum("n_rows").alias("n_matches"),
+            dround(F.sum("qty_sum"), 2).alias("sum_qty"),
         )
     )
 
