@@ -1019,3 +1019,215 @@ ORACLES.update(
         "scalar_null_handling": SCALAR_NULL_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Coverage additions II: collect aggs, map functions, datetime arithmetic,
+# multiset set-ops, EXISTS subquery
+# ---------------------------------------------------------------------------
+
+
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set with deterministic ordering (sorted on
+    the way out — collect order is partition-dependent, the sort makes the
+    result reproducible; same discipline as the reference's deterministic
+    scan, ``zeiss_job.py:56``)."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.sort_array(F.collect_set((F.col("n_nationkey") % 5).cast("int"))).alias(
+            "key_mods"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+AGG_COLLECT_SQL = """
+SELECT
+  n_regionkey,
+  list_sort(list(n_name))                                   AS nations,
+  list_sort(list(DISTINCT CAST(n_nationkey % 5 AS INTEGER))) AS key_mods,
+  count(*)                                                  AS n
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: JSON → map, key listing, value access
+    (the reference's nested-metadata-dict navigation, SURVEY §1.3 map row)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.filter(F.col("event_id") < 300).select(
+        "event_id",
+        F.from_json(F.col("props"), "map<string,long>").alias("m"),
+    )
+    return parsed.select(
+        "event_id",
+        F.map_keys("m").alias("keys"),
+        F.element_at(F.col("m"), "k").alias("k_value"),
+        F.size("m").alias("n_entries"),
+    )
+
+
+SCALAR_MAP_SQL = """
+SELECT
+  event_id,
+  CAST(json_keys(props) AS VARCHAR[])                 AS keys,
+  CAST(json_extract_string(props, '$.k') AS BIGINT)   AS k_value,
+  CAST(len(json_keys(props)) AS INTEGER)              AS n_entries
+FROM events
+WHERE event_id < 300
+"""
+
+
+def scalar_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime arithmetic family: interval add, diffs in days, parts,
+    truncation — over orders (reference touches no date math; this is the
+    §2.9 surface the relational layer owes)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") < 300).select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_2002"
+        ),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.dayofyear("o_orderdate").alias("o_doy"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow_sun0"),
+        F.last_day(F.col("o_orderdate").cast("date")).cast("timestamp").alias("month_end"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+SCALAR_DATETIME_SQL = """
+SELECT
+  o_orderkey,
+  o_orderdate + INTERVAL 30 DAY                              AS due_date,
+  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
+  CAST(quarter(o_orderdate) AS INTEGER)                      AS o_quarter,
+  CAST(dayofyear(o_orderdate) AS INTEGER)                    AS o_doy,
+  CAST(dayofweek(o_orderdate) AS INTEGER)                    AS dow_sun0,
+  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)     AS month_end,
+  CAST(epoch(o_orderdate) AS BIGINT)                         AS epoch_s
+FROM orders
+WHERE o_orderkey < 300
+"""
+
+
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (``intersectAll`` / ``exceptAll`` keep
+    duplicate multiplicities, unlike their DISTINCT cousins)."""
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    c = cust.select((F.col("c_nationkey") % 7).cast("int").alias("k"))
+    s = sup.select((F.col("s_nationkey") % 7).cast("int").alias("k"))
+    inter = c.intersectAll(s).withColumn("op", F.lit("intersect_all"))
+    diff = c.exceptAll(s).withColumn("op", F.lit("except_all"))
+    return (
+        inter.unionByName(diff)
+        .groupBy("op", "k")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+    )
+
+
+SET_OPS_ALL_SQL = """
+WITH c AS (SELECT CAST(c_nationkey % 7 AS INTEGER) AS k FROM customer),
+     s AS (SELECT CAST(s_nationkey % 7 AS INTEGER) AS k FROM supplier),
+both_ops AS (
+  SELECT k, 'intersect_all' AS op FROM (SELECT k FROM c INTERSECT ALL SELECT k FROM s)
+  UNION ALL
+  SELECT k, 'except_all' AS op FROM (SELECT k FROM c EXCEPT ALL SELECT k FROM s)
+)
+SELECT op, k, count(*) AS multiplicity FROM both_ops GROUP BY op, k
+"""
+
+
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS subqueries via SQL (Catalyst rewrites them to
+    the same semi/anti joins as the DataFrame API — §2.4)."""
+    for name in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer_v c
+        WHERE EXISTS (
+          SELECT 1 FROM orders_v o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM orders_v o2
+          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P'
+        )
+        """
+    )
+
+
+SUBQUERY_EXISTS_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+AND NOT EXISTS (
+  SELECT 1 FROM orders o2
+  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P'
+)
+"""
+
+
+QUERIES.update(
+    {
+        "agg_collect": agg_collect,
+        "scalar_map_funcs": scalar_map_funcs,
+        "scalar_datetime_arith": scalar_datetime_arith,
+        "set_ops_all": set_ops_all,
+        "subquery_exists": subquery_exists,
+    }
+)
+ORACLES.update(
+    {
+        "agg_collect": AGG_COLLECT_SQL,
+        "scalar_map_funcs": SCALAR_MAP_SQL,
+        "scalar_datetime_arith": SCALAR_DATETIME_SQL,
+        "set_ops_all": SET_OPS_ALL_SQL,
+        "subquery_exists": SUBQUERY_EXISTS_SQL,
+    }
+)
+
+
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation — the standard rewrite for skewed
+    group-by keys at scale (SURVEY 'salting for skew'): stage 1 aggregates
+    on (key, salt) spreading each hot key over 16 reducers, stage 2 merges
+    the partials per key. Result is identical to the plain groupBy (the
+    oracle), only the shuffle distribution changes.
+
+    l_returnflag has 3 values over the whole fact table — exactly the
+    cardinality where a plain shuffle sends everything to 3 reducers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n_salts = 16
+    salted = li.withColumn(
+        "salt", F.pmod(F.col("l_orderkey") + F.col("l_linenumber"), F.lit(n_salts))
+    )
+    stage1 = salted.groupBy("l_returnflag", "salt").agg(
+        F.count(F.lit(1)).alias("pc"),
+        F.sum("l_quantity").alias("ps"),
+    )
+    return stage1.groupBy("l_returnflag").agg(
+        F.sum("pc").alias("n_rows"),
+        dround(F.sum("ps"), 2).alias("sum_qty"),
+    )
+
+
+AGG_SALTED_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(round(CAST(sum(l_quantity) AS DECIMAL(30,10)), 2) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+QUERIES["agg_salted_skew"] = agg_salted_skew
+ORACLES["agg_salted_skew"] = AGG_SALTED_SQL
