@@ -85,3 +85,21 @@ def test_no_row_python_udf_anywhere(spark, queries):
 def test_multimodal_uses_arrow_batches(spark, queries):
     plan = plan_of(queries["multimodal_binary_features"](spark, SF), "simple")
     assert "MapInPandas" in plan
+
+
+def test_no_accidental_cartesian_anywhere(spark, queries):
+    """Cross products only where the operator IS a cross product:
+    join_cross (bounded candidate generation) and sim_cosine_topk (brute
+    force against a broadcast query set — the exact-baseline by design)."""
+    allowed_cartesian = {"join_cross"}
+    allowed_bnlj = {"sim_cosine_topk", "join_cross"}
+    for name, fn in queries.items():
+        if name.startswith("stream_"):
+            continue
+        plan = plan_of(fn(spark, SF), "simple")
+        if name not in allowed_cartesian:
+            assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+        if name not in allowed_bnlj:
+            assert (
+                "BroadcastNestedLoopJoin" not in plan
+            ), f"{name} has a nested-loop join"
