@@ -51,41 +51,49 @@ def windowed_mean_nd(
 def downsample_blocks(
     blocks: DataFrame,
     scale_factor: tuple[int, int, int] = (2, 2, 2),
-    chunk_z: int = 128,
+    block_shape: tuple[int, int, int] = (128, 128, 128),
 ) -> DataFrame:
     """One pyramid level over block rows (schema
     ``sources.czi.BLOCK_SCHEMA``): each block reduces independently and
-    its z-offsets divide by the factor. No shuffle — wall-clock is one
+    its offsets divide by the factor. No shuffle — wall-clock is one
     scan of the level (the property that makes the cascade cheap at
     100 TB)."""
-    fz = scale_factor[0]
-    if chunk_z % fz != 0:
-        raise ValueError(
-            f"chunk_z {chunk_z} must be divisible by z factor {fz} so blocks "
-            "downsample independently (SURVEY §7 hard-part 4)"
-        )
+    for b, f, ax in zip(block_shape, scale_factor, "zyx"):
+        if b % f != 0:
+            raise ValueError(
+                f"block {ax} extent {b} must be divisible by factor {f} so "
+                "blocks downsample independently (SURVEY §7 hard-part 4)"
+            )
+    fz, fy, fx = scale_factor
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in BLOCK_SCHEMA.fields]
         for pdf in batches:
-            out = []
             for row in pdf.itertuples(index=False):
                 arr = np.frombuffer(row.block, dtype=np.dtype(row.dtype)).reshape(
                     tuple(row.shape)
                 )
                 tczyx = arr.reshape(arr.shape[-3:])  # t=c=1 fixture geometry
                 red = windowed_mean_nd(tczyx, scale_factor, preserve_dtype=True)
-                out.append(
-                    {
-                        "stack_name": row.stack_name,
-                        "t": row.t,
-                        "c": row.c,
-                        "z0": row.z0 // fz,
-                        "z1": row.z0 // fz + red.shape[0],
-                        "shape": [1, 1, *red.shape],
-                        "dtype": row.dtype,
-                        "block": red.tobytes(),
-                    }
+                # one frame per block (bounded Arrow batches; see sources/czi.py)
+                yield pd.DataFrame(
+                    [
+                        {
+                            "stack_name": row.stack_name,
+                            "t": row.t,
+                            "c": row.c,
+                            "z0": row.z0 // fz,
+                            "z1": row.z0 // fz + red.shape[0],
+                            "y0": row.y0 // fy,
+                            "y1": row.y0 // fy + red.shape[1],
+                            "x0": row.x0 // fx,
+                            "x1": row.x0 // fx + red.shape[2],
+                            "shape": [1, 1, *red.shape],
+                            "dtype": row.dtype,
+                            "block": red.tobytes(),
+                        }
+                    ],
+                    columns=cols,
                 )
-            yield pd.DataFrame(out, columns=[f.name for f in BLOCK_SCHEMA.fields])
 
     return blocks.mapInPandas(gen, BLOCK_SCHEMA)

@@ -90,23 +90,29 @@ def convert_synthetic_stack(
     write_attrs(group_path, attrs)
 
     blocks = synthetic_stack_blocks(
-        spark, [stack_name], z_extent, y, x, chunk_z=cz
+        spark, [stack_name], z_extent, y, x, block_shape=(cz, cy, cx)
     ).persist()
     shape = [1, 1, z_extent, y, x]
-    chunk_z_lvl = cz
+    block_lvl = (cz, cy, cx)
     for lvl in range(n_lvls):
         write_blocks_to_zarr(
             blocks,
             os.path.join(group_path, str(lvl)),
             tuple(shape),
-            (1, 1, min(chunk_z_lvl, shape[2]), min(cy, shape[3]), min(cx, shape[4])),
+            (
+                1,
+                1,
+                min(block_lvl[0], shape[2]),
+                min(block_lvl[1], shape[3]),
+                min(block_lvl[2], shape[4]),
+            ),
             dtype,
             settings.compressor_name,
             settings.compressor_kwargs,
         )
         if lvl == n_lvls - 1:
             break
-        nxt = downsample_blocks(blocks, (fz, fy, fx), chunk_z_lvl).persist()
+        nxt = downsample_blocks(blocks, (fz, fy, fx), block_lvl).persist()
         nxt.count()  # materialize before dropping the parent (X7 read-back analog)
         blocks.unpersist()
         blocks = nxt
@@ -117,6 +123,10 @@ def convert_synthetic_stack(
             math.ceil(shape[3] / fy),
             math.ceil(shape[4] / fx),
         ]
-        chunk_z_lvl = max(1, chunk_z_lvl // fz)
+        block_lvl = (
+            max(1, block_lvl[0] // fz),
+            max(1, block_lvl[1] // fy),
+            max(1, block_lvl[2] // fx),
+        )
     blocks.unpersist()
     return group_path

@@ -64,6 +64,12 @@ def get_spark(
     and falls back to ``local[$SPARK_GRAFT_CPUS]``.
     """
     builder = SparkSession.builder.appName(app_name)
+    # local mode: the driver JVM hosts all executor threads — give it a
+    # real heap (binary block payloads are MBs each; the 1g default OOMs).
+    # Static conf: only applies to sessions this function creates.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    )
     if master is not None:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER_URL"):

@@ -38,6 +38,10 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("c", T.IntegerType()),
         T.StructField("z0", T.IntegerType()),
         T.StructField("z1", T.IntegerType()),
+        T.StructField("y0", T.IntegerType()),
+        T.StructField("y1", T.IntegerType()),
+        T.StructField("x0", T.IntegerType()),
+        T.StructField("x1", T.IntegerType()),
         T.StructField("shape", T.ArrayType(T.IntegerType())),
         T.StructField("dtype", T.StringType()),
         T.StructField("block", T.BinaryType()),
@@ -66,31 +70,46 @@ def stack_catalog(spark: SparkSession, input_dir: str, suffix: str = ".czi") -> 
     return spark.createDataFrame(entries, schema).orderBy("path")
 
 
-def block_index(stacks: DataFrame, chunk_z: int = 128) -> DataFrame:
-    """Block-index DataFrame: stacks × z-slab bounds
-    (``generate_jumps`` ``utils/utils.py:398-415`` as ``sequence``+
-    ``explode``). ``stacks`` must carry ``z_extent`` (and may carry any
-    identity columns — they ride along)."""
-    return stacks.select(
-        "*",
-        F.explode(
-            F.sequence(F.lit(0), F.col("z_extent") - 1, F.lit(chunk_z))
-        ).alias("z0"),
-    ).withColumn("z1", F.least(F.col("z0") + chunk_z, F.col("z_extent")))
+def block_index(
+    stacks: DataFrame, block_shape: tuple[int, int, int] = (128, 128, 128)
+) -> DataFrame:
+    """3-D block-index DataFrame: stacks × (z, y, x) tile bounds — the
+    distributed twin of ``gen_slices`` (``zarr_writer.py:129-186``) +
+    ``generate_jumps`` (``utils/utils.py:398-415``) as ``sequence`` +
+    ``explode``. ``stacks`` must carry ``z_extent``/``y_extent``/
+    ``x_extent``.
+
+    Tiling all three axes (the reference slabs only z) is what gives a
+    512³ stack 64 four-MB tasks instead of 4 sixty-four-MB ones — and at
+    real microscope geometry (thin z, huge y×x planes) it is the only
+    shape that parallelizes at all."""
+    bz, by, bx = block_shape
+    out = stacks
+    for name, extent, b in (("z", "z_extent", bz), ("y", "y_extent", by), ("x", "x_extent", bx)):
+        out = out.select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(0), F.col(extent) - 1, F.lit(b))
+            ).alias(f"{name}0"),
+        ).withColumn(f"{name}1", F.least(F.col(f"{name}0") + b, F.col(extent)))
+    return out
 
 
 def synthetic_ramp_block(
-    z0: int, z1: int, y: int, x: int, dtype: str = "uint16"
+    z0: int, z1: int, y0: int | None = None, y1: int | None = None,
+    x0: int | None = None, x1: int | None = None, dtype: str = "uint16"
 ) -> np.ndarray:
     """Deterministic voxel ramp v(z,y,x) = (z*1000 + y*10 + x) % 65536
-    (FIXTURES.md B2) for a z-slab — closed-form goldens for every test."""
-    zz, yy, xx = np.meshgrid(
-        np.arange(z0, z1, dtype=np.int64),
-        np.arange(y, dtype=np.int64),
-        np.arange(x, dtype=np.int64),
-        indexing="ij",
-    )
-    return ((zz * 1000 + yy * 10 + xx) % 65536).astype(dtype)
+    (FIXTURES.md B2) for a (z,y,x) tile — closed-form goldens for every
+    test. Two-arg legacy form ``(z0, z1, Y, X)`` means full planes."""
+    if x0 is None:  # legacy (z0, z1, Y, X)
+        y0, y1, x0, x1 = 0, y0, 0, y1
+    # broadcasting, not meshgrid: meshgrid materializes three full-size
+    # int64 grids (24 bytes/voxel of throwaway) and dominated read time
+    z = (np.arange(z0, z1, dtype=np.int64) * 1000)[:, None, None]
+    y = (np.arange(y0, y1, dtype=np.int64) * 10)[None, :, None]
+    x = np.arange(x0, x1, dtype=np.int64)[None, None, :]
+    return ((z + y + x) % 65536).astype(dtype)
 
 
 def _read_slab_czifile(path: str, z0: int, z1: int) -> np.ndarray:
@@ -126,42 +145,50 @@ def _read_slab_czifile(path: str, z0: int, z1: int) -> np.ndarray:
 
 def read_blocks(
     index: DataFrame,
-    geometry: dict[str, tuple[int, int]],
     reader: str = "synthetic",
     dtype: str = "uint16",
 ) -> DataFrame:
-    """Distributed slab read: ``mapInPandas`` over the block index — each
-    Arrow batch of (stack, z0, z1) rows becomes block rows with binary
-    payloads. ``geometry`` maps stack_name → (Y, X) plane extent.
+    """Distributed tile read: ``mapInPandas`` over the 3-D block index —
+    each (stack, z0..x1) row becomes a block row with a binary payload.
 
-    One task reads many slabs; payloads never pass through the driver and
+    One task reads many tiles; payloads never pass through the driver and
     flow straight to the sink stage (SURVEY §3.2 Spark restatement).
     """
     if reader not in ("synthetic", "czifile"):
         raise ValueError(f"unknown reader {reader!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in BLOCK_SCHEMA.fields]
         for pdf in batches:
-            rows: list[dict[str, Any]] = []
             for row in pdf.itertuples(index=False):
-                y, x = geometry[row.stack_name]
                 if reader == "synthetic":
-                    arr = synthetic_ramp_block(row.z0, row.z1, y, x, dtype)
+                    arr = synthetic_ramp_block(
+                        row.z0, row.z1, row.y0, row.y1, row.x0, row.x1, dtype
+                    )
                 else:
-                    arr = _read_slab_czifile(row.path, row.z0, row.z1).astype(dtype)
-                rows.append(
-                    {
-                        "stack_name": row.stack_name,
-                        "t": 0,
-                        "c": 0,
-                        "z0": int(row.z0),
-                        "z1": int(row.z1),
-                        "shape": [1, 1, *arr.shape],
-                        "dtype": str(arr.dtype),
-                        "block": arr.tobytes(),
-                    }
+                    slab = _read_slab_czifile(row.path, row.z0, row.z1)
+                    arr = slab[:, row.y0 : row.y1, row.x0 : row.x1].astype(dtype)
+                # one frame per block: bounds each Arrow batch at one
+                # payload so tile size never multiplies into batch memory
+                yield pd.DataFrame(
+                    [
+                        {
+                            "stack_name": row.stack_name,
+                            "t": 0,
+                            "c": 0,
+                            "z0": int(row.z0),
+                            "z1": int(row.z1),
+                            "y0": int(row.y0),
+                            "y1": int(row.y1),
+                            "x0": int(row.x0),
+                            "x1": int(row.x1),
+                            "shape": [1, 1, *arr.shape],
+                            "dtype": str(arr.dtype),
+                            "block": arr.tobytes(),
+                        }
+                    ],
+                    columns=cols,
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
 
     return index.mapInPandas(gen, BLOCK_SCHEMA)
 
@@ -172,15 +199,15 @@ def synthetic_stack_blocks(
     z_extent: int,
     y: int,
     x: int,
-    chunk_z: int = 128,
+    block_shape: tuple[int, int, int] = (128, 128, 128),
     n_read_partitions: int | None = None,
 ) -> DataFrame:
-    """End-to-end synthetic source: catalog → block index → distributed
-    ramp reads. The test/bench twin of a real CZI directory."""
+    """End-to-end synthetic source: catalog → 3-D block index →
+    distributed ramp reads. The test/bench twin of a real CZI directory."""
     stacks = spark.createDataFrame(
-        [(s, z_extent) for s in stack_names], "stack_name string, z_extent int"
+        [(s, z_extent, y, x) for s in stack_names],
+        "stack_name string, z_extent int, y_extent int, x_extent int",
     )
-    idx = block_index(stacks, chunk_z)
-    if n_read_partitions:
-        idx = idx.repartition(n_read_partitions)
-    return read_blocks(idx, {s: (y, x) for s in stack_names})
+    idx = block_index(stacks, block_shape)
+    n = n_read_partitions or min(64, max(4, idx.sparkSession.sparkContext.defaultParallelism))
+    return read_blocks(idx.repartition(n))

@@ -45,6 +45,35 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
+
+
+def _run_to_memory_sink(df: DataFrame, prefix: str, output_mode: str):
+    """Run a bounded stream (availableNow) into a memory sink and return
+    the result table. Shuffle partitions are dialed down for the run —
+    state-store instances scale with them, and at test scale 32 stores of
+    checkpoint churn dominate wall-clock (a real cluster raises the
+    setting with executor count) — then restored.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        sink_name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+        checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
+        q = (
+            df.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink_name)
+
+
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregate, executed as a bounded stream
     (availableNow) into a memory sink; returns the final result table.
@@ -66,20 +95,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    sink_name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    checkpoint = os.path.join(
-        tempfile.gettempdir(), f"ckpt_{sink_name}"
-    )
-    q = (
-        windowed.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink_name)
+    return _run_to_memory_sink(windowed, "stream_tumbling", "complete")
 
 
 QUERIES = {
@@ -149,18 +165,7 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    sink_name = f"stream_user_totals_{uuid.uuid4().hex[:8]}"
-    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
-    q = (
-        totals.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink_name).select(
+    return _run_to_memory_sink(totals, "stream_user_totals", "update").select(
         "user_id", "n_events", dround(F.col("sum_value"), 2).alias("sum_value")
     )
 

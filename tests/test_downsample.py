@@ -104,14 +104,15 @@ def test_relational_matches_blockwise(spark):
         synthetic_stack_blocks,
     )
 
-    blocks = synthetic_stack_blocks(spark, ["s"], z_extent=40, y=32, x=32, chunk_z=16)
-    lvl1_blocks = downsample_blocks(blocks, (2, 2, 2), chunk_z=16)
+    blocks = synthetic_stack_blocks(
+        spark, ["s"], z_extent=40, y=32, x=32, block_shape=(16, 16, 16)
+    )
+    lvl1_blocks = downsample_blocks(blocks, (2, 2, 2), block_shape=(16, 16, 16))
     rows = lvl1_blocks.collect()
-    dense = {}
+    got = np.zeros((20, 16, 16), dtype=np.int64)
     for r in rows:
         arr = np.frombuffer(r.block, dtype=np.dtype(r.dtype)).reshape(r.shape[-3:])
-        dense[r.z0] = arr
-    got = np.concatenate([dense[k] for k in sorted(dense)], axis=0)
+        got[r.z0 : r.z1, r.y0 : r.y1, r.x0 : r.x1] = arr
 
     # relational twin over the long-form voxels
     zz, yy, xx = np.meshgrid(
