@@ -110,3 +110,44 @@ QUERIES = {
 ORACLES = {
     "multimodal_binary_features": MULTIMODAL_SQL,
 }
+
+
+def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` (SURVEY §2.11 — the per-group
+    vectorized transform mode, reference analog: per-stack numpy kernels
+    threaded through dask): z-score event values within each user.
+
+    The oracle re-derives the same statistics with SQL window functions —
+    pinning that the Arrow group transform and the JVM window agree.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["value"].mean()
+        s = pdf["value"].std()  # ddof=1 == stddev_samp
+        z = (pdf["value"] - m) / s if s and s == s else pdf["value"] * 0.0
+        return pd.DataFrame({"event_id": pdf["event_id"], "zscore_raw": z})
+
+    out = ev.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
+        zscore, "event_id long, zscore_raw double"
+    )
+    return out.select(
+        "event_id",
+        F.round(F.col("zscore_raw").cast("decimal(30,10)"), 4)
+        .cast("double")
+        .alias("zscore"),
+    )
+
+
+GROUPED_ZSCORE_SQL = """
+SELECT
+  event_id,
+  CAST(round(CAST(((value - avg(value) OVER w) / stddev_samp(value) OVER w) AS DECIMAL(30,10)), 4) AS DOUBLE) AS zscore
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+"""
+
+QUERIES["grouped_zscore"] = grouped_zscore
+ORACLES["grouped_zscore"] = GROUPED_ZSCORE_SQL
