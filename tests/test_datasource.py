@@ -1,0 +1,55 @@
+"""Custom Python Data Source: stack blocks via ``spark.read.format``."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from aind_hcr_data_transformation_spark.sources.czi import synthetic_ramp_block
+from aind_hcr_data_transformation_spark.sources.datasource import (
+    StackBlockDataSource,
+)
+
+
+def test_datasource_reads_tiles(spark):
+    spark.dataSource.register(StackBlockDataSource)
+    df = (
+        spark.read.format("stack_blocks")
+        .option("stacks", "a,b")
+        .option("z", 40)
+        .option("y", 32)
+        .option("x", 32)
+        .option("block_z", 16)
+        .option("block_y", 16)
+        .option("block_x", 16)
+        .load()
+    )
+    rows = df.collect()
+    # 2 stacks × 3 z-tiles × 2 y-tiles × 2 x-tiles
+    assert len(rows) == 2 * 3 * 2 * 2
+    # reassemble stack "a" and compare to the golden ramp
+    got = np.zeros((40, 32, 32), dtype=np.uint16)
+    for r in rows:
+        if r.stack_name != "a":
+            continue
+        arr = np.frombuffer(r.block, dtype=np.dtype(r.dtype)).reshape(r.shape[-3:])
+        got[r.z0 : r.z1, r.y0 : r.y1, r.x0 : r.x1] = arr
+    np.testing.assert_array_equal(got, synthetic_ramp_block(0, 40, 32, 32))
+
+
+def test_datasource_filter_pushes_to_spark(spark):
+    spark.dataSource.register(StackBlockDataSource)
+    df = (
+        spark.read.format("stack_blocks")
+        .option("stacks", "a")
+        .option("z", 32)
+        .option("y", 32)
+        .option("x", 32)
+        .option("block_z", 16)
+        .option("block_y", 32)
+        .option("block_x", 32)
+        .load()
+        .filter("z0 >= 16")
+        .select("z0", "z1")
+    )
+    rows = df.collect()
+    assert [(r.z0, r.z1) for r in rows] == [(16, 32)]
