@@ -92,7 +92,6 @@ def test_relational_matches_blockwise(spark):
     """The groupBy form (correctness reference) and the mapInPandas block
     form agree on the ramp fixture, including cascade truncation."""
     import pandas as pd
-    from pyspark.sql import functions as F
 
     from aind_hcr_data_transformation_spark.operators.blockwise import (
         downsample_blocks,

@@ -12,7 +12,6 @@ from aind_hcr_data_transformation_spark.sinks.zarr_sink import (
     init_array,
     init_group,
     read_array,
-    write_attrs,
     write_region,
 )
 
