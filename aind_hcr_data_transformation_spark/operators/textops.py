@@ -208,3 +208,38 @@ ORACLES = {
     "text_tokens_topk": TEXT_TOPK_SQL,
     "text_ngram_stats": TEXT_NGRAM_SQL,
 }
+
+
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket sampling — stable train/eval splits for
+    data pipelines. ``rand()``/``TABLESAMPLE`` are seed- and
+    partition-layout-dependent; hashing the key (md5, the one hash both
+    engines share bit-identically) gives a split that is reproducible
+    across engines, cluster sizes, and reruns: bucket = first 4 hex
+    nibbles of md5(doc_id) mod 10; bucket 0 → eval, else train."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 10
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket == 0, "eval").otherwise("train").alias("split"),
+    )
+
+
+_NIB = "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {p}, 1)) - 1)"
+_H16_DOC = f"({_NIB.format(p=1)} * 4096 + {_NIB.format(p=2)} * 256 + {_NIB.format(p=3)} * 16 + {_NIB.format(p=4)})"
+
+SAMPLE_HASH_SQL = f"""
+SELECT
+  doc_id,
+  CAST({_H16_DOC} % 10 AS INTEGER) AS bucket,
+  CASE WHEN {_H16_DOC} % 10 = 0 THEN 'eval' ELSE 'train' END AS split
+FROM documents
+"""
+
+QUERIES["sample_hash_split"] = sample_hash_split
+ORACLES["sample_hash_split"] = SAMPLE_HASH_SQL
