@@ -24,3 +24,18 @@ def dround(col: Column | str, scale: int = 2) -> Column:
 def sql_round(expr: str, scale: int = 2) -> str:
     """The DuckDB-side twin of :func:`dround` as a SQL fragment."""
     return f"CAST(round(CAST(({expr}) AS DECIMAL(30,10)), {scale}) AS DOUBLE)"
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-independent sum for oracle-checked revenue-scale values:
+    per-row cast to exact DECIMAL(30,10) (deterministic in both engines),
+    then exact decimal summation — immune to partition-count/merge-order
+    float drift that plain double sums accumulate. Pair with
+    :func:`sql_sum` on the DuckDB side."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(30,10)")).cast("double")
+
+
+def sql_sum(expr: str) -> str:
+    """DuckDB twin of :func:`dsum`."""
+    return f"CAST(sum(CAST(({expr}) AS DECIMAL(30,10))) AS DOUBLE)"

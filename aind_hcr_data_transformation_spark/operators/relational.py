@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.compat import dround
+from ..functions.compat import dround, dsum
 from ..tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -40,12 +40,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dround(F.sum("l_quantity"), 2).alias("sum_qty"),
-            dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            dround(dsum("l_extendedprice"), 2).alias("sum_base_price"),
             dround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
             dround(
-                F.sum(
+                dsum(
                     F.col("l_extendedprice")
                     * (1 - F.col("l_discount"))
                     * (1 + F.col("l_tax"))
@@ -65,9 +65,9 @@ SELECT
   l_returnflag,
   l_linestatus,
   CAST(round(CAST((sum(l_quantity)) AS DECIMAL(30,10)), 2) AS DOUBLE)                                            AS sum_qty,
-  CAST(round(CAST((sum(l_extendedprice)) AS DECIMAL(30,10)), 2) AS DOUBLE)                                       AS sum_base_price,
-  CAST(round(CAST((sum(l_extendedprice * (1 - l_discount))) AS DECIMAL(30,10)), 2) AS DOUBLE)                    AS sum_disc_price,
-  CAST(round(CAST((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) AS DECIMAL(30,10)), 2) AS DOUBLE)      AS sum_charge,
+  CAST(round(CAST((CAST(sum(CAST((l_extendedprice) AS DECIMAL(30,10))) AS DOUBLE)) AS DECIMAL(30,10)), 2) AS DOUBLE)                                       AS sum_base_price,
+  CAST(round(CAST((CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,10))) AS DOUBLE)) AS DECIMAL(30,10)), 2) AS DOUBLE)                    AS sum_disc_price,
+  CAST(round(CAST((CAST(sum(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(30,10))) AS DOUBLE)) AS DECIMAL(30,10)), 2) AS DOUBLE)      AS sum_charge,
   CAST(round(CAST((avg(l_quantity)) AS DECIMAL(30,10)), 2) AS DOUBLE)                                            AS avg_qty,
   CAST(round(CAST((avg(l_extendedprice)) AS DECIMAL(30,10)), 2) AS DOUBLE)                                       AS avg_price,
   CAST(round(CAST((avg(l_discount)) AS DECIMAL(30,10)), 4) AS DOUBLE)                                            AS avg_disc,
@@ -89,7 +89,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
-        dround(F.sum("o_totalprice"), 2).alias("sum_price"),
+        dround(dsum("o_totalprice"), 2).alias("sum_price"),
         dround(F.avg("o_totalprice"), 2).alias("avg_price"),
         dround(F.min("o_totalprice"), 2).alias("min_price"),
         dround(F.max("o_totalprice"), 2).alias("max_price"),
@@ -102,7 +102,7 @@ SELECT
   o_orderstatus,
   count(*)                          AS n_orders,
   count(DISTINCT o_custkey)         AS n_customers,
-  CAST(round(CAST((sum(o_totalprice)) AS DECIMAL(30,10)), 2) AS DOUBLE)       AS sum_price,
+  CAST(round(CAST((CAST(sum(CAST((o_totalprice) AS DECIMAL(30,10))) AS DOUBLE)) AS DECIMAL(30,10)), 2) AS DOUBLE)       AS sum_price,
   CAST(round(CAST((avg(o_totalprice)) AS DECIMAL(30,10)), 2) AS DOUBLE)       AS avg_price,
   CAST(round(CAST((min(o_totalprice)) AS DECIMAL(30,10)), 2) AS DOUBLE)       AS min_price,
   CAST(round(CAST((max(o_totalprice)) AS DECIMAL(30,10)), 2) AS DOUBLE)       AS max_price,
@@ -144,7 +144,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        dround(F.sum("o_totalprice"), 2).alias("sum_price"),
+        dround(dsum("o_totalprice"), 2).alias("sum_price"),
         F.grouping("o_orderstatus").cast("int").alias("g_status"),
         F.grouping("o_orderpriority").cast("int").alias("g_priority"),
     )
@@ -155,7 +155,7 @@ SELECT
   o_orderstatus,
   o_orderpriority,
   count(*)                                     AS n_orders,
-  CAST(round(CAST((sum(o_totalprice)) AS DECIMAL(30,10)), 2) AS DOUBLE)                  AS sum_price,
+  CAST(round(CAST((CAST(sum(CAST((o_totalprice) AS DECIMAL(30,10))) AS DOUBLE)) AS DECIMAL(30,10)), 2) AS DOUBLE)                  AS sum_price,
   CAST(grouping(o_orderstatus) AS INTEGER)     AS g_status,
   CAST(grouping(o_orderpriority) AS INTEGER)   AS g_priority
 FROM orders
@@ -302,7 +302,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             dround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -315,7 +315,7 @@ SELECT
   l_orderkey,
   o_orderdate,
   o_orderpriority,
-  CAST(round(CAST((sum(l_extendedprice * (1 - l_discount))) AS DECIMAL(30,10)), 2) AS DOUBLE) AS revenue
+  CAST(round(CAST((CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,10))) AS DOUBLE)) AS DECIMAL(30,10)), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON o_custkey = c_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -360,7 +360,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             dround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
     )
@@ -369,7 +369,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q5_SQL = """
 SELECT
   n_name,
-  CAST(round(CAST((sum(l_extendedprice * (1 - l_discount))) AS DECIMAL(30,10)), 2) AS DOUBLE) AS revenue
+  CAST(round(CAST((CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,10))) AS DOUBLE)) AS DECIMAL(30,10)), 2) AS DOUBLE) AS revenue
 FROM region
 JOIN nation   ON n_regionkey = r_regionkey
 JOIN customer ON c_nationkey = n_nationkey
@@ -424,7 +424,7 @@ def join_shuffle_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),
-            dround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            dround(dsum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
 
@@ -433,7 +433,7 @@ JOIN_SHUFFLE_SQL = """
 SELECT
   o_orderpriority,
   count(*)                        AS n_lineitems,
-  CAST(round(CAST((sum(l_extendedprice)) AS DECIMAL(30,10)), 2) AS DOUBLE)  AS sum_price
+  CAST(round(CAST((CAST(sum(CAST((l_extendedprice) AS DECIMAL(30,10))) AS DOUBLE)) AS DECIMAL(30,10)), 2) AS DOUBLE)  AS sum_price
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
@@ -449,7 +449,7 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            dround(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+            dround(F.coalesce(dsum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
         )
     )
 
@@ -458,7 +458,7 @@ JOIN_OUTER_SQL = """
 SELECT
   c_custkey,
   count(o_orderkey)                              AS n_orders,
-  CAST(round(CAST((coalesce(sum(o_totalprice), 0.0)) AS DECIMAL(30,10)), 2) AS DOUBLE)     AS total_spent
+  CAST(round(CAST((coalesce(CAST(sum(CAST((o_totalprice) AS DECIMAL(30,10))) AS DOUBLE), 0.0)) AS DECIMAL(30,10)), 2) AS DOUBLE)     AS total_spent
 FROM customer
 LEFT JOIN orders ON o_custkey = c_custkey
 GROUP BY c_custkey
@@ -1252,7 +1252,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
             dround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -1262,7 +1262,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
-  CAST(round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DECIMAL(30,10)), 2) AS DOUBLE) AS revenue
+  CAST(round(CAST(CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,10))) AS DOUBLE) AS DECIMAL(30,10)), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
