@@ -1277,3 +1277,49 @@ LIMIT 20
 
 QUERIES["q10_returned_items"] = q10_returned_items
 ORACLES["q10_returned_items"] = Q10_SQL
+
+
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide columns to long (attr, val) rows — the inverse
+    of ``agg_pivot``."""
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_partkey") < 300).unpivot(
+        ["p_partkey"],
+        ["p_size", "p_retailprice"],
+        "attr",
+        "val",
+    ).select("p_partkey", "attr", dround(F.col("val"), 2).alias("val"))
+
+
+AGG_UNPIVOT_SQL = """
+SELECT p_partkey, attr, CAST(round(CAST(val AS DECIMAL(30,10)), 2) AS DOUBLE) AS val
+FROM (
+  SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val
+  FROM part WHERE p_partkey < 300
+  UNION ALL
+  SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val
+  FROM part WHERE p_partkey < 300
+)
+"""
+
+
+def scalar_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — one row per array element WITH its ordinal (the UDTF
+    analog of ``czi_block_generator``'s indexed yield, SURVEY §2.11)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+    )
+
+
+SCALAR_POSEXPLODE_SQL = """
+SELECT doc_id, CAST(i AS INTEGER) AS pos, t[i + 1] AS token
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 50),
+     unnest(range(0, len(t))) u(i)
+"""
+
+QUERIES["agg_unpivot"] = agg_unpivot
+ORACLES["agg_unpivot"] = AGG_UNPIVOT_SQL
+QUERIES["scalar_posexplode"] = scalar_posexplode
+ORACLES["scalar_posexplode"] = SCALAR_POSEXPLODE_SQL
