@@ -130,3 +130,126 @@ def convert_synthetic_stack(
         )
     blocks.unpersist()
     return group_path
+
+
+def convert_synthetic_stacks(
+    spark: SparkSession,
+    settings: ZarrConversionSettings,
+    stacks: dict[str, tuple[int, int, int]],
+    voxel_size: tuple[float, float, float] = (1.0, 1.0, 1.0),
+    dtype: str = "uint16",
+) -> dict[str, str]:
+    """Convert MANY stacks in ONE Spark job per pyramid level — the
+    Spark-first restatement of the reference's outer loop.
+
+    The reference converts stacks sequentially per SLURM node
+    (``zeiss_job.py:133-157``: ``for stack: czi_stack_zarr_writer``),
+    so a node with one big stack straggles while others idle. Here the
+    block index of every stack concatenates into one DataFrame and the
+    scheduler interleaves tiles of all stacks across all cores — work
+    balances at tile granularity, not stack granularity.
+
+    ``stacks`` maps stack_name → (z, y, x) extents. Returns name → group
+    path. Per-stack array routing happens inside the sink task (the
+    array path derives from ``stack_name``).
+    """
+    from pyspark.sql import functions as F
+
+    from .sinks.zarr_sink import init_array, write_region
+    from .sources.czi import BLOCK_SCHEMA, block_index, read_blocks
+
+    cz, cy, cx = settings.chunk_size
+    fz, fy, fx = settings.scale_factor
+    n_lvls = settings.downsample_levels
+    out_dir = settings.output_directory
+
+    group_paths: dict[str, str] = {}
+    shapes: dict[str, list[int]] = {}
+    for name, (z, y, x) in stacks.items():
+        group = os.path.join(out_dir, f"{name}.zarr")
+        group_paths[name] = group
+        shapes[name] = [1, 1, z, y, x]
+        init_group(group)
+        minmax = dtype_minmax(dtype)
+        attrs = {
+            "omero": build_omero(
+                (1, 1, z, y, x),
+                name,
+                channel_names=[name],
+                channel_minmax=[minmax],
+                channel_startend=[(0.0, 550.0)],
+            ),
+            **build_multiscales(
+                (1, 1, z, y, x), (1, 1, cz, cy, cx), name, n_lvls,
+                (fz, fy, fx), voxel_size,
+            ),
+        }
+        validate_multiscales(attrs)
+        write_attrs(group, attrs)
+
+    catalog = spark.createDataFrame(
+        [(n, z, y, x) for n, (z, y, x) in stacks.items()],
+        "stack_name string, z_extent int, y_extent int, x_extent int",
+    )
+    idx = block_index(catalog, (cz, cy, cx))
+    n_part = min(64, max(4, spark.sparkContext.defaultParallelism))
+    blocks = read_blocks(idx.repartition(n_part), dtype=dtype).persist()
+
+    block_lvl = (cz, cy, cx)
+    for lvl in range(n_lvls):
+        # per-stack array init (driver), then ONE distributed write for all
+        for name, shape in shapes.items():
+            init_array(
+                os.path.join(group_paths[name], str(lvl)),
+                tuple(shape),
+                (
+                    1,
+                    1,
+                    min(block_lvl[0], shape[2]),
+                    min(block_lvl[1], shape[3]),
+                    min(block_lvl[2], shape[4]),
+                ),
+                dtype,
+                settings.compressor_name,
+                settings.compressor_kwargs,
+            )
+
+        lvl_str = str(lvl)
+
+        def write_batches(batches, _out=out_dir, _lvl=lvl_str):
+            import pandas as pd
+
+            n = 0
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    arr = np.frombuffer(
+                        row.block, dtype=np.dtype(row.dtype)
+                    ).reshape(tuple(row.shape))
+                    path = os.path.join(_out, f"{row.stack_name}.zarr", _lvl)
+                    write_region(path, (row.t, row.c, row.z0, row.y0, row.x0), arr)
+                    n += 1
+            yield pd.DataFrame({"n_written": [n]})
+
+        blocks.mapInPandas(write_batches, "n_written long").collect()
+
+        if lvl == n_lvls - 1:
+            break
+        nxt = downsample_blocks(blocks, (fz, fy, fx), block_lvl).persist()
+        nxt.count()
+        blocks.unpersist()
+        blocks = nxt
+        for name, shape in shapes.items():
+            shapes[name] = [
+                1,
+                1,
+                math.ceil(shape[2] / fz),
+                math.ceil(shape[3] / fy),
+                math.ceil(shape[4] / fx),
+            ]
+        block_lvl = (
+            max(1, block_lvl[0] // fz),
+            max(1, block_lvl[1] // fy),
+            max(1, block_lvl[2] // fx),
+        )
+    blocks.unpersist()
+    return group_paths

@@ -99,3 +99,30 @@ def test_conversion_partial_last_slab(spark, tmp_path):
     out1 = read_array(f"{group}/1")
     assert out1.shape == (1, 1, 12, 8, 8)
     np.testing.assert_array_equal(out1[0, 0], golden1)
+
+
+def test_multi_stack_single_job(spark, tmp_path):
+    """Two stacks of different geometry converted by ONE job per level;
+    both voxel-exact."""
+    from aind_hcr_data_transformation_spark.pipeline import (
+        convert_synthetic_stacks,
+    )
+
+    settings = ZarrConversionSettings(
+        output_directory=str(tmp_path),
+        chunk_size=(16, 16, 16),
+        scale_factor=(2, 2, 2),
+        downsample_levels=2,
+    )
+    groups = convert_synthetic_stacks(
+        spark, settings, {"sA": (40, 32, 32), "sB": (23, 16, 16)}
+    )
+    for name, (z, y, x) in {"sA": (40, 32, 32), "sB": (23, 16, 16)}.items():
+        golden0 = synthetic_ramp_block(0, z, y, x)
+        np.testing.assert_array_equal(
+            read_array(f"{groups[name]}/0")[0, 0], golden0
+        )
+        np.testing.assert_array_equal(
+            read_array(f"{groups[name]}/1")[0, 0],
+            windowed_mean_nd(golden0, (2, 2, 2)),
+        )
