@@ -379,7 +379,13 @@ def pipe_acquisition_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit('{"tiles": [{"coordinate_transformations": ['),
             F.lit('{"type": "translation", "translation": ["0", "0", "0"]}, '),
             F.lit('{"type": "scale", "scale": ["'),
-            (F.col("n_nationkey") * 0.1 + 0.5).cast("string"),
+            # integer-math string construction: a 0.1 literal is DOUBLE in
+            # Spark but DECIMAL in DuckDB, so n*0.1+0.5 renders differently
+            F.concat(
+                F.floor((F.col("n_nationkey") + 5) / 10).cast("int").cast("string"),
+                F.lit("."),
+                ((F.col("n_nationkey") + 5) % 10).cast("string"),
+            ),
             F.lit('", "0.748", "1.0"]}]}]}'),
         ).alias("acq_json"),
     )
@@ -411,7 +417,8 @@ WITH doc AS (
          '{"tiles": [{"coordinate_transformations": ['
          || '{"type": "translation", "translation": ["0", "0", "0"]}, '
          || '{"type": "scale", "scale": ["'
-         || CAST(n_nationkey * 0.1 + 0.5 AS VARCHAR)
+         || CAST((n_nationkey + 5) // 10 AS VARCHAR)
+         || '.' || CAST((n_nationkey + 5) % 10 AS VARCHAR)
          || '", "0.748", "1.0"]}]}]}' AS acq_json
   FROM nation
 ), transforms AS (

@@ -32,7 +32,9 @@ def _norm(v) -> str:
             return "NaN"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return repr(round(v, 9))
+        # full repr, no tolerance: the engine guarantees bit-exact doubles
+        # vs DuckDB (explicit fold orders, decimal-routed rounding/sums)
+        return repr(v)
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, (list, tuple)):
