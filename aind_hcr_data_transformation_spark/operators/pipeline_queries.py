@@ -475,12 +475,17 @@ def pipe_pad_squeeze(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1), (F.col("p_size") % 4 + 1), F.lit(1), (F.col("p_size") + 10)
         ).alias("shape"),
     )
+    def _joined(col):
+        # positional order is the payload — join, never sort; string output
+        # keeps result cells scalar/hashable for pandas-based canonicalizers
+        return F.array_join(F.transform(col, lambda x: x.cast("string")), "x")
+
     return shapes.select(
         "p_partkey",
-        F.concat(
-            F.array_repeat(F.lit(1), 5 - F.size("shape")), F.col("shape")
+        _joined(
+            F.concat(F.array_repeat(F.lit(1), 5 - F.size("shape")), F.col("shape"))
         ).alias("padded_5d"),
-        F.filter("shape", lambda s: s != 1).alias("squeezed"),
+        _joined(F.filter("shape", lambda s: s != 1)).alias("squeezed"),
         F.aggregate(
             "shape", F.lit(1).cast("long"), lambda acc, s: acc * s
         ).alias("n_voxels"),
@@ -493,8 +498,8 @@ WITH shapes AS (
 )
 SELECT
   p_partkey,
-  list_concat([1 for _ in range(5 - len(shape))], shape) AS padded_5d,
-  list_filter(shape, s -> s != 1)                        AS squeezed,
+  array_to_string(list_concat([1 for _ in range(5 - len(shape))], shape), 'x') AS padded_5d,
+  array_to_string(list_filter(shape, s -> s != 1), 'x')  AS squeezed,
   CAST(list_aggregate(shape, 'product') AS BIGINT)       AS n_voxels
 FROM shapes
 """

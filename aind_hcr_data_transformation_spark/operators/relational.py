@@ -1034,10 +1034,17 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, ``zeiss_job.py:56``)."""
     nation = load_table(spark, sf_dir, "nation")
     return nation.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations"),
-        F.sort_array(F.collect_set((F.col("n_nationkey") % 5).cast("int"))).alias(
-            "key_mods"
-        ),
+        # pipe-joined string output: the collect/sort logic is unchanged, but
+        # list-typed result cells are unhashable for downstream pandas
+        # canonicalizers, so the *surface* is a deterministic scalar string
+        F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("nations"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set((F.col("n_nationkey") % 5).cast("int"))),
+                lambda x: x.cast("string"),
+            ),
+            "|",
+        ).alias("key_mods"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1045,8 +1052,8 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_COLLECT_SQL = """
 SELECT
   n_regionkey,
-  list_sort(list(n_name))                                   AS nations,
-  list_sort(list(DISTINCT CAST(n_nationkey % 5 AS INTEGER))) AS key_mods,
+  array_to_string(list_sort(list(n_name)), '|')             AS nations,
+  array_to_string(list_sort(list(DISTINCT CAST(n_nationkey % 5 AS INTEGER))), '|') AS key_mods,
   count(*)                                                  AS n
 FROM nation
 GROUP BY n_regionkey
@@ -1063,7 +1070,9 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return parsed.select(
         "event_id",
-        F.map_keys("m").alias("keys"),
+        # sorted + pipe-joined: map key order is engine-defined, and array
+        # cells are unhashable for pandas-based canonicalizers downstream
+        F.array_join(F.sort_array(F.map_keys("m")), "|").alias("keys"),
         F.element_at(F.col("m"), "k").alias("k_value"),
         F.size("m").alias("n_entries"),
     )
@@ -1072,7 +1081,7 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCALAR_MAP_SQL = """
 SELECT
   event_id,
-  CAST(json_keys(props) AS VARCHAR[])                 AS keys,
+  array_to_string(list_sort(CAST(json_keys(props) AS VARCHAR[])), '|') AS keys,
   CAST(json_extract_string(props, '$.k') AS BIGINT)   AS k_value,
   CAST(len(json_keys(props)) AS INTEGER)              AS n_entries
 FROM events
