@@ -283,15 +283,36 @@ WHERE jaccard >= {_JACCARD_THRESHOLD}
 # ---------------------------------------------------------------------------
 
 
+_NGRAM_DF_CAP = 100  # max posting-list length joined (document-frequency cut)
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Direct n-gram-Jaccard near-dup over the shingle inverted index —
     the verification stage of LSH run standalone: pairs sharing ≥1
     shingle, scored exactly, thresholded at 0.4.
 
     The shingle join IS the blocking: only pairs with actual overlap are
-    ever materialized (inverted-index join, not a cross join)."""
+    ever materialized (inverted-index join, not a cross join).
+
+    Scale design: a shingle appearing in ``d`` documents yields ``d²``
+    candidate rows out of the self-join, so frequent shingles blow up
+    quadratically at 100 TB.  Standard document-frequency cut: shingles
+    with df > ``_NGRAM_DF_CAP`` are dropped from the shingle universe
+    BEFORE the join (they carry no discriminative signal — near-dup
+    evidence lives in the rare shingles).  The cap bounds every posting
+    list, hence every join fan-out, to df² ≤ 10⁴ rows.  Sizes and
+    intersections both use the capped universe, so Jaccard stays a true
+    similarity over that universe.  The filter runs before the self-join
+    (asserted by ``tests/test_physical_plans.py``)."""
     corpus = _corpus_with_mutants(spark, sf_dir)
-    sh = _shingles(corpus)
+    sh_all = _shingles(corpus)
+    rare = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _NGRAM_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh_all.join(rare, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     s1 = sh.select(F.col("doc_id").alias("doc1"), "shingle")
     s2 = sh.select(F.col("doc_id").alias("doc2"), "shingle")
@@ -316,7 +337,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_NGRAM_SQL = f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH sh_all AS ({_SHINGLES_SQL}),
+rare AS (
+  SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= {_NGRAM_DF_CAP}
+),
+sh AS (SELECT sh_all.* FROM sh_all JOIN rare USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
 common AS (
   SELECT s1.doc_id AS doc1, s2.doc_id AS doc2, count(*) AS n_common

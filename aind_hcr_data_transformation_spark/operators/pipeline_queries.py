@@ -310,25 +310,92 @@ FROM level1 GROUP BY 1, 2, 3
 def pipe_voxel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The display-range percentiles the reference hard-codes away
     (``czi_to_zarr.py:543-555``: "da.percentile … would take so much
-    time") — computed for real: exact interpolated percentiles (0.001,
-    0.95) per group, plus min/max, over lineitem prices."""
+    time") — computed for real as exact interpolated percentiles (0.001,
+    0.95) per group, plus min/max, over lineitem prices.
+
+    Scale design: NOT ``percentile()`` (an ObjectHashAggregate that
+    buffers every raw value per group in executor memory — with 3 group
+    keys at 100 TB that is billions of doubles per task).  Instead a
+    histogram-style plan: (1) map-side-combinable count per DISTINCT
+    value, (2) cumulative-count window over distinct values only, (3) the
+    value covering rank ``floor((n-1)*p)+1`` plus linear interpolation —
+    the same definition as ``percentile``/``quantile_cont``, but the only
+    state is one row per distinct value and the sort is a spillable
+    shuffle, not an in-memory buffer.  (``approx_percentile`` is the
+    sketch-based alternative when exactness is not required.)
+    """
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        dround(F.min("l_extendedprice"), 2).alias("p_min"),
-        dround(F.expr("percentile(l_extendedprice, 0.001)"), 2).alias("p_low"),
-        dround(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("p_high"),
-        dround(F.max("l_extendedprice"), 2).alias("p_max"),
+    dist = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wo = Window.partitionBy("l_returnflag").orderBy("v")
+    wp = Window.partitionBy("l_returnflag")
+    ranked = dist.select(
+        "l_returnflag",
+        "v",
+        "cnt",
+        F.sum("cnt").over(wo).alias("cum"),
+        F.sum("cnt").over(wp).alias("n"),
+    )
+
+    def pct(p: float, alias: str):
+        # h, lo, hi, frac are group-constant; the CASE picks the single
+        # distinct value whose rank interval [cum-cnt+1, cum] covers the
+        # target rank.  All float steps mirror the oracle SQL exactly.
+        h = (F.col("n") - F.lit(1)).cast("double") * F.lit(p)
+        lo = F.floor(h) + F.lit(1)
+        hi = F.least(lo + F.lit(1), F.col("n"))
+        frac = h - F.floor(h).cast("double")
+        vlo = F.max(
+            F.when((F.col("cum") >= lo) & (F.col("cum") - F.col("cnt") < lo), F.col("v"))
+        )
+        vhi = F.max(
+            F.when((F.col("cum") >= hi) & (F.col("cum") - F.col("cnt") < hi), F.col("v"))
+        )
+        return dround(vlo + F.max(frac) * (vhi - vlo), 2).alias(alias)
+
+    return ranked.groupBy("l_returnflag").agg(
+        dround(F.min("v"), 2).alias("p_min"),
+        pct(0.001, "p_low"),
+        pct(0.95, "p_high"),
+        dround(F.max("v"), 2).alias("p_max"),
     )
 
 
-PIPE_VOXEL_STATS_SQL = """
+def _pct_sql(p: str, alias: str) -> str:
+    """DuckDB twin of ``pipe_voxel_stats``'s rank-interpolation percentile."""
+    h = f"CAST(n-1 AS DOUBLE) * CAST({p} AS DOUBLE)"
+    lo = f"CAST(floor({h}) AS BIGINT) + 1"
+    hi = f"least(({lo}) + 1, n)"
+    frac = f"max(({h}) - floor({h}))"
+    vlo = f"max(CASE WHEN cum >= ({lo}) AND cum - cnt < ({lo}) THEN v END)"
+    vhi = f"max(CASE WHEN cum >= ({hi}) AND cum - cnt < ({hi}) THEN v END)"
+    return (
+        f"CAST(round(CAST(({vlo} + {frac} * ({vhi} - {vlo})) AS DECIMAL(30,10)), 2)"
+        f" AS DOUBLE) AS {alias}"
+    )
+
+
+PIPE_VOXEL_STATS_SQL = f"""
+WITH dist AS (
+  SELECT l_returnflag, l_extendedprice AS v, count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT l_returnflag, v, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT)            AS n
+  FROM dist
+)
 SELECT
   l_returnflag,
-  CAST(round(CAST((min(l_extendedprice)) AS DECIMAL(30,10)), 2) AS DOUBLE) AS p_min,
-  CAST(round(CAST((quantile_cont(l_extendedprice, 0.001)) AS DECIMAL(30,10)), 2) AS DOUBLE) AS p_low,
-  CAST(round(CAST((quantile_cont(l_extendedprice, 0.95))  AS DECIMAL(30,10)), 2) AS DOUBLE) AS p_high,
-  CAST(round(CAST((max(l_extendedprice)) AS DECIMAL(30,10)), 2) AS DOUBLE) AS p_max
-FROM lineitem
+  CAST(round(CAST(min(v) AS DECIMAL(30,10)), 2) AS DOUBLE) AS p_min,
+  {_pct_sql('0.001', 'p_low')},
+  {_pct_sql('0.95', 'p_high')},
+  CAST(round(CAST(max(v) AS DECIMAL(30,10)), 2) AS DOUBLE) AS p_max
+FROM ranked
 GROUP BY l_returnflag
 """
 

@@ -210,14 +210,37 @@ GROUP BY o_orderstatus
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL ``approx_count_distinct`` next to the exact count (SURVEY X9).
 
-    No oracle: DuckDB's approx_count_distinct uses a different HLL build, so
-    estimates differ by design — driver records the rows-only check.
+    Oracle-checkable despite differing HLL builds: the raw estimate is not
+    comparable cross-engine, so the output pins (a) the exact count and
+    (b) a ``within_5pct`` accuracy flag — each engine asserts ITS OWN HLL
+    lands within 5% of the exact answer (Spark runs rsd=0.01, comfortably
+    inside the bound), and the flags hash-compare. A drifting sketch on
+    either side flips its flag and fails the gate.
     """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.01).cast("double")
+                - F.countDistinct("l_partkey").cast("double")
+            )
+            / F.countDistinct("l_partkey").cast("double")
+            <= F.lit(0.05)
+        ).alias("within_5pct"),
     )
+
+
+AGG_APPROX_DISTINCT_SQL = """
+SELECT
+  l_returnflag,
+  count(DISTINCT l_partkey) AS exact_parts,
+  abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE)
+      - CAST(count(DISTINCT l_partkey) AS DOUBLE))
+    / CAST(count(DISTINCT l_partkey) AS DOUBLE) <= 0.05 AS within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -860,7 +883,7 @@ ORACLES = {
     "agg_rollup": AGG_ROLLUP_SQL,
     "agg_cube": AGG_CUBE_SQL,
     "agg_pivot": AGG_PIVOT_SQL,
-    # agg_approx_distinct: intentionally no oracle (HLL builds differ)
+    "agg_approx_distinct": AGG_APPROX_DISTINCT_SQL,
     "sort_topk": SORT_TOPK_SQL,
     "sort_multikey": SORT_MULTIKEY_SQL,
     "set_ops": SET_OPS_SQL,

@@ -103,3 +103,15 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
             assert (
                 "BroadcastNestedLoopJoin" not in plan
             ), f"{name} has a nested-loop join"
+
+
+def test_ngram_jaccard_df_cap_below_join(spark, queries):
+    """The document-frequency cut must run BEFORE the shingle self-join:
+    the plan carries a Filter on the aggregated df (HAVING df <= cap), and
+    both join inputs descend from the capped shingle set — bounding the
+    per-shingle join fan-out to df² (the 100-TB quadratic-blowup guard)."""
+    from aind_hcr_data_transformation_spark.operators.dedup import _NGRAM_DF_CAP
+
+    plan = plan_of(queries["dedup_ngram_jaccard"](spark, SF), "simple")
+    assert f"<= {_NGRAM_DF_CAP}" in plan  # the df HAVING survives into physical
+    assert "CartesianProduct" not in plan
