@@ -5,7 +5,7 @@ Each query mirrors a concrete reference operator (file:line cited per
 function) over the driver-provided tables — stand-in "stacks" are derived
 deterministically from table columns, and voxel grids are generated inline
 with ``sequence``/``explode`` on both engines, so the DuckDB oracle pins
-the exact semantics (round-robin multisets, jump planning, ceil-edge
+the exact semantics (round-robin multisets, jump planning, crop-trimmed
 windowed means, dtype truncation).
 """
 
@@ -228,8 +228,9 @@ FROM shaped,
 # A1/A2/X10: windowed-mean downsample + cascade
 # ---------------------------------------------------------------------------
 
-_GRID_Z, _GRID_Y, _GRID_X = 40, 32, 32  # Z=40 exercises the partial last
-# window at every level (ceil semantics, czi_to_zarr.py:185-187)
+_GRID_Z, _GRID_Y, _GRID_X = 23, 32, 32  # odd Z exercises the crop trim at
+# every level: 23 → 11 → 5 (xarray_multiscale 1.1.0 floor recurrence; the
+# trailing plane beyond the last full window is DROPPED, not averaged short)
 
 
 def _voxel_grid(spark: SparkSession) -> DataFrame:
@@ -260,12 +261,23 @@ _VOXEL_GRID_SQL = f"""
 """
 
 
+_L0 = (_GRID_Z, _GRID_Y, _GRID_X)
+_L1 = tuple(e // 2 for e in _L0)  # crop recurrence: floor(extent/2)
+
+
 def pipe_downsample_level1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One windowed-mean pyramid level (``compute_pyramid``,
-    ``czi_to_zarr.py:410-454``): 2×2×2 non-overlapping mean,
-    dtype-preserving truncation (``preserve_dtype=True`` →
-    integer ``astype``; floor == trunc for non-negative voxels)."""
-    return downsample_relational(_voxel_grid(spark), (2, 2, 2), True)
+    ``czi_to_zarr.py:410-454``): 2×2×2 non-overlapping mean with
+    xarray_multiscale-1.1.0 crop semantics (each axis trimmed to an even
+    multiple of the factor BEFORE windowing — odd Z drops its last plane)
+    and dtype-preserving truncation (``preserve_dtype=True`` → integer
+    ``astype``; floor == trunc for non-negative voxels)."""
+    return downsample_relational(_voxel_grid(spark), (2, 2, 2), True, extents=_L0)
+
+
+def _crop_where(extents: tuple[int, int, int], f: int = 2) -> str:
+    z, y, x = ((e // f) * f for e in extents)
+    return f"z < {z} AND y < {y} AND x < {x}"
 
 
 PIPE_DOWNSAMPLE_SQL = f"""
@@ -276,17 +288,19 @@ SELECT
   CAST(x // 2 AS INTEGER) AS x,
   CAST(floor(avg(v)) AS INTEGER) AS v
 FROM voxels
+WHERE {_crop_where(_L0)}
 GROUP BY 1, 2, 3
 """
 
 
 def pipe_multiscale_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level cascade (``czi_to_zarr.py:623-653``): level 2 computed
-    from level 1 — NOT from level 0 — with truncation applied at *each*
-    level (the compounding-truncation semantics the read-back loop
-    implies; a single 4×4×4 mean would differ)."""
-    level1 = downsample_relational(_voxel_grid(spark), (2, 2, 2), True)
-    return downsample_relational(level1, (2, 2, 2), True)
+    from level 1 — NOT from level 0 — with the crop trim AND truncation
+    applied at *each* level (the compounding semantics the read-back loop
+    implies; a single 4×4×4 mean would differ: 23 → 11 → 5, not 23 → 5
+    via floor(23/4))."""
+    level1 = downsample_relational(_voxel_grid(spark), (2, 2, 2), True, extents=_L0)
+    return downsample_relational(level1, (2, 2, 2), True, extents=_L1)
 
 
 PIPE_CASCADE_SQL = f"""
@@ -294,11 +308,11 @@ WITH voxels AS ({_VOXEL_GRID_SQL}),
 level1 AS (
   SELECT CAST(z // 2 AS INTEGER) AS z, CAST(y // 2 AS INTEGER) AS y,
          CAST(x // 2 AS INTEGER) AS x, CAST(floor(avg(v)) AS INTEGER) AS v
-  FROM voxels GROUP BY 1, 2, 3
+  FROM voxels WHERE {_crop_where(_L0)} GROUP BY 1, 2, 3
 )
 SELECT CAST(z // 2 AS INTEGER) AS z, CAST(y // 2 AS INTEGER) AS y,
        CAST(x // 2 AS INTEGER) AS x, CAST(floor(avg(v)) AS INTEGER) AS v
-FROM level1 GROUP BY 1, 2, 3
+FROM level1 WHERE {_crop_where(_L1)} GROUP BY 1, 2, 3
 """
 
 

@@ -18,7 +18,6 @@ same lineage truncation, no extra I/O round-trip.
 
 from __future__ import annotations
 
-import math
 import os
 
 import numpy as np
@@ -26,7 +25,7 @@ from pyspark.sql import SparkSession
 
 from .config import ZarrConversionSettings
 from .ome import build_multiscales, build_omero, validate_multiscales
-from .operators.blockwise import downsample_blocks
+from .operators.blockwise import coalesce_blocks, downsample_blocks
 from .sinks.zarr_sink import init_group, write_attrs, write_blocks_to_zarr
 from .sources.czi import synthetic_stack_blocks
 
@@ -93,7 +92,10 @@ def convert_synthetic_stack(
         spark, [stack_name], z_extent, y, x, block_shape=(cz, cy, cx)
     ).persist()
     shape = [1, 1, z_extent, y, x]
-    block_lvl = (cz, cy, cx)
+    # constant base chunk at EVERY level (clamped to the level shape),
+    # matching the reference's create_dataset(chunks=final_chunksize)
+    # at czi_to_zarr.py:630-640 — chunks never shrink with the pyramid
+    base_chunk = (cz, cy, cx)
     for lvl in range(n_lvls):
         write_blocks_to_zarr(
             blocks,
@@ -102,9 +104,9 @@ def convert_synthetic_stack(
             (
                 1,
                 1,
-                min(block_lvl[0], shape[2]),
-                min(block_lvl[1], shape[3]),
-                min(block_lvl[2], shape[4]),
+                min(base_chunk[0], shape[2]),
+                min(base_chunk[1], shape[3]),
+                min(base_chunk[2], shape[4]),
             ),
             dtype,
             settings.compressor_name,
@@ -112,22 +114,16 @@ def convert_synthetic_stack(
         )
         if lvl == n_lvls - 1:
             break
-        nxt = downsample_blocks(blocks, (fz, fy, fx), block_lvl).persist()
+        next_shape = [1, 1, shape[2] // fz, shape[3] // fy, shape[4] // fx]
+        if min(next_shape[2:]) < 1:
+            break  # pyramid bottomed out (xarray_multiscale depth limit)
+        nxt = coalesce_blocks(
+            downsample_blocks(blocks, (fz, fy, fx), base_chunk), base_chunk
+        ).persist()
         nxt.count()  # materialize before dropping the parent (X7 read-back analog)
         blocks.unpersist()
         blocks = nxt
-        shape = [
-            1,
-            1,
-            math.ceil(shape[2] / fz),
-            math.ceil(shape[3] / fy),
-            math.ceil(shape[4] / fx),
-        ]
-        block_lvl = (
-            max(1, block_lvl[0] // fz),
-            max(1, block_lvl[1] // fy),
-            max(1, block_lvl[2] // fx),
-        )
+        shape = next_shape
     blocks.unpersist()
     return group_path
 
@@ -195,7 +191,9 @@ def convert_synthetic_stacks(
     n_part = min(64, max(4, spark.sparkContext.defaultParallelism))
     blocks = read_blocks(idx.repartition(n_part), dtype=dtype).persist()
 
-    block_lvl = (cz, cy, cx)
+    # constant base chunk per level, clamped to each level shape
+    # (czi_to_zarr.py:630-640; see coalesce_blocks)
+    base_chunk = (cz, cy, cx)
     for lvl in range(n_lvls):
         # per-stack array init (driver), then ONE distributed write for all
         for name, shape in shapes.items():
@@ -205,9 +203,9 @@ def convert_synthetic_stacks(
                 (
                     1,
                     1,
-                    min(block_lvl[0], shape[2]),
-                    min(block_lvl[1], shape[3]),
-                    min(block_lvl[2], shape[4]),
+                    min(base_chunk[0], shape[2]),
+                    min(base_chunk[1], shape[3]),
+                    min(base_chunk[2], shape[4]),
                 ),
                 dtype,
                 settings.compressor_name,
@@ -234,22 +232,24 @@ def convert_synthetic_stacks(
 
         if lvl == n_lvls - 1:
             break
-        nxt = downsample_blocks(blocks, (fz, fy, fx), block_lvl).persist()
+        # per-stack depth limit (xarray_multiscale generates no level once a
+        # dim can no longer halve; the reference's per-stack loop stops there)
+        next_shapes = {
+            name: [1, 1, shape[2] // fz, shape[3] // fy, shape[4] // fx]
+            for name, shape in shapes.items()
+        }
+        shapes = {n: s for n, s in next_shapes.items() if min(s[2:]) >= 1}
+        if not shapes:
+            break
+        alive = list(shapes)
+        nxt = coalesce_blocks(
+            downsample_blocks(
+                blocks.filter(F.col("stack_name").isin(alive)), (fz, fy, fx), base_chunk
+            ),
+            base_chunk,
+        ).persist()
         nxt.count()
         blocks.unpersist()
         blocks = nxt
-        for name, shape in shapes.items():
-            shapes[name] = [
-                1,
-                1,
-                math.ceil(shape[2] / fz),
-                math.ceil(shape[3] / fy),
-                math.ceil(shape[4] / fx),
-            ]
-        block_lvl = (
-            max(1, block_lvl[0] // fz),
-            max(1, block_lvl[1] // fy),
-            max(1, block_lvl[2] // fx),
-        )
     blocks.unpersist()
     return group_paths

@@ -1,6 +1,6 @@
 """Windowed-mean downsampling: numpy goldens (FIXTURES.md B2) and
 relational-vs-blockwise agreement — pinning SURVEY §7 hard parts 2-4
-(dtype truncation, ceil edges, block independence)."""
+(dtype truncation, crop-trim edges, block independence)."""
 
 from __future__ import annotations
 
@@ -13,9 +13,10 @@ from aind_hcr_data_transformation_spark.operators.blockwise import windowed_mean
 
 
 def reference_windowed_mean(arr: np.ndarray, f: tuple[int, int, int]) -> np.ndarray:
-    """Brute-force oracle: loop over ceil-windows, mean of present voxels,
-    truncate to dtype."""
-    out_shape = tuple(-(-s // fi) for s, fi in zip(arr.shape, f))
+    """Brute-force oracle: loop over FULL windows only (the crop semantics
+    of xarray_multiscale 1.1.0 — dims trimmed to an even multiple of the
+    factor), mean in float64, truncate to dtype."""
+    out_shape = tuple(s // fi for s, fi in zip(arr.shape, f))
     out = np.zeros(out_shape, dtype=np.float64)
     for z in range(out_shape[0]):
         for y in range(out_shape[1]):
@@ -46,12 +47,21 @@ def test_known_values():
     assert out[0, 0, 0] == 3
 
 
-def test_ceil_edges_partial_windows():
-    """Odd extent: last window holds fewer voxels, mean over those only."""
+def test_crop_edges_drop_partial_windows():
+    """Odd extent: the trailing partial window is DROPPED (crop to an even
+    multiple of the factor), matching xarray_multiscale 1.1.0's downscale
+    trim — NOT averaged short."""
     arr = np.arange(5, dtype=np.uint16).reshape(5, 1, 1)
     out = windowed_mean_nd(arr, (2, 1, 1))
-    # windows: (0,1)->0.5->0, (2,3)->2.5->2, (4,)->4
-    np.testing.assert_array_equal(out.ravel(), [0, 2, 4])
+    # windows: (0,1)->0.5->0, (2,3)->2.5->2; element 4 beyond the trim
+    np.testing.assert_array_equal(out.ravel(), [0, 2])
+    assert out.shape == (2, 1, 1)
+
+
+def test_crop_bottoms_out_to_empty():
+    """A dim smaller than its factor crops to zero size (the pyramid depth
+    limit — callers drop the empty block)."""
+    assert windowed_mean_nd(np.ones((1, 4), dtype=np.uint16), (2, 2)).shape == (0, 2)
 
 
 def test_float_no_truncation():

@@ -70,7 +70,7 @@ def test_full_conversion(spark, tmp_path):
     assert out0.shape == (1, 1, 40, 32, 32)
     np.testing.assert_array_equal(out0[0, 0], golden0)
 
-    # pyramid levels: cascaded windowed means with ceil edges + truncation
+    # pyramid levels: cascaded windowed means, crop-trim edges + truncation
     golden1 = windowed_mean_nd(golden0, (2, 2, 2))
     out1 = read_array(f"{group}/1")
     assert out1.shape == (1, 1, 20, 16, 16)
@@ -80,6 +80,10 @@ def test_full_conversion(spark, tmp_path):
     out2 = read_array(f"{group}/2")
     assert out2.shape == (1, 1, 10, 8, 8)
     np.testing.assert_array_equal(out2[0, 0], golden2)
+    # chunks do NOT halve with the pyramid: constant base chunk (16^3)
+    # clamped to the level shape, as the reference's create_dataset does
+    assert json.load(open(f"{group}/1/.zarray"))["chunks"] == [1, 1, 16, 16, 16]
+    assert json.load(open(f"{group}/2/.zarray"))["chunks"] == [1, 1, 10, 8, 8]
 
 
 def test_conversion_partial_last_slab(spark, tmp_path):
@@ -97,8 +101,14 @@ def test_conversion_partial_last_slab(spark, tmp_path):
     np.testing.assert_array_equal(read_array(f"{group}/0")[0, 0], golden0)
     golden1 = windowed_mean_nd(golden0, (2, 2, 2))
     out1 = read_array(f"{group}/1")
-    assert out1.shape == (1, 1, 12, 8, 8)
+    # crop semantics: floor(23/2)=11 planes (xarray_multiscale 1.1.0 trim),
+    # NOT ceil — the 23rd plane is dropped, matching the reference's output
+    assert out1.shape == (1, 1, 11, 8, 8)
+    assert golden1.shape == (11, 8, 8)
     np.testing.assert_array_equal(out1[0, 0], golden1)
+    # constant base chunk at every level, clamped to the level shape
+    zarray1 = json.load(open(f"{group}/1/.zarray"))
+    assert zarray1["chunks"] == [1, 1, 8, 8, 8]
 
 
 def test_multi_stack_single_job(spark, tmp_path):
