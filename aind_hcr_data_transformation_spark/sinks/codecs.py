@@ -1,0 +1,80 @@
+"""Zarr v2 chunk codecs for the sink (task-side compress/decompress).
+
+The reference's default is Blosc zstd level 3 with byte shuffle
+(``models.py:52-56``: ``{"cname": "zstd", "clevel": 3, "shuffle":
+Blosc.SHUFFLE}``) — supported here through numcodecs when it is
+installed (import-gated; this container ships without it), writing the
+standard ``{"id": "blosc", ...}`` compressor metadata any zarr reader
+understands. The always-available fallback is the stdlib ``zlib`` codec
+(also a registered zarr v2 codec), and ``none`` for raw chunks.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Any
+
+#: reference defaults, models.py:52-56 (shuffle=1 is Blosc byte-shuffle)
+BLOSC_DEFAULTS = {"cname": "zstd", "clevel": 3, "shuffle": 1, "blocksize": 0}
+
+
+def make_compressor_meta(
+    name: str, kwargs: dict[str, Any] | None = None
+) -> dict[str, Any] | None:
+    """Compressor entry for ``.zarray`` metadata.
+
+    ``blosc`` requires numcodecs at WRITE time only — the metadata is
+    produced eagerly here so a missing codec fails at array init (driver),
+    not midway through a distributed write."""
+    kwargs = kwargs or {}
+    if name == "zlib":
+        return {"id": "zlib", "level": kwargs.get("level", 3)}
+    if name == "blosc":
+        _require_numcodecs()
+        return {"id": "blosc", **{**BLOSC_DEFAULTS, **kwargs}}
+    if name == "none":
+        return None
+    raise ValueError(f"unsupported compressor {name!r}")
+
+
+def _require_numcodecs():
+    try:
+        import numcodecs
+
+        return numcodecs
+    except ImportError as exc:
+        raise NotImplementedError(
+            "blosc compression requires numcodecs (absent in this "
+            "environment); use compressor='zlib' — chunks stay readable "
+            "by any zarr v2 client either way"
+        ) from exc
+
+
+def _blosc(meta: dict[str, Any]):
+    numcodecs = _require_numcodecs()
+    return numcodecs.Blosc(
+        cname=meta.get("cname", "zstd"),
+        clevel=meta.get("clevel", 3),
+        shuffle=meta.get("shuffle", 1),
+        blocksize=meta.get("blocksize", 0),
+    )
+
+
+def compress(raw: bytes, meta: dict[str, Any] | None) -> bytes:
+    if meta is None:
+        return raw
+    if meta["id"] == "zlib":
+        return zlib.compress(raw, meta.get("level", 3))
+    if meta["id"] == "blosc":
+        return _blosc(meta).encode(raw)
+    raise ValueError(f"unsupported compressor meta {meta!r}")
+
+
+def decompress(raw: bytes, meta: dict[str, Any] | None) -> bytes:
+    if meta is None:
+        return raw
+    if meta["id"] == "zlib":
+        return zlib.decompress(raw)
+    if meta["id"] == "blosc":
+        return bytes(_blosc(meta).decode(raw))
+    raise ValueError(f"unsupported compressor meta {meta!r}")

@@ -121,7 +121,17 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Run bounded (availableNow, single source file → one batch), the final
     update per user equals the batch aggregate — so even this custom
     state machine is DuckDB-oracle-checked.
+
+    Determinism: the state accumulates EXACT integer units of 1e-10 (the
+    ``dsum`` decimal routing applied per row before accumulation), never
+    floats — a float64 running sum would depend on batch/partition
+    arrival order and could flip a 2-dp rounding boundary against the
+    oracle. Each value converts via its shortest decimal repr, HALF_UP at
+    scale 10 — the same double→DECIMAL(30,10) cast Spark and DuckDB
+    apply in ``dsum``/``sql_sum``.
     """
+    from decimal import ROUND_HALF_UP, Decimal
+
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     events = streaming_events(spark, sf_dir)
@@ -136,22 +146,32 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_schema = T.StructType(
         [
             T.StructField("n", T.LongType()),
-            T.StructField("s", T.DoubleType()),
+            T.StructField("su", T.LongType()),  # exact sum, units of 1e-10
         ]
     )
 
+    _Q10 = Decimal("1e-10")
+    _CENT = Decimal("0.01")
+
     def update(key, pdfs, state: GroupState):
-        n, s = state.get if state.exists else (0, 0.0)
+        n, su = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf["value"].sum())
-        state.update((n, s))
+            for v in pdf["value"]:
+                su += int(
+                    Decimal(repr(float(v)))
+                    .quantize(_Q10, rounding=ROUND_HALF_UP)
+                    .scaleb(10)
+                )
+        state.update((n, su))
+        final = float(
+            Decimal(su).scaleb(-10).quantize(_CENT, rounding=ROUND_HALF_UP)
+        )
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                # decimal-routed round happens post-hoc below; emit raw here
-                "sum_value": [s],
+                "sum_value": [final],
             }
         )
 
@@ -166,7 +186,7 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory_sink(totals, "stream_user_totals", "update").select(
-        "user_id", "n_events", dround(F.col("sum_value"), 2).alias("sum_value")
+        "user_id", "n_events", "sum_value"
     )
 
 
@@ -174,7 +194,7 @@ STREAM_USER_TOTALS_SQL = """
 SELECT
   user_id,
   count(*) AS n_events,
-  CAST(round(CAST(sum(value) AS DECIMAL(30,10)), 2) AS DOUBLE) AS sum_value
+  CAST(round(sum(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY user_id
 """

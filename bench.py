@@ -6,6 +6,10 @@ Usage: python bench.py  [env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS]
 Each query is materialized through the noop sink (full execution, no
 driver-side row transfer), timed individually after a shared-session
 warm-up. ``value`` is the wall-clock sum over all queries.
+
+Regression visibility: if a previous round's BENCH_r*.json exists, any
+query slower than 1.5× its best prior recording is listed under
+``regressions`` (name → [prior, now]) right in the output line.
 """
 
 from __future__ import annotations
@@ -44,6 +48,26 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+
+    # compare against the best prior recording of each query (any round)
+    prior: dict[str, float] = {}
+    for p in sorted(Path(__file__).resolve().parent.glob("BENCH_r*.json")):
+        try:
+            doc = json.loads(p.read_text())
+            # the driver wraps our output line under {"parsed": {...}}
+            if "queries" not in doc and isinstance(doc.get("parsed"), dict):
+                doc = doc["parsed"]
+            for q, t in doc.get("queries", {}).items():
+                if isinstance(t, (int, float)) and (q not in prior or t < prior[q]):
+                    prior[q] = float(t)
+        except (json.JSONDecodeError, OSError):
+            continue
+    regressions = {
+        q: [prior[q], t]
+        for q, t in timings.items()
+        if q in prior and prior[q] > 0.05 and t > 1.5 * prior[q]
+    }
+
     print(
         json.dumps(
             {
@@ -52,6 +76,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "regressions": regressions,
             }
         )
     )

@@ -1,0 +1,85 @@
+"""LSH recall guard: the planted-mutant corpus design gives every 20th
+document a near-duplicate at ``doc_id + 1e6`` (first two tokens dropped,
+high Jaccard). Recall on those KNOWN pairs must be 100% at test scale —
+so a parameter drift (fewer bands, wider bands, different hash salt)
+that silently loses recall fails here rather than shipping.
+
+Pairs whose true shingle-Jaccard falls below the verification threshold
+(very short documents lose proportionally more from a 2-token drop) are
+excluded from the ground truth — LSH is only ever asked to find pairs at
+or above its threshold.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as m
+
+    return m.queries()
+
+
+def _planted_truth(spark):
+    """Ground truth: planted (doc, doc+1e6) pairs with true Jaccard >=
+    the LSH verification threshold, computed exactly (no LSH)."""
+    from pyspark.sql import functions as F
+
+    from aind_hcr_data_transformation_spark.operators.dedup import (
+        _JACCARD_THRESHOLD,
+        _MUT_OFFSET,
+        _corpus_with_mutants,
+        _shingles,
+    )
+
+    sh = _shingles(_corpus_with_mutants(spark, SF))
+    orig = sh.filter(F.col("doc_id") < _MUT_OFFSET).select(
+        F.col("doc_id").alias("doc1"), "shingle"
+    )
+    mut = sh.filter(F.col("doc_id") >= _MUT_OFFSET).select(
+        (F.col("doc_id") - _MUT_OFFSET).alias("doc1"),
+        (F.col("doc_id")).alias("doc2"),
+        "shingle",
+    )
+    inter = (
+        orig.join(mut, ["doc1", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    truth = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n", "n1"), "doc1")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2")),
+            "doc2",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+    return {(r.doc1, r.doc2) for r in truth.collect()}
+
+
+def test_minhash_lsh_full_recall_on_planted_pairs(spark, queries):
+    from aind_hcr_data_transformation_spark.operators.dedup import _MUT_OFFSET
+
+    expected = _planted_truth(spark)
+    assert len(expected) > 10, "fixture should plant a meaningful pair count"
+
+    found = {
+        (r.doc1, r.doc2)
+        for r in queries["dedup_minhash_lsh"](spark, SF).collect()
+        if r.doc2 - r.doc1 == _MUT_OFFSET
+    }
+    missed = expected - found
+    assert not missed, (
+        f"LSH lost {len(missed)}/{len(expected)} planted near-dup pairs "
+        f"(e.g. {sorted(missed)[:5]}) — band/hash parameters no longer "
+        "reach the designed recall"
+    )

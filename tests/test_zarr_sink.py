@@ -75,3 +75,46 @@ def test_5d_block_write(tmp_path):
     out = read_array(p)
     np.testing.assert_array_equal(out[:, :, 16:32], block)
     assert out[:, :, :16].sum() == 0
+
+
+def test_blosc_gated_without_numcodecs(tmp_path):
+    """Reference-default Blosc (models.py:52-56) is import-gated: without
+    numcodecs the sink refuses at array-init time (driver side), naming
+    the zlib fallback — never midway through a distributed write."""
+    import pytest
+
+    from aind_hcr_data_transformation_spark.sinks.codecs import (
+        BLOSC_DEFAULTS,
+        make_compressor_meta,
+    )
+
+    try:
+        import numcodecs  # noqa: F401
+
+        meta = make_compressor_meta("blosc")
+        assert meta == {"id": "blosc", **BLOSC_DEFAULTS}
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="zlib"):
+            make_compressor_meta("blosc")
+    # reference kwargs shape: cname=zstd, clevel=3, byte shuffle
+    assert BLOSC_DEFAULTS["cname"] == "zstd"
+    assert BLOSC_DEFAULTS["clevel"] == 3
+    assert BLOSC_DEFAULTS["shuffle"] == 1
+
+
+def test_codec_roundtrip_matrix(tmp_path):
+    """Round-trip through every available codec (blosc skips without
+    numcodecs)."""
+    import numpy as np
+    import pytest
+
+    data = np.arange(64, dtype=np.uint16).reshape(8, 8)
+    for comp in ("zlib", "none", "blosc"):
+        p = str(tmp_path / f"arr_{comp}")
+        try:
+            init_array(p, (8, 8), (4, 4), "uint16", compressor=comp)
+        except NotImplementedError:
+            assert comp == "blosc"
+            continue
+        write_region(p, (0, 0), data)
+        np.testing.assert_array_equal(read_array(p), data)
