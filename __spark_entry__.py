@@ -26,6 +26,7 @@ from aind_hcr_data_transformation_spark.operators import (
     relational,
     similarity,
     textops,
+    tpch,
     windows,
 )
 from aind_hcr_data_transformation_spark.session import apply_session_confs
@@ -33,6 +34,7 @@ from aind_hcr_data_transformation_spark.streaming import events as streaming_eve
 
 _MODULES = [
     relational,
+    tpch,
     windows,
     pipeline_queries,
     dedup,

@@ -39,3 +39,22 @@ def dsum(col: Column | str) -> Column:
 def sql_sum(expr: str) -> str:
     """DuckDB twin of :func:`dsum`."""
     return f"CAST(sum(CAST(({expr}) AS DECIMAL(30,10))) AS DOUBLE)"
+
+
+def dsum_round(col: Column | str, scale: int = 2) -> Column:
+    """Sum-then-round entirely in exact decimal, cast to double LAST.
+
+    ``dround(dsum(x))`` has a latent boundary bug: the exact decimal sum
+    is cast to double before rounding, so a sum landing exactly on a
+    ``.xx5`` boundary renders as ``…4999…`` or ``…5000…1`` binary and the
+    two engines round it differently (observed: 609149.945 → .95 Spark /
+    .94 DuckDB). Rounding the DECIMAL itself (HALF_UP in Spark, half-away
+    -from-zero in DuckDB — identical for the positive sums we emit) is
+    exact in both engines. Pair with :func:`sql_sum_round`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast("decimal(30,10)")), scale).cast("double")
+
+
+def sql_sum_round(expr: str, scale: int = 2) -> str:
+    """DuckDB twin of :func:`dsum_round`."""
+    return f"CAST(round(sum(CAST(({expr}) AS DECIMAL(30,10))), {scale}) AS DOUBLE)"

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.compat import dround, dsum
+from ..functions.compat import dround, dsum, dsum_round
 from ..tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -40,16 +40,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dround(F.sum("l_quantity"), 2).alias("sum_qty"),
-            dround(dsum("l_extendedprice"), 2).alias("sum_base_price"),
-            dround(
-                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            dsum_round("l_extendedprice", 2).alias("sum_base_price"),
+            dsum_round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("sum_disc_price"),
-            dround(
-                dsum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
+            dsum_round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
                 2,
             ).alias("sum_charge"),
             dround(F.avg("l_quantity"), 2).alias("avg_qty"),
@@ -65,9 +63,9 @@ SELECT
   l_returnflag,
   l_linestatus,
   CAST(round(CAST((sum(l_quantity)) AS DECIMAL(30,10)), 2) AS DOUBLE)                                            AS sum_qty,
-  CAST(round(CAST((CAST(sum(CAST((l_extendedprice) AS DECIMAL(30,10))) AS DOUBLE)) AS DECIMAL(30,10)), 2) AS DOUBLE)                                       AS sum_base_price,
-  CAST(round(CAST((CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,10))) AS DOUBLE)) AS DECIMAL(30,10)), 2) AS DOUBLE)                    AS sum_disc_price,
-  CAST(round(CAST((CAST(sum(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(30,10))) AS DOUBLE)) AS DECIMAL(30,10)), 2) AS DOUBLE)      AS sum_charge,
+  CAST(round(sum(CAST((l_extendedprice) AS DECIMAL(30,10))), 2) AS DOUBLE)                                       AS sum_base_price,
+  CAST(round(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,10))), 2) AS DOUBLE)                    AS sum_disc_price,
+  CAST(round(sum(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(30,10))), 2) AS DOUBLE)      AS sum_charge,
   CAST(round(CAST((avg(l_quantity)) AS DECIMAL(30,10)), 2) AS DOUBLE)                                            AS avg_qty,
   CAST(round(CAST((avg(l_extendedprice)) AS DECIMAL(30,10)), 2) AS DOUBLE)                                       AS avg_price,
   CAST(round(CAST((avg(l_discount)) AS DECIMAL(30,10)), 4) AS DOUBLE)                                            AS avg_disc,
@@ -89,7 +87,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
-        dround(dsum("o_totalprice"), 2).alias("sum_price"),
+        dsum_round("o_totalprice", 2).alias("sum_price"),
         dround(F.avg("o_totalprice"), 2).alias("avg_price"),
         dround(F.min("o_totalprice"), 2).alias("min_price"),
         dround(F.max("o_totalprice"), 2).alias("max_price"),
@@ -102,7 +100,7 @@ SELECT
   o_orderstatus,
   count(*)                          AS n_orders,
   count(DISTINCT o_custkey)         AS n_customers,
-  CAST(round(CAST((CAST(sum(CAST((o_totalprice) AS DECIMAL(30,10))) AS DOUBLE)) AS DECIMAL(30,10)), 2) AS DOUBLE)       AS sum_price,
+  CAST(round(sum(CAST((o_totalprice) AS DECIMAL(30,10))), 2) AS DOUBLE)       AS sum_price,
   CAST(round(CAST((avg(o_totalprice)) AS DECIMAL(30,10)), 2) AS DOUBLE)       AS avg_price,
   CAST(round(CAST((min(o_totalprice)) AS DECIMAL(30,10)), 2) AS DOUBLE)       AS min_price,
   CAST(round(CAST((max(o_totalprice)) AS DECIMAL(30,10)), 2) AS DOUBLE)       AS max_price,
@@ -144,7 +142,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        dround(dsum("o_totalprice"), 2).alias("sum_price"),
+        dsum_round("o_totalprice", 2).alias("sum_price"),
         F.grouping("o_orderstatus").cast("int").alias("g_status"),
         F.grouping("o_orderpriority").cast("int").alias("g_priority"),
     )
@@ -155,7 +153,7 @@ SELECT
   o_orderstatus,
   o_orderpriority,
   count(*)                                     AS n_orders,
-  CAST(round(CAST((CAST(sum(CAST((o_totalprice) AS DECIMAL(30,10))) AS DOUBLE)) AS DECIMAL(30,10)), 2) AS DOUBLE)                  AS sum_price,
+  CAST(round(sum(CAST((o_totalprice) AS DECIMAL(30,10))), 2) AS DOUBLE)                  AS sum_price,
   CAST(grouping(o_orderstatus) AS INTEGER)     AS g_status,
   CAST(grouping(o_orderpriority) AS INTEGER)   AS g_priority
 FROM orders
@@ -213,19 +211,27 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-checkable despite differing HLL builds: the raw estimate is not
     comparable cross-engine, so the output pins (a) the exact count and
     (b) a ``within_5pct`` accuracy flag — each engine asserts ITS OWN HLL
-    lands within 5% of the exact answer (Spark runs rsd=0.01, comfortably
-    inside the bound), and the flags hash-compare. A drifting sketch on
-    either side flips its flag and fails the gate.
+    lands within 5% of the exact answer (Spark runs rsd=0.02: 2σ = 4%,
+    inside the bound; rsd=0.01 costs 4× the sketch registers — HLL++
+    register count grows as 1/rsd² — for accuracy the flag doesn't need),
+    and the flags hash-compare. A drifting sketch on either side flips
+    its flag and fails the gate. The flag is derived in a post-agg select
+    so each distinct aggregate appears exactly once in the plan.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    g = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_parts",
         (
             F.abs(
-                F.approx_count_distinct("l_partkey", rsd=0.01).cast("double")
-                - F.countDistinct("l_partkey").cast("double")
+                F.col("approx_parts").cast("double")
+                - F.col("exact_parts").cast("double")
             )
-            / F.countDistinct("l_partkey").cast("double")
+            / F.col("exact_parts").cast("double")
             <= F.lit(0.05)
         ).alias("within_5pct"),
     )
@@ -324,8 +330,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            dround(
-                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            dsum_round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -338,7 +344,7 @@ SELECT
   l_orderkey,
   o_orderdate,
   o_orderpriority,
-  CAST(round(CAST((CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,10))) AS DOUBLE)) AS DECIMAL(30,10)), 2) AS DOUBLE) AS revenue
+  CAST(round(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON o_custkey = c_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -382,8 +388,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            dround(
-                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            dsum_round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("revenue")
         )
     )
@@ -392,7 +398,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q5_SQL = """
 SELECT
   n_name,
-  CAST(round(CAST((CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,10))) AS DOUBLE)) AS DECIMAL(30,10)), 2) AS DOUBLE) AS revenue
+  CAST(round(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
 FROM region
 JOIN nation   ON n_regionkey = r_regionkey
 JOIN customer ON c_nationkey = n_nationkey
@@ -447,7 +453,7 @@ def join_shuffle_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),
-            dround(dsum("l_extendedprice"), 2).alias("sum_price"),
+            dsum_round("l_extendedprice", 2).alias("sum_price"),
         )
     )
 
@@ -456,7 +462,7 @@ JOIN_SHUFFLE_SQL = """
 SELECT
   o_orderpriority,
   count(*)                        AS n_lineitems,
-  CAST(round(CAST((CAST(sum(CAST((l_extendedprice) AS DECIMAL(30,10))) AS DOUBLE)) AS DECIMAL(30,10)), 2) AS DOUBLE)  AS sum_price
+  CAST(round(sum(CAST((l_extendedprice) AS DECIMAL(30,10))), 2) AS DOUBLE)  AS sum_price
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
@@ -1283,8 +1289,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            dround(
-                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            dsum_round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))

@@ -154,10 +154,19 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     _CENT = Decimal("0.01")
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
+
         n, su = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            for v in pdf["value"]:
+            # vectorized exact conversion: for |v| ≲ 1e5 the float64
+            # error of v*1e10 is ≪ 0.5, so rint lands on the same
+            # integer as the Decimal shortest-repr quantize; rows
+            # outside that safety margin take the exact Decimal path.
+            scaled = pdf["value"].to_numpy(dtype=np.float64) * 1e10
+            near = np.abs(scaled - np.rint(scaled)) < 0.01
+            su += int(np.rint(scaled[near]).astype(np.int64).sum())
+            for v in pdf["value"].to_numpy()[~near]:
                 su += int(
                     Decimal(repr(float(v)))
                     .quantize(_Q10, rounding=ROUND_HALF_UP)
@@ -201,3 +210,151 @@ GROUP BY user_id
 
 QUERIES["stream_user_totals"] = stream_user_totals
 ORACLES["stream_user_totals"] = STREAM_USER_TOTALS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Streaming deduplication (watermark-bounded state)
+# ---------------------------------------------------------------------------
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ``dropDuplicates`` — first event per (user, type, day),
+    emitted as the distinct key set (append mode).
+
+    The dedup state is keyed on exactly the projected columns, so the
+    output is a SET — arrival order never shows (whole-row dedup would
+    keep a nondeterministic first row). The watermark on the day column
+    lets the state store evict keys older than the watermark delay: at
+    100 TB of events the state holds only the trailing ~2 days of keys,
+    not history. Matches batch ``SELECT DISTINCT``.
+    """
+    events = streaming_events(spark, sf_dir)
+    keys = (
+        events.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .select("user_id", "event_type", "day")
+        .withWatermark("day", "1 day")
+        .dropDuplicates(["user_id", "event_type", "day"])
+    )
+    return _run_to_memory_sink(keys, "stream_dedup", "append")
+
+
+STREAM_DEDUP_SQL = """
+SELECT DISTINCT
+  user_id,
+  event_type,
+  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+FROM events
+"""
+
+QUERIES["stream_dedup"] = stream_dedup
+ORACLES["stream_dedup"] = STREAM_DEDUP_SQL
+
+
+# ---------------------------------------------------------------------------
+# Stream-static join (the reference's broadcast-metadata pattern, streaming)
+# ---------------------------------------------------------------------------
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events enriched against the STATIC customer table, then
+    aggregated per market segment (complete mode).
+
+    The static side re-snapshots per micro-batch and broadcasts (the
+    streaming restatement of the reference's driver-side acquisition-
+    metadata broadcast, ``zeiss_job.py:123-130``) — no stream-side state
+    grows from the join itself. The value sum is decimal-routed per row
+    so micro-batch arrival order can't flip the rounding.
+    """
+    from ..tables import load_table
+
+    events = streaming_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = events.join(
+        F.broadcast(cust), events.user_id == cust.c_custkey, "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(30,10)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
+    return _run_to_memory_sink(agg, "stream_static_join", "complete")
+
+
+STREAM_STATIC_JOIN_SQL = """
+SELECT
+  c.c_mktsegment,
+  count(*) AS n_events,
+  CAST(round(sum(CAST(e.value AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+QUERIES["stream_static_join"] = stream_static_join
+ORACLES["stream_static_join"] = STREAM_STATIC_JOIN_SQL
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join (watermarked, time-interval condition)
+# ---------------------------------------------------------------------------
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases within 30 minutes after a
+    click by the same user (append mode).
+
+    Both sides carry watermarks and the join condition bounds event time
+    (``p_ts BETWEEN click_ts AND click_ts + 30 min``), so Spark can evict
+    buffered rows once the watermark passes — state is bounded by the
+    watermark delay + interval, not the stream length. Output is the
+    deterministic pair set (IDs only), batch-equivalent to a self-join.
+    """
+    clicks = (
+        streaming_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        streaming_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.expr("click_ts + INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id")
+    return _run_to_memory_sink(pairs, "stream_stream_join", "append")
+
+
+STREAM_STREAM_JOIN_SQL = """
+SELECT
+  c.event_id AS click_id,
+  p.event_id AS purchase_id,
+  c.user_id  AS user_id
+FROM events c
+JOIN events p
+  ON c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+QUERIES["stream_stream_join"] = stream_stream_join
+ORACLES["stream_stream_join"] = STREAM_STREAM_JOIN_SQL
