@@ -1,5 +1,5 @@
 """Benchmark harness: runs every registered query at the bench scale
-factor and prints ONE JSON line (driver contract).
+factor and prints ONE SHORT JSON line (driver contract).
 
 Usage: python bench.py  [env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS]
 
@@ -7,9 +7,16 @@ Each query is materialized through the noop sink (full execution, no
 driver-side row transfer), timed individually after a shared-session
 warm-up. ``value`` is the wall-clock sum over all queries.
 
-Regression visibility: if a previous round's BENCH_r*.json exists, any
-query slower than 1.5× its best prior recording is listed under
-``regressions`` (name → [prior, now]) right in the output line.
+The driver captures only the LAST ~2000 bytes of output, so the final
+stdout line must stay small: it carries metric/value/unit/sf plus a
+(size-capped) ``regressions`` map.  The full per-query timing map is
+written to ``BENCH_DETAIL.json`` next to this file and appended to
+``BENCH_HISTORY.jsonl`` (one record per run) for cross-round
+regression tracking; per-query progress goes to stderr.
+
+Regression visibility: any query slower than 1.5x its best prior
+recording (from parsed BENCH_r*.json or BENCH_HISTORY.jsonl) is listed
+under ``regressions`` (name -> [prior, now]).
 """
 
 from __future__ import annotations
@@ -22,9 +29,47 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# Hard cap for the final stdout line; the driver's tail capture is
+# 2000 bytes and may include preceding log noise.
+_MAX_LINE_BYTES = 1200
+
+
+def _load_prior(repo: Path, sf_val: object) -> dict[str, float]:
+    """Best prior per-query timing from earlier recordings AT THE SAME
+    scale factor (cross-sf comparison would flag phantom regressions)."""
+    prior: dict[str, float] = {}
+
+    def absorb(doc: object) -> None:
+        if not isinstance(doc, dict) or doc.get("sf") != sf_val:
+            return
+        qmap = doc.get("queries")
+        if not isinstance(qmap, dict):
+            return
+        for q, t in qmap.items():
+            if isinstance(t, (int, float)) and (q not in prior or t < prior[q]):
+                prior[q] = float(t)
+
+    for p in sorted(repo.glob("BENCH_r*.json")):
+        try:
+            doc = json.loads(p.read_text())
+            if "queries" not in doc and isinstance(doc.get("parsed"), dict):
+                doc = doc["parsed"]
+            absorb(doc)
+        except (json.JSONDecodeError, OSError):
+            continue
+    hist = repo / "BENCH_HISTORY.jsonl"
+    if hist.exists():
+        for line in hist.read_text().splitlines():
+            try:
+                absorb(json.loads(line))
+            except json.JSONDecodeError:
+                continue
+    return prior
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repo = Path(__file__).resolve().parent
     import __spark_entry__ as entrymod
     from aind_hcr_data_transformation_spark.session import get_spark
 
@@ -42,6 +87,7 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"{name}: {timings[name]}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -49,37 +95,47 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
-    # compare against the best prior recording of each query (any round)
-    prior: dict[str, float] = {}
-    for p in sorted(Path(__file__).resolve().parent.glob("BENCH_r*.json")):
-        try:
-            doc = json.loads(p.read_text())
-            # the driver wraps our output line under {"parsed": {...}}
-            if "queries" not in doc and isinstance(doc.get("parsed"), dict):
-                doc = doc["parsed"]
-            for q, t in doc.get("queries", {}).items():
-                if isinstance(t, (int, float)) and (q not in prior or t < prior[q]):
-                    prior[q] = float(t)
-        except (json.JSONDecodeError, OSError):
-            continue
+    prior = _load_prior(repo, sf_val)
     regressions = {
         q: [prior[q], t]
         for q, t in timings.items()
         if q in prior and prior[q] > 0.05 and t > 1.5 * prior[q]
     }
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "regressions": regressions,
-            }
+    detail = {
+        "metric": "total_query_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "regressions": regressions,
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+    (repo / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))
+    with open(repo / "BENCH_HISTORY.jsonl", "a") as fh:
+        fh.write(json.dumps({"queries": timings, "sf": sf_val}) + "\n")
+
+    line_doc = {
+        "metric": "total_query_wall_seconds",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "regressions": regressions,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(line_doc)
+    if len(line) > _MAX_LINE_BYTES:
+        # keep only the worst regressions (largest slowdown ratio)
+        worst = sorted(
+            regressions.items(), key=lambda kv: kv[1][1] / kv[1][0], reverse=True
         )
-    )
+        line_doc["regressions"] = dict(worst[:8])
+        line_doc["regressions_truncated"] = len(regressions) - len(
+            line_doc["regressions"]
+        )
+        line = json.dumps(line_doc)
+    print(line)
 
 
 if __name__ == "__main__":
