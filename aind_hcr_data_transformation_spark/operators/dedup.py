@@ -436,13 +436,47 @@ GROUP BY doc_id
 # ---------------------------------------------------------------------------
 
 
+# Banded sign-LSH blocking for the embedding near-dup.  Each band hashes
+# a disjoint slice of components to its sign pattern; a pair is a
+# candidate when ANY band key collides (same AND-OR structure as MinHash
+# banding).  Near-identical vectors (cos >= 0.98 → angle < 11.5°) flip a
+# given sign bit with probability theta/pi < 0.064, so an 8-bit band
+# matches with p >= 0.59 and 4 bands reach recall >= 1-(1-p)^4 ≈ 0.97 —
+# while unrelated vectors (angle ≈ 90°) collide in a band with p ≈ 2^-8.
+#
+# Scale rule: per-band bucket population is n / 2^_EMB_BITS, so set
+# _EMB_BITS ≈ log2(n / target_bucket_size) as the corpus grows — the
+# bucket count is derived from the DATA (sign entropy), not from a fixed
+# metadata column, so no join key's fan-out is tied to corpus size. At
+# 100 TB the band key becomes an IVF/PQ coarse code; the plan shape
+# (band-key equi-join → verify bucket-mates) is unchanged.
+_EMB_BANDS = 4
+_EMB_BITS = 8  # sign bits per band → 2^8 buckets per band
+
+
+def _emb_band_key(col: str, band: int) -> F.Column:
+    """Integer sign-pattern key over components [band*_EMB_BITS, +_EMB_BITS)."""
+    b = F.lit(0)
+    for i in range(_EMB_BITS):
+        b = b + F.when(
+            F.element_at(F.col(col), band * _EMB_BITS + i + 1) >= 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+    return b.cast("int")
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: planted perturbed copies (every 50th vector,
-    first component ×1.1) recovered by cosine ≥ 0.98 within label blocks.
+    first component ×1.1) recovered by cosine ≥ 0.98 among banded
+    sign-LSH bucket-mates (see module constants above for the recall
+    math).  The mutation scales a component, so every planted pair has
+    identical sign patterns — recall 1.0 by construction, pinned by
+    tests/test_dedup_recall.py.
 
-    Label blocking stands in for an IVF coarse quantizer: the join is
-    per-bucket, never the full cross product. Cosine folds are
-    bit-identical across engines (functions/vectors.py)."""
+    Plan shape: band-key equi-join proposes candidates (ids only),
+    verification re-joins embeddings by id — vectors never travel
+    through the candidate shuffle.  Cosine folds are bit-identical
+    across engines (functions/vectors.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     mutants = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + _MUT_OFFSET).alias("vec_id"),
@@ -450,30 +484,41 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array((F.element_at("embedding", 1) * F.lit(1.1)).cast("float")),
             F.slice("embedding", 2, EMB_DIM - 1),
         ).alias("embedding"),
-        "label",
     )
     corpus = (
-        emb.select("vec_id", "embedding", "label")
+        emb.select("vec_id", "embedding")
         .unionByName(mutants)
-        # squared norm once per vector, not once per pair (the pair join
-        # below multiplies work by the bucket size)
+        # squared norm once per vector, not once per pair
         .withColumn("n2", spark_dot(F.col("embedding"), F.col("embedding")))
     )
-    a = corpus.select(
-        F.col("vec_id").alias("id1"),
-        F.col("embedding").alias("e1"),
-        F.col("n2").alias("n2a"),
-        "label",
+    stack_args = ", ".join(f"{b}, key{b}" for b in range(_EMB_BANDS))
+    bands = corpus.select(
+        "vec_id",
+        *[_emb_band_key("embedding", b).alias(f"key{b}") for b in range(_EMB_BANDS)],
+    ).select(
+        "vec_id",
+        F.expr(f"stack({_EMB_BANDS}, {stack_args}) as (band, bkey)"),
     )
-    b = corpus.select(
-        F.col("vec_id").alias("id2"),
-        F.col("embedding").alias("e2"),
-        F.col("n2").alias("n2b"),
-        "label",
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"))
+        .distinct()
+    )
+    c1 = corpus.select(
+        F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"), F.col("n2").alias("n2a")
+    )
+    c2 = corpus.select(
+        F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"), F.col("n2").alias("n2b")
     )
     return (
-        a.join(b, "label")
-        .filter(F.col("id1") < F.col("id2"))
+        candidates.join(c1, "id1")
+        .join(c2, "id2")
         .select(
             "id1",
             "id2",
@@ -490,19 +535,45 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_band_key_sql(col: str, band: int) -> str:
+    return "(" + " + ".join(
+        f"(CASE WHEN {col}[{band * _EMB_BITS + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_EMB_BITS)
+    ) + ")"
+
+
+_EMB_BAND_CASE = "CASE b " + " ".join(
+    f"WHEN {b} THEN k{b}" for b in range(_EMB_BANDS)
+) + " END"
+
 DEDUP_EMB_SQL = f"""
 WITH corpus AS (
-  SELECT vec_id, embedding, label FROM embeddings
+  SELECT vec_id, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + {_MUT_OFFSET} AS vec_id,
-         list_prepend(CAST(CAST(embedding[1] AS DOUBLE) * 1.1 AS FLOAT), embedding[2:]) AS embedding,
-         label
+         list_prepend(CAST(CAST(embedding[1] AS DOUBLE) * 1.1 AS FLOAT), embedding[2:]) AS embedding
   FROM embeddings WHERE vec_id % 50 = 0
+),
+keyed AS (
+  SELECT vec_id,
+         {', '.join(f'{_emb_band_key_sql("embedding", b)} AS k{b}' for b in range(_EMB_BANDS))}
+  FROM corpus
+),
+bands AS (
+  SELECT vec_id, b, {_EMB_BAND_CASE} AS bkey
+  FROM keyed, unnest(range(0, {_EMB_BANDS})) u(b)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bkey = b.bkey AND a.vec_id < b.vec_id
 )
 SELECT id1, id2, cos FROM (
-  SELECT a.vec_id AS id1, b.vec_id AS id2,
-    CAST(round(CAST(({sql_cosine('a.embedding', 'b.embedding')}) AS DECIMAL(30,10)), 6) AS DOUBLE) AS cos
-  FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+  SELECT id1, id2,
+    CAST(round(CAST(({sql_cosine('c1.embedding', 'c2.embedding')}) AS DECIMAL(30,10)), 6) AS DOUBLE) AS cos
+  FROM cand
+  JOIN corpus c1 ON c1.vec_id = cand.id1
+  JOIN corpus c2 ON c2.vec_id = cand.id2
 )
 WHERE cos >= 0.98
 """

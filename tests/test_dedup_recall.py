@@ -66,6 +66,35 @@ def _planted_truth(spark):
     return {(r.doc1, r.doc2) for r in truth.collect()}
 
 
+def test_embedding_lsh_full_recall_on_planted_pairs(spark, queries):
+    """Banded sign-LSH blocking must recover every planted embedding
+    near-dup: the mutation SCALES a component (sign preserved), so each
+    planted pair shares all band keys — a miss means the banding or key
+    derivation regressed."""
+    import duckdb
+
+    from aind_hcr_data_transformation_spark.operators.dedup import _MUT_OFFSET
+
+    expected = {
+        (int(v), int(v) + _MUT_OFFSET)
+        for (v,) in duckdb.sql(
+            f"SELECT vec_id FROM '{SF}/embeddings.parquet' WHERE vec_id % 50 = 0"
+        ).fetchall()
+    }
+    assert len(expected) >= 10
+
+    found = {
+        (r.id1, r.id2)
+        for r in queries["dedup_embedding_cosine"](spark, SF).collect()
+        if r.id2 - r.id1 == _MUT_OFFSET
+    }
+    missed = expected - found
+    assert not missed, (
+        f"sign-LSH banding lost {len(missed)}/{len(expected)} planted "
+        f"embedding near-dups (e.g. {sorted(missed)[:5]})"
+    )
+
+
 def test_minhash_lsh_full_recall_on_planted_pairs(spark, queries):
     from aind_hcr_data_transformation_spark.operators.dedup import _MUT_OFFSET
 
