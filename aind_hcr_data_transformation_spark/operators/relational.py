@@ -249,6 +249,29 @@ GROUP BY l_returnflag
 """
 
 
+def agg_hll_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of the approx-distinct aggregate: one HLL
+    pass, no exact-count rider.
+
+    :func:`agg_approx_distinct` is the calibration twin — it carries the
+    exact ``countDistinct`` (an expand-shuffle the sketch exists to
+    avoid) solely so the differential gate can assert the sketch's
+    accuracy.  This query is what a user would actually run at 100 TB:
+    map-side HLL registers, one merge per group, no distinct expansion.
+    HLL estimates are engine-specific builds and not comparable
+    cross-engine, so this query has no SQL oracle — the driver records
+    the weaker rows+schema check, while the twin's ``within_5pct`` flag
+    gates the estimate quality."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Projections / filters / predicates (SURVEY §2.3 P9)
 # ---------------------------------------------------------------------------
@@ -865,6 +888,7 @@ QUERIES = {
     "agg_cube": agg_cube,
     "agg_pivot": agg_pivot,
     "agg_approx_distinct": agg_approx_distinct,
+    "agg_hll_only": agg_hll_only,
     "sort_topk": sort_topk,
     "sort_multikey": sort_multikey,
     "set_ops": set_ops,
