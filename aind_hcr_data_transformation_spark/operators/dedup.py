@@ -583,6 +583,13 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    # NOTE: dedup_ngram_jaccard's 0.4 threshold is a Jaccard over the
+    # DF-CAPPED shingle universe (df <= _NGRAM_DF_CAP) — both engines and
+    # the recall test use the identical capped universe, but the score is
+    # not the raw-universe Jaccard.  _NGRAM_DF_CAP=100 is sized for the
+    # fixture corpus; at production scale derive it as a df FRACTION of
+    # the corpus (e.g. df <= 1e-4 * n_docs) so the cap removes a constant
+    # proportion of signal as n grows rather than an ever-larger share.
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,

@@ -26,8 +26,55 @@ from pyspark.sql import SparkSession
 from .config import ZarrConversionSettings
 from .ome import build_multiscales, build_omero, validate_multiscales
 from .operators.blockwise import coalesce_blocks, downsample_blocks
+from .sinks.store import sync_dir
 from .sinks.zarr_sink import init_group, write_attrs, write_blocks_to_zarr
 from .sources.czi import synthetic_stack_blocks
+
+
+def pyramid_depth(
+    shape_zyx: tuple[int, int, int],
+    factors: tuple[int, int, int],
+    n_lvls: int,
+) -> int:
+    """Number of pyramid levels actually writable before a dim bottoms
+    out under the floor recurrence (xarray_multiscale depth limit).
+
+    The multiscales metadata is written UP FRONT with one dataset entry
+    per level, so ``n_lvls`` must be clamped to this depth — otherwise
+    the group's ``.zattrs`` would reference level arrays that are never
+    created and OME-NGFF readers hit missing datasets."""
+    depth = 1
+    z, y, x = shape_zyx
+    fz, fy, fx = factors
+    while depth < n_lvls:
+        z, y, x = z // fz, y // fy, x // fx
+        if min(z, y, x) < 1:
+            break
+        depth += 1
+    return depth
+
+
+def upload_derivatives(
+    input_source: str, dest_url: str, partition: int = 0
+) -> int:
+    """Upload ``input_source/derivatives`` to ``dest_url/derivatives``
+    through the store layer — the reference's partition-0-only side
+    effect (``zeiss_job.py:187-205``, gate at 215-216: exactly one of
+    the N array jobs performs the upload).
+
+    In the Spark restatement the driver IS the exactly-once context, so
+    call this once before/after the conversion job; the ``partition``
+    argument preserves the reference's gate semantics for callers that
+    still carry a partition id (non-zero partitions no-op, returning 0).
+
+    Raises ``FileNotFoundError`` when the derivatives folder is absent,
+    like the reference. Returns the number of files uploaded."""
+    if partition != 0:
+        return 0
+    src = os.path.join(input_source, "derivatives")
+    if not os.path.isdir(src):
+        raise FileNotFoundError(f"{src} does not exist.")
+    return sync_dir(src, dest_url.rstrip("/") + "/derivatives")
 
 
 def dtype_minmax(dtype: str) -> tuple[float, float]:
@@ -57,7 +104,10 @@ def convert_synthetic_stack(
     source call — ``sources.czi.read_blocks(reader="czifile")``.)"""
     cz, cy, cx = settings.chunk_size
     fz, fy, fx = settings.scale_factor
-    n_lvls = settings.downsample_levels
+    # clamp BEFORE metadata: .zattrs must list only levels that get written
+    n_lvls = pyramid_depth(
+        (z_extent, y, x), (fz, fy, fx), settings.downsample_levels
+    )
 
     group_path = os.path.join(settings.output_directory, f"{stack_name}.zarr")
     init_group(group_path)
@@ -167,6 +217,9 @@ def convert_synthetic_stacks(
         shapes[name] = [1, 1, z, y, x]
         init_group(group)
         minmax = dtype_minmax(dtype)
+        # per-stack clamp: a small stack's .zattrs lists only the levels
+        # its own floor pyramid reaches (matches the write loop's filter)
+        stack_lvls = pyramid_depth((z, y, x), (fz, fy, fx), n_lvls)
         attrs = {
             "omero": build_omero(
                 (1, 1, z, y, x),
@@ -176,7 +229,7 @@ def convert_synthetic_stacks(
                 channel_startend=[(0.0, 550.0)],
             ),
             **build_multiscales(
-                (1, 1, z, y, x), (1, 1, cz, cy, cx), name, n_lvls,
+                (1, 1, z, y, x), (1, 1, cz, cy, cx), name, stack_lvls,
                 (fz, fy, fx), voxel_size,
             ),
         }

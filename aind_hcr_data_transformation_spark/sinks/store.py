@@ -55,11 +55,17 @@ class MemoryStore:
     """Process-local in-memory store (one shared namespace per process).
 
     Not visible across Spark python workers — use it for driver-side unit
-    tests of the sink's store discipline, not distributed writes.
+    tests of the sink's store discipline, not distributed writes (the
+    distributed writer rejects ``memory://`` outright, see
+    ``zarr_sink.write_blocks_to_zarr``).
+
+    ``read_counts`` tallies ``read_bytes`` calls per key so tests can
+    assert I/O discipline (e.g. the ``.zarray`` metadata cache).
     """
 
     _data: dict[str, bytes] = {}
     _lock = threading.Lock()
+    read_counts: dict[str, int] = {}
 
     def makedirs(self, path: str) -> None:  # directories are implicit
         pass
@@ -69,6 +75,8 @@ class MemoryStore:
             self._data[path] = data
 
     def read_bytes(self, path: str) -> bytes:
+        with self._lock:
+            self.read_counts[path] = self.read_counts.get(path, 0) + 1
         try:
             return self._data[path]
         except KeyError:
@@ -84,6 +92,7 @@ class MemoryStore:
     def clear(cls) -> None:
         with cls._lock:
             cls._data.clear()
+            cls.read_counts.clear()
 
 
 class FsspecStore:
@@ -135,3 +144,29 @@ def resolve(url: str) -> tuple[Any, str]:
     if parsed.scheme == "memory":
         return MemoryStore(), f"{parsed.netloc}{parsed.path}"
     return FsspecStore(parsed.scheme), f"{parsed.netloc}{parsed.path}"
+
+
+def sync_dir(local_dir: str, dest_url: str) -> int:
+    """Recursively upload a local directory into a URL-addressed store —
+    the store-layer twin of the reference's ``aws s3 sync`` wrapper
+    (``utils/utils.py:142-173``); driver-side, for small auxiliary trees
+    (derivatives folders, metadata), not bulk chunk traffic.
+
+    Returns the number of files written."""
+    from pathlib import Path
+
+    base = Path(local_dir)
+    if not base.is_dir():
+        raise FileNotFoundError(f"{local_dir} is not a directory")
+    store, root = resolve(dest_url)
+    n = 0
+    for p in sorted(base.rglob("*")):
+        if not p.is_file():
+            continue
+        dest = store.join(root, p.relative_to(base).as_posix())
+        parent = dest.rsplit("/", 1)[0] if "/" in dest else ""
+        if parent:
+            store.makedirs(parent)
+        store.write_bytes(dest, p.read_bytes())
+        n += 1
+    return n

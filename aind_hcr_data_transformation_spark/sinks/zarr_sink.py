@@ -25,6 +25,7 @@ in-flight work (SURVEY §4 X4).
 from __future__ import annotations
 
 import json
+import threading
 from typing import Any, Iterable
 
 import numpy as np
@@ -89,10 +90,27 @@ def init_array(
         "dimension_separator": "/",
     }
     store.write_bytes(store.join(path, ".zarray"), json.dumps(meta).encode())
+    with _META_LOCK:
+        _META_CACHE[url] = meta  # prime/refresh the creator's own cache
 
 
-def _read_array_meta(store, path: str) -> dict[str, Any]:
-    return json.loads(store.read_bytes(store.join(path, ".zarray")))
+# Per-process ``.zarray`` metadata cache, keyed on array URL.  An array's
+# geometry is immutable once created (the concurrent-writer safety
+# argument above already depends on that), so one GET per (process,
+# array) suffices — without this, every block write re-fetched the
+# metadata: billions of redundant object-store GETs at 100 TB.
+_META_CACHE: dict[str, dict[str, Any]] = {}
+_META_LOCK = threading.Lock()
+
+
+def _array_meta(url: str, store, path: str) -> dict[str, Any]:
+    with _META_LOCK:
+        meta = _META_CACHE.get(url)
+    if meta is None:
+        meta = json.loads(store.read_bytes(store.join(path, ".zarray")))
+        with _META_LOCK:
+            _META_CACHE[url] = meta
+    return meta
 
 
 def write_region(url: str, region_offset: tuple[int, ...], data: np.ndarray) -> None:
@@ -104,7 +122,7 @@ def write_region(url: str, region_offset: tuple[int, ...], data: np.ndarray) -> 
     of the chunk, its extent either a chunk multiple or reaching the array
     edge) so concurrent writers never touch the same chunk file."""
     store, path = resolve(url)
-    meta = _read_array_meta(store, path)
+    meta = _array_meta(url, store, path)
     shape, chunks = meta["shape"], meta["chunks"]
     dtype = np.dtype(meta["dtype"])
     comp = meta["compressor"]
@@ -139,7 +157,7 @@ def read_array(url: str) -> np.ndarray:
     """Assemble the whole array (test-scale verification reader; the
     production read path is the block-index scan)."""
     store, path = resolve(url)
-    meta = _read_array_meta(store, path)
+    meta = _array_meta(url, store, path)
     shape, chunks = meta["shape"], meta["chunks"]
     dtype = np.dtype(meta["dtype"])
     comp = meta["compressor"]
@@ -174,6 +192,13 @@ def write_blocks_to_zarr(
     path, where the JVM pickler buffers every multi-MB block payload and
     OOMs on large stacks (observed at 512³). Arrow streams the binary
     column zero-copy."""
+    if array_url.startswith("memory://"):
+        # MemoryStore is process-local: chunks written inside Spark
+        # python workers would land in worker dicts and silently vanish.
+        raise ValueError(
+            "memory:// stores are driver-side test doubles and cannot back "
+            "a distributed write; use a file:// or object-store URL"
+        )
     init_array(array_url, shape, chunks, dtype, compressor, compressor_kwargs)
 
     def write_batches(batches: Iterable[Any]) -> Any:

@@ -165,7 +165,10 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             # outside that safety margin take the exact Decimal path.
             scaled = pdf["value"].to_numpy(dtype=np.float64) * 1e10
             near = np.abs(scaled - np.rint(scaled)) < 0.01
-            su += int(np.rint(scaled[near]).astype(np.int64).sum())
+            # per-element int64 is exact (|v| bounded), but the SUM can
+            # exceed 2^63 in one big batch — accumulate via object dtype
+            # (arbitrary-precision Python ints), never wrapping int64
+            su += int(np.rint(scaled[near]).astype(np.int64).astype(object).sum())
             for v in pdf["value"].to_numpy()[~near]:
                 su += int(
                     Decimal(repr(float(v)))

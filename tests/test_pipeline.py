@@ -136,3 +136,65 @@ def test_multi_stack_single_job(spark, tmp_path):
             read_array(f"{groups[name]}/1")[0, 0],
             windowed_mean_nd(golden0, (2, 2, 2)),
         )
+
+
+def test_metadata_matches_written_levels_when_pyramid_bottoms_out(
+    spark, tmp_path
+):
+    """Requesting more levels than the floor pyramid supports must clamp
+    the multiscales metadata to the levels actually written — otherwise
+    .zattrs references datasets that do not exist (dangling metadata)."""
+    import os
+
+    from aind_hcr_data_transformation_spark.pipeline import pyramid_depth
+
+    assert pyramid_depth((4, 16, 16), (2, 2, 2), 4) == 3
+    assert pyramid_depth((40, 32, 32), (2, 2, 2), 3) == 3
+    assert pyramid_depth((1, 8, 8), (2, 2, 2), 5) == 1
+
+    settings = ZarrConversionSettings(
+        output_directory=str(tmp_path),
+        chunk_size=(4, 8, 8),
+        scale_factor=(2, 2, 2),
+        downsample_levels=4,  # z: 4 → 2 → 1 → 0: only 3 levels writable
+    )
+    group = convert_synthetic_stack(
+        spark, settings, "shallow", z_extent=4, y=16, x=16
+    )
+    attrs = json.load(open(f"{group}/.zattrs"))
+    datasets = attrs["multiscales"][0]["datasets"]
+    written = sorted(
+        d for d in os.listdir(group) if not d.startswith(".")
+    )
+    assert [ds["path"] for ds in datasets] == written == ["0", "1", "2"]
+    # every advertised level is readable
+    for lvl, shape in zip(written, [(4, 16, 16), (2, 8, 8), (1, 4, 4)]):
+        assert read_array(f"{group}/{lvl}").shape == (1, 1, *shape)
+
+
+def test_multi_stack_per_stack_metadata_clamp(spark, tmp_path):
+    """In the multi-stack job, each stack's .zattrs lists only ITS OWN
+    reachable levels: a shallow stack clamps while a deep one keeps all
+    requested levels."""
+    import os
+
+    from aind_hcr_data_transformation_spark.pipeline import (
+        convert_synthetic_stacks,
+    )
+
+    settings = ZarrConversionSettings(
+        output_directory=str(tmp_path),
+        chunk_size=(4, 8, 8),
+        scale_factor=(2, 2, 2),
+        downsample_levels=3,
+    )
+    paths = convert_synthetic_stacks(
+        spark, settings, {"deep": (16, 16, 16), "shallow": (2, 16, 16)}
+    )
+    for name, lvls in (("deep", ["0", "1", "2"]), ("shallow", ["0", "1"])):
+        attrs = json.load(open(f"{paths[name]}/.zattrs"))
+        datasets = attrs["multiscales"][0]["datasets"]
+        written = sorted(
+            d for d in os.listdir(paths[name]) if not d.startswith(".")
+        )
+        assert [ds["path"] for ds in datasets] == written == lvls

@@ -38,8 +38,15 @@ def test_resolve_schemes(tmp_path):
 
 
 def test_unknown_scheme_needs_fsspec():
-    with pytest.raises(NotImplementedError, match="fsspec"):
-        store, _ = resolve("s3://bucket/key.zarr")
+    try:
+        import fsspec  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="fsspec"):
+            resolve("s3://bucket/key.zarr")
+    else:
+        # production setup: fsspec present → an FsspecStore constructs
+        # (possibly failing later on a missing s3 driver, not here)
+        pytest.skip("fsspec installed; s3:// resolves to FsspecStore")
 
 
 def test_memory_store_roundtrip():
@@ -74,6 +81,58 @@ def test_group_attrs_through_memory_url():
     assert json.loads(store.read_bytes(store.join(path, ".zgroup"))) == {
         "zarr_format": 2
     }
+
+
+def test_zarray_meta_read_once_per_process():
+    """Block writes must not re-fetch .zarray per write: at object-store
+    scale that is billions of redundant GETs. One read per (process,
+    array URL), then the cache serves every subsequent write."""
+    from aind_hcr_data_transformation_spark.sinks import zarr_sink
+
+    url = "memory://cachetest/arr"
+    init_array(url, (8, 8), (4, 4), "uint16")
+    # simulate a fresh worker process: empty meta cache, cold store reads
+    zarr_sink._META_CACHE.clear()
+    MemoryStore.read_counts.clear()
+    tile = np.arange(16, dtype=np.uint16).reshape(4, 4)
+    for off in ((0, 0), (0, 4), (4, 0), (4, 4)):
+        write_region(url, off, tile)
+    assert MemoryStore.read_counts.get("cachetest/arr/.zarray", 0) == 1
+
+
+def test_distributed_writer_rejects_memory_url():
+    from aind_hcr_data_transformation_spark.sinks.zarr_sink import (
+        write_blocks_to_zarr,
+    )
+
+    with pytest.raises(ValueError, match="memory://"):
+        write_blocks_to_zarr(
+            None, "memory://bucket/arr", (4, 4), (2, 2), "uint16"
+        )
+
+
+def test_upload_derivatives_through_memory_store(tmp_path):
+    """K8: the reference's partition-0 derivatives upload
+    (zeiss_job.py:187-205, gate at 215-216) through the store layer."""
+    from aind_hcr_data_transformation_spark.pipeline import upload_derivatives
+
+    d = tmp_path / "derivatives" / "sub"
+    d.mkdir(parents=True)
+    (tmp_path / "derivatives" / "a.json").write_text('{"x": 1}')
+    (d / "b.txt").write_text("hi")
+
+    n = upload_derivatives(str(tmp_path), "memory://bucket/dataset")
+    assert n == 2
+    store, _ = resolve("memory://_")
+    assert store.read_bytes("bucket/dataset/derivatives/a.json") == b'{"x": 1}'
+    assert store.read_bytes("bucket/dataset/derivatives/sub/b.txt") == b"hi"
+
+    # non-zero partition: gated off, like the reference
+    assert upload_derivatives(str(tmp_path), "memory://bucket/d2", partition=3) == 0
+    assert not store.exists("bucket/d2/derivatives/a.json")
+
+    with pytest.raises(FileNotFoundError):
+        upload_derivatives(str(tmp_path / "nope"), "memory://bucket/d3")
 
 
 def test_e2e_conversion_through_file_url(spark, tmp_path):
