@@ -1,10 +1,10 @@
 """Extended TPC-H-shaped query suite (SURVEY §2.4 joins, §2.5 A5, §2.7 O4).
 
-Q1/Q3/Q5/Q10 live in :mod:`relational`; this module widens the decision-
-support surface with eleven more TPC-H-derived queries, adapted to the
+Q1/Q3/Q5/Q10 live in :mod:`relational`; this module carries the other
+eighteen TPC-H-derived queries (full 22-query coverage), adapted to the
 synthetic corpus' schema subset (no ``partsupp`` table, no
-``l_shipmode``/``l_receiptdate``/``l_commitdate``/``p_container``
-columns — each adaptation is noted on the query it affects).
+``l_shipmode``/``l_receiptdate``/``l_commitdate``/``p_container``/
+``c_phone`` columns — each adaptation is noted on the query it affects).
 
 The reference (a CZI→Zarr ETL job) has no relational surface; its closest
 analog remains the driver-side metadata broadcast
@@ -636,6 +636,481 @@ WHERE
 """
 
 
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated min subquery over a region)
+# ---------------------------------------------------------------------------
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted: the corpus has no ``partsupp``, so the
+    supplier↔part relationship and its cost come from ``lineitem``:
+    a supplier's cost for a part is the minimum unit price
+    (``l_extendedprice / l_quantity``) it ever charged.  For parts of
+    one size/type, pick the EUROPE supplier(s) matching the per-part
+    regional minimum cost — the classic correlated-min shape.
+
+    Decorrelation: per-(part, supplier) min → per-part min → equi-join
+    back on (partkey, cost).  Both aggregates shuffle on high-cardinality
+    keys; region/nation/part dims broadcast.  Unit price is IEEE double
+    division — bit-identical in both engines, so the min and the
+    equality join agree exactly."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "LARGE"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    costs = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            supp.select("s_suppkey", "s_name", "s_acctbal", "n_name"),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "supp_cost"
+            )
+        )
+    )
+    min_cost = costs.groupBy(F.col("p_partkey").alias("mc_key")).agg(
+        F.min("supp_cost").alias("min_cost")
+    )
+    return (
+        costs.join(
+            min_cost,
+            (F.col("p_partkey") == F.col("mc_key"))
+            & (F.col("supp_cost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            dround("supp_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH costs AS (
+  SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name,
+         min(l.l_extendedprice / l.l_quantity) AS supp_cost
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'LARGE'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+  GROUP BY 1, 2, 3, 4, 5, 6
+),
+min_cost AS (
+  SELECT p_partkey AS mc_key, min(supp_cost) AS min_cost
+  FROM costs GROUP BY 1
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       CAST(round(CAST(supp_cost AS DECIMAL(30,10)), 4) AS DOUBLE) AS unit_cost
+FROM costs JOIN min_cost
+  ON costs.p_partkey = min_cost.mc_key AND costs.supp_cost = min_cost.min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important parts by inventory value (scalar-subquery HAVING)
+# ---------------------------------------------------------------------------
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted: no ``partsupp``/``ps_availqty``, so a part's
+    "value" held by NATION_7 suppliers is the discounted revenue of
+    their lineitems for it.  Parts whose value exceeds 1/10000 of the
+    national total qualify — the scalar-subquery-in-HAVING shape.
+
+    The total is a one-row aggregate cross-joined (broadcast) against
+    the per-part aggregate; the fraction test cross-multiplies in exact
+    decimal (``value * 10000 > total``) — no float division, engines
+    agree bit-for-bit."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    li_n = li.join(
+        F.broadcast(supp.select("s_suppkey")),
+        li.l_suppkey == F.col("s_suppkey"),
+    )
+    value_expr = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_part = li_n.groupBy("l_partkey").agg(dsum(value_expr).alias("value"))
+    total = li_n.agg(dsum(value_expr).alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") * 10000 > F.col("total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            dround("value", 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+Q11_SQL = f"""
+WITH li_n AS (
+  SELECT l.l_partkey, l.l_extendedprice, l.l_discount
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_7'
+),
+per_part AS (
+  SELECT l_partkey, {sql_sum('l_extendedprice * (1.0 - l_discount)')} AS value
+  FROM li_n GROUP BY l_partkey
+),
+total AS (
+  SELECT {sql_sum('l_extendedprice * (1.0 - l_discount)')} AS total FROM li_n
+)
+SELECT l_partkey AS p_partkey,
+       {sql_round('value', 2)} AS part_value
+FROM per_part, total
+WHERE value * 10000 > total
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping priority by return flag (join + conditional aggregation)
+# ---------------------------------------------------------------------------
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted: the corpus lacks ``l_shipmode`` and the
+    commit/receipt dates, so the group key is ``l_returnflag`` and a
+    line is "late" when shipped more than 60 days after the order date.
+    For late 1996-shipped lines: count critical-priority orders
+    (1-URGENT/2-HIGH) vs the rest per flag — Q12's join + CASE-sum
+    shape, one shuffle on the group key after an equi fact-fact join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1996-12-31").cast("timestamp"),
+        )
+    )
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier count by part attributes (NOT IN + count distinct)
+# ---------------------------------------------------------------------------
+
+
+def q16_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted: supplier↔part pairs come from ``lineitem``
+    (distinct ``l_partkey, l_suppkey``) instead of ``partsupp``, and the
+    "customer complaints" exclusion becomes suppliers with negative
+    account balance (the corpus has no ``s_comment``).
+
+    The NOT IN subquery compiles to a broadcast anti join (the excluded
+    supplier list is tiny); ``countDistinct`` shuffles once on the
+    3-column group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 23)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    )
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(bad_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        pairs.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON ps.l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
+  AND ps.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion (nested IN with correlated HAVING)
+# ---------------------------------------------------------------------------
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted: suppliers (any nation — the fixture has only 4
+    suppliers per nation) who moved more than 100 units of some
+    'small%'-named part during 1996.  The reference quantity test
+    (``ps_availqty > 0.5 * sum(qty)``) becomes a fixed threshold (50)
+    since the corpus carries no stock table.
+
+    Shape: IN (SELECT … GROUP BY … HAVING) nested over IN (SELECT
+    partkey WHERE LIKE) — both decorrelate to semi joins; the part list
+    broadcasts, the per-(supplier, part) aggregate shuffles once."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("small")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1996-12-31").cast("timestamp"),
+        )
+    )
+    movers = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(movers, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", dround("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name,
+       CAST(round(CAST(s_acctbal AS DECIMAL(30,10)), 2) AS DOUBLE) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 50
+)
+ORDER BY s_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS per row)
+# ---------------------------------------------------------------------------
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted: "late" = shipped > 90 days after the order
+    date (no receipt/commit dates in the corpus); no nation filter (the
+    fixture has only 4 suppliers per nation).
+
+    The hardest decorrelation shape in the suite: for each late
+    lineitem of a finalized order, EXISTS another supplier's lineitem
+    on the same order, and NOT EXISTS another supplier's lineitem that
+    was ALSO late.  Both subqueries become one semi and one anti join
+    against the same lineitem scan, keyed on ``l_orderkey`` — the
+    o_orderdate needed by the correlated lateness predicate rides along
+    from the first join, so no re-join with orders."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3"))
+            & (
+                F.col("d3")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity (scalar subquery + anti join)
+# ---------------------------------------------------------------------------
+
+
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted: "country code" = ``c_nationkey`` (the corpus
+    has no phone column); codes 0–6 stand in for the seven prefixes.
+    Rich idle customers: balance above the mean positive balance of the
+    code set, with no orders since 2000-01-01 (every fixture customer
+    has SOME order, so "never ordered" would be empty — "gone idle"
+    preserves the anti-join shape with a live result).
+
+    The mean comparison cross-multiplies in exact decimal
+    (``c_acctbal * n > total``) so no float division crosses engines;
+    the NO-orders test is a broadcast-keyless anti join on
+    ``o_custkey``; the scalar aggregate broadcasts."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") <= 6
+    )
+    pos = cust.filter(F.col("c_acctbal") > 0.0)
+    stats = pos.agg(
+        dsum("c_acctbal").alias("total_bal"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        cust.crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("c_acctbal").cast("decimal(30,10)") * F.col("n_pos")
+            > F.col("total_bal")
+        )
+        .join(
+            recent.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum_round("c_acctbal", 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+Q22_SQL = f"""
+WITH stats AS (
+  SELECT {sql_sum('c_acctbal')} AS total_bal, count(*) AS n_pos
+  FROM customer
+  WHERE c_nationkey <= 6 AND c_acctbal > 0.0
+)
+SELECT c_nationkey AS cntrycode,
+       count(*) AS numcust,
+       {sql_sum_round('c_acctbal', 2)} AS totacctbal
+FROM customer, stats
+WHERE c_nationkey <= 6
+  AND CAST(c_acctbal AS DECIMAL(30,10)) * n_pos > total_bal
+  AND c_custkey NOT IN (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY c_nationkey
+ORDER BY cntrycode
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -648,6 +1123,13 @@ QUERIES = {
     "q17_small_qty_revenue": q17_small_qty_revenue,
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_parts": q11_important_parts,
+    "q12_priority_shipping": q12_priority_shipping,
+    "q16_parts_supplier_cnt": q16_parts_supplier_cnt,
+    "q20_potential_promotion": q20_potential_promotion,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_global_sales": q22_global_sales,
 }
 
 ORACLES = {
@@ -662,4 +1144,11 @@ ORACLES = {
     "q17_small_qty_revenue": Q17_SQL,
     "q18_large_orders": Q18_SQL,
     "q19_disjunctive_revenue": Q19_SQL,
+    "q2_min_cost_supplier": Q2_SQL,
+    "q11_important_parts": Q11_SQL,
+    "q12_priority_shipping": Q12_SQL,
+    "q16_parts_supplier_cnt": Q16_SQL,
+    "q20_potential_promotion": Q20_SQL,
+    "q21_waiting_suppliers": Q21_SQL,
+    "q22_global_sales": Q22_SQL,
 }
