@@ -178,9 +178,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB every stage is a hash shuffle on a high-cardinality key;
     no stage materializes candidate pairs beyond actual bucket
-    collisions (the LSH guarantee)."""
+    collisions (the LSH guarantee).
+
+    The shingle relation feeds FOUR consumers (signatures, sizes, both
+    sides of the verification join); without materialization Spark
+    re-runs the scan+explode per consumer (alias differences defeat
+    exchange reuse).  ``persist()`` computes it once — the same
+    "materialize the posting-list stage" move a production LSH pipeline
+    makes (checkpoint/shuffle-stage reuse) at cluster scale."""
     corpus = _corpus_with_mutants(spark, sf_dir)
-    sh = _shingles(corpus)
+    sh = _shingles(corpus).persist()
     # k salted hashes per shingle computed inline, then ONE hash-aggregate
     # with k positional mins — no ×k row explosion, no second shuffle
     # (map-side partial mins shrink the shuffle to one row per doc).
@@ -303,16 +310,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     list, hence every join fan-out, to df² ≤ 10⁴ rows.  Sizes and
     intersections both use the capped universe, so Jaccard stays a true
     similarity over that universe.  The filter runs before the self-join
-    (asserted by ``tests/test_physical_plans.py``)."""
+    (asserted by ``tests/test_physical_plans.py``).
+
+    Both shingle relations are ``persist()``-ed: the raw one feeds the
+    df-aggregate and the cap join, the capped one feeds sizes and both
+    self-join sides — five consumers that would otherwise each re-run
+    the scan+explode (the materialize-the-inverted-index move every
+    production pipeline makes)."""
     corpus = _corpus_with_mutants(spark, sf_dir)
-    sh_all = _shingles(corpus)
+    sh_all = _shingles(corpus).persist()
     rare = (
         sh_all.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= _NGRAM_DF_CAP)
         .select("shingle")
     )
-    sh = sh_all.join(rare, "shingle")
+    sh = sh_all.join(rare, "shingle").persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     s1 = sh.select(F.col("doc_id").alias("doc1"), "shingle")
     s2 = sh.select(F.col("doc_id").alias("doc2"), "shingle")
