@@ -21,6 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from aind_hcr_data_transformation_spark.operators import (
     dedup,
+    ivf,
     multimodal,
     pipeline_queries,
     relational,
@@ -39,6 +40,7 @@ _MODULES = [
     pipeline_queries,
     dedup,
     similarity,
+    ivf,
     textops,
     multimodal,
     streaming_events,

@@ -1,0 +1,264 @@
+"""IVF (inverted-file) ANN: a REAL coarse quantizer — k-means trained as
+Spark DataFrame iterations — replacing hash stand-ins (SURVEY §2.12;
+the scale path the sign-LSH queries document: bucket count = k scales
+with corpus size, k ≈ n / target_bucket_size).
+
+Everything is engine-deterministic, so the WHOLE iterative algorithm is
+differential-tested against DuckDB (the oracle unrolls the iterations as
+chained CTEs):
+
+* init: centroids = the first ``K`` vectors by ``vec_id`` (canonical
+  deterministic seeding; production would use k-means‖ with a fixed
+  seed).
+* assign: squared-L2 distance via a LEFT-ASSOCIATED fold over double
+  components — bit-identical IEEE sequences in both engines; ties break
+  on cluster id (``row_number`` ordered by (dist, cluster)).
+* update: per-dimension sums in exact DECIMAL(30,10) (partition-order
+  immune — the float-sum nondeterminism that would otherwise break the
+  oracle), then mean = CAST(sum AS DOUBLE) / n (same two deterministic
+  operands → same double in both engines).
+
+Scale notes (100 TB): each iteration is one broadcast join (k centroid
+rows) + one hash aggregate on ``cluster`` — the canonical Spark k-means
+shape (what MLlib does, minus its driver-side collect). Assignment
+shuffles only (vec_id, cluster, dist)-sized rows; vectors themselves
+shuffle once per update aggregate as 64 decimal partials with map-side
+combine. The search is an equi-join on the cluster id: per-bucket
+population is n/k and k grows with n.
+
+Reference: the engine's north-star extension surface (BASELINE.json);
+the reference repo has no ANN analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.compat import dround
+from ..functions.vectors import EMB_DIM, spark_dot, spark_cosine_prenorm, sql_cosine
+from ..tables import load_table
+
+_K = 8  # coarse-quantizer cells; scale rule: k ≈ n / target_bucket_size
+_ITERS = 3  # fixed Lloyd iterations (deterministic, unrollable)
+_N_QUERIES = 5
+_TOP_K = 3
+
+
+def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast k rows, argmin by
+    (score, cluster) — deterministic tie-break.
+
+    ``score = c·c − 2·x·c`` orders identically to squared L2 per vector
+    (the ``x·x`` term is constant within a vec_id partition) at half the
+    expression size of the subtract-square fold — these 64-term folds
+    are codegen-compile-bound, not data-bound, at fixture scale.  The
+    oracle computes the same score with the same fold order."""
+    cents = centroids.select(
+        "cluster",
+        "cemb",
+        spark_dot(F.col("cemb"), F.col("cemb")).alias("c2"),
+    )
+    pairs = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cluster",
+        (
+            F.col("c2")
+            - F.lit(2) * spark_dot(F.col("embedding"), F.col("cemb"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("score", "cluster")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cluster")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """Centroid update: exact decimal per-dimension sums (order-immune),
+    then mean in double.
+
+    Shaped as posexplode → one (cluster, dim) aggregate → array rebuild,
+    NOT 64 aggregate expressions: decimal addition is exact in any
+    order, so the value is identical while the generated code stays
+    small (64 wide aggregates cost seconds of codegen compilation and
+    the long rows carry no benefit).  Data volume is rows × dims tiny
+    integers — two cheap shuffles."""
+    long = assigned.select(
+        "cluster", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "cluster", "dim", F.col("v").cast("double").cast("decimal(30,10)").alias("v")
+    )
+    per_dim = long.groupBy("cluster", "dim").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_dim.select(
+            "cluster",
+            "dim",
+            (F.col("s").cast("double") / F.col("n")).alias("mean"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dm")
+        )
+        .select(
+            "cluster",
+            F.transform("dm", lambda x: x["mean"]).alias("cemb"),
+        )
+    )
+
+
+def _train(emb: DataFrame) -> DataFrame:
+    """K-means codebook after ``_ITERS`` Lloyd iterations."""
+    centroids = emb.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("cluster"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cemb"),
+    )
+    for _ in range(_ITERS):
+        # persist each k-row codebook: truncates the iteration lineage so
+        # no downstream consumer re-runs earlier Lloyd passes (the
+        # DataFrame analog of MLlib's per-iteration materialization)
+        centroids = _update(_assign(emb, centroids)).persist()
+    return centroids
+
+
+def ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN end-to-end: train the codebook, assign every vector to
+    its cell, then answer the standard 5 queries with exact cosine top-3
+    WITHIN the query's cell (nprobe=1).
+
+    The oracle replays the identical Lloyd iterations as unrolled SQL
+    CTEs — a differential test of the full iterative algorithm, not just
+    the final search."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codebook = _train(emb)
+    assigned = _assign(emb, codebook).select("vec_id", "embedding", "cluster")
+    # three consumers (corpus scan, query extraction, search join) —
+    # materialize the assignment once
+    corpus = assigned.withColumn(
+        "n2", spark_dot(F.col("embedding"), F.col("embedding"))
+    ).persist()
+    queries = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("n2").alias("qn2"),
+        "cluster",
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.col("cluster"),
+            dround(
+                spark_cosine_prenorm(
+                    spark_dot(F.col("qe"), F.col("embedding")),
+                    F.col("qn2"),
+                    F.col("n2"),
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= _TOP_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle: the same iterations, unrolled as chained CTEs
+# ---------------------------------------------------------------------------
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Left-assoc chain matching :func:`spark_dot`'s IEEE order."""
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, EMB_DIM + 1)
+    )
+
+
+def _sql_score(e: str, c: str) -> str:
+    """``c·c − 2·x·c`` — same value and fold order as :func:`_assign`."""
+    return f"(({_sql_dot(c, c)}) - 2 * ({_sql_dot(e, c)}))"
+
+
+def _sql_iteration(i: int) -> str:
+    """assign against c{i-1}, update into c{i}."""
+    sums = ", ".join(
+        f"sum(CAST(CAST(embedding[{d + 1}] AS DOUBLE) AS DECIMAL(30,10))) AS s{d}"
+        for d in range(EMB_DIM)
+    )
+    means = ", ".join(
+        f"CAST(s{d} AS DOUBLE) / n" for d in range(EMB_DIM)
+    )
+    return f"""
+a{i} AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_score('e.embedding', 'c.cemb')}, c.cluster
+           ) AS rn
+    FROM embeddings e CROSS JOIN c{i - 1} c
+  ) WHERE rn = 1
+),
+c{i} AS (
+  SELECT cluster, list_value({means}) AS cemb
+  FROM (SELECT cluster, count(*) AS n, {sums} FROM a{i} GROUP BY cluster)
+)"""
+
+
+def _build_oracle() -> str:
+    init_cemb = ", ".join(
+        f"CAST(embedding[{i}] AS DOUBLE)" for i in range(1, EMB_DIM + 1)
+    )
+    iters = ",".join(_sql_iteration(i + 1) for i in range(_ITERS))
+    final = _ITERS
+    return f"""
+WITH c0 AS (
+  SELECT vec_id AS cluster, list_value({init_cemb}) AS cemb
+  FROM embeddings WHERE vec_id < {_K}
+),{iters},
+assigned AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_score('e.embedding', 'c.cemb')}, c.cluster
+           ) AS rn
+    FROM embeddings e CROSS JOIN c{final} c
+  ) WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS qid, embedding AS qe, cluster FROM assigned
+  WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT q.qid, a.vec_id, a.cluster,
+    CAST(round(CAST(({sql_cosine('q.qe', 'a.embedding')}) AS DECIMAL(30,10)), 6) AS DOUBLE) AS cos
+  FROM assigned a JOIN queries q ON a.cluster = q.cluster AND a.vec_id <> q.qid
+)
+SELECT qid, vec_id, cluster, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {_TOP_K}
+"""
+
+
+IVF_ANN_SQL = _build_oracle()
+
+
+QUERIES = {
+    "ivf_kmeans_ann": ivf_kmeans_ann,
+}
+
+ORACLES = {
+    "ivf_kmeans_ann": IVF_ANN_SQL,
+}

@@ -95,11 +95,15 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
     # q11/q22 cross-join a BROADCAST ONE-ROW scalar aggregate (the
     # decorrelated scalar subquery): a 1×n nested loop is the correct
     # plan — the broadcast side can never grow with the data.
+    # ivf_kmeans_ann broadcasts the k-row centroid codebook against the
+    # vectors (the canonical k-means assignment join; k is a parameter,
+    # not data-sized).
     allowed_bnlj = {
         "sim_cosine_topk",
         "join_cross",
         "q11_important_parts",
         "q22_global_sales",
+        "ivf_kmeans_ann",
     }
     for name, fn in queries.items():
         if name.startswith("stream_"):
