@@ -592,6 +592,161 @@ WHERE cos >= 0.98
 """
 
 
+# ---------------------------------------------------------------------------
+# duplicate-graph resolution: connected components (min-label propagation)
+# ---------------------------------------------------------------------------
+
+_CC_ITERS = 4  # propagate+jump rounds: reach ≥ 2^k − 1 = diameter 15
+
+
+def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected duplicate-graph edges from two cheap, deterministic
+    sources: same-fingerprint cliques (star to the min doc) and the
+    planted near-dup pairs (every 20th doc ↔ its mutant)."""
+    corpus = _corpus_with_mutants(spark, sf_dir)
+    fp = corpus.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))),
+                " ",
+            )
+        ).alias("fp"),
+    )
+    keeper = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n")
+    ).filter(F.col("n") > 1)
+    fp_edges = (
+        fp.join(keeper, "fp")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(F.col("doc_id").alias("a"), F.col("keeper").alias("b"))
+    )
+    planted = corpus.filter(
+        (F.col("doc_id") % 20 == 0) & (F.col("doc_id") < _MUT_OFFSET)
+    ).select(
+        F.col("doc_id").alias("a"),
+        (F.col("doc_id") + _MUT_OFFSET).alias("b"),
+    )
+    und = fp_edges.unionByName(planted)
+    return und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-set resolution: connected components over the duplicate
+    graph via min-label propagation — the stage that turns pairwise
+    near-dup EVIDENCE into keep/drop DECISIONS (one keeper per
+    component) in a training-data pipeline.
+
+    ``_CC_ITERS`` fixed rounds of ``label(v) ← min(label(v), min over
+    neighbours)`` followed by POINTER JUMPING (``label(v) ←
+    min(label(v), label(label(v)))``) — each round is two equi-joins
+    plus a min-aggregate, and the jump doubles the reached distance per
+    round (reach ≥ 2^k − 1), the standard O(log diameter) relational CC
+    recipe (GraphX/Pregel large-star).  Fixed round count keeps the
+    computation DuckDB-unrollable (the oracle replays the same rounds as
+    CTEs); correctness vs an independent union-find is pinned in
+    ``tests/test_dedup_recall.py``.
+
+    Output: non-singleton components as (doc_id, component) with the
+    component labelled by its minimum doc_id."""
+    edges = _cc_edges(spark, sf_dir).localCheckpoint()
+    labels = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_CC_ITERS):
+        # NOTE: the localCheckpoint() calls are not optional — persist()
+        # (even materialized by an action) does NOT truncate the
+        # *analyzed logical plan*, and with the jump self-join the plan
+        # tree quadruples per round (labels feeds neigh AND prop; prop
+        # feeds both jump sides), so Catalyst re-analysis goes 4^k and
+        # hangs the driver by round 3 even for 122 nodes (observed).
+        # localCheckpoint(eager) swaps the lineage for a LogicalRDD so
+        # every round analyzes a constant-size plan — the same
+        # per-iteration truncation GraphX/MLlib perform.  Executor-local
+        # blocks (no checkpoint dir needed); at cluster scale use
+        # spark.sparkContext.setCheckpointDir + .checkpoint() if
+        # executor loss during the few CC rounds must be survivable.
+        neigh = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(F.col("a").alias("n2"))
+            .agg(F.min("label").alias("nl"))
+        )
+        prop = labels.join(neigh, labels.node == F.col("n2"), "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
+        ).localCheckpoint()
+        hop = prop.select(
+            F.col("node").alias("h_node"), F.col("label").alias("h_label")
+        )
+        labels = (
+            prop.join(hop, prop.label == F.col("h_node"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("h_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    ).orderBy("doc_id")
+
+
+def _cc_oracle() -> str:
+    fp_base = f"""
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+  FROM ({_CORPUS_SQL})
+"""
+    rounds = []
+    for i in range(_CC_ITERS):
+        rounds.append(f"""
+n{i + 1} AS (
+  SELECT e.a AS node, min(l.label) AS nl
+  FROM edges e JOIN l{i} l ON e.b = l.node
+  GROUP BY e.a
+),
+p{i + 1} AS (
+  SELECT l.node, least(l.label, coalesce(n.nl, l.label)) AS label
+  FROM l{i} l LEFT JOIN n{i + 1} n ON l.node = n.node
+),
+l{i + 1} AS (
+  SELECT p.node, least(p.label, coalesce(h.label, p.label)) AS label
+  FROM p{i + 1} p LEFT JOIN p{i + 1} h ON p.label = h.node
+)""")
+    return f"""
+WITH fp AS ({fp_base}),
+keeper AS (
+  SELECT fp, min(doc_id) AS keeper, count(*) AS n FROM fp GROUP BY fp
+),
+dir_edges AS (
+  SELECT f.doc_id AS a, k.keeper AS b
+  FROM fp f JOIN keeper k ON f.fp = k.fp AND k.n > 1
+  WHERE f.doc_id <> k.keeper
+  UNION
+  SELECT doc_id AS a, doc_id + {_MUT_OFFSET} AS b
+  FROM documents WHERE doc_id % 20 = 0
+),
+edges AS (
+  SELECT a, b FROM dir_edges
+  UNION
+  SELECT b AS a, a AS b FROM dir_edges
+),
+l0 AS (
+  SELECT DISTINCT a AS node, a AS label FROM edges
+),{','.join(rounds)}
+SELECT node AS doc_id, label AS component
+FROM l{_CC_ITERS}
+ORDER BY doc_id
+"""
+
+
+DEDUP_COMPONENTS_SQL = _cc_oracle()
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
@@ -606,9 +761,11 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_components": dedup_components,
 }
 
 ORACLES = {
+    "dedup_components": DEDUP_COMPONENTS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,

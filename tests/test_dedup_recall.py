@@ -112,3 +112,38 @@ def test_minhash_lsh_full_recall_on_planted_pairs(spark, queries):
         f"(e.g. {sorted(missed)[:5]}) — band/hash parameters no longer "
         "reach the designed recall"
     )
+
+
+def test_components_resolve_planted_pairs(spark, queries):
+    """Connected components must place every planted pair in one
+    component labelled by the component's minimum doc_id — checked
+    against an independent union-find ground truth, not the SQL twin
+    (both engines share the propagation algorithm; this does not)."""
+    from aind_hcr_data_transformation_spark.operators.dedup import (
+        _cc_edges,
+        _MUT_OFFSET,
+    )
+
+    comp = {
+        r.doc_id: r.component
+        for r in queries["dedup_components"](spark, SF).collect()
+    }
+    # ground truth by union-find over the same edge list
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = _cc_edges(spark, SF).collect()
+    for e in edges:
+        ra, rb = find(e.a), find(e.b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {n: find(n) for n in parent}
+    assert comp == truth
+    # planted pairs co-resolve
+    planted = [(d, d + _MUT_OFFSET) for d in comp if d % 20 == 0 and d < _MUT_OFFSET]
+    assert planted and all(comp[a] == comp[b] for a, b in planted if b in comp)
