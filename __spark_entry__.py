@@ -27,6 +27,7 @@ from aind_hcr_data_transformation_spark.operators import (
     relational,
     similarity,
     textops,
+    textprep,
     tpch,
     windows,
 )
@@ -42,6 +43,7 @@ _MODULES = [
     similarity,
     ivf,
     textops,
+    textprep,
     multimodal,
     streaming_events,
 ]

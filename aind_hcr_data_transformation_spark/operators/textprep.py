@@ -1,0 +1,461 @@
+"""Training-data preparation operators for LLM pipelines: sequence
+packing, benchmark-contamination detection, PII redaction, document
+chunking, stratified sampling.
+
+Complements ``textops`` (analysis) and ``dedup`` (duplicate removal)
+with the *transform* stages of a pretraining-data pipeline.  All
+JVM-side (split / sequence / explode / regexp / window — no Python in
+the hot path).  Scale notes per operator:
+
+* seq_pack — the cumulative-offset window is partitioned by ``source``
+  (the shard key), never global: each shard packs independently, which
+  is exactly how a 100 TB corpus is packed in practice (per input shard
+  or per worker), so no single-partition window bottleneck.
+* contamination — the benchmark n-gram set is tiny by construction
+  (benchmarks are KBs, corpora are TBs); it broadcasts, and the corpus
+  side never shuffles its text, only (doc_id, shingle-hash) pairs.
+* pii_redact / doc_chunk — embarrassingly parallel per document.
+* sample_stratified — one hash + one broadcast join + one aggregate;
+  deterministic across engines, reruns, and cluster layouts (md5-based,
+  like ``textops.sample_hash_split``).
+
+Determinism: every cross-engine output is integer arithmetic or md5 —
+see ``functions/compat`` for the float rules used elsewhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.compat import dround, sql_round
+from ..tables import load_table
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk, per shard)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 64  # tokens per packed training sequence
+
+
+def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing, per ``source`` shard:
+    documents are concatenated in doc_id order and cut into fixed
+    ``_PACK_BUDGET``-token sequences; a document whose token span crosses
+    a cut contributes to every chunk it overlaps.
+
+    Relational formulation: a running-offset window gives each doc its
+    token span ``[cum_before, cum_before + n_tok)``; the chunks it
+    touches are ``floor(cum_before/B) .. floor((cum_before+n_tok-1)/B)``
+    — one ``sequence``+``explode``, then a per-chunk aggregate.  The
+    window partitions by the shard key (``source``), so packing is
+    embarrassingly parallel across shards — no global ordering exists,
+    matching how production packing shards the corpus.
+
+    Output per (source, chunk_id): docs overlapping the chunk, tokens
+    filled, and how many of those docs straddle the chunk's left edge
+    (continuation fragments a trainer would mask or drop).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = toks.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("cum_before"),
+    )
+    b = F.lit(_PACK_BUDGET)
+    touched = spans.select(
+        "source",
+        "cum_before",
+        "n_tok",
+        F.explode(
+            F.sequence(
+                (F.col("cum_before") / b).cast("long"),
+                ((F.col("cum_before") + F.col("n_tok") - 1) / b).cast("long"),
+            )
+        ).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * b
+    return (
+        touched.groupBy("source", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.least(start + b, F.col("cum_before") + F.col("n_tok"))
+                - F.greatest(start, F.col("cum_before"))
+            ).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("cum_before") < start, 1).otherwise(0)
+            ).alias("n_straddlers"),
+        )
+        .orderBy("source", "chunk_id")
+    )
+
+
+SEQ_PACK_SQL = f"""
+WITH spans AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tok,
+         CAST(coalesce(sum(len(string_split(text, ' '))) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS cum_before
+  FROM documents
+),
+touched AS (
+  SELECT source, cum_before, n_tok,
+         unnest(range(cum_before // {_PACK_BUDGET},
+                      (cum_before + n_tok - 1) // {_PACK_BUDGET} + 1)) AS chunk_id
+  FROM spans
+)
+SELECT source, chunk_id,
+       count(*) AS n_docs,
+       CAST(sum(least((chunk_id + 1) * {_PACK_BUDGET}, cum_before + n_tok)
+           - greatest(chunk_id * {_PACK_BUDGET}, cum_before)) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN cum_before < chunk_id * {_PACK_BUDGET} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_straddlers
+FROM touched
+GROUP BY source, chunk_id
+ORDER BY source, chunk_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination detection (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+_CONTAM_MOD = 50  # doc_id % 50 == 0 designates the stand-in benchmark set
+_CONTAM_FLAG = 0.2  # flag docs whose distinct-3-gram hit ratio ≥ this
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle): distinct 3-word shingles per document —
+    the same construction as ``dedup._shingles`` but over the raw
+    ``documents`` table (no mutant corpus)."""
+    t = F.split("text", " ")
+    idx = F.sequence(F.lit(0), F.size(t) - 3)
+    return (
+        docs.filter(F.size(t) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        idx,
+                        lambda i: F.concat_ws(
+                            " ", t[i], t[i + 1], t[i + 2]
+                        ),
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: which corpus documents share a
+    suspicious fraction of their 3-grams with a benchmark/eval set?
+    (The decontamination step every pretraining pipeline runs before
+    training — n-gram overlap is the method used for GPT-3/PaLM-style
+    reports.)
+
+    The benchmark stand-in is ``doc_id % {mod} == 0``.  Its distinct
+    3-gram set is tiny relative to the corpus (real benchmarks are KBs
+    vs TBs), so it BROADCASTS; corpus docs join their shingles against
+    it and aggregate hit counts — the corpus text itself never
+    shuffles.  Output: contaminated docs (≥1 shared gram) with the hit
+    ratio over the doc's distinct grams and a ≥{flag} flag.
+    """.format(mod=_CONTAM_MOD, flag=_CONTAM_FLAG)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
+    bench = (
+        sh.filter(F.col("doc_id") % _CONTAM_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = sh.filter(F.col("doc_id") % _CONTAM_MOD != 0)
+    totals = corpus_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    ratio = F.col("n_hits") / F.col("n_grams")
+    return (
+        totals.join(hits, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            dround(ratio, 4).alias("hit_ratio"),
+            (ratio >= _CONTAM_FLAG).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+         )) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 3
+),
+bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {_CONTAM_MOD} = 0
+),
+corpus AS (SELECT * FROM sh WHERE doc_id % {_CONTAM_MOD} <> 0),
+totals AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_hits
+  FROM corpus c JOIN bench b USING (shingle)
+  GROUP BY c.doc_id
+)
+SELECT t.doc_id, t.n_grams, h.n_hits,
+       {sql_round('h.n_hits / t.n_grams', 4)} AS hit_ratio,
+       h.n_hits / t.n_grams >= {_CONTAM_FLAG} AS flagged
+FROM totals t JOIN hits h ON t.doc_id = h.doc_id
+ORDER BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (regex scrub with match accounting)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the syntax subset where Java regex (Spark) and
+# RE2 (DuckDB) agree: char classes, +, bounded repeats, escaped '+'.
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing with match accounting: redact e-mail addresses and
+    phone numbers, report how many of each were removed per document
+    (the audit trail a compliance pipeline keeps).
+
+    The synthetic corpus contains no PII, so the query PLANTS a
+    deterministic contact line per document (one e-mail + one phone;
+    every 7th doc gets a second e-mail) and then scrubs it — the planted
+    text doubles as ground truth, pinned by
+    ``tests/test_textprep.py``.  Pure ``regexp_replace`` /
+    ``regexp_count`` over each row: embarrassingly parallel, no
+    shuffle until the final ordering.  Output keeps md5(redacted) rather
+    than the full text so the comparison payload stays narrow.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" cc admin"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.org"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" or call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(planted, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(planted, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(planted, F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).alias("redacted_len"),
+    ).orderBy("doc_id")
+
+
+PII_REDACT_SQL = rf"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@example.org'
+                 ELSE '' END
+         || ' or call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           AS full_text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, full_text,
+         regexp_replace(
+           regexp_replace(full_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '\+1-555-[0-9]{{4}}', '<PHONE>', 'g') AS redacted
+  FROM planted
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(full_text, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(full_text, '\+1-555-[0-9]{{4}}')) AS INTEGER) AS n_phones,
+       md5(redacted) AS redacted_md5,
+       CAST(length(redacted) AS INTEGER) AS redacted_len
+FROM scrubbed
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# document chunking (overlapping token windows)
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 32  # tokens per chunk
+_CHUNK_S = 24  # stride (overlap = W - S = 8 tokens)
+
+
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the
+    embedding/RAG preprocessing step): windows of ``_CHUNK_W`` tokens
+    every ``_CHUNK_S`` tokens, last window truncated at the document
+    end.
+
+    ``sequence`` generates the window starts, ``slice`` takes each
+    window — all array built-ins inside whole-stage codegen, no UDF.
+    Per-document and embarrassingly parallel; output carries
+    md5(chunk text) instead of the text to keep rows narrow.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    starts = F.sequence(F.lit(0), F.size(t) - 1, F.lit(_CHUNK_S))
+    exploded = docs.select(
+        "doc_id",
+        t.alias("toks"),
+        F.size(t).alias("n_tok"),
+        F.explode(starts).alias("start_tok"),
+    )
+    chunk_text = F.array_join(
+        F.slice(F.col("toks"), F.col("start_tok") + 1, _CHUNK_W), " "
+    )
+    return exploded.select(
+        "doc_id",
+        (F.col("start_tok") / _CHUNK_S).cast("int").alias("chunk_idx"),
+        "start_tok",
+        F.least(F.lit(_CHUNK_W), F.col("n_tok") - F.col("start_tok")).alias(
+            "n_chunk_tokens"
+        ),
+        F.md5(chunk_text).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+DOC_CHUNK_SQL = f"""
+WITH exploded AS (
+  SELECT doc_id, t AS toks, len(t) AS n_tok,
+         unnest(range(0, len(t), {_CHUNK_S})) AS start_tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+)
+SELECT doc_id,
+       CAST(start_tok // {_CHUNK_S} AS INTEGER) AS chunk_idx,
+       start_tok,
+       CAST(least({_CHUNK_W}, n_tok - start_tok) AS INTEGER) AS n_chunk_tokens,
+       md5(array_to_string(
+         list_slice(toks, start_tok + 1, least(start_tok + {_CHUNK_W}, n_tok)),
+         ' ')) AS chunk_md5
+FROM exploded
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling (deterministic per-language rates)
+# ---------------------------------------------------------------------------
+
+# Per-language keep thresholds out of 2^16 (integer compare against the
+# first 16 bits of md5(doc_id) — exact, engine- and layout-independent).
+_STRATA_THR: dict[str, int] = {
+    "en": 8192,   # downsample the majority language hard (12.5%)
+    "de": 16384,  # 25%
+    "es": 32768,  # 50%
+    "fr": 49152,  # 75%
+    "zh": 57344,  # 87.5% — keep nearly all of the rarest stratum
+}
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling with per-language rates — the data-mix
+    rebalancing step of a pretraining pipeline (downsample dominant
+    languages, keep rare ones).
+
+    Deterministic: a doc is kept iff the first 16 bits of
+    md5(doc_id) fall below its language's threshold — reproducible
+    across engines, reruns, and cluster layouts, unlike
+    ``rand()``/``TABLESAMPLE`` (same rationale as
+    ``textops.sample_hash_split``).  One broadcast join against the
+    5-row rate table + one aggregate.  Output: per-language totals,
+    kept counts, and the realized rate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        list(_STRATA_THR.items()), "lang string, thr int"
+    )
+    h16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    kept = F.when(h16 < F.col("thr"), 1).otherwise(0)
+    return (
+        docs.join(F.broadcast(rates), "lang", "left")
+        .withColumn("thr", F.coalesce("thr", F.lit(0)))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept).alias("n_kept"),
+            dround(F.sum(kept) / F.count(F.lit(1)), 4).alias("realized_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+_NIB = "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {p}, 1)) - 1)"
+_H16 = f"({_NIB.format(p=1)} * 4096 + {_NIB.format(p=2)} * 256 + {_NIB.format(p=3)} * 16 + {_NIB.format(p=4)})"
+
+_STRATA_VALUES = ", ".join(f"('{k}', {v})" for k, v in _STRATA_THR.items())
+
+SAMPLE_STRATIFIED_SQL = f"""
+WITH rates(lang, thr) AS (VALUES {_STRATA_VALUES}),
+scored AS (
+  SELECT d.lang,
+         CASE WHEN {_H16} < coalesce(r.thr, 0) THEN 1 ELSE 0 END AS kept
+  FROM documents d LEFT JOIN rates r USING (lang)
+)
+SELECT lang,
+       count(*) AS n_total,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       {sql_round('sum(kept) / count(*)', 4)} AS realized_rate
+FROM scored
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES = {
+    "seq_pack": seq_pack,
+    "contamination": contamination,
+    "pii_redact": pii_redact,
+    "doc_chunk": doc_chunk,
+    "sample_stratified": sample_stratified,
+}
+
+ORACLES = {
+    "seq_pack": SEQ_PACK_SQL,
+    "contamination": CONTAMINATION_SQL,
+    "pii_redact": PII_REDACT_SQL,
+    "doc_chunk": DOC_CHUNK_SQL,
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
+}

@@ -13,6 +13,13 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")
+def queries():
+    import __spark_entry__ as m
+
+    return m.queries()
+
+
+@pytest.fixture(scope="session")
 def spark():
     from aind_hcr_data_transformation_spark.session import get_spark
 

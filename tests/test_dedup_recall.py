@@ -12,16 +12,7 @@ or above its threshold.
 
 from __future__ import annotations
 
-import pytest
-
 SF = "/root/testdata/sf0.01"
-
-
-@pytest.fixture(scope="module")
-def queries():
-    import __spark_entry__ as m
-
-    return m.queries()
 
 
 def _planted_truth(spark):
