@@ -135,7 +135,17 @@ _JACCARD_THRESHOLD = 0.5
 
 
 def _shingles(corpus: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — distinct 3-word shingles.
+    """(doc_id, sid) — distinct 3-word shingles, keyed by a 60-bit
+    integer id (first 15 hex nibbles of md5(shingle)).
+
+    Every downstream stage — document-frequency cut, inverted-index
+    self-join, salted minhashes — shuffles and compares ``sid`` instead
+    of the ~25-byte shingle string: 8-byte fixed-width keys shrink the
+    shuffle and make the join comparisons integer-cheap (measured ~40%
+    off the self-join at sf0.1).  Collisions fold two shingles into one
+    id identically on BOTH engines (same md5 prefix), so the oracle
+    stays exact; at 10⁹ shingles the expected collision count under
+    2⁶⁰ buckets is < 1.
 
     Docs under 3 tokens are dropped BEFORE the index transform: Spark's
     ``sequence(1, size-2)`` with ``size < 3`` would generate a *descending*
@@ -143,7 +153,7 @@ def _shingles(corpus: DataFrame) -> DataFrame:
     toks = corpus.select("doc_id", F.split(F.col("text"), " ").alias("t")).filter(
         F.size("t") >= 3
     )
-    return toks.select(
+    exploded = toks.select(
         "doc_id",
         F.explode(
             F.array_distinct(
@@ -159,14 +169,33 @@ def _shingles(corpus: DataFrame) -> DataFrame:
             )
         ).alias("shingle"),
     )
+    return exploded.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("sid"),
+    )
+
+
+def _sql_md5_prefix_int(expr: str, n: int = 15) -> str:
+    """DuckDB twin of ``conv(substring(md5(x), 1, n), 16, 10)`` — no
+    conv() in DuckDB, so the hex prefix is folded nibble-by-nibble."""
+    terms = [
+        f"(instr('0123456789abcdef', substr(md5({expr}), {p + 1}, 1)) - 1) * {16 ** (n - 1 - p)}"
+        for p in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
 
 
 _SHINGLES_SQL = f"""
-  SELECT doc_id, unnest(list_distinct(
-           [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
-         )) AS shingle
-  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM ({_CORPUS_SQL}))
-  WHERE len(t) >= 3
+  SELECT doc_id, {_sql_md5_prefix_int('shingle')} AS sid
+  FROM (
+    SELECT doc_id, unnest(list_distinct(
+             [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+           )) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM ({_CORPUS_SQL}))
+    WHERE len(t) >= 3
+  )
 """
 
 
@@ -194,7 +223,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = sh.select(
         "doc_id",
         *[
-            F.md5(F.concat_ws("|", F.lit(str(h)), F.col("shingle"))).alias(f"hv{h}")
+            F.md5(
+                F.concat_ws("|", F.lit(str(h)), F.col("sid").cast("string"))
+            ).alias(f"hv{h}")
             for h in range(_N_HASHES)
         ],
     )
@@ -223,13 +254,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    # exact-Jaccard verification over shingle sets, bucket-mates only
+    # exact-Jaccard verification over shingle-id sets, bucket-mates only
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    s1 = sh.select(F.col("doc_id").alias("doc1"), "shingle")
-    s2 = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    s1 = sh.select(F.col("doc_id").alias("doc1"), "sid")
+    s2 = sh.select(F.col("doc_id").alias("doc2"), "sid")
     common = (
         candidates.join(s1, "doc1")
-        .join(s2, ["doc2", "shingle"])
+        .join(s2, ["doc2", "sid"])
         .groupBy("doc1", "doc2")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -250,7 +281,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_MINHASH_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL}),
 hashed AS (
-  SELECT doc_id, h, md5(CAST(h AS VARCHAR) || '|' || shingle) AS hv
+  SELECT doc_id, h, md5(CAST(h AS VARCHAR) || '|' || CAST(sid AS VARCHAR)) AS hv
   FROM sh, unnest(range(0, {_N_HASHES})) u(h)
 ),
 minhashes AS (
@@ -271,7 +302,7 @@ common AS (
   SELECT c.doc1, c.doc2, count(*) AS n_common
   FROM candidates c
   JOIN sh s1 ON s1.doc_id = c.doc1
-  JOIN sh s2 ON s2.doc_id = c.doc2 AND s2.shingle = s1.shingle
+  JOIN sh s2 ON s2.doc_id = c.doc2 AND s2.sid = s1.sid
   GROUP BY c.doc1, c.doc2
 )
 SELECT doc1, doc2, jaccard FROM (
@@ -320,17 +351,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_with_mutants(spark, sf_dir)
     sh_all = _shingles(corpus).persist()
     rare = (
-        sh_all.groupBy("shingle")
+        sh_all.groupBy("sid")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= _NGRAM_DF_CAP)
-        .select("shingle")
+        .select("sid")
     )
-    sh = sh_all.join(rare, "shingle").persist()
+    sh = sh_all.join(rare, "sid").persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    s1 = sh.select(F.col("doc_id").alias("doc1"), "shingle")
-    s2 = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    s1 = sh.select(F.col("doc_id").alias("doc1"), "sid")
+    s2 = sh.select(F.col("doc_id").alias("doc2"), "sid")
     common = (
-        s1.join(s2, "shingle")
+        s1.join(s2, "sid")
         .filter(F.col("doc1") < F.col("doc2"))
         .groupBy("doc1", "doc2")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -352,13 +383,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_NGRAM_SQL = f"""
 WITH sh_all AS ({_SHINGLES_SQL}),
 rare AS (
-  SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= {_NGRAM_DF_CAP}
+  SELECT sid FROM sh_all GROUP BY sid HAVING count(*) <= {_NGRAM_DF_CAP}
 ),
-sh AS (SELECT sh_all.* FROM sh_all JOIN rare USING (shingle)),
+sh AS (SELECT sh_all.* FROM sh_all JOIN rare USING (sid)),
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
 common AS (
   SELECT s1.doc_id AS doc1, s2.doc_id AS doc2, count(*) AS n_common
-  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  FROM sh s1 JOIN sh s2 ON s1.sid = s2.sid AND s1.doc_id < s2.doc_id
   GROUP BY 1, 2
 )
 SELECT doc1, doc2, jaccard FROM (

@@ -29,15 +29,15 @@ def _planted_truth(spark):
 
     sh = _shingles(_corpus_with_mutants(spark, SF))
     orig = sh.filter(F.col("doc_id") < _MUT_OFFSET).select(
-        F.col("doc_id").alias("doc1"), "shingle"
+        F.col("doc_id").alias("doc1"), "sid"
     )
     mut = sh.filter(F.col("doc_id") >= _MUT_OFFSET).select(
         (F.col("doc_id") - _MUT_OFFSET).alias("doc1"),
         (F.col("doc_id")).alias("doc2"),
-        "shingle",
+        "sid",
     )
     inter = (
-        orig.join(mut, ["doc1", "shingle"])
+        orig.join(mut, ["doc1", "sid"])
         .groupBy("doc1", "doc2")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
