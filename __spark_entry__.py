@@ -29,6 +29,7 @@ from aind_hcr_data_transformation_spark.operators import (
     textops,
     textprep,
     tpch,
+    vectorops,
     windows,
 )
 from aind_hcr_data_transformation_spark.session import apply_session_confs
@@ -44,6 +45,7 @@ _MODULES = [
     ivf,
     textops,
     textprep,
+    vectorops,
     multimodal,
     streaming_events,
 ]

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.compat import dround
+from ..functions.compat import dround, sql_round
 from ..tables import load_table
 
 # tiny per-language stopword lexicons (language ID by stopword voting)
@@ -243,3 +243,186 @@ FROM documents
 
 QUERIES["sample_hash_split"] = sample_hash_split
 ORACLES["sample_hash_split"] = SAMPLE_HASH_SQL
+
+
+def _gram_structs(t, n: int):
+    """array<struct<n,gram>> of word n-grams over token array ``t``
+    (1-based ``element_at``, same construction as text_ngram_stats)."""
+    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(n)]
+            ).alias("gram"),
+        ),
+    )
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: fraction of 2-grams taken by the
+    single most common 2-gram, fraction of 2-/3-gram occurrences that are
+    repeats — the "excessive repetition" quality rules (Rae et al. 2021,
+    appendix A1.1) every pretraining pipeline applies.
+
+    Shape: one explode of (n, gram) structs for both n in a single pass,
+    a (doc_id, n, gram) hash-aggregate (map-side combinable), a
+    (doc_id, n) rollup, then a conditional pivot — two shuffles total,
+    state bounded by distinct grams per document.  Fractions are single
+    IEEE divisions (bit-equal cross-engine); the flag compares the
+    ROUNDED fractions so the boundary is deterministic.
+    Docs with <3 tokens are excluded (both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).filter(F.size("t") >= 3)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                _gram_structs(F.col("t"), 2), _gram_structs(F.col("t"), 3)
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    counts = grams.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_n = counts.groupBy("doc_id", "n").agg(
+        F.sum("c").alias("total"),
+        F.max("c").alias("mx"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup"),
+    )
+    piv = per_n.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, F.col("total"))).alias("n2"),
+        F.max(F.when(F.col("n") == 2, F.col("mx"))).alias("mx2"),
+        F.max(F.when(F.col("n") == 2, F.col("dup"))).alias("dup2"),
+        F.max(F.when(F.col("n") == 3, F.col("total"))).alias("n3"),
+        F.max(F.when(F.col("n") == 3, F.col("dup"))).alias("dup3"),
+    )
+    top2 = dround(F.col("mx2") / F.col("n2"), 6)
+    dup2 = dround(F.col("dup2") / F.col("n2"), 6)
+    dup3 = dround(F.col("dup3") / F.col("n3"), 6)
+    return piv.select(
+        "doc_id",
+        F.col("n2").alias("n_2grams"),
+        top2.alias("top_2gram_frac"),
+        dup2.alias("dup_2gram_frac"),
+        F.col("n3").alias("n_3grams"),
+        dup3.alias("dup_3gram_frac"),
+        ((top2 >= 0.2) | (dup3 >= 0.18)).alias("flagged"),
+    ).orderBy("doc_id")
+
+
+TEXT_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+g AS (
+  SELECT doc_id, 2 AS n,
+         unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS gram
+  FROM toks
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                 for i in range(1, len(t) - 1)]) AS gram
+  FROM toks
+),
+c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram),
+p AS (
+  SELECT doc_id, n, sum(c) AS total, max(c) AS mx,
+         coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dup
+  FROM c GROUP BY doc_id, n
+),
+piv AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN total END) AS n2,
+         max(CASE WHEN n = 2 THEN mx END) AS mx2,
+         max(CASE WHEN n = 2 THEN dup END) AS dup2,
+         max(CASE WHEN n = 3 THEN total END) AS n3,
+         max(CASE WHEN n = 3 THEN dup END) AS dup3
+  FROM p GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n2 AS BIGINT) AS n_2grams,
+       {sql_round('CAST(mx2 AS DOUBLE) / n2', 6)} AS top_2gram_frac,
+       {sql_round('CAST(dup2 AS DOUBLE) / n2', 6)} AS dup_2gram_frac,
+       CAST(n3 AS BIGINT) AS n_3grams,
+       {sql_round('CAST(dup3 AS DOUBLE) / n3', 6)} AS dup_3gram_frac,
+       ({sql_round('CAST(mx2 AS DOUBLE) / n2', 6)} >= 0.2
+        OR {sql_round('CAST(dup3 AS DOUBLE) / n3', 6)} >= 0.18) AS flagged
+FROM piv
+ORDER BY doc_id
+"""
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the keyword-extraction /
+    topic-fingerprint pass of a corpus-analysis pipeline.
+
+    IDF is kept RATIONAL (``tf * N / df``, i.e. idf = N/df instead of the
+    log-damped ``log(N/df)``) — a legitimate idf variant chosen because
+    the score is then an exact integer product followed by ONE IEEE
+    division, bit-equal cross-engine; ``ln`` differs in the last ulp
+    between libm and the JVM, which would make rank ties
+    nondeterministic at the oracle boundary.
+
+    Shape: explode → (doc,token) tf aggregate → token df aggregate →
+    shuffle join tf⋈df on token (high cardinality; zipf head skew is
+    AQE-handled) → one-row corpus count broadcast → per-doc top-3 window.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(dfreq, "token").crossJoin(F.broadcast(n))
+    score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            dround(score, 6).alias("score"),
+            "rank",
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+TEXT_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf, d.df,
+         CAST(t.tf * n.n_docs AS DOUBLE) / d.df AS raw_score
+  FROM tf t JOIN df d USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, tf, df, raw_score,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY raw_score DESC, token ASC
+         ) AS rank
+  FROM scored
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       {sql_round('raw_score', 6)} AS score, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+QUERIES["text_repetition"] = text_repetition
+ORACLES["text_repetition"] = TEXT_REPETITION_SQL
+QUERIES["text_tfidf_topk"] = text_tfidf_topk
+ORACLES["text_tfidf_topk"] = TEXT_TFIDF_SQL

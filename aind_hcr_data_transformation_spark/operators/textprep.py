@@ -175,7 +175,9 @@ def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio over the doc's distinct grams and a ≥{flag} flag.
     """.format(mod=_CONTAM_MOD, flag=_CONTAM_FLAG)
     docs = load_table(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs)
+    # three consumers (bench set, totals, hits) — persist so the
+    # split+transform+distinct+explode runs once, not per consumer
+    sh = _doc_shingles(docs).persist()
     bench = (
         sh.filter(F.col("doc_id") % _CONTAM_MOD == 0)
         .select("shingle")

@@ -1,0 +1,229 @@
+"""Embedding-vector transform operators: L2 normalization, int8
+quantization, exact per-label centroids.
+
+The storage/bandwidth layer of an embedding pipeline (normalize before
+cosine retrieval, quantize for 4× smaller indexes, centroids for
+cluster assignment/monitoring).  All JVM-side higher-order array
+functions (``transform``/``aggregate``/``zip_with``) inside whole-stage
+codegen — no Python UDF.
+
+Determinism rules (see ``functions/vectors`` and the oracle notes):
+float folds are explicit left-associated chains on both engines;
+row-wise reductions that cross partition boundaries (centroid sums) go
+through exact DECIMAL accumulation (``compat.dsum``) because float
+groupBy sums are partition-order-dependent; every float output routes
+through ``dround``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.compat import dround, dsum, sql_round
+from ..functions.vectors import EMB_DIM
+from ..tables import load_table
+
+
+def _l2_norm(vec) -> F.Column:
+    """sqrt of the left-folded sum of squares, in double."""
+    return F.sqrt(
+        F.aggregate(
+            vec,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def _sql_sumsq(col: str) -> str:
+    return " + ".join(
+        f"CAST({col}[{i}] AS DOUBLE) * CAST({col}[{i}] AS DOUBLE)"
+        for i in range(1, EMB_DIM + 1)
+    )
+
+
+def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization audit: per-vector norm plus the sum of the
+    normalized components (an order-pinned scalar digest of the whole
+    normalized vector — any component drift moves it).
+
+    Per-row, embarrassingly parallel; the fold and the division happen
+    in the same IEEE sequence on both engines, so the digests are
+    bit-exact pre-rounding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = _l2_norm(F.col("embedding"))
+    # the intermediate is named raw_norm, NOT l2_norm: a select list that
+    # both aliases `dround(..) AS l2_norm` and references `l2_norm` in a
+    # later item hits Spark 4's lateral-column-alias resolution and the
+    # later reference silently binds to the ROUNDED value
+    comp_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") / F.col("raw_norm"),
+    )
+    return (
+        emb.select("vec_id", "embedding", norm.alias("raw_norm"))
+        .select(
+            "vec_id",
+            dround("raw_norm", 6).alias("l2_norm"),
+            dround(comp_sum, 6).alias("unit_comp_sum"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_SQL_COMP_SUM = " + ".join(
+    f"CAST(embedding[{i}] AS DOUBLE) / l2_norm" for i in range(1, EMB_DIM + 1)
+)
+
+EMBED_NORMALIZE_SQL = f"""
+WITH normed AS (
+  SELECT vec_id, embedding, sqrt({_sql_sumsq('embedding')}) AS l2_norm
+  FROM embeddings
+)
+SELECT vec_id,
+       {sql_round('l2_norm', 6)} AS l2_norm,
+       {sql_round(f'({_SQL_COMP_SUM})', 6)} AS unit_comp_sum
+FROM normed
+ORDER BY vec_id
+"""
+
+
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x|/127``,
+    ``q_i = round(x_i/scale)`` — the standard 4×-compression step for
+    embedding indexes.  Output pins the exact quantized codes
+    (md5 over the comma-joined integers — integer-exact cross-engine),
+    the code range, and the L2 reconstruction error.
+
+    Rounding double→int goes through the DECIMAL HALF_UP route on both
+    engines (``compat.dround`` semantics) — plain float ``round()``
+    disagrees between them on ties."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    maxabs = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+    )
+    # raw_scale, not scale: see embed_normalize's lateral-alias note
+    withscale = emb.select(
+        "vec_id", "embedding", (maxabs / F.lit(127.0)).alias("raw_scale")
+    )
+    q = F.transform(
+        F.col("embedding"),
+        lambda v: F.round(
+            (v.cast("double") / F.col("raw_scale")).cast("decimal(30,10)"), 0
+        ).cast("int"),
+    )
+    quantized = withscale.select(
+        "vec_id", "embedding", "raw_scale", q.alias("q")
+    )
+    err = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("q"),
+            lambda x, qi: (
+                x.cast("double") - qi.cast("double") * F.col("raw_scale")
+            )
+            * (x.cast("double") - qi.cast("double") * F.col("raw_scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return quantized.select(
+        "vec_id",
+        dround("raw_scale", 8).alias("scale"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        F.md5(F.array_join(F.transform("q", lambda v: v.cast("string")), ","))
+        .alias("codes_md5"),
+        dround(F.sqrt(err), 8).alias("recon_err"),
+    ).orderBy("vec_id")
+
+
+_SQL_MAXABS = "greatest(" + ", ".join(
+    f"abs(CAST(embedding[{i}] AS DOUBLE))" for i in range(1, EMB_DIM + 1)
+) + ")"
+_SQL_Q = (
+    "[CAST(round(CAST(CAST(x AS DOUBLE) / scale AS DECIMAL(30,10)), 0) AS INTEGER)"
+    " for x in embedding]"
+)
+_SQL_RECON = " + ".join(
+    f"(CAST(embedding[{i}] AS DOUBLE) - CAST(q[{i}] AS DOUBLE) * scale)"
+    f" * (CAST(embedding[{i}] AS DOUBLE) - CAST(q[{i}] AS DOUBLE) * scale)"
+    for i in range(1, EMB_DIM + 1)
+)
+
+EMBED_QUANTIZE_SQL = f"""
+WITH scaled AS (
+  SELECT vec_id, embedding, {_SQL_MAXABS} / 127.0 AS scale
+  FROM embeddings
+),
+quantized AS (
+  SELECT vec_id, embedding, scale, {_SQL_Q} AS q
+  FROM scaled
+)
+SELECT vec_id,
+       {sql_round('scale', 8)} AS scale,
+       CAST(list_min(q) AS INTEGER) AS q_min,
+       CAST(list_max(q) AS INTEGER) AS q_max,
+       md5(array_to_string([CAST(x AS VARCHAR) for x in q], ',')) AS codes_md5,
+       {sql_round(f'sqrt({_SQL_RECON})', 8)} AS recon_err
+FROM quantized
+ORDER BY vec_id
+"""
+
+
+def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-label centroids — the cluster-statistics pass of an
+    embedding pipeline (drift monitoring, IVF codebook refresh).
+
+    Row-wise float sums are partition-order-dependent, so each
+    component's sum goes through exact DECIMAL accumulation
+    (``compat.dsum``): ``posexplode`` the vectors, aggregate
+    (label, dim) cells, divide by the label count — bit-reproducible on
+    any cluster layout.  One shuffle of (label, dim, value) triples,
+    map-side combinable; at 100 TB the (label × dim) state is tiny."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    return (
+        cells.groupBy("label", "dim")
+        .agg(
+            dround(
+                dsum(F.col("v").cast("double")) / F.count(F.lit(1)), 6
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+EMBED_CENTROIDS_SQL = f"""
+SELECT label, dim,
+       {sql_round('CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE) / count(*)', 6)}
+         AS centroid,
+       count(*) AS n_vectors
+FROM (
+  SELECT label, unnest(embedding) AS v,
+         unnest(range(0, {EMB_DIM})) AS dim
+  FROM embeddings
+)
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
+QUERIES = {
+    "embed_normalize": embed_normalize,
+    "embed_quantize_int8": embed_quantize_int8,
+    "embed_centroids": embed_centroids,
+}
+
+ORACLES = {
+    "embed_normalize": EMBED_NORMALIZE_SQL,
+    "embed_quantize_int8": EMBED_QUANTIZE_SQL,
+    "embed_centroids": EMBED_CENTROIDS_SQL,
+}

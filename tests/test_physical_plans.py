@@ -104,6 +104,8 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
         "q11_important_parts",
         "q22_global_sales",
         "ivf_kmeans_ann",
+        # one-row corpus-count broadcast (the N in tf*N/df)
+        "text_tfidf_topk",
     }
     for name, fn in queries.items():
         if name.startswith("stream_"):
