@@ -426,3 +426,93 @@ QUERIES["text_repetition"] = text_repetition
 ORACLES["text_repetition"] = TEXT_REPETITION_SQL
 QUERIES["text_tfidf_topk"] = text_tfidf_topk
 ORACLES["text_tfidf_topk"] = TEXT_TFIDF_SQL
+
+
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS rolling-hash scheme): hash every 3-token shingle, slide a
+    4-hash window over the sequence, keep each window's minimum — the
+    fingerprint set is position-robust (insertions move window
+    boundaries but local minima survive), the property that makes
+    winnowing the standard copy-detection fingerprint.
+
+    Hashes are the first 8 hex chars of md5 (fixed-width lowercase hex:
+    lexicographic ``min`` IS numeric min, and md5 is the one hash both
+    engines share bit-identically).  Shape: explode shingles → hash →
+    per-doc sliding ``min`` window → distinct-set aggregate; one shuffle
+    on doc_id for the window, embarrassingly parallel across docs.
+    Docs need ≥4 shingles (≥6 tokens); output pins the fingerprint SET
+    via an order-canonical md5 digest."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).filter(F.size("t") >= 6)
+    sh = toks.select(
+        "doc_id",
+        (F.size("t") - 2).alias("m"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("t"), i),
+                    F.element_at(F.col("t"), i + 1),
+                    F.element_at(F.col("t"), i + 2),
+                ),
+            )
+        ).alias("pos", "shingle"),
+    ).select(
+        "doc_id",
+        "m",
+        "pos",
+        F.substring(F.md5("shingle"), 1, 8).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, 3)
+    )
+    wins = sh.select(
+        "doc_id", "m", "pos", F.min("h").over(w).alias("wmin")
+    ).filter(F.col("pos") <= F.col("m") - 4)  # pos is 0-based; full windows only
+    return (
+        wins.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.countDistinct("wmin").alias("n_fprints"),
+            F.md5(
+                F.array_join(F.array_sort(F.collect_set("wmin")), ",")
+            ).alias("digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_WINNOW_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 6
+),
+sh AS (
+  SELECT doc_id, len(t) - 2 AS m, i - 1 AS pos,
+         substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8) AS h
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)
+),
+wins AS (
+  SELECT doc_id, m, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM sh
+),
+fps AS (SELECT doc_id, wmin FROM wins WHERE pos <= m - 4)
+SELECT doc_id,
+       count(*) AS n_windows,
+       count(DISTINCT wmin) AS n_fprints,
+       md5(string_agg(DISTINCT wmin, ',' ORDER BY wmin)) AS digest
+FROM fps
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+QUERIES["text_winnow_fingerprint"] = text_winnow_fingerprint
+ORACLES["text_winnow_fingerprint"] = TEXT_WINNOW_SQL

@@ -29,7 +29,7 @@ from pyspark.sql import types as T
 from ..functions.compat import dround
 from ..tables import SCHEMAS
 
-from ..operators.windows import EVW_TUMBLING_SQL
+from ..operators.windows import EVW_SESSION_SQL, EVW_TUMBLING_SQL
 
 
 def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,3 +361,39 @@ JOIN events p
 
 QUERIES["stream_stream_join"] = stream_stream_join
 ORACLES["stream_stream_join"] = STREAM_STREAM_JOIN_SQL
+
+
+# ---------------------------------------------------------------------------
+# Streaming session windows (merging-window state)
+# ---------------------------------------------------------------------------
+
+
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization: ``session_window`` with a 30-minute gap
+    under a watermark, run bounded (availableNow) into a memory sink.
+
+    Unlike tumbling/sliding windows, session windows MERGE as rows
+    arrive (two open sessions coalesce when a bridging event lands), so
+    the state store holds per-key open sessions that the watermark
+    closes — the canonical merging-window stateful operator.  Semantics
+    are the batch ``evw_session``'s, so the SAME DuckDB oracle checks
+    both (the batch/stream parity statement, as with
+    ``stream_tumbling_counts``)."""
+    events = streaming_events(spark, sf_dir)
+    sessions = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("sum_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "sum_value")
+    )
+    return _run_to_memory_sink(sessions, "stream_sessions", "complete")
+
+
+QUERIES["stream_sessions"] = stream_sessions
+ORACLES["stream_sessions"] = EVW_SESSION_SQL
