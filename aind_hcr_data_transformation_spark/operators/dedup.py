@@ -49,7 +49,7 @@ _MUT_OFFSET = 1_000_000
 def _corpus_with_mutants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ near-dup mutants: every 20th doc re-appears with its
     first two tokens dropped and id offset by 1e6."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     mutants = (
         docs.filter(F.col("doc_id") % 20 == 0)
         .select(

@@ -133,7 +133,7 @@ def ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the identical Lloyd iterations as unrolled SQL
     CTEs — a differential test of the full iterative algorithm, not just
     the final search."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
     codebook = _train(emb)
     assigned = _assign(emb, codebook).select("vec_id", "embedding", "cluster")
     # three consumers (corpus scan, query extraction, search join) —

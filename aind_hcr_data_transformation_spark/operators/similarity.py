@@ -51,7 +51,7 @@ _PROBE_MASKS = sorted(
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-10 for query vectors (vec_id < 5)
     against the whole corpus (self excluded); ties broken by vec_id."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).withColumn(
         "n2", spark_dot(F.col("embedding"), F.col("embedding"))
     )
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -111,7 +111,7 @@ def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, never a cross product.  Each corpus vector sits in exactly one
     bucket and the probe masks are distinct, so no candidate dedup is
     needed."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
 
     def bucket(col: str) -> F.Column:
         b = F.lit(0)

@@ -273,7 +273,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE divisions (bit-equal cross-engine); the flag compares the
     ROUNDED fractions so the boundary is deterministic.
     Docs with <3 tokens are excluded (both engines)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: two n-gram explosions per doc dominate pre-shuffle CPU
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     toks = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("t")
     ).filter(F.size("t") >= 3)
@@ -443,7 +444,8 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     on doc_id for the window, embarrassingly parallel across docs.
     Docs need ≥4 shingles (≥6 tokens); output pins the fingerprint SET
     via an order-canonical md5 digest."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: per-shingle md5 hashing dominates pre-shuffle CPU
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     toks = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("t")
     ).filter(F.size("t") >= 6)

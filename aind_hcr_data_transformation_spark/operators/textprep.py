@@ -174,7 +174,8 @@ def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles.  Output: contaminated docs (≥1 shared gram) with the hit
     ratio over the doc's distinct grams and a ≥{flag} flag.
     """.format(mod=_CONTAM_MOD, flag=_CONTAM_FLAG)
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the shingle explosion is the CPU-heavy pre-shuffle stage
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     # three consumers (bench set, totals, hits) — persist so the
     # split+transform+distinct+explode runs once, not per consumer
     sh = _doc_shingles(docs).persist()

@@ -128,11 +128,28 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Scan one parquet table with its declared schema.
 
     Declaring the schema (instead of inferring) keeps column pruning and
     predicate pushdown precise and skips the footer-sampling job.
+
+    ``spread=True`` round-robin-repartitions the scan to the session's
+    default parallelism.  The fixture files are single-row-group
+    parquet, so the scan yields ONE input partition and everything
+    upstream of the first shuffle runs on one core — for operators whose
+    pre-shuffle stage is CPU-bound (shingle explosion, regex scrubbing,
+    per-vector folds, Arrow decode), that single core is the whole
+    wall-clock.  Production inputs arrive as many files/row groups and
+    get split parallelism for free, so the exchange is a fixture-layout
+    artifact, not a scale-path cost; scan-dominated consumers (the
+    relational/TPC-H queries) skip it — an extra full-table exchange
+    before a pushed-down scan filter would be pure overhead there.
+    Only order-independent consumers may opt in (integer/decimal
+    aggregates, per-row folds, md5 — NOT raw float sums, which are
+    partition-order-dependent).
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -146,6 +163,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer `div`, not `/`: nano epochs (~1.7e18) exceed double's 2^53
         # exact-integer range, so float division drifts by ±1 µs.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if spread:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
