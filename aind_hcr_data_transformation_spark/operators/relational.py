@@ -16,7 +16,7 @@ parquet reader (verify with ``.explain`` → ``PushedFilters``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.compat import dround, dsum, dsum_round
@@ -267,6 +267,161 @@ def agg_hll_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles next to the exact answer (the quantile
+    analog of :func:`agg_approx_distinct`'s calibration-twin pattern).
+
+    Exact p50/p95 are computed by the SAME explicit rank-interpolation
+    formula on both engines (row_number over a per-group sort,
+    ``v_lo + frac*(v_hi - v_lo)`` with every operand double — identical
+    IEEE sequence; engine-built exact percentile functions interpolate
+    in engine-specific op orders and are NOT bit-comparable).  The
+    sketches (Spark Greenwald-Khanna at accuracy 1e-4, DuckDB t-digest)
+    produce engine-specific values, so — as with the HLL twin — each
+    engine asserts ITS OWN sketch: the cumulative rank of the sketch's
+    answer must land within 5% of the target (bound = sketch rank error
+    + per-value tie mass, ~2.3% here), and the boolean flags
+    hash-compare.  A drifting sketch flips its flag and fails the gate.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"), F.col("l_quantity").alias("q")
+    )
+    w = Window.partitionBy("rf").orderBy("q")
+    ranked = li.select("rf", "q", F.row_number().over(w).alias("rn"))
+    n = ranked.groupBy("rf").agg(F.max("rn").alias("n"))
+    r2 = ranked.join(F.broadcast(n), "rf")
+
+    def pos(p):
+        return (F.col("n") - 1).cast("double") * F.lit(p)
+
+    aggs = [F.max("n").alias("n")]
+    for p, tag in ((0.5, "p50"), (0.95, "p95")):
+        lo = F.floor(pos(p)) + 1
+        hi = F.ceil(pos(p)) + 1
+        aggs += [
+            F.sum(F.when(F.col("rn") == lo, F.col("q"))).alias(f"vlo_{tag}"),
+            F.sum(F.when(F.col("rn") == hi, F.col("q"))).alias(f"vhi_{tag}"),
+        ]
+    aggs.append(
+        F.percentile_approx("q", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000))
+        .alias("ap")
+    )
+    g = r2.groupBy("rf").agg(*aggs).select(
+        "rf",
+        "n",
+        "vlo_p50",
+        "vhi_p50",
+        "vlo_p95",
+        "vhi_p95",
+        F.col("ap")[0].alias("ap50"),
+        F.col("ap")[1].alias("ap95"),
+    )
+    ranks = (
+        li.join(F.broadcast(g.select("rf", "ap50", "ap95")), "rf")
+        .groupBy("rf")
+        .agg(
+            F.sum(F.when(F.col("q") <= F.col("ap50"), 1).otherwise(0)).alias(
+                "c50"
+            ),
+            F.sum(F.when(F.col("q") <= F.col("ap95"), 1).otherwise(0)).alias(
+                "c95"
+            ),
+        )
+    )
+
+    def exact(tag, p):
+        frac = pos(p) - F.floor(pos(p))
+        return dround(
+            F.col(f"vlo_{tag}")
+            + frac * (F.col(f"vhi_{tag}") - F.col(f"vlo_{tag}")),
+            6,
+        )
+
+    out = g.join(ranks, "rf").select(
+        F.col("rf").alias("l_returnflag"),
+        "n",
+        exact("p50", 0.5).alias("exact_p50"),
+        exact("p95", 0.95).alias("exact_p95"),
+        (
+            F.abs(F.col("c50").cast("double") / F.col("n") - 0.5) <= 0.05
+        ).alias("ok_p50"),
+        (
+            F.abs(F.col("c95").cast("double") / F.col("n") - 0.95) <= 0.05
+        ).alias("ok_p95"),
+    )
+    return out.orderBy("l_returnflag")
+
+
+AGG_APPROX_QUANTILES_SQL = """
+WITH base AS (
+  SELECT l_returnflag AS rf, l_quantity AS q FROM lineitem
+),
+ranked AS (
+  SELECT rf, q, row_number() OVER (PARTITION BY rf ORDER BY q) AS rn FROM base
+),
+n AS (SELECT rf, max(rn) AS n FROM ranked GROUP BY rf),
+g AS (
+  SELECT r.rf, max(nn.n) AS n,
+         sum(CASE WHEN rn = floor(CAST(nn.n - 1 AS DOUBLE) * 0.5) + 1
+                  THEN q END) AS vlo_p50,
+         sum(CASE WHEN rn = ceil(CAST(nn.n - 1 AS DOUBLE) * 0.5) + 1
+                  THEN q END) AS vhi_p50,
+         sum(CASE WHEN rn = floor(CAST(nn.n - 1 AS DOUBLE) * 0.95) + 1
+                  THEN q END) AS vlo_p95,
+         sum(CASE WHEN rn = ceil(CAST(nn.n - 1 AS DOUBLE) * 0.95) + 1
+                  THEN q END) AS vhi_p95,
+         approx_quantile(q, 0.5)  AS ap50,
+         approx_quantile(q, 0.95) AS ap95
+  FROM ranked r JOIN n nn USING (rf)
+  GROUP BY r.rf
+),
+ranks AS (
+  SELECT b.rf,
+         sum(CASE WHEN b.q <= g.ap50 THEN 1 ELSE 0 END) AS c50,
+         sum(CASE WHEN b.q <= g.ap95 THEN 1 ELSE 0 END) AS c95
+  FROM base b JOIN g USING (rf)
+  GROUP BY b.rf
+)
+SELECT g.rf AS l_returnflag,
+       CAST(g.n AS INTEGER) AS n,
+       CAST(round(CAST((g.vlo_p50
+         + (CAST(g.n - 1 AS DOUBLE) * 0.5 - floor(CAST(g.n - 1 AS DOUBLE) * 0.5))
+           * (g.vhi_p50 - g.vlo_p50)) AS DECIMAL(30,10)), 6) AS DOUBLE) AS exact_p50,
+       CAST(round(CAST((g.vlo_p95
+         + (CAST(g.n - 1 AS DOUBLE) * 0.95 - floor(CAST(g.n - 1 AS DOUBLE) * 0.95))
+           * (g.vhi_p95 - g.vlo_p95)) AS DECIMAL(30,10)), 6) AS DOUBLE) AS exact_p95,
+       abs(CAST(r.c50 AS DOUBLE) / g.n - 0.5)  <= 0.05 AS ok_p50,
+       abs(CAST(r.c95 AS DOUBLE) / g.n - 0.95) <= 0.05 AS ok_p95
+FROM g JOIN ranks r USING (rf)
+ORDER BY g.rf
+"""
+
+
+def agg_quantiles_sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of the approx-percentile aggregate: one
+    mergeable-sketch pass (Greenwald-Khanna, map-side partial sketches
+    merged per group), no sort, no rank join — what a user runs at
+    100 TB.  Sketch values are engine-specific, so no SQL oracle
+    (rows+schema check only); :func:`agg_approx_quantiles` is the
+    calibration twin whose rank-check flags gate this sketch's
+    accuracy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_quantity", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+            ).alias("approx_quantiles")
+        )
+        .select(
+            "l_returnflag",
+            F.col("approx_quantiles")[0].alias("approx_p50"),
+            F.col("approx_quantiles")[1].alias("approx_p95"),
         )
         .orderBy("l_returnflag")
     )
@@ -889,6 +1044,8 @@ QUERIES = {
     "agg_pivot": agg_pivot,
     "agg_approx_distinct": agg_approx_distinct,
     "agg_hll_only": agg_hll_only,
+    "agg_approx_quantiles": agg_approx_quantiles,
+    "agg_quantiles_sketch_only": agg_quantiles_sketch_only,
     "sort_topk": sort_topk,
     "sort_multikey": sort_multikey,
     "set_ops": set_ops,
@@ -914,6 +1071,9 @@ ORACLES = {
     "agg_cube": AGG_CUBE_SQL,
     "agg_pivot": AGG_PIVOT_SQL,
     "agg_approx_distinct": AGG_APPROX_DISTINCT_SQL,
+    # agg_hll_only / agg_quantiles_sketch_only: production sketch shapes,
+    # engine-specific estimates — rows+schema check only (no SQL twin)
+    "agg_approx_quantiles": AGG_APPROX_QUANTILES_SQL,
     "sort_topk": SORT_TOPK_SQL,
     "sort_multikey": SORT_MULTIKEY_SQL,
     "set_ops": SET_OPS_SQL,
