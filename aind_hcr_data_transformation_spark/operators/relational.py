@@ -1087,6 +1087,73 @@ ORACLES = {
 # ---------------------------------------------------------------------------
 
 
+def upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-1 upsert (the ``MERGE INTO`` shape without a table
+    format): the latest change per key from the events stream is applied
+    over the customer snapshot via latest-wins dedup + full-outer join +
+    coalesce — the CDC-apply pattern every lakehouse pipeline runs.
+
+    Latest-wins uses integer MICROsecond epochs on both engines (the
+    parquet ts is nanos; Spark floors to micros at load, so comparing
+    raw nanos in the oracle could break ties differently), with event_id
+    as the final tiebreak.  Scale: one window shuffle on the change
+    stream (bounded by batch size, not table size) + one key-partitioned
+    outer join; at 100 TB the snapshot join is sort-merge on the key and
+    the change batch is typically broadcastable."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.unix_micros("ts").alias("tsu"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("tsu"), F.desc("event_id"))
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "event_type", "value")
+    )
+    merged = cust.join(
+        latest, cust.c_custkey == latest.key, "full_outer"
+    )
+    return merged.select(
+        F.coalesce("c_custkey", "key").alias("c_custkey"),
+        F.coalesce("c_name", F.lit("NEW")).alias("c_name"),
+        F.coalesce("event_type", F.lit("none")).alias("last_event"),
+        dround(
+            F.coalesce("c_acctbal", F.lit(0.0))
+            + F.coalesce("value", F.lit(0.0)),
+            2,
+        ).alias("new_balance"),
+        F.col("key").isNotNull().alias("updated"),
+    ).orderBy("c_custkey")
+
+
+UPSERT_SCD1_SQL = """
+WITH latest AS (
+  SELECT key, event_type, value FROM (
+    SELECT user_id AS key, event_type, value,
+           row_number() OVER (
+             PARTITION BY user_id
+             ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC
+           ) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT coalesce(c.c_custkey, l.key) AS c_custkey,
+       coalesce(c.c_name, 'NEW') AS c_name,
+       coalesce(l.event_type, 'none') AS last_event,
+       CAST(round(CAST((coalesce(c.c_acctbal, 0.0) + coalesce(l.value, 0.0))
+         AS DECIMAL(30,10)), 2) AS DOUBLE) AS new_balance,
+       l.key IS NOT NULL AS updated
+FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.key
+ORDER BY c_custkey
+"""
+
+
 def sort_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Natural sort of strings with embedded numbers ('src2' < 'src10') —
     the ``natsorted`` subblock ordering of the reference
@@ -1545,3 +1612,6 @@ QUERIES["agg_unpivot"] = agg_unpivot
 ORACLES["agg_unpivot"] = AGG_UNPIVOT_SQL
 QUERIES["scalar_posexplode"] = scalar_posexplode
 ORACLES["scalar_posexplode"] = SCALAR_POSEXPLODE_SQL
+
+QUERIES["upsert_scd1"] = upsert_scd1
+ORACLES["upsert_scd1"] = UPSERT_SCD1_SQL

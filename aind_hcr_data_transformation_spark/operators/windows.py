@@ -348,3 +348,101 @@ ORACLES = {
     "evw_sliding": EVW_SLIDING_SQL,
     "evw_session": EVW_SESSION_SQL,
 }
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): a user
+    reaches stage k only via events in strictly increasing time order —
+    the product-analytics query behind every conversion dashboard.
+
+    Relational formulation: per-user min event time at stage 1, then
+    stage k's candidates join stage k-1 and keep strictly-later events
+    (min again) — two key-partitioned joins on user_id, state one row
+    per user per stage.  Timestamps compare as integer MICROsecond
+    epochs on both engines (parquet ts is nanos; Spark floors to micros
+    at load — comparing raw nanos in the oracle would break
+    same-microsecond ties differently).  Output is one row of funnel
+    counts and step conversion rates (single IEEE divisions)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("tsu"), "event_type"
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tsu").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("tsu") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("tsu").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("tsu") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("tsu").alias("t3"))
+    )
+    depths = (
+        t1.join(t2.select("user_id", F.lit(1).alias("s2")), "user_id", "left")
+        .join(t3.select("user_id", F.lit(1).alias("s3")), "user_id", "left")
+    )
+    return depths.agg(
+        F.count(F.lit(1)).alias("n_view"),
+        F.sum(F.coalesce("s2", F.lit(0))).alias("n_click_after_view"),
+        F.sum(F.coalesce("s3", F.lit(0))).alias("n_purchase_after_click"),
+        dround(
+            F.sum(F.coalesce("s2", F.lit(0))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("view_to_click_rate"),
+        dround(
+            F.sum(F.coalesce("s3", F.lit(0))).cast("double")
+            / F.sum(F.coalesce("s2", F.lit(0))),
+            6,
+        ).alias("click_to_purchase_rate"),
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS tsu, event_type FROM events
+),
+t1 AS (
+  SELECT user_id, min(tsu) AS t1 FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.tsu) AS t2
+  FROM ev e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.tsu > t1.t1
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.tsu) AS t3
+  FROM ev e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.tsu > t2.t2
+  GROUP BY e.user_id
+),
+depths AS (
+  SELECT t1.user_id,
+         CASE WHEN t2.user_id IS NULL THEN 0 ELSE 1 END AS s2,
+         CASE WHEN t3.user_id IS NULL THEN 0 ELSE 1 END AS s3
+  FROM t1
+  LEFT JOIN t2 ON t1.user_id = t2.user_id
+  LEFT JOIN t3 ON t1.user_id = t3.user_id
+)
+SELECT count(*) AS n_view,
+       CAST(sum(s2) AS BIGINT) AS n_click_after_view,
+       CAST(sum(s3) AS BIGINT) AS n_purchase_after_click,
+       CAST(round(CAST((CAST(sum(s2) AS DOUBLE) / count(*))
+         AS DECIMAL(30,10)), 6) AS DOUBLE) AS view_to_click_rate,
+       CAST(round(CAST((CAST(sum(s3) AS DOUBLE) / sum(s2))
+         AS DECIMAL(30,10)), 6) AS DOUBLE) AS click_to_purchase_rate
+FROM depths
+"""
+
+QUERIES["events_funnel"] = events_funnel
+ORACLES["events_funnel"] = EVENTS_FUNNEL_SQL
