@@ -518,3 +518,58 @@ ORDER BY doc_id
 
 QUERIES["text_winnow_fingerprint"] = text_winnow_fingerprint
 ORACLES["text_winnow_fingerprint"] = TEXT_WINNOW_SQL
+
+
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary: per (source, lang) with ROLLUP subtotals —
+    doc counts, token totals, mean doc length, short-doc counts, char
+    bounds.  The one-page corpus statistics table every dataset release
+    ships; integer sums + single IEEE divisions keep it bit-exact
+    cross-engine (no float accumulation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        "n_chars",
+    )
+    g = base.rollup("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        dround(
+            F.sum("n_tok").cast("double") / F.count(F.lit(1)), 2
+        ).alias("mean_tokens"),
+        F.sum(F.when(F.col("n_tok") < 100, 1).otherwise(0)).alias("n_short"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    return g.select(
+        F.coalesce("source", F.lit("ALL")).alias("source"),
+        F.coalesce("lang", F.lit("ALL")).alias("lang"),
+        "n_docs",
+        "n_tokens",
+        "mean_tokens",
+        "n_short",
+        "min_chars",
+        "max_chars",
+    ).orderBy("source", "lang")
+
+
+CORPUS_DATACARD_SQL = """
+SELECT coalesce(source, 'ALL') AS source,
+       coalesce(lang, 'ALL') AS lang,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(round(CAST((CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+         / count(*)) AS DECIMAL(30,10)), 2) AS DOUBLE) AS mean_tokens,
+       CAST(sum(CASE WHEN len(string_split(text, ' ')) < 100
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY ROLLUP(source, lang)
+ORDER BY source, lang
+"""
+
+QUERIES["corpus_datacard"] = corpus_datacard
+ORACLES["corpus_datacard"] = CORPUS_DATACARD_SQL
