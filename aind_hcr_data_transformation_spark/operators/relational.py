@@ -293,7 +293,9 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("rf").orderBy("q")
     ranked = li.select("rf", "q", F.row_number().over(w).alias("rn"))
-    n = ranked.groupBy("rf").agg(F.max("rn").alias("n"))
+    # group sizes from a plain count (== max(rn), but without forcing a
+    # second full sort-window pass over the fact table)
+    n = li.groupBy("rf").agg(F.count(F.lit(1)).alias("n"))
     r2 = ranked.join(F.broadcast(n), "rf")
 
     def pos(p):
@@ -364,7 +366,7 @@ WITH base AS (
 ranked AS (
   SELECT rf, q, row_number() OVER (PARTITION BY rf ORDER BY q) AS rn FROM base
 ),
-n AS (SELECT rf, max(rn) AS n FROM ranked GROUP BY rf),
+n AS (SELECT rf, count(*) AS n FROM base GROUP BY rf),
 g AS (
   SELECT r.rf, max(nn.n) AS n,
          sum(CASE WHEN rn = floor(CAST(nn.n - 1 AS DOUBLE) * 0.5) + 1
