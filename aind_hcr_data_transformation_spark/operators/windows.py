@@ -446,3 +446,132 @@ FROM depths
 
 QUERIES["events_funnel"] = events_funnel
 ORACLES["events_funnel"] = EVENTS_FUNNEL_SQL
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active week, the
+    fraction still active k weeks later — the growth-analytics staple.
+
+    Time buckets are integer week indexes from the MICROsecond epoch
+    (integer division; dates/intervals would re-open engine timezone
+    semantics).  Shape: per-user min (first week), distinct
+    (user, week) activity, one join, one aggregate — all
+    user_id-partitioned shuffles; the cohort-size join is a broadcast
+    (cohort count is tiny by construction)."""
+    # integer `div`, not `/`: float division of a ~1.7e15 micros epoch
+    # can land a boundary quotient one ulp off the true integer
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 604800000000").alias("wk"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    active = ev.distinct()
+    ret = (
+        active.join(first, "user_id")
+        .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    return (
+        ret.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            dround(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort", "week_offset")
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH ev AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 604800000000 AS wk
+  FROM events
+),
+first AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id),
+ret AS (
+  SELECT f.cohort, e.wk - f.cohort AS week_offset,
+         count(DISTINCT e.user_id) AS n_active
+  FROM ev e JOIN first f USING (user_id)
+  GROUP BY f.cohort, e.wk - f.cohort
+),
+sizes AS (SELECT cohort, count(*) AS cohort_size FROM first GROUP BY cohort)
+SELECT r.cohort, r.week_offset,
+       CAST(r.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(round(CAST((CAST(r.n_active AS DOUBLE) / s.cohort_size)
+         AS DECIMAL(30,10)), 6) AS DOUBLE) AS retention
+FROM ret r JOIN sizes s USING (cohort)
+ORDER BY cohort, week_offset
+"""
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user's first three events (by time, then
+    event_id) joined into a path string, ranked by frequency — the
+    path-analysis query behind onboarding dashboards.
+
+    Ordered collection is the determinism trap: ``collect_list`` order
+    is partition-dependent, so the path is built by sorting an array of
+    (rank, type) structs — canonical on any cluster layout; the oracle
+    uses ``string_agg(... ORDER BY rn)``, its own canonical form."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("tsu"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    first3 = ev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 3
+    )
+    paths = first3.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(10)
+    )
+
+
+EVENTS_TOP_PATHS_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_ns(ts) // 1000, event_id
+         ) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= 3
+  GROUP BY user_id
+)
+SELECT path, count(*) AS n_users
+FROM paths
+GROUP BY path
+ORDER BY n_users DESC, path ASC
+LIMIT 10
+"""
+
+QUERIES["events_retention_cohorts"] = events_retention_cohorts
+ORACLES["events_retention_cohorts"] = EVENTS_RETENTION_SQL
+QUERIES["events_top_paths"] = events_top_paths
+ORACLES["events_top_paths"] = EVENTS_TOP_PATHS_SQL
