@@ -1,0 +1,120 @@
+"""Semantic pins for the event-analytics operators (funnel, cohort
+retention, CDC upsert, path analysis) — pure-Python reimplementations
+over the collected events table, independent of both the Spark
+formulation and its DuckDB twin.
+"""
+
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from aind_hcr_data_transformation_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+WEEK_US = 604_800_000_000
+
+
+def _events(spark):
+    """(user_id, tsu, event_id, event_type, value) with integer-micros
+    timestamps — the same decode the operators use; the logic under test
+    is everything downstream of it."""
+    return (
+        load_table(spark, SF, "events")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("tsu"),
+            "event_id",
+            "event_type",
+            "value",
+        )
+        .collect()
+    )
+
+
+def test_funnel_matches_python_walk(spark, queries):
+    rows = _events(spark)
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    n1 = n2 = n3 = 0
+    for evs in by_user.values():
+        t1 = min((e.tsu for e in evs if e.event_type == "view"), default=None)
+        if t1 is None:
+            continue
+        n1 += 1
+        t2 = min(
+            (e.tsu for e in evs if e.event_type == "click" and e.tsu > t1),
+            default=None,
+        )
+        if t2 is None:
+            continue
+        n2 += 1
+        t3 = min(
+            (e.tsu for e in evs if e.event_type == "purchase" and e.tsu > t2),
+            default=None,
+        )
+        if t3 is not None:
+            n3 += 1
+    got = queries["events_funnel"](spark, SF).collect()[0]
+    assert (got.n_view, got.n_click_after_view, got.n_purchase_after_click) == (
+        n1,
+        n2,
+        n3,
+    )
+    assert n1 >= n2 >= n3 > 0, "fixture should populate every funnel stage"
+
+
+def test_retention_matches_python_cohorts(spark, queries):
+    rows = _events(spark)
+    weeks = defaultdict(set)
+    for r in rows:
+        weeks[r.user_id].add(r.tsu // WEEK_US)
+    first = {u: min(ws) for u, ws in weeks.items()}
+    cells = Counter()
+    for u, ws in weeks.items():
+        for w in ws:
+            cells[(first[u], w - first[u])] += 1
+    sizes = Counter(first.values())
+    got = queries["events_retention_cohorts"](spark, SF).collect()
+    assert {(r.cohort, r.week_offset): r.n_active for r in got} == dict(cells)
+    for r in got:
+        assert r.cohort_size == sizes[r.cohort]
+        assert 0 < r.n_active <= r.cohort_size
+        # offset 0 is everyone in the cohort by construction
+        if r.week_offset == 0:
+            assert r.n_active == r.cohort_size
+
+
+def test_upsert_matches_python_latest_wins(spark, queries):
+    rows = _events(spark)
+    latest = {}
+    for r in rows:
+        k = (r.tsu, r.event_id)
+        if r.user_id not in latest or k > latest[r.user_id][0]:
+            latest[r.user_id] = (k, r.event_type, r.value)
+    cust = {
+        c.c_custkey: c
+        for c in load_table(spark, SF, "customer").collect()
+    }
+    got = {r.c_custkey: r for r in queries["upsert_scd1"](spark, SF).collect()}
+    assert got.keys() == cust.keys() | latest.keys()
+    for key, r in got.items():
+        if key in latest:
+            assert r.updated and r.last_event == latest[key][1]
+        else:
+            assert not r.updated and r.last_event == "none"
+        if key in cust and key not in latest:
+            assert r.new_balance == round(cust[key].c_acctbal, 2)
+
+
+def test_top_paths_matches_python_prefixes(spark, queries):
+    rows = _events(spark)
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.tsu, r.event_id, r.event_type))
+    paths = Counter(
+        ">".join(t for _, _, t in sorted(evs)[:3]) for evs in by_user.values()
+    )
+    want = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r.path, r.n_users) for r in queries["events_top_paths"](spark, SF).collect()]
+    assert got == want
