@@ -27,7 +27,7 @@ faster at production scale but unverifiable against DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.compat import dround
@@ -804,3 +804,130 @@ ORACLES = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_embedding_cosine": DEDUP_EMB_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (ExactSubstr, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+_SUBSTR_K = 20       # token-gram length (the paper's 50-token unit, scaled)
+_SUBSTR_MIN = 40     # report pairs sharing a run of >= this many tokens
+_SUBSTR_DF_CAP = 20  # posting-list bound for the gram self-join
+
+
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate detection — the relational form of the
+    suffix-array ExactSubstr dedup of "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al. 2022): find document pairs that
+    share a verbatim run of ≥ ``_SUBSTR_MIN`` tokens.
+
+    Shape: positional 20-gram md5s → document-frequency cap BEFORE the
+    self-join (the same quadratic-blowup guard as ``dedup_ngram_jaccard``)
+    → inverted-index pair join → per (pair, diagonal pa−pb) the matched
+    start positions form consecutive runs, recovered with the
+    gaps-and-islands window (``pos − row_number``) — a shared run of r
+    grams is a shared substring of r+19 tokens.  All shuffles key on
+    gram hash or (pair, diagonal); state is bounded by actual matches,
+    never corpus size.  Matches are exact (no sketch): the planted
+    mutants (suffix copies) are recovered with their true overlap
+    length."""
+    corpus = _corpus_with_mutants(spark, sf_dir)
+    t = F.split(F.col("text"), " ")
+    grams = (
+        corpus.filter(F.size(t) >= _SUBSTR_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (_SUBSTR_K - 1)),
+                    lambda i: F.array_join(
+                        F.slice(F.split(F.col("text"), " "), i, F.lit(_SUBSTR_K)),
+                        " ",
+                    ),
+                )
+            ).alias("pos", "gram"),
+        )
+        .select("doc_id", "pos", F.md5("gram").alias("g"))
+    )
+    df_ok = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _SUBSTR_DF_CAP)
+        .select("g")
+    )
+    g2 = grams.join(df_ok, "g")
+    pairs = (
+        g2.alias("a")
+        .join(g2.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
+        )
+    )
+    diag = F.col("pa") - F.col("pb")
+    w = Window.partitionBy("id_a", "id_b", diag).orderBy("pa")
+    islands = pairs.select(
+        "id_a",
+        "id_b",
+        diag.alias("diag"),
+        "pa",
+        (F.col("pa") - F.row_number().over(w)).alias("island"),
+    )
+    runs = islands.groupBy("id_a", "id_b", "diag", "island").agg(
+        F.count(F.lit(1)).alias("run")
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(
+            (F.max("run") + (_SUBSTR_K - 1)).alias("longest_shared_tokens"),
+            F.sum("run").alias("n_gram_matches"),
+        )
+        .filter(F.col("longest_shared_tokens") >= _SUBSTR_MIN)
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_EXACT_SUBSTRING_SQL = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+  WHERE len(string_split(text, ' ')) >= {_SUBSTR_K}
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(t[i:i+{_SUBSTR_K - 1}], ' ')) AS g
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {_SUBSTR_K - 2})) AS i
+        FROM toks)
+),
+dfok AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= {_SUBSTR_DF_CAP}),
+g2 AS (SELECT grams.doc_id, grams.pos, grams.g FROM grams JOIN dfok USING (g)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+  FROM g2 a JOIN g2 b USING (g)
+  WHERE a.doc_id < b.doc_id
+),
+islands AS (
+  SELECT id_a, id_b, pa - pb AS diag, pa,
+         pa - row_number() OVER (
+           PARTITION BY id_a, id_b, pa - pb ORDER BY pa
+         ) AS island
+  FROM pairs
+),
+runs AS (
+  SELECT id_a, id_b, diag, island, count(*) AS run
+  FROM islands GROUP BY id_a, id_b, diag, island
+)
+SELECT id_a, id_b,
+       CAST(max(run) + {_SUBSTR_K - 1} AS BIGINT) AS longest_shared_tokens,
+       CAST(sum(run) AS BIGINT) AS n_gram_matches
+FROM runs
+GROUP BY id_a, id_b
+HAVING max(run) + {_SUBSTR_K - 1} >= {_SUBSTR_MIN}
+ORDER BY id_a, id_b
+"""
+
+QUERIES["dedup_exact_substring"] = dedup_exact_substring
+ORACLES["dedup_exact_substring"] = DEDUP_EXACT_SUBSTRING_SQL

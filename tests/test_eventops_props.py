@@ -118,3 +118,23 @@ def test_top_paths_matches_python_prefixes(spark, queries):
     want = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     got = [(r.path, r.n_users) for r in queries["events_top_paths"](spark, SF).collect()]
     assert got == want
+
+
+def test_exact_substring_recovers_planted_mutants(spark, queries):
+    """Every planted mutant (doc minus its first two tokens, id+1e6)
+    shares its ENTIRE text with the original as one verbatim run, so the
+    pair must be reported with longest_shared_tokens == n_tokens - 2."""
+    docs = {
+        d.doc_id: len(d.text.split(" "))
+        for d in load_table(spark, SF, "documents").collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.longest_shared_tokens
+        for r in queries["dedup_exact_substring"](spark, SF).collect()
+    }
+    planted = 0
+    for doc_id, n_tok in docs.items():
+        if doc_id % 20 == 0 and n_tok - 2 >= 40:
+            assert got[(doc_id, doc_id + 1_000_000)] == n_tok - 2, doc_id
+            planted += 1
+    assert planted > 0
