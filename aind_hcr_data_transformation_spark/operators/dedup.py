@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import persist_tracked
 from ..functions.compat import dround
 from ..functions.vectors import (
     EMB_DIM,
@@ -216,7 +217,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "materialize the posting-list stage" move a production LSH pipeline
     makes (checkpoint/shuffle-stage reuse) at cluster scale."""
     corpus = _corpus_with_mutants(spark, sf_dir)
-    sh = _shingles(corpus).persist()
+    sh = persist_tracked(_shingles(corpus))
     # k salted hashes per shingle computed inline, then ONE hash-aggregate
     # with k positional mins — no ×k row explosion, no second shuffle
     # (map-side partial mins shrink the shuffle to one row per doc).
@@ -349,14 +350,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan+explode (the materialize-the-inverted-index move every
     production pipeline makes)."""
     corpus = _corpus_with_mutants(spark, sf_dir)
-    sh_all = _shingles(corpus).persist()
+    sh_all = persist_tracked(_shingles(corpus))
     rare = (
         sh_all.groupBy("sid")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= _NGRAM_DF_CAP)
         .select("sid")
     )
-    sh = sh_all.join(rare, "sid").persist()
+    sh = persist_tracked(sh_all.join(rare, "sid"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     s1 = sh.select(F.col("doc_id").alias("doc1"), "sid")
     s2 = sh.select(F.col("doc_id").alias("doc2"), "sid")

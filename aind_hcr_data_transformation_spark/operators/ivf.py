@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import persist_tracked
 from ..functions.compat import dround
 from ..functions.vectors import EMB_DIM, spark_dot, spark_cosine_prenorm, sql_cosine
 from ..tables import load_table
@@ -121,7 +122,7 @@ def _train(emb: DataFrame) -> DataFrame:
         # persist each k-row codebook: truncates the iteration lineage so
         # no downstream consumer re-runs earlier Lloyd passes (the
         # DataFrame analog of MLlib's per-iteration materialization)
-        centroids = _update(_assign(emb, centroids)).persist()
+        centroids = persist_tracked(_update(_assign(emb, centroids)))
     return centroids
 
 
@@ -140,7 +141,8 @@ def ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the assignment once
     corpus = assigned.withColumn(
         "n2", spark_dot(F.col("embedding"), F.col("embedding"))
-    ).persist()
+    )
+    corpus = persist_tracked(corpus)
     queries = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),

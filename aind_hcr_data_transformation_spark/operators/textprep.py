@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import persist_tracked
 from ..functions.compat import dround, sql_round
 from ..tables import load_table
 
@@ -178,7 +179,7 @@ def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True)
     # three consumers (bench set, totals, hits) — persist so the
     # split+transform+distinct+explode runs once, not per consumer
-    sh = _doc_shingles(docs).persist()
+    sh = persist_tracked(_doc_shingles(docs))
     bench = (
         sh.filter(F.col("doc_id") % _CONTAM_MOD == 0)
         .select("shingle")

@@ -901,7 +901,7 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 
 def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 adapted: suppliers (any nation — the fixture has only 4
-    suppliers per nation) who moved more than 100 units of some
+    suppliers per nation) who moved more than 50 units of some
     'small%'-named part during 1996.  The reference quantity test
     (``ps_availqty > 0.5 * sum(qty)``) becomes a fixed threshold (50)
     since the corpus carries no stock table.

@@ -400,7 +400,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("view_to_click_rate"),
         dround(
             F.sum(F.coalesce("s3", F.lit(0))).cast("double")
-            / F.sum(F.coalesce("s2", F.lit(0))),
+            # nullif zero guard: both engines yield NULL when no user ever
+            # clicks after a view (IEEE/decimal divide-by-zero semantics
+            # differ across engines; NULL is agreed)
+            / F.nullif(F.sum(F.coalesce("s2", F.lit(0))), F.lit(0)),
             6,
         ).alias("click_to_purchase_rate"),
     )
@@ -439,7 +442,7 @@ SELECT count(*) AS n_view,
        CAST(sum(s3) AS BIGINT) AS n_purchase_after_click,
        CAST(round(CAST((CAST(sum(s2) AS DOUBLE) / count(*))
          AS DECIMAL(30,10)), 6) AS DOUBLE) AS view_to_click_rate,
-       CAST(round(CAST((CAST(sum(s3) AS DOUBLE) / sum(s2))
+       CAST(round(CAST((CAST(sum(s3) AS DOUBLE) / nullif(sum(s2), 0))
          AS DECIMAL(30,10)), 6) AS DOUBLE) AS click_to_purchase_rate
 FROM depths
 """

@@ -248,9 +248,12 @@ def convert_synthetic_stacks(
     # (czi_to_zarr.py:630-640; see coalesce_blocks)
     base_chunk = (cz, cy, cx)
     for lvl in range(n_lvls):
-        # per-stack array init (driver), then ONE distributed write for all
+        # per-stack array init (driver), then ONE distributed write for all;
+        # the driver-built .zarray metas ship to tasks via the closure so
+        # workers never GET .zarray (nor serve a stale cached copy)
+        lvl_metas: dict[str, dict] = {}
         for name, shape in shapes.items():
-            init_array(
+            lvl_metas[name] = init_array(
                 os.path.join(group_paths[name], str(lvl)),
                 tuple(shape),
                 (
@@ -267,7 +270,7 @@ def convert_synthetic_stacks(
 
         lvl_str = str(lvl)
 
-        def write_batches(batches, _out=out_dir, _lvl=lvl_str):
+        def write_batches(batches, _out=out_dir, _lvl=lvl_str, _metas=lvl_metas):
             import pandas as pd
 
             n = 0
@@ -277,7 +280,12 @@ def convert_synthetic_stacks(
                         row.block, dtype=np.dtype(row.dtype)
                     ).reshape(tuple(row.shape))
                     path = os.path.join(_out, f"{row.stack_name}.zarr", _lvl)
-                    write_region(path, (row.t, row.c, row.z0, row.y0, row.x0), arr)
+                    write_region(
+                        path,
+                        (row.t, row.c, row.z0, row.y0, row.x0),
+                        arr,
+                        meta=_metas[row.stack_name],
+                    )
                     n += 1
             yield pd.DataFrame({"n_written": [n]})
 

@@ -25,7 +25,6 @@ in-flight work (SURVEY §4 X4).
 from __future__ import annotations
 
 import json
-import threading
 from typing import Any, Iterable
 
 import numpy as np
@@ -71,9 +70,11 @@ def init_array(
     compressor: str = "zlib",
     compressor_kwargs: dict[str, Any] | None = None,
     fill_value: int | float = 0,
-) -> None:
+) -> dict[str, Any]:
     """Create a zarr v2 array node (``.zarray``), chunked and compressed —
-    the ``create_dataset`` analog (``czi_to_zarr.py:585-593``)."""
+    the ``create_dataset`` analog (``czi_to_zarr.py:585-593``). Returns the
+    metadata dict so callers can ship it to write tasks (see
+    ``write_region``'s ``meta`` parameter)."""
     if len(shape) != len(chunks):
         raise ValueError(f"rank mismatch: shape {shape} vs chunks {chunks}")
     store, path = resolve(url)
@@ -90,39 +91,38 @@ def init_array(
         "dimension_separator": "/",
     }
     store.write_bytes(store.join(path, ".zarray"), json.dumps(meta).encode())
-    with _META_LOCK:
-        _META_CACHE[url] = meta  # prime/refresh the creator's own cache
-
-
-# Per-process ``.zarray`` metadata cache, keyed on array URL.  An array's
-# geometry is immutable once created (the concurrent-writer safety
-# argument above already depends on that), so one GET per (process,
-# array) suffices — without this, every block write re-fetched the
-# metadata: billions of redundant object-store GETs at 100 TB.
-_META_CACHE: dict[str, dict[str, Any]] = {}
-_META_LOCK = threading.Lock()
-
-
-def _array_meta(url: str, store, path: str) -> dict[str, Any]:
-    with _META_LOCK:
-        meta = _META_CACHE.get(url)
-    if meta is None:
-        meta = json.loads(store.read_bytes(store.join(path, ".zarray")))
-        with _META_LOCK:
-            _META_CACHE[url] = meta
     return meta
 
 
-def write_region(url: str, region_offset: tuple[int, ...], data: np.ndarray) -> None:
+def _array_meta(url: str, store, path: str) -> dict[str, Any]:
+    return json.loads(store.read_bytes(store.join(path, ".zarray")))
+
+
+def write_region(
+    url: str,
+    region_offset: tuple[int, ...],
+    data: np.ndarray,
+    meta: dict[str, Any] | None = None,
+) -> None:
     """Write an ndarray into the array at ``region_offset`` — the
     ``pyramid_group[..., zslice, :, :] = block`` analog
     (``czi_to_zarr.py:596-608``).
 
     The region must be chunk-aligned on every axis (its offset a multiple
     of the chunk, its extent either a chunk multiple or reaching the array
-    edge) so concurrent writers never touch the same chunk file."""
+    edge) so concurrent writers never touch the same chunk file.
+
+    Distributed writers pass ``meta`` (the dict ``init_array`` returned)
+    through the task closure: the driver that created the array ships the
+    authoritative geometry, so workers do ZERO ``.zarray`` GETs — at
+    object-store scale a per-write re-read is billions of redundant GETs,
+    while a per-process cache can serve stale geometry after an array is
+    re-created at the same URL on long-lived executors. Shipping the meta
+    eliminates both failure modes. Without ``meta`` (driver-side /
+    test-scale callers), the metadata is read fresh per call."""
     store, path = resolve(url)
-    meta = _array_meta(url, store, path)
+    if meta is None:
+        meta = _array_meta(url, store, path)
     shape, chunks = meta["shape"], meta["chunks"]
     dtype = np.dtype(meta["dtype"])
     comp = meta["compressor"]
@@ -191,7 +191,8 @@ def write_blocks_to_zarr(
     ``foreachPartition``: the latter funnels rows through the RDD pickle
     path, where the JVM pickler buffers every multi-MB block payload and
     OOMs on large stacks (observed at 512³). Arrow streams the binary
-    column zero-copy."""
+    column zero-copy. The array metadata just built on the driver ships
+    to every task via the closure, so workers never GET ``.zarray``."""
     if array_url.startswith("memory://"):
         # MemoryStore is process-local: chunks written inside Spark
         # python workers would land in worker dicts and silently vanish.
@@ -199,7 +200,7 @@ def write_blocks_to_zarr(
             "memory:// stores are driver-side test doubles and cannot back "
             "a distributed write; use a file:// or object-store URL"
         )
-    init_array(array_url, shape, chunks, dtype, compressor, compressor_kwargs)
+    meta = init_array(array_url, shape, chunks, dtype, compressor, compressor_kwargs)
 
     def write_batches(batches: Iterable[Any]) -> Any:
         import pandas as pd
@@ -210,7 +211,12 @@ def write_blocks_to_zarr(
                 arr = np.frombuffer(row.block, dtype=np.dtype(row.dtype)).reshape(
                     tuple(row.shape)
                 )
-                write_region(array_url, (row.t, row.c, row.z0, row.y0, row.x0), arr)
+                write_region(
+                    array_url,
+                    (row.t, row.c, row.z0, row.y0, row.x0),
+                    arr,
+                    meta=meta,
+                )
                 n += 1
         yield pd.DataFrame({"n_written": [n]})
 

@@ -71,6 +71,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repo = Path(__file__).resolve().parent
     import __spark_entry__ as entrymod
+    from aind_hcr_data_transformation_spark.cache import release_persists
     from aind_hcr_data_transformation_spark.session import get_spark
 
     spark = get_spark("bench")
@@ -87,6 +88,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop this query's tracked persist()-ed intermediates so cached
+        # blocks don't accumulate across the ~114-query session (ADVICE r3)
+        release_persists()
         print(f"{name}: {timings[name]}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -83,21 +83,36 @@ def test_group_attrs_through_memory_url():
     }
 
 
-def test_zarray_meta_read_once_per_process():
-    """Block writes must not re-fetch .zarray per write: at object-store
-    scale that is billions of redundant GETs. One read per (process,
-    array URL), then the cache serves every subsequent write."""
-    from aind_hcr_data_transformation_spark.sinks import zarr_sink
-
+def test_zarray_meta_shipped_from_driver_zero_worker_gets():
+    """Distributed block writes must not fetch .zarray at all: at
+    object-store scale even one GET per (process, array) is waste, and a
+    per-process cache can serve stale geometry after an array is
+    re-created at the same URL. The driver that called init_array ships
+    the returned meta dict through the task closure; workers do ZERO
+    .zarray reads."""
     url = "memory://cachetest/arr"
-    init_array(url, (8, 8), (4, 4), "uint16")
-    # simulate a fresh worker process: empty meta cache, cold store reads
-    zarr_sink._META_CACHE.clear()
+    meta = init_array(url, (8, 8), (4, 4), "uint16")
     MemoryStore.read_counts.clear()
     tile = np.arange(16, dtype=np.uint16).reshape(4, 4)
     for off in ((0, 0), (0, 4), (4, 0), (4, 4)):
-        write_region(url, off, tile)
-    assert MemoryStore.read_counts.get("cachetest/arr/.zarray", 0) == 1
+        write_region(url, off, tile, meta=meta)
+    assert MemoryStore.read_counts.get("cachetest/arr/.zarray", 0) == 0
+    np.testing.assert_array_equal(read_array(url)[:4, :4], tile)
+
+
+def test_recreated_array_never_served_stale_geometry():
+    """The ADVICE stale-cache scenario: re-create the same URL with
+    different shape/chunks, write with the NEW meta — the write must land
+    on the new geometry (the old cache-based design could silently write
+    misaligned chunks)."""
+    url = "memory://cachetest/rearr"
+    init_array(url, (8, 8), (4, 4), "uint16")
+    write_region(url, (0, 0), np.ones((4, 4), dtype=np.uint16))
+    # re-run with new settings at the same URL
+    meta2 = init_array(url, (6, 6), (3, 3), "uint16")
+    data = np.arange(36, dtype=np.uint16).reshape(6, 6)
+    write_region(url, (0, 0), data, meta=meta2)
+    np.testing.assert_array_equal(read_array(url), data)
 
 
 def test_distributed_writer_rejects_memory_url():

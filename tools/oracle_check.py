@@ -5,13 +5,20 @@ Runs every ``queries()`` entry from ``__spark_entry__`` and compares against
 value comparison (values normalized to strings, rows sorted). Columns are
 sorted by name before comparison, mirroring the driver contract.
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` writes a driver-shaped per-query record (rows/schema/hash
+match booleans) so the full-registry differential evidence can be
+committed each round (VERDICT r3 task #1: the driver samples ~50 of the
+registered queries; this artifact covers all of them).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
+import time
 from datetime import datetime
 from pathlib import Path
 
@@ -51,10 +58,16 @@ def main() -> int:
     import duckdb
 
     import __spark_entry__ as entrymod
+    from aind_hcr_data_transformation_spark.cache import release_persists
     from aind_hcr_data_transformation_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
@@ -66,6 +79,20 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    records: dict[str, dict] = {}
+
+    def record(name, **kw):
+        base = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        base.update(kw)
+        records[name] = base
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -75,9 +102,13 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
+            record(name, err=f"spark error: {e}")
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        finally:
+            release_persists()
         if name not in oracles:
+            record(name, spark_rows=len(srows), err="no_oracle")
             print(f"ROWS  {name}: {len(srows)} rows (no oracle)")
             if len(srows) == 0:
                 print(f"      WARNING: zero rows")
@@ -88,18 +119,28 @@ def main() -> int:
             drows = res.fetchall()
         except Exception as e:
             failures.append(name)
+            record(name, spark_rows=len(srows), err=f"duckdb error: {e}")
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
-        if sorted(scols) != sorted(dcols):
+        schema_match = sorted(scols) == sorted(dcols)
+        rows_match = len(srows) == len(drows)
+        if not schema_match:
             failures.append(name)
+            record(name, rows_match=rows_match, schema_match=False,
+                   spark_rows=len(srows), oracle_rows=len(drows))
             print(f"FAIL  {name}: columns differ spark={sorted(scols)} duckdb={sorted(dcols)}")
             continue
-        if len(srows) != len(drows):
+        if not rows_match:
             failures.append(name)
+            record(name, rows_match=False, schema_match=True,
+                   spark_rows=len(srows), oracle_rows=len(drows))
             print(f"FAIL  {name}: rowcount spark={len(srows)} duckdb={len(drows)}")
             continue
         sc, dc = _canon(srows, scols), _canon(drows, dcols)
-        if sc != dc:
+        hash_match = sc == dc
+        record(name, rows_match=True, schema_match=True, hash_match=hash_match,
+               spark_rows=len(srows), oracle_rows=len(drows))
+        if not hash_match:
             failures.append(name)
             diff = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
             print(f"FAIL  {name}: values differ; first diffs:")
@@ -109,6 +150,19 @@ def main() -> int:
             continue
         print(f"OK    {name}: {len(srows)} rows")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        doc = {
+            "_meta": {
+                "tool": "tools/oracle_check.py",
+                "sf_dir": sf_dir,
+                "n_queries": len(records),
+                "n_failures": len(failures),
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            },
+            **records,
+        }
+        Path(json_out).write_text(json.dumps(doc, indent=1))
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
