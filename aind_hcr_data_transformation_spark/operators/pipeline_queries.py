@@ -75,24 +75,25 @@ def pipe_partition_roundrobin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``partition_list`` round-robin split (``zeiss_job.py:29-40``,
     ``models.py:35-45``): sorted stack list dealt modulo
     ``num_of_partitions``. Spark replaces the SLURM plumbing, but the
-    assignment itself must be reproducible, so it goes through
-    ``row_number() over (order by path)`` — never
-    ``monotonically_increasing_id`` (SURVEY §7 hard-part 5). The oracle
-    pins the multiset-per-partition invariant the reference's own tests
-    check (``tests/test_zeiss_job.py:43-57``).
+    assignment itself must be reproducible, so it derives from the
+    global rank of ``path`` — never ``monotonically_increasing_id``
+    (SURVEY §7 hard-part 5). Computed by
+    :func:`~..plans.partitioning.assign_round_robin`'s TWO-PHASE ordinal
+    (range-shuffle parallel sort → per-partition ``row_number`` +
+    broadcast prefix-sum offsets), not a global single-reducer window —
+    identical output, scales past catalog size. The oracle pins the
+    multiset-per-partition invariant the reference's own tests check
+    (``tests/test_zeiss_job.py:43-57``) via the equivalent single-sort
+    SQL formulation.
     """
-    from pyspark.sql import Window
+    from ..plans.partitioning import assign_round_robin
 
     docs = load_table(spark, sf_dir, "documents")
     paths = docs.select(
         F.concat(F.lit("SPIM/"), F.col("source"), F.lit("_"), F.col("doc_id").cast("string"), F.lit(".czi")).alias("path"),
         "doc_id",
     )
-    n_partitions = 5
-    assigned = paths.withColumn(
-        "partition_id",
-        ((F.row_number().over(Window.orderBy("path")) - 1) % n_partitions).cast("int"),
-    )
+    assigned = assign_round_robin(paths, 5, order_by="path")
     return assigned.groupBy("partition_id").agg(
         F.count(F.lit(1)).alias("n_stacks"),
         F.sum("doc_id").alias("sum_doc_id"),

@@ -34,18 +34,56 @@ def partition_list(items: Sequence[T], n_partitions: int) -> list[list[T]]:
 def assign_round_robin(
     df: DataFrame, n_partitions: int, order_by: str = "path"
 ) -> DataFrame:
-    """Distributed twin: adds ``partition_id`` via
-    ``row_number() over (order by <order_by>)`` — the explicit total order
-    makes the assignment reproducible across runs and clusters, unlike
+    """Distributed twin: adds ``partition_id`` from the global rank of
+    ``order_by`` — the explicit total order makes the assignment
+    reproducible across runs and clusters, unlike
     ``monotonically_increasing_id`` (SURVEY §7 hard-part 5).
 
-    The global row_number sort is a single-reducer shuffle, fine for stack
-    *catalogs* (≤ millions of rows), never for voxel data.
+    TWO-PHASE global ordinal (the ``zipWithIndex`` shape), NOT
+    ``row_number() over (order by ...)``: a global window funnels every
+    row through ONE task — fine for a 10k-stack catalog, a serialized
+    job on a 100 TB fact table. Instead:
+
+    1. range-shuffle on the key (``repartitionByRange`` → ordered,
+       non-overlapping partitions; Spark's RangePartitioner samples
+       bounds) and sort within each partition — a fully parallel sort;
+    2. per-partition ``row_number`` (window PARTITIONED by the physical
+       partition id — no single-reducer stage, no Spark
+       "No Partition Defined" warning);
+    3. per-partition row counts — #shuffle-partitions rows — come back
+       to the driver (the one legitimately tiny collect) and prefix-sum
+       into offsets, which broadcast back via a small join;
+    4. global ordinal = offset[pid] + local row_number − 1.
+
+    Equal keys land in one range partition (RangePartitioner splits on
+    key boundaries), so the result is identical to the single-sort
+    formulation, including tie behavior.
     """
     if n_partitions <= 0:
         raise ValueError(f"n_partitions must be positive, got {n_partitions}")
-    w = Window.orderBy(order_by)
-    return df.withColumn(
-        "partition_id",
-        ((F.row_number().over(w) - 1) % n_partitions).cast("int"),
+    key = F.col(order_by)
+    ranged = df.repartitionByRange(key).sortWithinPartitions(key)
+    local = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(key))
+    )
+    from ..cache import persist_tracked
+
+    local = persist_tracked(local)
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            "partition_id",
+            ((F.col("_off") + F.col("_rn") - 1) % n_partitions).cast("int"),
+        )
+        .drop("_pid", "_rn", "_off")
     )

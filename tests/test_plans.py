@@ -130,3 +130,43 @@ class TestPartitionList:
         # balanced: sizes differ by at most 1
         sizes = [len(p) for p in parts]
         assert max(sizes) - min(sizes) <= 1
+
+
+class TestAssignRoundRobin:
+    def test_two_phase_matches_single_sort_and_partition_list(self, spark):
+        """The two-phase ordinal (range sort -> per-partition row_number +
+        broadcast offsets) must reproduce the single-sort global
+        row_number assignment exactly, i.e. the same deal as the pure
+        ``partition_list`` twin — including duplicate keys, which the
+        RangePartitioner keeps inside one partition."""
+        from aind_hcr_data_transformation_spark.cache import release_persists
+        from aind_hcr_data_transformation_spark.plans.partitioning import (
+            assign_round_robin,
+            partition_list,
+        )
+
+        paths = [f"SPIM/s{i % 7}_{i:03d}.czi" for i in range(53)] + [
+            "SPIM/dup.czi"
+        ] * 4
+        df = spark.createDataFrame([(p,) for p in paths], "path string")
+        n = 4
+        got = {
+            (r["path"], r["partition_id"])
+            for r in assign_round_robin(df, n).collect()
+        }
+        release_persists()
+        expect = {
+            (p, pid)
+            for pid, part in enumerate(partition_list(sorted(paths), n))
+            for p in part
+        }
+        assert got == expect
+
+    def test_invalid_n(self, spark):
+        from aind_hcr_data_transformation_spark.plans.partitioning import (
+            assign_round_robin,
+        )
+
+        df = spark.createDataFrame([("a",)], "path string")
+        with pytest.raises(ValueError):
+            assign_round_robin(df, 0)
