@@ -49,7 +49,12 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_memory_sink(df: DataFrame, prefix: str, output_mode: str):
     """Run a bounded stream (availableNow) into a memory sink and return
-    the result table. Shuffle partitions are dialed down for the run —
+    the result table.
+
+    The memory sink is the HARNESS device (the driver needs a DataFrame
+    back); production sinks are files/Kafka for append-mode queries and
+    ``foreachBatch`` upserts for update/complete — see each query's
+    docstring. Shuffle partitions are dialed down for the run —
     state-store instances scale with them, and at test scale 32 stores of
     checkpoint churn dominate wall-clock (a real cluster raises the
     setting with executor count) — then restored.
@@ -75,10 +80,18 @@ def _run_to_memory_sink(df: DataFrame, prefix: str, output_mode: str):
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked tumbling-window aggregate, executed as a bounded stream
-    (availableNow) into a memory sink; returns the final result table.
+    """Watermarked tumbling-window aggregate in APPEND mode — the
+    production sink shape: each window row is emitted exactly once, when
+    the watermark passes its end, so the sink (files/Kafka in production;
+    memory here only because the harness reads the result back) receives
+    an append-only stream and the state store holds only open windows.
+    ``complete`` mode would re-materialize the entire result table every
+    micro-batch — a driver/sink OOM at 100 TB.
 
-    Matches the batch ``evw_tumbling`` oracle exactly.
+    Append semantics means the trailing windows — those not yet closed by
+    the final watermark (max event time − 1 h) — are withheld; the oracle
+    states exactly that: the batch tumbling aggregate filtered to windows
+    whose end ≤ max(ts) − 1 hour.
     """
     events = streaming_events(spark, sf_dir)
     windowed = (
@@ -95,16 +108,24 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return _run_to_memory_sink(windowed, "stream_tumbling", "complete")
+    return _run_to_memory_sink(windowed, "stream_tumbling", "append")
 
+
+# the batch tumbling oracle, restricted to watermark-closed windows —
+# i.e. exactly what append mode emits for a bounded run
+STREAM_TUMBLING_APPEND_SQL = f"""
+WITH full_result AS ({EVW_TUMBLING_SQL})
+SELECT * FROM full_result
+WHERE window_start + INTERVAL 10 MINUTE
+      <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+"""
 
 QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
 }
 
 ORACLES = {
-    # identical semantics to the batch tumbling window — same oracle
-    "stream_tumbling_counts": EVW_TUMBLING_SQL,
+    "stream_tumbling_counts": STREAM_TUMBLING_APPEND_SQL,
 }
 
 
@@ -260,13 +281,21 @@ ORACLES["stream_dedup"] = STREAM_DEDUP_SQL
 
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming events enriched against the STATIC customer table, then
-    aggregated per market segment (complete mode).
+    aggregated per market segment.
 
     The static side re-snapshots per micro-batch and broadcasts (the
     streaming restatement of the reference's driver-side acquisition-
     metadata broadcast, ``zeiss_job.py:123-130``) — no stream-side state
     grows from the join itself. The value sum is decimal-routed per row
     so micro-batch arrival order can't flip the rounding.
+
+    COMPLETE-MODE-IS-HARNESS-ONLY: an unwindowed global aggregate has no
+    watermark to finalize rows, so append mode is unavailable; complete
+    into a memory sink is how this bounded harness reads the final
+    table. In production this runs in UPDATE mode through
+    ``foreachBatch`` upserting changed segments into an idempotent store
+    (MERGE on ``c_mktsegment``) — state is one row per segment, and no
+    sink ever re-materializes the whole result.
     """
     from ..tables import load_table
 
@@ -377,8 +406,17 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the state store holds per-key open sessions that the watermark
     closes — the canonical merging-window stateful operator.  Semantics
     are the batch ``evw_session``'s, so the SAME DuckDB oracle checks
-    both (the batch/stream parity statement, as with
-    ``stream_tumbling_counts``)."""
+    both (the batch/stream parity statement).
+
+    COMPLETE-MODE-IS-HARNESS-ONLY: the batch-parity oracle includes the
+    still-open trailing sessions (those the final watermark has not
+    closed), which append mode by definition withholds — so this bounded
+    harness runs complete into a memory sink purely to read the full
+    table back. In production session windows run in APPEND mode to a
+    files/Kafka sink: each session row is emitted exactly once when the
+    watermark closes it, and state holds only open sessions (the
+    ``stream_tumbling_counts`` query demonstrates exactly that sink
+    shape, oracle included)."""
     events = streaming_events(spark, sf_dir)
     sessions = (
         events.withWatermark("ts", "1 hour")
