@@ -322,7 +322,27 @@ WHERE jaccard >= {_JACCARD_THRESHOLD}
 # ---------------------------------------------------------------------------
 
 
-_NGRAM_DF_CAP = 100  # max posting-list length joined (document-frequency cut)
+# Document-frequency cut for the inverted-index self-join, DERIVED FROM
+# THE CORPUS SIZE (r3 task: the old fixed 100 was a fixture-scale
+# constant).  Rule: cap = clamp(n_docs / 25, 20, 10 000) — a df
+# FRACTION (4% of the corpus), so the cut removes a constant
+# *proportion* of the shingle universe as n grows instead of an
+# ever-larger share, while the floor keeps fixture-scale posting lists
+# meaningful and the ceiling bounds the join fan-out (df² ≤ 10⁸ rows
+# per shingle) regardless of corpus size.  Both engines derive the cap
+# from the same count with exact integer arithmetic.
+_NGRAM_DF_FRACTION = 25  # cap = n_docs // 25
+_NGRAM_DF_LO, _NGRAM_DF_HI = 20, 10_000
+
+
+def _ngram_df_cap(n_docs: int) -> int:
+    return min(_NGRAM_DF_HI, max(_NGRAM_DF_LO, n_docs // _NGRAM_DF_FRACTION))
+
+
+_NGRAM_DF_CAP_SQL = (
+    f"(SELECT least({_NGRAM_DF_HI}, greatest({_NGRAM_DF_LO}, "
+    f"count(*) // {_NGRAM_DF_FRACTION})) FROM documents)"
+)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,10 +356,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: a shingle appearing in ``d`` documents yields ``d²``
     candidate rows out of the self-join, so frequent shingles blow up
     quadratically at 100 TB.  Standard document-frequency cut: shingles
-    with df > ``_NGRAM_DF_CAP`` are dropped from the shingle universe
-    BEFORE the join (they carry no discriminative signal — near-dup
-    evidence lives in the rare shingles).  The cap bounds every posting
-    list, hence every join fan-out, to df² ≤ 10⁴ rows.  Sizes and
+    with df > cap are dropped from the shingle universe BEFORE the join
+    (they carry no discriminative signal — near-dup evidence lives in
+    the rare shingles).  The cap is DERIVED from the corpus row count
+    (``_ngram_df_cap``: clamp(n/25, 20, 10k)) — a constant fraction of
+    the corpus, identically in both engines — and bounds every posting
+    list, hence every join fan-out, to df² rows.  Sizes and
     intersections both use the capped universe, so Jaccard stays a true
     similarity over that universe.  The filter runs before the self-join
     (asserted by ``tests/test_physical_plans.py``).
@@ -350,11 +372,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan+explode (the materialize-the-inverted-index move every
     production pipeline makes)."""
     corpus = _corpus_with_mutants(spark, sf_dir)
+    # derive the df cap from the raw table's row count (a metadata-only
+    # parquet count) — same rule the oracle computes in SQL
+    df_cap = _ngram_df_cap(load_table(spark, sf_dir, "documents").count())
     sh_all = persist_tracked(_shingles(corpus))
     rare = (
         sh_all.groupBy("sid")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _NGRAM_DF_CAP)
+        .filter(F.col("df") <= F.lit(df_cap))
         .select("sid")
     )
     sh = persist_tracked(sh_all.join(rare, "sid"))
@@ -384,7 +409,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_NGRAM_SQL = f"""
 WITH sh_all AS ({_SHINGLES_SQL}),
 rare AS (
-  SELECT sid FROM sh_all GROUP BY sid HAVING count(*) <= {_NGRAM_DF_CAP}
+  SELECT sid FROM sh_all GROUP BY sid HAVING count(*) <= {_NGRAM_DF_CAP_SQL}
 ),
 sh AS (SELECT sh_all.* FROM sh_all JOIN rare USING (sid)),
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
@@ -489,22 +514,49 @@ GROUP BY doc_id
 # matches with p >= 0.59 and 4 bands reach recall >= 1-(1-p)^4 ≈ 0.97 —
 # while unrelated vectors (angle ≈ 90°) collide in a band with p ≈ 2^-8.
 #
-# Scale rule: per-band bucket population is n / 2^_EMB_BITS, so set
-# _EMB_BITS ≈ log2(n / target_bucket_size) as the corpus grows — the
-# bucket count is derived from the DATA (sign entropy), not from a fixed
-# metadata column, so no join key's fan-out is tied to corpus size. At
-# 100 TB the band key becomes an IVF/PQ coarse code; the plan shape
-# (band-key equi-join → verify bucket-mates) is unchanged.
+# Scale rule (IMPLEMENTED, not just documented — r3 task 5): per-band
+# bucket population is n / 2^bits, so bits = ceil(log2(n /
+# target_bucket_size)), clamped to [8, 12] (4 bands × 12 bits ≤ 64
+# components).  Computed from the embeddings row count with EXACT
+# integer arithmetic — ``(ceil(n/2) − 1).bit_length()`` in Python, the
+# equivalent power-of-two CASE ladder in SQL — so both engines derive
+# the identical width from the data: 8 bits at the 500-vector fixtures,
+# 10 at sf0.1's 2000, growing with the corpus.  The bucket count is
+# derived from the DATA (sign entropy), not a fixed metadata column, so
+# no join key's fan-out is tied to corpus size.  At 100 TB the band key
+# becomes an IVF/PQ coarse code; the plan shape (band-key equi-join →
+# verify bucket-mates) is unchanged.
 _EMB_BANDS = 4
-_EMB_BITS = 8  # sign bits per band → 2^8 buckets per band
+_EMB_TARGET_BUCKET = 2  # aimed per-band bucket population
+_EMB_BITS_LO, _EMB_BITS_HI = 8, 12
 
 
-def _emb_band_key(col: str, band: int) -> F.Column:
-    """Integer sign-pattern key over components [band*_EMB_BITS, +_EMB_BITS)."""
+def _emb_bits(n_vectors: int) -> int:
+    """bits = clamp(ceil(log2(ceil(n / target))), lo, hi), integer-exact."""
+    m = max(2, (n_vectors + _EMB_TARGET_BUCKET - 1) // _EMB_TARGET_BUCKET)
+    return min(_EMB_BITS_HI, max(_EMB_BITS_LO, (m - 1).bit_length()))
+
+
+# SQL twin of _emb_bits: bit_length as a power-of-two threshold ladder
+# (exact integer comparisons — no float log2 cross-engine risk)
+_EMB_BITS_SQL = (
+    "(SELECT CASE "
+    + " ".join(
+        f"WHEN m <= {1 << b} THEN {b}"
+        for b in range(_EMB_BITS_LO, _EMB_BITS_HI)
+    )
+    + f" ELSE {_EMB_BITS_HI} END FROM (SELECT greatest(2, (count(*)"
+    f" + {_EMB_TARGET_BUCKET - 1}) // {_EMB_TARGET_BUCKET}) AS m"
+    " FROM embeddings))"
+)
+
+
+def _emb_band_key(col: str, band: int, bits: int) -> F.Column:
+    """Integer sign-pattern key over components [band*bits, band*bits+bits)."""
     b = F.lit(0)
-    for i in range(_EMB_BITS):
+    for i in range(bits):
         b = b + F.when(
-            F.element_at(F.col(col), band * _EMB_BITS + i + 1) >= 0,
+            F.element_at(F.col(col), band * bits + i + 1) >= 0,
             F.lit(1 << i),
         ).otherwise(F.lit(0))
     return b.cast("int")
@@ -523,6 +575,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the candidate shuffle.  Cosine folds are bit-identical
     across engines (functions/vectors.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # band width derived from the corpus size (same rule as the oracle)
+    bits = _emb_bits(emb.count())
     mutants = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + _MUT_OFFSET).alias("vec_id"),
         F.concat(
@@ -539,7 +593,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack_args = ", ".join(f"{b}, key{b}" for b in range(_EMB_BANDS))
     bands = corpus.select(
         "vec_id",
-        *[_emb_band_key("embedding", b).alias(f"key{b}") for b in range(_EMB_BANDS)],
+        *[
+            _emb_band_key("embedding", b, bits).alias(f"key{b}")
+            for b in range(_EMB_BANDS)
+        ],
     ).select(
         "vec_id",
         F.expr(f"stack({_EMB_BANDS}, {stack_args}) as (band, bkey)"),
@@ -580,11 +637,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _emb_band_key_sql(col: str, band: int) -> str:
+def _emb_band_key_sql(col: str, band: int, bits: int) -> str:
     return "(" + " + ".join(
-        f"(CASE WHEN {col}[{band * _EMB_BITS + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(_EMB_BITS)
+        f"(CASE WHEN {col}[{band * bits + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
     ) + ")"
+
+
+def _emb_band_key_sql_derived(col: str, band: int) -> str:
+    """Band key for the RUNTIME-derived width: a CASE over the clamped
+    menu of widths, selected by the same corpus-count rule as the Spark
+    side (``p.bits`` — see ``_EMB_BITS_SQL``)."""
+    arms = " ".join(
+        f"WHEN {w} THEN {_emb_band_key_sql(col, band, w)}"
+        for w in range(_EMB_BITS_LO, _EMB_BITS_HI + 1)
+    )
+    return f"(CASE (SELECT bits FROM p) {arms} END)"
 
 
 _EMB_BAND_CASE = "CASE b " + " ".join(
@@ -592,7 +660,8 @@ _EMB_BAND_CASE = "CASE b " + " ".join(
 ) + " END"
 
 DEDUP_EMB_SQL = f"""
-WITH corpus AS (
+WITH p AS (SELECT {_EMB_BITS_SQL} AS bits),
+corpus AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + {_MUT_OFFSET} AS vec_id,
@@ -601,7 +670,7 @@ WITH corpus AS (
 ),
 keyed AS (
   SELECT vec_id,
-         {', '.join(f'{_emb_band_key_sql("embedding", b)} AS k{b}' for b in range(_EMB_BANDS))}
+         {', '.join(f'{_emb_band_key_sql_derived("embedding", b)} AS k{b}' for b in range(_EMB_BANDS))}
   FROM corpus
 ),
 bands AS (
@@ -784,12 +853,10 @@ QUERIES = {
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     # NOTE: dedup_ngram_jaccard's 0.4 threshold is a Jaccard over the
-    # DF-CAPPED shingle universe (df <= _NGRAM_DF_CAP) — both engines and
-    # the recall test use the identical capped universe, but the score is
-    # not the raw-universe Jaccard.  _NGRAM_DF_CAP=100 is sized for the
-    # fixture corpus; at production scale derive it as a df FRACTION of
-    # the corpus (e.g. df <= 1e-4 * n_docs) so the cap removes a constant
-    # proportion of signal as n grows rather than an ever-larger share.
+    # DF-CAPPED shingle universe — both engines and the recall test use
+    # the identical capped universe, but the score is not the
+    # raw-universe Jaccard.  The cap is derived from the corpus row
+    # count (``_ngram_df_cap``) in both engines.
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,

@@ -28,24 +28,62 @@ from ..tables import load_table
 _N_QUERIES = 5
 _TOP_K = 10
 
-# Sign-LSH table geometry.  _LSH_BITS sign bits → 2^bits buckets; scale
-# rule: bits ≈ log2(n / target_bucket_size), so the bucket count grows
-# with the corpus and per-bucket population stays bounded.  Queries
-# multi-probe every bucket within Hamming distance _PROBE_RADIUS of
-# their own key (standard multi-probe LSH): for weakly-similar nearest
-# neighbours (this corpus' exact top-3 sit at cos ≈ 0.4, i.e. ~66°,
-# flipping each sign bit with p ≈ 0.37) a single bucket has near-zero
-# recall, while radius-2 probing reaches ≈ 0.5 at 34% of the scan cost
-# — measured and pinned by tests/test_sim_recall.py.  Near-duplicates
+# Sign-LSH table geometry, DERIVED FROM THE CORPUS SIZE (r3 task 5 —
+# the old fixed 6 bits was fixture-scale).  Scale rule: bits =
+# clamp(ceil(log2(n / target_bucket_size)), 6, 10) with target bucket
+# population 8, computed with EXACT integer arithmetic identically in
+# both engines (``bit_length`` in Python, a power-of-two CASE ladder in
+# SQL): 6 bits at the 500-vector fixtures, 8 at sf0.1's 2000 — the
+# bucket count grows with the corpus and per-bucket population stays
+# bounded.  Queries multi-probe every bucket within Hamming distance
+# _probe_radius(bits) of their own key (standard multi-probe LSH): for
+# weakly-similar nearest neighbours (this corpus' exact top-3 sit at
+# cos ≈ 0.4, i.e. ~66°, flipping each sign bit with p ≈ 0.37) a single
+# bucket has near-zero recall, while the width-tuned radius recovers a
+# measured floor pinned by tests/test_sim_recall.py.  Near-duplicates
 # (cos ≥ 0.98) land in the exact bucket with p ≈ 0.96 per 6 bits.
-_LSH_BITS = 6  # 64 buckets
-_PROBE_RADIUS = 2
+_LSH_TARGET_BUCKET = 8
+_LSH_BITS_LO, _LSH_BITS_HI = 6, 10
 
-# XOR masks enumerating Hamming ball of radius _PROBE_RADIUS (22 probes
-# at 6 bits) — a literal list, so DuckDB replays the identical probe set.
-_PROBE_MASKS = sorted(
-    m for m in range(1 << _LSH_BITS) if bin(m).count("1") <= _PROBE_RADIUS
+
+def _lsh_bits(n_vectors: int) -> int:
+    """bits = clamp(ceil(log2(ceil(n / target))), lo, hi), integer-exact."""
+    m = max(2, (n_vectors + _LSH_TARGET_BUCKET - 1) // _LSH_TARGET_BUCKET)
+    return min(_LSH_BITS_HI, max(_LSH_BITS_LO, (m - 1).bit_length()))
+
+
+def _probe_radius(bits: int) -> int:
+    """Probe radius RE-TUNED WITH THE WIDTH: each extra bit flips with
+    the same per-bit probability (p ≈ 0.37 in this corpus' weak-similarity
+    regime), so holding radius fixed while bits grow collapses recall
+    (measured: 0.53 → 0.27 going 6→8 bits at radius 2).  Growing the
+    radius by 1 per 2 extra bits keeps the expected Hamming distance
+    covered — and the scanned bucket fraction roughly constant
+    (22/64 = 34% at 6 bits, 93/256 = 36% at 8, 386/1024 = 38% at 10)
+    while per-bucket population still shrinks with n."""
+    return 2 + (bits - _LSH_BITS_LO + 1) // 2
+
+
+# SQL twin of _lsh_bits (exact integer thresholds, no float log2)
+_LSH_BITS_SQL = (
+    "(SELECT CASE "
+    + " ".join(
+        f"WHEN m <= {1 << b} THEN {b}"
+        for b in range(_LSH_BITS_LO, _LSH_BITS_HI)
+    )
+    + f" ELSE {_LSH_BITS_HI} END FROM (SELECT greatest(2, (count(*)"
+    f" + {_LSH_TARGET_BUCKET - 1}) // {_LSH_TARGET_BUCKET}) AS m"
+    " FROM embeddings))"
 )
+
+
+def _probe_masks(bits: int) -> list[int]:
+    """XOR masks enumerating the Hamming ball of radius
+    ``_probe_radius(bits)`` (22 probes at 6 bits, 93 at 8) —
+    deterministic, so DuckDB replays the identical probe set for the
+    same derived width."""
+    r = _probe_radius(bits)
+    return sorted(m for m in range(1 << bits) if bin(m).count("1") <= r)
 
 
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,11 +138,11 @@ WHERE rank <= {_TOP_K}
 
 def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe sign-LSH ANN: bucket = sign bits of the leading
-    ``_LSH_BITS`` components; each query probes every bucket within
-    Hamming distance ``_PROBE_RADIUS`` of its own key and takes top-3 by
-    exact cosine among the candidates.  Deterministic stand-in for
-    random-hyperplane LSH (hyperplanes = coordinate axes) so DuckDB can
-    replay it exactly.
+    components (width derived from the corpus size — ``_lsh_bits``);
+    each query probes every bucket within Hamming distance
+    ``_probe_radius(bits)`` of its own key and takes top-3 by exact cosine
+    among the candidates.  Deterministic stand-in for random-hyperplane
+    LSH (hyperplanes = coordinate axes) so DuckDB can replay it exactly.
 
     Plan shape: the (few) queries fan out to (probes × queries) rows,
     broadcast against the bucketed corpus — an equi-join on the bucket
@@ -112,10 +150,12 @@ def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket and the probe masks are distinct, so no candidate dedup is
     needed."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    bits = _lsh_bits(emb.count())
+    masks = _probe_masks(bits)
 
     def bucket(col: str) -> F.Column:
         b = F.lit(0)
-        for i in range(_LSH_BITS):
+        for i in range(bits):
             b = b + F.when(
                 F.element_at(F.col(col), i + 1) >= 0, F.lit(1 << i)
             ).otherwise(F.lit(0))
@@ -134,7 +174,7 @@ def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("qe"),
             F.col("n2").alias("qn2"),
             F.col("bucket").alias("qbucket"),
-            F.explode(F.array(*[F.lit(m) for m in _PROBE_MASKS])).alias("mask"),
+            F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask"),
         )
         .select(
             "qid",
@@ -165,15 +205,31 @@ def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN {{col}}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
-    for i in range(_LSH_BITS)
-)
+def _bucket_sql(col: str, bits: int) -> str:
+    return "(" + " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    ) + ")"
+
+
+# bucket key and probe-mask list for the RUNTIME-derived width: CASE
+# over the clamped menu of widths, selected by the same corpus-count
+# rule as the Spark side (p.bits)
+_BUCKET_DERIVED = "(CASE (SELECT bits FROM p) " + " ".join(
+    f"WHEN {w} THEN {_bucket_sql('embedding', w)}"
+    for w in range(_LSH_BITS_LO, _LSH_BITS_HI + 1)
+) + " END)"
+
+_MASKS_DERIVED = "(CASE (SELECT bits FROM p) " + " ".join(
+    f"WHEN {w} THEN {_probe_masks(w)}"
+    for w in range(_LSH_BITS_LO, _LSH_BITS_HI + 1)
+) + " END)"
 
 SIM_ANN_SQL = f"""
-WITH corpus AS (
+WITH p AS (SELECT {_LSH_BITS_SQL} AS bits),
+corpus AS (
   SELECT vec_id, embedding,
-         CAST({_BUCKET_SQL.format(col='embedding')} AS INTEGER) AS bucket
+         CAST({_BUCKET_DERIVED} AS INTEGER) AS bucket
   FROM embeddings
 ),
 queries AS (
@@ -181,7 +237,7 @@ queries AS (
   FROM (
     SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
     FROM corpus WHERE vec_id < {_N_QUERIES}
-  ), unnest({list(_PROBE_MASKS)}) u(mask)
+  ), unnest({_MASKS_DERIVED}) u(mask)
 ),
 scored AS (
   SELECT q.qid, c.vec_id,

@@ -124,8 +124,10 @@ def test_ngram_jaccard_df_cap_below_join(spark, queries):
     the plan carries a Filter on the aggregated df (HAVING df <= cap), and
     both join inputs descend from the capped shingle set — bounding the
     per-shingle join fan-out to df² (the 100-TB quadratic-blowup guard)."""
-    from aind_hcr_data_transformation_spark.operators.dedup import _NGRAM_DF_CAP
+    from aind_hcr_data_transformation_spark.operators.dedup import _ngram_df_cap
+    from aind_hcr_data_transformation_spark.tables import load_table
 
+    cap = _ngram_df_cap(load_table(spark, SF, "documents").count())
     plan = plan_of(queries["dedup_ngram_jaccard"](spark, SF), "simple")
-    assert f"<= {_NGRAM_DF_CAP}" in plan  # the df HAVING survives into physical
+    assert f"<= {cap}" in plan  # the df HAVING survives into physical
     assert "CartesianProduct" not in plan
