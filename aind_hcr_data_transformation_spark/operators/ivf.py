@@ -44,6 +44,12 @@ _K = 8  # coarse-quantizer cells; scale rule: k ≈ n / target_bucket_size
 _ITERS = 3  # fixed Lloyd iterations (deterministic, unrollable)
 _N_QUERIES = 5
 _TOP_K = 3
+# Search probes the NPROBE nearest cells, not just the query's own:
+# nprobe=1 sacrifices recall at cell boundaries (a neighbor just across
+# the Voronoi face is invisible) — the standard IVF fix is multi-probe
+# (r3 task 6).  Candidate volume is nprobe·n/k rows per query; recall
+# vs brute force is pinned by tests/test_sim_recall.py.
+_NPROBE = 2
 
 
 def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -129,7 +135,9 @@ def _train(emb: DataFrame) -> DataFrame:
 def ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN end-to-end: train the codebook, assign every vector to
     its cell, then answer the standard 5 queries with exact cosine top-3
-    WITHIN the query's cell (nprobe=1).
+    over the ``_NPROBE`` nearest cells per query (multi-probe — rank ≤
+    nprobe in the same assignment window whose rank-1 is the cell
+    assignment).
 
     The oracle replays the identical Lloyd iterations as unrolled SQL
     CTEs — a differential test of the full iterative algorithm, not just
@@ -137,17 +145,41 @@ def ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
     codebook = _train(emb)
     assigned = _assign(emb, codebook).select("vec_id", "embedding", "cluster")
-    # three consumers (corpus scan, query extraction, search join) —
-    # materialize the assignment once
+    # two consumers (corpus scan, search join) — materialize the
+    # assignment once
     corpus = assigned.withColumn(
         "n2", spark_dot(F.col("embedding"), F.col("embedding"))
     )
     corpus = persist_tracked(corpus)
-    queries = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        F.col("n2").alias("qn2"),
+    # query probe list: the _NPROBE nearest cells per query vector —
+    # every corpus vector sits in exactly ONE cell and probe cells are
+    # distinct, so no candidate dedup is needed downstream
+    cents = codebook.select(
         "cluster",
+        "cemb",
+        spark_dot(F.col("cemb"), F.col("cemb")).alias("c2"),
+    )
+    qw = Window.partitionBy("vec_id").orderBy("score", "cluster")
+    queries = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cluster",
+            (
+                F.col("c2")
+                - F.lit(2) * spark_dot(F.col("embedding"), F.col("cemb"))
+            ).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= _NPROBE)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            spark_dot(F.col("embedding"), F.col("embedding")).alias("qn2"),
+            "cluster",
+        )
     )
     scored = (
         corpus.join(F.broadcast(queries), "cluster")
@@ -238,8 +270,15 @@ assigned AS (
   ) WHERE rn = 1
 ),
 queries AS (
-  SELECT vec_id AS qid, embedding AS qe, cluster FROM assigned
-  WHERE vec_id < {_N_QUERIES}
+  SELECT vec_id AS qid, embedding AS qe, cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_score('e.embedding', 'c.cemb')}, c.cluster
+           ) AS rn
+    FROM embeddings e CROSS JOIN c{final} c
+    WHERE e.vec_id < {_N_QUERIES}
+  ) WHERE rn <= {_NPROBE}
 ),
 scored AS (
   SELECT q.qid, a.vec_id, a.cluster,

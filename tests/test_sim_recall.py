@@ -44,3 +44,25 @@ def test_ann_multiprobe_recall_vs_bruteforce(spark, queries):
         f"multi-probe ANN recall {recall:.2f} fell below {_RECALL_FLOOR} "
         f"(missed {sorted(exact - ann)})"
     )
+
+
+def test_ivf_multiprobe_recall_vs_bruteforce(spark, queries):
+    """IVF with nprobe=2 must reach at least the sign-LSH recall floor:
+    nprobe=1 loses neighbors just across Voronoi faces; probing the 2
+    nearest cells is the standard fix (r3 task 6)."""
+    from aind_hcr_data_transformation_spark.cache import release_persists
+
+    exact = {
+        (r.qid, r.vec_id)
+        for r in queries["sim_cosine_topk"](spark, SF).collect()
+        if r.rank <= 3
+    }
+    ivf = {
+        (r.qid, r.vec_id) for r in queries["ivf_kmeans_ann"](spark, SF).collect()
+    }
+    release_persists()
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= _RECALL_FLOOR, (
+        f"IVF nprobe=2 recall {recall:.2f} fell below {_RECALL_FLOOR} "
+        f"(missed {sorted(exact - ivf)})"
+    )
