@@ -217,10 +217,23 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the flags hash-compare. A drifting sketch on either side flips
     its flag and fails the gate. The flag is derived in a post-agg select
     so each distinct aggregate appears exactly once in the plan.
+
+    Plan shape (r3 task 7 — this query had regressed to 1.6 s): mixing
+    ``countDistinct`` with another aggregate makes Spark plan an Expand
+    (every input row duplicated once per aggregate family) before the
+    shuffle.  HLL insertion is IDEMPOTENT — the sketch over the distinct
+    (flag, partkey) pairs has bit-identical registers to the sketch over
+    the raw rows — so both aggregates run on one pre-deduplicated pair
+    relation instead: a partial-dedup aggregate with map-side combine,
+    then a plain count + HLL merge.  No Expand, one shuffle of ~distinct
+    pairs instead of 2× raw rows; rsd stays 0.02 (2σ = 4% < the 5% flag;
+    the measured sf0.1 error is ≈ 1%, vs 4.4% at rsd = 0.03 —
+    uncomfortably close to a flag flip).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    pairs = li.select("l_returnflag", "l_partkey").distinct()
+    g = pairs.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("exact_parts"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
     )
     return g.select(
