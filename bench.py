@@ -67,6 +67,51 @@ def _load_prior(repo: Path, sf_val: object) -> dict[str, float]:
     return prior
 
 
+def _bench_pipeline(spark) -> dict[str, float]:
+    """Timed multi-stack zarr conversion — the pipeline layer (the
+    reference's actual capability, ``czi_to_zarr.py:457-653``) gets a
+    tracked number like every query (r3 task 3).
+
+    Geometry: N stacks of 512³ uint16 (256 MiB of level-0 voxels each;
+    default N=8 → 2 GiB), chunk 128³ (the reference default), 3 pyramid
+    levels, written to a throwaway local zarr store. Sized by
+    ``SPARK_GRAFT_PIPE_GB`` (0 disables)."""
+    import shutil
+    import tempfile
+
+    from aind_hcr_data_transformation_spark.config import ZarrConversionSettings
+    from aind_hcr_data_transformation_spark.pipeline import (
+        convert_synthetic_stacks,
+    )
+
+    gb = float(os.environ.get("SPARK_GRAFT_PIPE_GB", "2"))
+    if gb <= 0:
+        return {}
+    n_stacks = max(1, round(gb * 4))  # 0.25 GiB per 512^3 uint16 stack
+    side = 512
+    out = tempfile.mkdtemp(prefix="bench_zarr_")
+    settings = ZarrConversionSettings(
+        output_directory=out,
+        chunk_size=(128, 128, 128),
+        scale_factor=(2, 2, 2),
+        downsample_levels=3,
+    )
+    stacks = {f"bench_s{i:02d}": (side, side, side) for i in range(n_stacks)}
+    level0_bytes = n_stacks * side**3 * 2
+    t0 = time.perf_counter()
+    try:
+        convert_synthetic_stacks(spark, settings, stacks)
+        sec = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return {
+        "sec": sec,
+        "gib": round(level0_bytes / 2**30, 3),
+        "mib_per_s": round(level0_bytes / 2**20 / sec, 1),
+        "n_stacks": n_stacks,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repo = Path(__file__).resolve().parent
@@ -99,6 +144,13 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
+    # pipeline-layer conversion, timed AFTER the query loop so query
+    # numbers are unaffected; reported as its own sidecar section (not
+    # summed into the query-total metric the baseline comparison uses)
+    pipe = _bench_pipeline(spark)
+    if pipe:
+        print(f"pipe_e2e_convert: {pipe}", file=sys.stderr)
+
     prior = _load_prior(repo, sf_val)
     regressions = {
         q: [prior[q], t]
@@ -111,6 +163,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "pipeline": {"pipe_e2e_convert": pipe} if pipe else {},
         "sf": sf_val,
         "regressions": regressions,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
@@ -128,6 +181,9 @@ def main() -> None:
         "regressions": regressions,
         "detail": "BENCH_DETAIL.json",
     }
+    if pipe:
+        line_doc["pipe_e2e_convert_sec"] = pipe["sec"]
+        line_doc["pipe_e2e_convert_mib_per_s"] = pipe["mib_per_s"]
     line = json.dumps(line_doc)
     if len(line) > _MAX_LINE_BYTES:
         # keep only the worst regressions (largest slowdown ratio)
