@@ -38,7 +38,7 @@ from ..functions.vectors import (
     spark_dot,
     sql_cosine,
 )
-from ..tables import load_table
+from ..tables import load_table, table_count
 
 # ---------------------------------------------------------------------------
 # corpus with planted near-duplicates
@@ -374,7 +374,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_with_mutants(spark, sf_dir)
     # derive the df cap from the raw table's row count (a metadata-only
     # parquet count) — same rule the oracle computes in SQL
-    df_cap = _ngram_df_cap(load_table(spark, sf_dir, "documents").count())
+    df_cap = _ngram_df_cap(table_count(spark, sf_dir, "documents"))
     sh_all = persist_tracked(_shingles(corpus))
     rare = (
         sh_all.groupBy("sid")
@@ -576,7 +576,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines (functions/vectors.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     # band width derived from the corpus size (same rule as the oracle)
-    bits = _emb_bits(emb.count())
+    bits = _emb_bits(table_count(spark, sf_dir, "embeddings"))
     mutants = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + _MUT_OFFSET).alias("vec_id"),
         F.concat(

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.compat import dround
 from ..functions.vectors import spark_cosine_prenorm, spark_dot, sql_cosine
-from ..tables import load_table
+from ..tables import load_table, table_count
 
 _N_QUERIES = 5
 _TOP_K = 10
@@ -150,7 +150,7 @@ def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket and the probe masks are distinct, so no candidate dedup is
     needed."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    bits = _lsh_bits(emb.count())
+    bits = _lsh_bits(table_count(spark, sf_dir, "embeddings"))
     masks = _probe_masks(bits)
 
     def bucket(col: str) -> F.Column:
