@@ -1108,9 +1108,9 @@ def upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the customer snapshot via latest-wins dedup + full-outer join +
     coalesce — the CDC-apply pattern every lakehouse pipeline runs.
 
-    Latest-wins uses integer MICROsecond epochs on both engines (the
-    parquet ts is nanos; Spark floors to micros at load, so comparing
-    raw nanos in the oracle could break ties differently), with event_id
+    Latest-wins uses integer MICROsecond epochs on both engines (micros is
+    the post-load ts contract regardless of the fixture's parquet
+    encoding — see tables.load_table), with event_id
     as the final tiebreak.  Scale: one window shuffle on the change
     stream (bounded by batch size, not table size) + one key-partitioned
     outer join; at 100 TB the snapshot join is sort-merge on the key and

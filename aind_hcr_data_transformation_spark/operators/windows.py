@@ -359,9 +359,9 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage k's candidates join stage k-1 and keep strictly-later events
     (min again) — two key-partitioned joins on user_id, state one row
     per user per stage.  Timestamps compare as integer MICROsecond
-    epochs on both engines (parquet ts is nanos; Spark floors to micros
-    at load — comparing raw nanos in the oracle would break
-    same-microsecond ties differently).  Output is one row of funnel
+    epochs on both engines (micros is the post-load ts contract
+    regardless of the fixture's parquet encoding — see
+    tables.load_table).  Output is one row of funnel
     counts and step conversion rates (single IEEE divisions)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("tsu"), "event_type"

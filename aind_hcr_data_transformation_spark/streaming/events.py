@@ -33,16 +33,33 @@ from ..operators.windows import EVW_SESSION_SQL, EVW_TUMBLING_SQL
 
 
 def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``readStream`` over the events parquet with the declared schema and
-    the nanos→micros conversion of tables.load_table."""
+    """``readStream`` over the events parquet with the declared schema,
+    handling both fixture ts encodings exactly like tables.load_table."""
+    from pyspark.sql import types as T
+
+    from ..tables import events_ts_is_nanos
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nanos = events_ts_is_nanos(f"{sf_dir}/events.parquet")
+    schema = (
+        T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in SCHEMAS["events"]
+            ]
+        )
+        if nanos
+        else SCHEMAS["events"]
+    )
     # file streams take a directory; glob-filter down to the events table
     raw = (
-        spark.readStream.schema(SCHEMAS["events"])
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if nanos:
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 

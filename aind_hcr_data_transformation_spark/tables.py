@@ -94,15 +94,18 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # events.ts is parquet TIMESTAMP(NANOS, isAdjustedToUTC=false), which
-    # Spark's vectorized reader cannot decode as TimestampType; it is read
-    # as raw nanos (spark.sql.legacy.parquet.nanosAsLong=true, set in
-    # session.py) and converted to micros in load_table — the same floor
-    # truncation DuckDB applies.
+    # events.ts: fixture generations have shipped it both as plain
+    # TIMESTAMP(MICROS) and as TIMESTAMP(NANOS, isAdjustedToUTC=false).
+    # Spark's vectorized reader cannot decode the NANOS flavor as
+    # TimestampType, so load_table sniffs the parquet footer and, for
+    # nanos files only, reads raw longs
+    # (spark.sql.legacy.parquet.nanosAsLong=true, set in session.py) and
+    # floors to micros — the same truncation DuckDB applies. The declared
+    # TimestampType below is the post-load contract either way.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -126,6 +129,23 @@ SCHEMAS: dict[str, T.StructType] = {
         ]
     ),
 }
+
+
+# memoized footer sniff: one pyarrow metadata read per events file path,
+# on the driver, to pick the decode branch for the ts column.
+_TS_NANOS_CACHE: dict[str, bool] = {}
+
+
+def events_ts_is_nanos(path: str) -> bool:
+    """True when ``path``'s ``ts`` column is TIMESTAMP(NANOS) (legacy
+    fixture encoding that Spark must read as raw longs), False for the
+    directly-decodable MICROS/MILLIS encodings."""
+    if path not in _TS_NANOS_CACHE:
+        import pyarrow.parquet as pq
+
+        field = pq.ParquetFile(path).schema_arrow.field("ts")
+        _TS_NANOS_CACHE[path] = str(field.type) in ("timestamp[ns]", "int64")
+    return _TS_NANOS_CACHE[path]
 
 
 def load_table(
@@ -156,13 +176,22 @@ def load_table(
     # The driver hands queries a session we didn't build; timestamp semantics
     # must not depend on its timezone config (oracle agreement needs UTC).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events" and events_ts_is_nanos(path):
         from pyspark.sql import functions as F
 
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in SCHEMAS[name]
+            ]
+        )
+        df = spark.read.schema(schema).parquet(path)
         # integer `div`, not `/`: nano epochs (~1.7e18) exceed double's 2^53
         # exact-integer range, so float division drifts by ±1 µs.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        df = spark.read.schema(SCHEMAS[name]).parquet(path)
     if spread:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
