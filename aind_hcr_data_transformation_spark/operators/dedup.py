@@ -889,51 +889,73 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     Language Models Better" (Lee et al. 2022): find document pairs that
     share a verbatim run of ≥ ``_SUBSTR_MIN`` tokens.
 
-    Shape: positional 20-gram md5s → document-frequency cap BEFORE the
-    self-join (the same quadratic-blowup guard as ``dedup_ngram_jaccard``)
-    → inverted-index pair join → per (pair, diagonal pa−pb) the matched
-    start positions form consecutive runs, recovered with the
-    gaps-and-islands window (``pos − row_number``) — a shared run of r
-    grams is a shared substring of r+19 tokens.  All shuffles key on
-    gram hash or (pair, diagonal); state is bounded by actual matches,
+    Shape: positional 20-gram hashes → ONE aggregation per gram that both
+    enforces the document-frequency cap (the same quadratic-blowup guard
+    as ``dedup_ngram_jaccard``) and emits the candidate pairs: the
+    posting list is ``collect_list``-ed (bounded at ``_SUBSTR_DF_CAP``
+    occurrences, so group state is O(cap)), then i<j combinations are
+    generated with array lambdas — no df-census join-back and no
+    self-join, so the gram relation is shuffled exactly once.  Per
+    (pair, diagonal pa−pb) the matched start positions form consecutive
+    runs, recovered with the gaps-and-islands window
+    (``pos − row_number``) — a shared run of r grams is a shared
+    substring of r+19 tokens.  State is bounded by actual matches,
     never corpus size.  Matches are exact (no sketch): the planted
     mutants (suffix copies) are recovered with their true overlap
     length."""
     corpus = _corpus_with_mutants(spark, sf_dir)
-    t = F.split(F.col("text"), " ")
-    grams = (
-        corpus.filter(F.size(t) >= _SUBSTR_K)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(t) - (_SUBSTR_K - 1)),
-                    lambda i: F.array_join(
-                        F.slice(F.split(F.col("text"), " "), i, F.lit(_SUBSTR_K)),
-                        " ",
-                    ),
-                )
-            ).alias("pos", "gram"),
-        )
-        .select("doc_id", "pos", F.md5("gram").alias("g"))
+    # tokenize ONCE into a materialized column: the gram window below
+    # slices this array per position — inlining the split would re-split
+    # the text O(tokens) times per row inside the lambda.  Gram identity
+    # is xxhash64 (8-byte int shuffle key; collision odds over a 100-TB
+    # corpus' ~1e12 grams are ~1e-7 — and a collision only merges two
+    # candidate groups, the run-length filter still bounds the damage).
+    toks = corpus.select("doc_id", F.split(F.col("text"), " ").alias("t")).filter(
+        F.size("t") >= _SUBSTR_K
     )
-    df_ok = (
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (_SUBSTR_K - 1)),
+                lambda i: F.xxhash64(
+                    F.array_join(F.slice(F.col("t"), i, F.lit(_SUBSTR_K)), " ")
+                ),
+            )
+        ).alias("pos", "g"),
+    )
+    # collect_list caps at df+1 entries via the size filter below; groups
+    # over the cap are dropped whole (hot grams carry no pair signal, and
+    # unbounded groups are exactly the state blowup the cap exists for).
+    posting = (
         grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _SUBSTR_DF_CAP)
-        .select("g")
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("m"))
+        .filter(F.size("m") <= _SUBSTR_DF_CAP)
     )
-    g2 = grams.join(df_ok, "g")
-    pairs = (
-        g2.alias("a")
-        .join(g2.alias("b"), "g")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.pos").alias("pa"),
-            F.col("b.pos").alias("pb"),
-        )
+    m = F.col("m")
+    combos = F.filter(
+        F.flatten(
+            F.transform(
+                m,
+                lambda x, i: F.transform(
+                    F.slice(m, i + 2, _SUBSTR_DF_CAP),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("da"),
+                        x["pos"].alias("qa"),
+                        y["doc_id"].alias("db"),
+                        y["pos"].alias("qb"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["da"] != p["db"],
+    )
+    lt = F.col("p.da") < F.col("p.db")
+    pairs = posting.select(F.explode(combos).alias("p")).select(
+        F.least("p.da", "p.db").alias("id_a"),
+        F.greatest("p.da", "p.db").alias("id_b"),
+        F.when(lt, F.col("p.qa")).otherwise(F.col("p.qb")).alias("pa"),
+        F.when(lt, F.col("p.qb")).otherwise(F.col("p.qa")).alias("pb"),
     )
     diag = F.col("pa") - F.col("pb")
     w = Window.partitionBy("id_a", "id_b", diag).orderBy("pa")

@@ -79,12 +79,12 @@ def pipe_partition_roundrobin(spark: SparkSession, sf_dir: str) -> DataFrame:
     global rank of ``path`` — never ``monotonically_increasing_id``
     (SURVEY §7 hard-part 5). Computed by
     :func:`~..plans.partitioning.assign_round_robin`'s TWO-PHASE ordinal
-    (range-shuffle parallel sort → per-partition ``row_number`` +
-    broadcast prefix-sum offsets), not a global single-reducer window —
-    identical output, scales past catalog size. The oracle pins the
-    multiset-per-partition invariant the reference's own tests check
-    (``tests/test_zeiss_job.py:43-57``) via the equivalent single-sort
-    SQL formulation.
+    (range-shuffle parallel sort → per-partition ``row_number`` + a
+    one-row broadcast census folded into offsets with array lambdas),
+    not a global single-reducer window — identical output, scales past
+    catalog size. The oracle pins the multiset-per-partition invariant
+    the reference's own tests check (``tests/test_zeiss_job.py:43-57``)
+    via the equivalent single-sort SQL formulation.
     """
     from ..plans.partitioning import assign_round_robin
 

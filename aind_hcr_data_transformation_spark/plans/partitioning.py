@@ -32,7 +32,7 @@ def partition_list(items: Sequence[T], n_partitions: int) -> list[list[T]]:
 
 
 def assign_round_robin(
-    df: DataFrame, n_partitions: int, order_by: str = "path"
+    df: DataFrame, n_partitions: int, order_by: str = "path", small: bool = False
 ) -> DataFrame:
     """Distributed twin: adds ``partition_id`` from the global rank of
     ``order_by`` — the explicit total order makes the assignment
@@ -58,10 +58,25 @@ def assign_round_robin(
     Equal keys land in one range partition (RangePartitioner splits on
     key boundaries), so the result is identical to the single-sort
     formulation, including tie behavior.
+
+    ``small=True`` is the caller's assertion that ``df`` is
+    metadata-scale (a stack catalog, a source list — thousands of rows,
+    not a fact table): it takes the single global-window formulation,
+    which is one job instead of the two-phase plan's three (range-bound
+    sampling, count collect, ordinal join) and therefore faster below
+    ~1e6 rows, at the cost of funneling rows through one task — never
+    pass it for data-scale inputs.
     """
     if n_partitions <= 0:
         raise ValueError(f"n_partitions must be positive, got {n_partitions}")
     key = F.col(order_by)
+    if small:
+        return df.withColumn(
+            "partition_id",
+            ((F.row_number().over(Window.orderBy(key)) - 1) % n_partitions).cast(
+                "int"
+            ),
+        )
     ranged = df.repartitionByRange(key).sortWithinPartitions(key)
     local = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
         "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(key))

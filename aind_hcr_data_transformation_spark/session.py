@@ -70,6 +70,15 @@ def get_spark(
     builder = builder.config(
         "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     )
+    # Long sessions compile hundreds of distinct wholestage-codegen classes
+    # (one registry sweep = ~114 queries); the JVM's default 240 MB reserved
+    # code cache fills, JIT compilation stops, and every later CPU-bound
+    # query runs interpreted at 5-15x cost. Reserve a real code cache and
+    # let the sweeper reclaim cold compiled methods.
+    builder = builder.config(
+        "spark.driver.extraJavaOptions",
+        "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+    )
     if master is not None:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER_URL"):

@@ -162,6 +162,30 @@ class TestAssignRoundRobin:
         }
         assert got == expect
 
+    def test_small_path_matches_two_phase(self, spark):
+        """``small=True`` (single-window metadata-scale fast path) must
+        produce the identical assignment as the default two-phase plan."""
+        from aind_hcr_data_transformation_spark.cache import release_persists
+        from aind_hcr_data_transformation_spark.plans.partitioning import (
+            assign_round_robin,
+        )
+
+        paths = [f"SPIM/s{i % 5}_{i:03d}.czi" for i in range(31)] + [
+            "SPIM/dup.czi"
+        ] * 3
+        df = spark.createDataFrame([(p,) for p in paths], "path string")
+        n = 3
+        small = {
+            (r["path"], r["partition_id"])
+            for r in assign_round_robin(df, n, small=True).collect()
+        }
+        two_phase = {
+            (r["path"], r["partition_id"])
+            for r in assign_round_robin(df, n).collect()
+        }
+        release_persists()
+        assert small == two_phase
+
     def test_invalid_n(self, spark):
         from aind_hcr_data_transformation_spark.plans.partitioning import (
             assign_round_robin,
