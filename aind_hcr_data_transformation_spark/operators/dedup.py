@@ -366,23 +366,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity over that universe.  The filter runs before the self-join
     (asserted by ``tests/test_physical_plans.py``).
 
-    Both shingle relations are ``persist()``-ed: the raw one feeds the
-    df-aggregate and the cap join, the capped one feeds sizes and both
-    self-join sides — five consumers that would otherwise each re-run
-    the scan+explode (the materialize-the-inverted-index move every
-    production pipeline makes)."""
+    The df cut is a window count over ``sid`` — one shuffle produces the
+    capped shingle set directly (no separate df-aggregate + join-back),
+    and that set is ``persist()``-ed once for its three consumers (sizes
+    and both self-join sides — the materialize-the-inverted-index move
+    every production pipeline makes).  The pair generation stays a
+    streamed self-join, NOT a per-shingle collect_list: the derived cap
+    reaches 10k at corpus scale, and df² pairs must stream through the
+    join, never materialize as one in-memory array per shingle."""
     corpus = _corpus_with_mutants(spark, sf_dir)
     # derive the df cap from the raw table's row count (a metadata-only
     # parquet count) — same rule the oracle computes in SQL
     df_cap = _ngram_df_cap(table_count(spark, sf_dir, "documents"))
-    sh_all = persist_tracked(_shingles(corpus))
-    rare = (
-        sh_all.groupBy("sid")
-        .agg(F.count(F.lit(1)).alias("df"))
+    sh = persist_tracked(
+        _shingles(corpus)
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sid")))
         .filter(F.col("df") <= F.lit(df_cap))
-        .select("sid")
+        .drop("df")
     )
-    sh = persist_tracked(sh_all.join(rare, "sid"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     s1 = sh.select(F.col("doc_id").alias("doc1"), "sid")
     s2 = sh.select(F.col("doc_id").alias("doc2"), "sid")

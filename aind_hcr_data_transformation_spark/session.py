@@ -45,6 +45,16 @@ _DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     # Off-heap friendly UI noise reduction for bench runs.
     "spark.ui.showConsoleProgress": "false",
+    # Headless engine: no UI server, and tight listener retention. The
+    # app-status and SQL listeners otherwise retain ~1000 executions'
+    # plan strings and per-task metrics; over a 114-query sweep that is
+    # hundreds of MB of driver heap and a growing listener-bus backlog
+    # that progressively slows late queries.
+    "spark.ui.enabled": "false",
+    "spark.sql.ui.retainedExecutions": "10",
+    "spark.ui.retainedJobs": "50",
+    "spark.ui.retainedStages": "50",
+    "spark.ui.retainedTasks": "500",
 }
 
 
