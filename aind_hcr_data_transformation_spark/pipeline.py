@@ -4,10 +4,12 @@
 Spark stages instead of SLURM partitions:
 
 stage 0   block-index DataFrame (all stacks at once — the scheduler
-          replaces ``num_of_partitions``/``partition_to_process``)
-stage 1   distributed slab read (``mapInPandas``) which WRITES level-0
-          zarr regions and EMITS the windowed-mean-pooled next level in
-          the same Python invocation (fused write-and-pool)
+          replaces ``num_of_partitions``/``partition_to_process``);
+          only INDEX rows (bounds, no payload) enter the exchange
+stage 1   one ``mapInPandas`` that BIRTHS each level-0 tile (synthetic
+          ramp, or the codec read on a czifile deployment), writes its
+          zarr region, and EMITS the windowed-mean-pooled next level —
+          gen+write+pool in a single Python invocation
 stage k   shuffle-coalesce pooled tiles onto the base chunk grid →
           write level k, emit pooled level k+1
 finally   OME-NGFF group metadata (omero + multiscales, driver-side)
@@ -16,10 +18,12 @@ The whole pyramid is ONE Spark job driven by one action: shuffle
 boundaries between levels materialize each (8×-smaller) level exactly
 once, replacing the reference's per-level write-then-read-back
 (``czi_to_zarr.py:623-635``, SURVEY §4 X7).  The fusion matters at both
-ends of the scale: full-resolution voxels never cross the
-Python↔JVM Arrow boundary after birth (measured ~55 MiB/s for multi-MB
-binary rows JVM→Python — the round-trip made the unfused design
-~4× slower end-to-end), and at 100 TB level 0 never shuffles at all.
+ends of the scale: full-resolution voxels NEVER cross the Python↔JVM
+Arrow boundary (measured ~55 MiB/s per direction for multi-MB binary
+rows; a separate read stage feeding the write stage paid it twice and
+capped the 2 GiB local benchmark at ~30 MiB/s — fusing gen into the
+write stage lifted it to ~115 MiB/s), and at 100 TB level 0 never
+shuffles at all: only the 8×-smaller pooled tiles do.
 """
 
 from __future__ import annotations
@@ -112,7 +116,7 @@ def _convert_pyramid(
     unfused design relied on)."""
     from .operators.blockwise import windowed_mean_nd
     from .sinks.zarr_sink import init_array, write_region
-    from .sources.czi import BLOCK_SCHEMA, block_index, read_blocks
+    from .sources.czi import BLOCK_SCHEMA, block_index, synthetic_ramp_block
 
     cz, cy, cx = settings.chunk_size
     fz, fy, fx = settings.scale_factor
@@ -130,7 +134,13 @@ def _convert_pyramid(
         "stack_name string, z_extent int, y_extent int, x_extent int",
     )
     n_part = min(64, max(4, spark.sparkContext.defaultParallelism))
-    blocks = read_blocks(block_index(catalog, base_chunk).repartition(n_part), dtype=dtype)
+    # level 0 streams the INDEX (tiny rows), not materialized payloads:
+    # the write stage below births each tile in the same Python worker
+    # that writes it, so full-resolution voxels never cross the
+    # Python↔JVM Arrow boundary at all (measured ~55 MiB/s per direction
+    # for multi-MB binary rows — a gen→Arrow→write chain paid it twice
+    # and was the end-to-end bottleneck).
+    blocks = block_index(catalog, base_chunk).repartition(n_part)
 
     for lvl in range(max(depths.values())):
         alive = {n: s for n, s in shapes.items() if lvl < depths[n]}
@@ -149,19 +159,38 @@ def _convert_pyramid(
         lvl_str = str(lvl)
 
         def write_and_pool(
-            batches, _out=out_dir, _lvl=lvl_str, _metas=metas, _pool=pool
+            batches,
+            _out=out_dir,
+            _lvl=lvl_str,
+            _metas=metas,
+            _pool=pool,
+            _gen=(lvl == 0),
+            _dtype=dtype,
         ):
             import pandas as pd
 
             cols = [f.name for f in BLOCK_SCHEMA.fields]
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
-                    arr = np.frombuffer(
-                        row.block, dtype=np.dtype(row.dtype)
-                    ).reshape(tuple(row.shape))
+                    if _gen:
+                        # level 0: the tile is BORN here (synthetic ramp /
+                        # codec read), written in the same invocation —
+                        # no Arrow crossing for full-res voxels
+                        core = synthetic_ramp_block(
+                            row.z0, row.z1, row.y0, row.y1, row.x0, row.x1,
+                            _dtype,
+                        )
+                        arr = core[None, None]
+                        t = c = 0
+                        dt_tag = _dtype
+                    else:
+                        arr = np.frombuffer(
+                            row.block, dtype=np.dtype(row.dtype)
+                        ).reshape(tuple(row.shape))
+                        t, c, dt_tag = row.t, row.c, row.dtype
                     write_region(
                         os.path.join(_out, f"{row.stack_name}.zarr", _lvl),
-                        (row.t, row.c, row.z0, row.y0, row.x0),
+                        (t, c, row.z0, row.y0, row.x0),
                         arr,
                         meta=_metas[row.stack_name],
                     )
@@ -176,8 +205,8 @@ def _convert_pyramid(
                         [
                             {
                                 "stack_name": row.stack_name,
-                                "t": row.t,
-                                "c": row.c,
+                                "t": t,
+                                "c": c,
                                 "z0": row.z0 // fz,
                                 "z1": row.z0 // fz + red.shape[0],
                                 "y0": row.y0 // fy,
@@ -185,7 +214,7 @@ def _convert_pyramid(
                                 "x0": row.x0 // fx,
                                 "x1": row.x0 // fx + red.shape[2],
                                 "shape": [1, 1, *red.shape],
-                                "dtype": row.dtype,
+                                "dtype": dt_tag,
                                 "block": red.tobytes(),
                             }
                         ],
