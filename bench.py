@@ -200,7 +200,17 @@ def main() -> None:
     }
     (repo / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))
     with open(repo / "BENCH_HISTORY.jsonl", "a") as fh:
-        fh.write(json.dumps({"queries": timings, "sf": sf_val}) + "\n")
+        fh.write(
+            json.dumps(
+                {
+                    "queries": timings,
+                    "sf": sf_val,
+                    "calib_sec": calib_sec,
+                    "ts": detail["ts"],
+                }
+            )
+            + "\n"
+        )
 
     line_doc = {
         "metric": "total_query_wall_seconds",
