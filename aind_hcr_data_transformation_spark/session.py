@@ -89,6 +89,13 @@ def get_spark(
         "spark.driver.extraJavaOptions",
         "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
     )
+    # executors JIT the same generated classes; on a real cluster each
+    # executor JVM needs the same headroom (local mode ignores this —
+    # executors live in the driver JVM).
+    builder = builder.config(
+        "spark.executor.extraJavaOptions",
+        "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+    )
     if master is not None:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER_URL"):

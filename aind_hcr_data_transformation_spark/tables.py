@@ -180,6 +180,9 @@ def load_table(
     if name == "events" and events_ts_is_nanos(path):
         from pyspark.sql import functions as F
 
+        # the driver hands queries a session we didn't build; the nanos
+        # long-read needs this legacy flag and it is runtime-settable
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = T.StructType(
             [
                 f if f.name != "ts" else T.StructField("ts", T.LongType())
