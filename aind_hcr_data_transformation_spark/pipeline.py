@@ -292,7 +292,29 @@ def convert_synthetic_stack(
     # at czi_to_zarr.py:630-640 — chunks never shrink with the pyramid;
     # the fused one-job pyramid writer does the rest
     _convert_pyramid(spark, settings, {stack_name: (z_extent, y, x)}, dtype)
+    _mark_complete(group_path)
     return group_path
+
+
+#: stack-completion sentinel (the Hadoop ``_SUCCESS`` convention): written
+#: into the group directory after every pyramid level of that stack is
+#: durable. Zarr readers ignore unknown keys.
+SUCCESS_MARKER = "_SUCCESS"
+
+
+def stack_is_complete(group_url: str) -> bool:
+    """True when ``group_url`` carries the completion sentinel."""
+    from .sinks.store import resolve
+
+    store, path = resolve(group_url)
+    return store.exists(store.join(path, SUCCESS_MARKER))
+
+
+def _mark_complete(group_url: str) -> None:
+    from .sinks.store import resolve
+
+    store, path = resolve(group_url)
+    store.write_bytes(store.join(path, SUCCESS_MARKER), b"")
 
 
 def convert_synthetic_stacks(
@@ -301,6 +323,7 @@ def convert_synthetic_stacks(
     stacks: dict[str, tuple[int, int, int]],
     voxel_size: tuple[float, float, float] = (1.0, 1.0, 1.0),
     dtype: str = "uint16",
+    resume: bool = False,
 ) -> dict[str, str]:
     """Convert MANY stacks in ONE Spark job per pyramid level — the
     Spark-first restatement of the reference's outer loop.
@@ -315,6 +338,19 @@ def convert_synthetic_stacks(
     ``stacks`` maps stack_name → (z, y, x) extents. Returns name → group
     path. Per-stack array routing happens inside the sink task (the
     array path derives from ``stack_name``).
+
+    Restart semantics, the 100-TB operational story:
+
+    - WITHIN a job, chunk writes are chunk-aligned and byte-deterministic,
+      so Spark task retries and speculative duplicates are idempotent.
+    - ACROSS jobs, each stack's group gets a ``_SUCCESS`` sentinel after
+      all its levels are durable; ``resume=True`` skips sentinel-carrying
+      stacks entirely (no metadata rewrite, no voxel rewrite) and
+      reconverts only the rest — a killed 10,000-stack conversion restarts
+      at the granularity the reference's per-stack outer loop would,
+      without its per-node bookkeeping. A stack with partial data but no
+      sentinel is reconverted from scratch, which the deterministic chunk
+      writes make safe.
     """
     cz, cy, cx = settings.chunk_size
     fz, fy, fx = settings.scale_factor
@@ -322,10 +358,17 @@ def convert_synthetic_stacks(
     out_dir = settings.output_directory
 
     group_paths: dict[str, str] = {}
-    shapes: dict[str, list[int]] = {}
+    todo: dict[str, tuple[int, int, int]] = {}
     for name, (z, y, x) in stacks.items():
         group = os.path.join(out_dir, f"{name}.zarr")
         group_paths[name] = group
+        if resume and stack_is_complete(group):
+            continue
+        todo[name] = (z, y, x)
+
+    shapes: dict[str, list[int]] = {}
+    for name, (z, y, x) in todo.items():
+        group = group_paths[name]
         shapes[name] = [1, 1, z, y, x]
         init_group(group)
         minmax = dtype_minmax(dtype)
@@ -348,6 +391,9 @@ def convert_synthetic_stacks(
         validate_multiscales(attrs)
         write_attrs(group, attrs)
 
-    # the fused one-job pyramid writer (per-stack depth clamp included)
-    _convert_pyramid(spark, settings, stacks, dtype)
+    if todo:
+        # the fused one-job pyramid writer (per-stack depth clamp included)
+        _convert_pyramid(spark, settings, todo, dtype)
+        for name in todo:
+            _mark_complete(group_paths[name])
     return group_paths

@@ -138,6 +138,53 @@ def test_multi_stack_single_job(spark, tmp_path):
         )
 
 
+def test_resume_skips_complete_stacks_and_reconverts_partial(
+    spark, tmp_path
+):
+    """Job-restart semantics: sentinel-carrying stacks are untouched by a
+    resume (no rewrite — pinned by chunk mtime), sentinel-less stacks are
+    reconverted from scratch and end voxel-exact."""
+    import os
+
+    from aind_hcr_data_transformation_spark.pipeline import (
+        SUCCESS_MARKER,
+        convert_synthetic_stacks,
+        stack_is_complete,
+    )
+
+    settings = ZarrConversionSettings(
+        output_directory=str(tmp_path),
+        chunk_size=(16, 16, 16),
+        scale_factor=(2, 2, 2),
+        downsample_levels=2,
+    )
+    shapes = {"sA": (32, 32, 32), "sB": (32, 16, 16)}
+    groups = convert_synthetic_stacks(spark, settings, shapes)
+    assert all(stack_is_complete(g) for g in groups.values())
+
+    # simulate a crash mid-sB: drop its sentinel and corrupt a chunk
+    os.remove(os.path.join(groups["sB"], SUCCESS_MARKER))
+    victim = os.path.join(groups["sB"], "0", "0", "0", "0", "0", "0")
+    os.remove(victim)
+    untouched_chunk = os.path.join(
+        groups["sA"], "0", "0", "0", "0", "0", "0"
+    )
+    mtime_before = os.path.getmtime(untouched_chunk)
+
+    groups2 = convert_synthetic_stacks(spark, settings, shapes, resume=True)
+    assert groups2 == groups
+    assert os.path.getmtime(untouched_chunk) == mtime_before  # sA skipped
+    assert stack_is_complete(groups["sB"])
+    golden = synthetic_ramp_block(0, 32, 16, 16)
+    np.testing.assert_array_equal(
+        read_array(f"{groups['sB']}/0")[0, 0], golden
+    )
+    np.testing.assert_array_equal(
+        read_array(f"{groups['sB']}/1")[0, 0],
+        windowed_mean_nd(golden, (2, 2, 2)),
+    )
+
+
 def test_metadata_matches_written_levels_when_pyramid_bottoms_out(
     spark, tmp_path
 ):
@@ -164,7 +211,9 @@ def test_metadata_matches_written_levels_when_pyramid_bottoms_out(
     attrs = json.load(open(f"{group}/.zattrs"))
     datasets = attrs["multiscales"][0]["datasets"]
     written = sorted(
-        d for d in os.listdir(group) if not d.startswith(".")
+        d
+            for d in os.listdir(group)
+            if os.path.isdir(os.path.join(group, d))
     )
     assert [ds["path"] for ds in datasets] == written == ["0", "1", "2"]
     # every advertised level is readable
@@ -195,6 +244,8 @@ def test_multi_stack_per_stack_metadata_clamp(spark, tmp_path):
         attrs = json.load(open(f"{paths[name]}/.zattrs"))
         datasets = attrs["multiscales"][0]["datasets"]
         written = sorted(
-            d for d in os.listdir(paths[name]) if not d.startswith(".")
+            d
+                for d in os.listdir(paths[name])
+                if os.path.isdir(os.path.join(paths[name], d))
         )
         assert [ds["path"] for ds in datasets] == written == lvls
