@@ -573,3 +573,83 @@ ORDER BY source, lang
 
 QUERIES["corpus_datacard"] = corpus_datacard
 ORACLES["corpus_datacard"] = CORPUS_DATACARD_SQL
+
+
+# ---------------------------------------------------------------------------
+# Gopher document-level quality rules
+# ---------------------------------------------------------------------------
+
+#: Gopher quality-rule constants (Rae et al. 2021, table A1 subset whose
+#: signals are live on this corpus; the repetition rules are the separate
+#: ``text_repetition`` query)
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MWL = 3.0
+_GOPHER_MAX_MWL = 10.0
+_GOPHER_MIN_STOP = 2
+_GOPHER_MIN_ALPHA = 0.8
+
+
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document quality gate (Rae et al. 2021): word-count
+    bounds, mean-word-length bounds, ≥2 distinct English stopwords, and
+    ≥80% alphabetic words — the document-level filter battery every
+    Gopher/MassiveText-style pipeline applies before training (the
+    duplicate-n-gram rules of the same table live in
+    ``text_repetition``).
+
+    One narrow scan, zero shuffles: every rule is a per-row expression
+    over the token array, so the filter runs map-side at any corpus
+    size and feeds the keep flag straight into downstream pruning
+    (``corpus_prep_funnel`` composes it).  ``keep`` is computed from the
+    raw doubles on both engines (identical IEEE sequence); the reported
+    ratios are display-rounded only."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    mwl = (F.length("text") - n + 1) / n
+    en_stop = F.array(*[F.lit(w) for w in _LEXICON["en"]])
+    n_stop = F.size(F.array_intersect(toks, en_stop))
+    alpha = F.size(F.filter(toks, lambda w: w.rlike("^[a-zA-Z]+$"))) / n
+    keep = (
+        (n >= _GOPHER_MIN_WORDS)
+        & (n <= _GOPHER_MAX_WORDS)
+        & (mwl >= _GOPHER_MIN_MWL)
+        & (mwl <= _GOPHER_MAX_MWL)
+        & (n_stop >= _GOPHER_MIN_STOP)
+        & (alpha >= _GOPHER_MIN_ALPHA)
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        dround(mwl, 6).alias("mean_word_len"),
+        n_stop.alias("n_stopwords"),
+        dround(alpha, 6).alias("alpha_ratio"),
+        keep.alias("keep"),
+    )
+
+
+GOPHER_RULES_SQL_CORE = f"""
+  SELECT doc_id,
+         len(t) AS n_words,
+         (CAST(length(text) - len(t) + 1 AS DOUBLE)) / len(t) AS mwl_raw,
+         len(list_intersect(list_distinct(t), {_EN_STOP_SQL})) AS n_stopwords,
+         CAST(len(list_filter(t, w -> regexp_full_match(w, '[a-zA-Z]+'))) AS DOUBLE) / len(t) AS alpha_raw
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+"""
+
+TEXT_GOPHER_SQL = f"""
+SELECT doc_id,
+       CAST(n_words AS INTEGER) AS n_words,
+       {sql_round('mwl_raw', 6)} AS mean_word_len,
+       CAST(n_stopwords AS INTEGER) AS n_stopwords,
+       {sql_round('alpha_raw', 6)} AS alpha_ratio,
+       (n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS}
+        AND mwl_raw >= {_GOPHER_MIN_MWL} AND mwl_raw <= {_GOPHER_MAX_MWL}
+        AND n_stopwords >= {_GOPHER_MIN_STOP}
+        AND alpha_raw >= {_GOPHER_MIN_ALPHA}) AS keep
+FROM ({GOPHER_RULES_SQL_CORE})
+"""
+
+QUERIES["text_gopher_quality"] = text_gopher_quality
+ORACLES["text_gopher_quality"] = TEXT_GOPHER_SQL

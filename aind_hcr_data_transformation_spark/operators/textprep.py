@@ -463,3 +463,163 @@ ORACLES = {
     "doc_chunk": DOC_CHUNK_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# corpus preparation funnel (quality -> holdout -> dedup -> decontam)
+# ---------------------------------------------------------------------------
+
+
+def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining-data pipeline as ONE query: Gopher
+    quality gate → benchmark-holdout removal → exact dedup (min-id
+    keeper among survivors) → n-gram decontamination, reported as a
+    single funnel row of survivor counts — the dataset-card headline
+    every data-prep run publishes.
+
+    Single-pass survival tagging: quality, holdout, and dedup-keeper are
+    per-row expressions plus ONE window over ``text`` (the dedup keeper
+    is ``min(doc_id) over (partition by text)`` restricted to surviving
+    rows — no self-join), and only the decontamination stage adds the
+    shingle join of :func:`contamination` (benchmark set broadcasts).
+    Scale: one window shuffle on the text key + the broadcast-side
+    shingle join; every stage prunes the next stage's input, in the
+    order a production pipeline runs them.
+    """
+    from .textops import (
+        _GOPHER_MAX_MWL,
+        _GOPHER_MAX_WORDS,
+        _GOPHER_MIN_ALPHA,
+        _GOPHER_MIN_MWL,
+        _GOPHER_MIN_STOP,
+        _GOPHER_MIN_WORDS,
+        _LEXICON,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    mwl = (F.length("text") - n + 1) / n
+    en_stop = F.array(*[F.lit(w) for w in _LEXICON["en"]])
+    n_stop = F.size(F.array_intersect(toks, en_stop))
+    alpha = F.size(F.filter(toks, lambda w: w.rlike("^[a-zA-Z]+$"))) / n
+    qual_ok = (
+        (n >= _GOPHER_MIN_WORDS)
+        & (n <= _GOPHER_MAX_WORDS)
+        & (mwl >= _GOPHER_MIN_MWL)
+        & (mwl <= _GOPHER_MAX_MWL)
+        & (n_stop >= _GOPHER_MIN_STOP)
+        & (alpha >= _GOPHER_MIN_ALPHA)
+    )
+    base = docs.select("doc_id", "text", qual_ok.alias("qual_ok")).withColumn(
+        "nonbench",
+        F.col("qual_ok") & (F.col("doc_id") % _CONTAM_MOD != 0),
+    )
+    w = Window.partitionBy("text")
+    base = persist_tracked(
+        base.withColumn(
+            "dedup_keep",
+            F.col("nonbench")
+            & (
+                F.col("doc_id")
+                == F.min(
+                    F.when(F.col("nonbench"), F.col("doc_id"))
+                ).over(w)
+            ),
+        )
+    )
+    sh = _doc_shingles(docs)
+    bench = (
+        sh.filter(F.col("doc_id") % _CONTAM_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    surv_sh = sh.join(
+        base.filter(F.col("dedup_keep")).select("doc_id"), "doc_id"
+    )
+    totals = surv_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        surv_sh.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    flagged = (
+        totals.join(hits, "doc_id")
+        .filter(F.col("n_hits") / F.col("n_grams") >= _CONTAM_FLAG)
+        .select("doc_id", F.lit(True).alias("flagged"))
+    )
+    final = base.join(flagged, "doc_id", "left")
+    b = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    return final.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        b(F.col("qual_ok")).alias("n_quality"),
+        b(F.col("nonbench")).alias("n_nonbench"),
+        b(F.col("dedup_keep")).alias("n_dedup"),
+        b(F.col("dedup_keep") & F.col("flagged").isNull()).alias("n_clean"),
+    )
+
+
+def _funnel_sql() -> str:
+    from .textops import (
+        _EN_STOP_SQL,
+        _GOPHER_MAX_MWL,
+        _GOPHER_MAX_WORDS,
+        _GOPHER_MIN_ALPHA,
+        _GOPHER_MIN_MWL,
+        _GOPHER_MIN_STOP,
+        _GOPHER_MIN_WORDS,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         (len(t) >= {_GOPHER_MIN_WORDS} AND len(t) <= {_GOPHER_MAX_WORDS}
+          AND (CAST(length(text) - len(t) + 1 AS DOUBLE)) / len(t) >= {_GOPHER_MIN_MWL}
+          AND (CAST(length(text) - len(t) + 1 AS DOUBLE)) / len(t) <= {_GOPHER_MAX_MWL}
+          AND len(list_intersect(list_distinct(t), {_EN_STOP_SQL})) >= {_GOPHER_MIN_STOP}
+          AND CAST(len(list_filter(t, w -> regexp_full_match(w, '[a-zA-Z]+'))) AS DOUBLE) / len(t) >= {_GOPHER_MIN_ALPHA}
+         ) AS qual_ok
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+),
+b2 AS (
+  SELECT *, qual_ok AND doc_id % {_CONTAM_MOD} <> 0 AS nonbench FROM base
+),
+b3 AS (
+  SELECT *,
+         nonbench AND doc_id = min(CASE WHEN nonbench THEN doc_id END)
+           OVER (PARTITION BY text) AS dedup_keep
+  FROM b2
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+         )) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 3
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_CONTAM_MOD} = 0),
+surv AS (
+  SELECT sh.* FROM sh JOIN (SELECT doc_id FROM b3 WHERE dedup_keep) s USING (doc_id)
+),
+totals AS (SELECT doc_id, count(*) AS n_grams FROM surv GROUP BY doc_id),
+hits AS (
+  SELECT surv.doc_id, count(*) AS n_hits
+  FROM surv JOIN bench USING (shingle) GROUP BY surv.doc_id
+),
+flagged AS (
+  SELECT t.doc_id FROM totals t JOIN hits h USING (doc_id)
+  WHERE h.n_hits / t.n_grams >= {_CONTAM_FLAG}
+)
+SELECT count(*) AS n_total,
+       CAST(sum(CASE WHEN qual_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN nonbench THEN 1 ELSE 0 END) AS BIGINT) AS n_nonbench,
+       CAST(sum(CASE WHEN dedup_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+       CAST(sum(CASE WHEN dedup_keep AND f.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+FROM b3 LEFT JOIN flagged f USING (doc_id)
+"""
+
+
+CORPUS_PREP_FUNNEL_SQL = _funnel_sql()
+
+QUERIES["corpus_prep_funnel"] = corpus_prep_funnel
+ORACLES["corpus_prep_funnel"] = CORPUS_PREP_FUNNEL_SQL
