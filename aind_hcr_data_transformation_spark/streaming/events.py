@@ -17,6 +17,7 @@ shuffle is on (window, event_type) — exactly as in batch.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -78,10 +79,10 @@ def _run_to_memory_sink(df: DataFrame, prefix: str, output_mode: str):
     """
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    sink_name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        sink_name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-        checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
         q = (
             df.writeStream.format("memory")
             .queryName(sink_name)
@@ -93,6 +94,12 @@ def _run_to_memory_sink(df: DataFrame, prefix: str, output_mode: str):
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # the run is bounded and finished: the checkpoint has no
+        # restart value, and leaked checkpoints accumulate one dir per
+        # query run for the host's lifetime (a real deployment keeps
+        # its checkpoint — but it also keeps the QUERY; this harness
+        # discards both together)
+        shutil.rmtree(checkpoint, ignore_errors=True)
     return spark.table(sink_name)
 
 
