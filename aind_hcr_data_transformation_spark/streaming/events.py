@@ -459,3 +459,92 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["stream_sessions"] = stream_sessions
 ORACLES["stream_sessions"] = EVW_SESSION_SQL
+
+
+def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION sink for update-mode aggregates, made real:
+    ``foreachBatch`` merges each micro-batch's per-user event counts
+    into a keyed parquet store (latest-batch-wins upsert — the
+    MERGE INTO every lakehouse sink runs), instead of the memory-sink
+    harness the other update-mode queries use for result transport.
+
+    Each batch: read the store, full-outer merge on ``user_id`` summing
+    counts, atomically swap the store directory. At cluster scale the
+    swap becomes a transactional table commit (Delta/Iceberg MERGE) and
+    the merge is a key-partitioned join bounded by batch size, not
+    stream history — exactly the shape ``upsert_scd1`` pins for batch.
+
+    Run bounded (availableNow), the final store equals the batch
+    aggregate, so the whole sink path — foreachBatch, merge, swap,
+    read-back — is DuckDB-oracle-checked.
+    """
+    events = streaming_events(spark, sf_dir)
+    counts = events.groupBy("user_id").count()
+
+    store_dir = os.path.join(
+        tempfile.gettempdir(), f"upsert_store_{uuid.uuid4().hex[:8]}"
+    )
+    checkpoint = store_dir + "_ckpt"
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        new = batch_df.withColumnRenamed("count", "n_new")
+        if os.path.isdir(store_dir):
+            cur = sess.read.parquet(store_dir).withColumnRenamed(
+                "n_events", "n_old"
+            )
+            merged = (
+                cur.join(new, "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce("n_old", F.lit(0))
+                        + F.coalesce("n_new", F.lit(0))
+                    ).alias("n_events"),
+                )
+            )
+        else:
+            merged = new.select(
+                "user_id", F.col("n_new").alias("n_events")
+            )
+        tmp = store_dir + f"_b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = store_dir + "_old"
+        if os.path.isdir(store_dir):
+            os.rename(store_dir, old)
+        os.rename(tmp, store_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            counts.writeStream.foreachBatch(merge_batch)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+    # harness read-back: the store is the query's real output and would
+    # never be deleted in production — here it lives in /tmp, so copy it
+    # out before cleanup. An eager toPandas (not persist) because cached
+    # blocks can be LRU-evicted and recomputation would then re-read the
+    # deleted directory. Bounded by distinct users at harness scale.
+    pdf = spark.read.parquet(store_dir).orderBy("user_id").toPandas()
+    shutil.rmtree(store_dir, ignore_errors=True)
+    return spark.createDataFrame(pdf, "user_id long, n_events long")
+
+
+STREAM_FOREACH_UPSERT_SQL = """
+SELECT user_id, count(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+QUERIES["stream_foreach_upsert"] = stream_foreach_upsert
+ORACLES["stream_foreach_upsert"] = STREAM_FOREACH_UPSERT_SQL
