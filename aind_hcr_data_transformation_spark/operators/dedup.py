@@ -47,10 +47,21 @@ from ..tables import load_table, table_count
 _MUT_OFFSET = 1_000_000
 
 
-def _corpus_with_mutants(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _corpus_with_mutants(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
     """documents ∪ near-dup mutants: every 20th doc re-appears with its
-    first two tokens dropped and id offset by 1e6."""
-    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    first two tokens dropped and id offset by 1e6.
+
+    ``spread`` (see :func:`~..tables.load_table`) defaults on because
+    most consumers explode shingles — CPU-heavy pre-shuffle work that a
+    single-row-group fixture file would otherwise run on one core.
+    Consumers whose pre-shuffle stage is trivial (hash the text, one
+    md5) pass ``spread=False``: for them the extra exchange costs more
+    than the parallelism buys."""
+    docs = load_table(spark, sf_dir, "documents", spread=spread).select(
+        "doc_id", "text"
+    )
     mutants = (
         docs.filter(F.col("doc_id") % 20 == 0)
         .select(
@@ -83,7 +94,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic keeper choice via ``min`` — never ``dropDuplicates``,
     which keeps an arbitrary row per key (same determinism rule as the
     reference's sorted scan, ``zeiss_job.py:56``)."""
-    corpus = _corpus_with_mutants(spark, sf_dir)
+    corpus = _corpus_with_mutants(spark, sf_dir, spread=False)
     return corpus.groupBy("text").agg(
         F.min("doc_id").alias("keeper_id"),
         F.count(F.lit(1)).alias("n_copies"),
@@ -100,7 +111,7 @@ GROUP BY text
 def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over the sorted distinct token set
     (order/duplication-insensitive content hash)."""
-    corpus = _corpus_with_mutants(spark, sf_dir)
+    corpus = _corpus_with_mutants(spark, sf_dir, spread=False)
     fp = corpus.select(
         "doc_id",
         F.md5(
