@@ -33,6 +33,21 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 # 2000 bytes and may include preceding log noise.
 _MAX_LINE_BYTES = 1200
 
+# Deliberate perf trades: queries slower than their best historical
+# recording BY DESIGN, with the reason. Excluded from the flagged
+# ``regressions`` map (which would otherwise re-flag them every run
+# against a best-prior that no longer corresponds to shipped code);
+# reported under ``accepted_regressions`` in BENCH_DETAIL.json instead.
+_ACCEPTED_REGRESSIONS = {
+    "pipe_partition_roundrobin": (
+        "r4 (VERDICT r3 task 2): two-phase scale-safe global ordinal "
+        "(range-shuffle sort + per-partition row_number + census offsets, "
+        "3 bounded jobs) replaced the single-reducer global window "
+        "(1 job) the 0.215s prior was recorded on; the old plan "
+        "serializes on a fact table"
+    ),
+}
+
 
 def _load_prior(repo: Path, sf_val: object) -> dict[str, float]:
     """Best prior per-query timing from earlier recordings AT THE SAME
@@ -163,11 +178,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t = run_once(name, fn)
-        # spike guard: single-run sweeps occasionally catch a GC pause or
-        # host-contention stall on one query (observed 8-12x blowups that
-        # vanish on re-run). A >3x-prior outlier gets ONE re-measure and
-        # keeps the min — bounded extra work, only on spikes.
-        if name in prior and prior[name] > 0.05 and t > 3 * prior[name] and t > 1.0:
+        # spike guard: single-run sweeps routinely catch a GC pause or
+        # host-contention stall on one query (BENCH_HISTORY shows 2-12x
+        # swings on unchanged code — e.g. grouped_zscore 2.4-9.2s,
+        # multimodal 1.5-17.5s). Any measurement that would cross the
+        # 1.5x regression-flag threshold gets ONE re-measure and keeps
+        # the min, so the ``regressions`` map the driver records only
+        # lists slowdowns confirmed twice. Bounded extra work: one rerun
+        # per flagged query.
+        if name in prior and prior[name] > 0.05 and t > 1.5 * prior[name]:
             retry = run_once(name, fn)
             print(f"{name}: spike {t} -> retry {retry}", file=sys.stderr)
             t = min(t, retry)
@@ -184,7 +203,15 @@ def main() -> None:
     regressions = {
         q: [prior[q], t]
         for q, t in timings.items()
-        if q in prior and prior[q] > 0.05 and t > 1.5 * prior[q]
+        if q in prior
+        and prior[q] > 0.05
+        and t > 1.5 * prior[q]
+        and q not in _ACCEPTED_REGRESSIONS
+    }
+    accepted = {
+        q: {"prior": prior[q], "now": timings[q], "why": why}
+        for q, why in _ACCEPTED_REGRESSIONS.items()
+        if q in timings and q in prior and timings[q] > 1.5 * prior[q]
     }
 
     detail = {
@@ -195,6 +222,7 @@ def main() -> None:
         "pipeline": {"pipe_e2e_convert": pipe} if pipe else {},
         "sf": sf_val,
         "regressions": regressions,
+        "accepted_regressions": accepted,
         "calib_sec": calib_sec,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
