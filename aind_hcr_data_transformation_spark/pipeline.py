@@ -102,6 +102,7 @@ def _convert_pyramid(
     settings: ZarrConversionSettings,
     stacks: dict[str, tuple[int, int, int]],
     dtype: str,
+    paths: dict[str, str] | None = None,
 ) -> dict[str, str]:
     """Fused leveled pyramid write (the engine core shared by both
     converters): one Spark job, one action; each stage writes level k
@@ -113,10 +114,25 @@ def _convert_pyramid(
 
     Writes are chunk-aligned and byte-deterministic, so task retries /
     speculative duplicates are idempotent (the same guarantee the
-    unfused design relied on)."""
+    unfused design relied on).
+
+    ``paths`` maps stack names to CZI files: those stacks' level-0 tiles
+    are born by the codec slab read (``sources.czi._read_slab_czifile``
+    — czifile when installed, the vendored ZISRAW reader otherwise)
+    instead of the synthetic ramp. Their tile rows are co-partitioned
+    and sorted by (stack, z-slab) so one task owns all tiles of a slab
+    consecutively and a single-entry per-worker cache decodes each slab
+    exactly once — without it, a y×x tile grid over per-plane subblocks
+    re-decodes every plane once per tile (ruinous on mosaic-scale
+    planes)."""
     from .operators.blockwise import windowed_mean_nd
     from .sinks.zarr_sink import init_array, write_region
-    from .sources.czi import BLOCK_SCHEMA, block_index, synthetic_ramp_block
+    from .sources.czi import (
+        BLOCK_SCHEMA,
+        _read_slab_czifile,
+        block_index,
+        synthetic_ramp_block,
+    )
 
     cz, cy, cx = settings.chunk_size
     fz, fy, fx = settings.scale_factor
@@ -140,7 +156,16 @@ def _convert_pyramid(
     # Python↔JVM Arrow boundary at all (measured ~55 MiB/s per direction
     # for multi-MB binary rows — a gen→Arrow→write chain paid it twice
     # and was the end-to-end bottleneck).
-    blocks = block_index(catalog, base_chunk).repartition(n_part)
+    if paths:
+        # slab-locality layout (see docstring): every tile of one
+        # (stack, z0) slab lands in the same task, in y/x order
+        blocks = (
+            block_index(catalog, base_chunk)
+            .repartition(n_part, "stack_name", "z0")
+            .sortWithinPartitions("stack_name", "z0", "y0", "x0")
+        )
+    else:
+        blocks = block_index(catalog, base_chunk).repartition(n_part)
 
     for lvl in range(max(depths.values())):
         alive = {n: s for n, s in shapes.items() if lvl < depths[n]}
@@ -166,20 +191,33 @@ def _convert_pyramid(
             _pool=pool,
             _gen=(lvl == 0),
             _dtype=dtype,
+            _paths=paths or {},
         ):
             import pandas as pd
 
             cols = [f.name for f in BLOCK_SCHEMA.fields]
+            slab_cache: list = [None, None]  # [(path, z0), decoded slab]
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
                     if _gen:
                         # level 0: the tile is BORN here (synthetic ramp /
                         # codec read), written in the same invocation —
                         # no Arrow crossing for full-res voxels
-                        core = synthetic_ramp_block(
-                            row.z0, row.z1, row.y0, row.y1, row.x0, row.x1,
-                            _dtype,
-                        )
+                        if row.stack_name in _paths:
+                            key = (_paths[row.stack_name], row.z0)
+                            if slab_cache[0] != key:
+                                slab_cache[0] = key
+                                slab_cache[1] = _read_slab_czifile(
+                                    key[0], row.z0, row.z1
+                                )
+                            core = slab_cache[1][
+                                :, row.y0 : row.y1, row.x0 : row.x1
+                            ].astype(_dtype, copy=False)
+                        else:
+                            core = synthetic_ramp_block(
+                                row.z0, row.z1, row.y0, row.y1, row.x0,
+                                row.x1, _dtype,
+                            )
                         arr = core[None, None]
                         t = c = 0
                         dt_tag = _dtype
@@ -237,6 +275,36 @@ def _convert_pyramid(
     return {n: os.path.join(out_dir, f"{n}.zarr") for n in stacks}
 
 
+def convert_czi_stack(
+    spark: SparkSession,
+    settings: ZarrConversionSettings,
+    path: str,
+    stack_name: str | None = None,
+    voxel_size: tuple[float, float, float] = (1.0, 1.0, 1.0),
+    origin: tuple[float, float, float] | None = None,
+) -> str:
+    """Convert one real CZI file to a multiscale OME-Zarr group — the
+    reference's core capability (``czi_to_zarr.py:457-653``) end to end
+    on actual ZISRAW binary input. Extents and dtype come from the
+    file's subblock directory; level-0 tiles are decoded by czifile when
+    installed, else the vendored ZISRAW reader (uncompressed stacks).
+    Returns the group path."""
+    from .sources.zisraw import _PIXEL_TYPE_TO_DTYPE, MiniCziFile, stack_extents
+
+    name = stack_name or os.path.splitext(os.path.basename(path))[0]
+    z, y, x = stack_extents(path)
+    with MiniCziFile(path) as czi:
+        ptype = czi.filtered_subblock_directory[0].pixel_type
+    try:
+        dtype = _PIXEL_TYPE_TO_DTYPE[ptype]
+    except KeyError:
+        raise NotImplementedError(f"unsupported ZISRAW pixel type {ptype}") from None
+    return convert_synthetic_stack(
+        spark, settings, name, z, y, x,
+        voxel_size=voxel_size, origin=origin, dtype=dtype, source_path=path,
+    )
+
+
 def convert_synthetic_stack(
     spark: SparkSession,
     settings: ZarrConversionSettings,
@@ -247,10 +315,12 @@ def convert_synthetic_stack(
     voxel_size: tuple[float, float, float] = (1.0, 1.0, 1.0),
     origin: tuple[float, float, float] | None = None,
     dtype: str = "uint16",
+    source_path: str | None = None,
 ) -> str:
-    """Convert one synthetic stack to a multiscale OME-Zarr group and
-    return the group path. (The czifile-backed variant differs only in the
-    source call — ``sources.czi.read_blocks(reader="czifile")``.)"""
+    """Convert one stack to a multiscale OME-Zarr group and return the
+    group path. Level-0 voxels come from the deterministic ramp, or —
+    when ``source_path`` points at a CZI file (see
+    :func:`convert_czi_stack`) — from the codec slab read."""
     cz, cy, cx = settings.chunk_size
     fz, fy, fx = settings.scale_factor
     # clamp BEFORE metadata: .zattrs must list only levels that get written
@@ -291,7 +361,10 @@ def convert_synthetic_stack(
     # matching the reference's create_dataset(chunks=final_chunksize)
     # at czi_to_zarr.py:630-640 — chunks never shrink with the pyramid;
     # the fused one-job pyramid writer does the rest
-    _convert_pyramid(spark, settings, {stack_name: (z_extent, y, x)}, dtype)
+    _convert_pyramid(
+        spark, settings, {stack_name: (z_extent, y, x)}, dtype,
+        paths={stack_name: source_path} if source_path else None,
+    )
     _mark_complete(group_path)
     return group_path
 

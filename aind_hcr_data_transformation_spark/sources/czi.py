@@ -117,24 +117,24 @@ def _read_slab_czifile(path: str, z0: int, z1: int) -> np.ndarray:
     ``[z0, z1)`` concurrently (thread pool inside the task —
     ``utils/utils.py:358-379``).
 
-    Why no vendored real-CZI fixture: this environment has no
-    ``czifile`` package, so even a hand-built ZISRAW binary could not be
-    decoded in CI — the import gate below fires first.  The branch logic
-    (z-window filter, scrambled-directory sort, squeeze/stack) is instead
-    pinned by ``tests/test_czifile_reader.py`` against a monkeypatched
-    ``czifile`` module exposing the same subblock API; on a machine with
-    the codec installed, the same tests exercise the real library by
-    dropping the monkeypatch."""
+    Backend selection: the ``czifile`` package when installed (full codec
+    support, compressed stacks); otherwise the vendored pure-Python
+    ZISRAW reader (:mod:`.zisraw`, uncompressed subblocks only) — both
+    expose the same subblock-directory surface, so the slab logic
+    (z-window filter, scrambled-directory sort, squeeze/stack) below is
+    backend-agnostic. ``tests/test_zisraw.py`` decodes real spec-format
+    binaries through this exact function; ``tests/test_czifile_reader.py``
+    additionally pins the czifile call surface with a monkeypatched
+    module (this environment cannot install the real codec package)."""
     try:
-        import czifile  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env without codec
-        raise NotImplementedError(
-            "czifile is not available in this environment; use reader='synthetic' "
-            "(the distributed plumbing is identical)"
-        ) from exc
+        import czifile
+
+        open_czi = czifile.CziFile
+    except ImportError:
+        from .zisraw import MiniCziFile as open_czi
     from concurrent.futures import ThreadPoolExecutor
 
-    with czifile.CziFile(path) as czi:  # pragma: no cover - env without codec
+    with open_czi(path) as czi:
         subblocks = [
             sb
             for sb in czi.filtered_subblock_directory

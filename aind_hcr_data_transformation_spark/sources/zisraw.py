@@ -1,0 +1,352 @@
+"""Vendored minimal ZISRAW (Zeiss CZI) container codec — pure Python,
+uncompressed subblocks only.
+
+Why this exists: the production slab reader (``czi.py::_read_slab_czifile``,
+mirroring ``read_slices_czi``, reference ``utils/utils.py:284-395``) needs a
+CZI decoder, and the ``czifile`` package is not installable in every
+deployment (not in this CI container). This module implements the subset of
+the **public ZISRAW file-format specification** (Zeiss, "ZISRAW (CZI) File
+Format Design specification"; the same layout the open-source ``czifile``
+reader consumes) required to decode uncompressed subblock data:
+
+- 32-byte segment headers (``Id:16s  AllocatedSize:q  UsedSize:q``, little
+  endian, segments 32-byte aligned),
+- ``ZISRAWFILE`` file header (version, GUIDs, directory/metadata positions),
+- ``ZISRAWDIRECTORY`` subblock directory (count + DV directory entries),
+- ``ZISRAWSUBBLOCK`` segments (metadata/attachment/data sizes, embedded
+  ``DirectoryEntryDV``, data payload at offset ``max(256, entry+16)``),
+- ``DirectoryEntryDV`` (schema ``DV``: pixel type, file position,
+  compression, pyramid type, dimension entries of
+  ``Dimension:4s Start:i Size:i StartCoordinate:f StoredSize:i``).
+
+:class:`MiniCziFile` exposes the same call surface ``_read_slab_czifile``
+uses from ``czifile`` (``axes``, ``filtered_subblock_directory`` entries
+with ``.start`` and ``.data_segment().data()``), so it drops in as the
+fallback backend when ``czifile`` is absent. Compressed subblocks (zstd,
+JPEG-XR) still require ``czifile`` + imagecodecs and raise
+``NotImplementedError`` here.
+
+:func:`write_czi` is the matching spec-conformant writer used by tests and
+fixture tooling to produce real binary CZI files (one subblock per z-plane,
+any on-disk order) — which is what lets CI decode a *real* ZISRAW binary
+through the production branch instead of monkeypatching the codec module.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+_SEG_HEADER = struct.Struct("<16sqq")  # Id, AllocatedSize, UsedSize
+_FILE_HEADER = struct.Struct("<ii8s16s16siqqiq")
+_SUBBLOCK_FIXED = struct.Struct("<iiq")  # MetadataSize, AttachmentSize, DataSize
+_DV_FIXED = struct.Struct("<2siqiiB5si")
+_DIM_ENTRY = struct.Struct("<4siifi")
+_DIR_FIXED = struct.Struct("<i124s")
+_META_FIXED = struct.Struct("<ii248s")
+
+#: ZISRAW PixelType ids for the grayscale types the pipeline moves
+#: (SURVEY §1.3: unsigned microscopy dtypes).
+_PIXEL_TYPE_TO_DTYPE = {0: "uint8", 1: "uint16", 4: "float32"}
+_DTYPE_TO_PIXEL_TYPE = {v: k for k, v in _PIXEL_TYPE_TO_DTYPE.items()}
+
+_COMPRESSION_NONE = 0
+
+
+@dataclass
+class DimensionEntry:
+    dimension: str
+    start: int
+    size: int
+    start_coordinate: float
+    stored_size: int
+
+
+@dataclass
+class SubBlockEntry:
+    """One ``DirectoryEntryDV``; mimics the czifile subblock-directory
+    entry surface ``_read_slab_czifile`` touches."""
+
+    pixel_type: int
+    file_position: int
+    compression: int
+    pyramid_type: int
+    dimensions: list[DimensionEntry]
+    _path: str = ""
+
+    @property
+    def axes(self) -> str:
+        return "".join(d.dimension for d in self.dimensions)
+
+    @property
+    def start(self) -> tuple[int, ...]:
+        return tuple(d.start for d in self.dimensions)
+
+    @property
+    def stored_shape(self) -> tuple[int, ...]:
+        return tuple(d.stored_size for d in self.dimensions)
+
+    def data_segment(self) -> "SubBlockEntry":
+        return self
+
+    def data(self) -> np.ndarray:
+        """Decode this subblock's pixel payload (uncompressed only).
+
+        Opens its own file handle — ``_read_slab_czifile`` fetches
+        subblocks from a thread pool, and per-call handles make the
+        reader trivially thread-safe (no shared seek position)."""
+        if self.compression != _COMPRESSION_NONE:
+            raise NotImplementedError(
+                f"compressed subblock (compression={self.compression}); "
+                "install czifile+imagecodecs for compressed CZI stacks"
+            )
+        try:
+            dtype = _PIXEL_TYPE_TO_DTYPE[self.pixel_type]
+        except KeyError:
+            raise NotImplementedError(
+                f"unsupported ZISRAW pixel type {self.pixel_type}"
+            ) from None
+        with open(self._path, "rb") as fh:
+            fh.seek(self.file_position)
+            sid, _alloc, _used = _SEG_HEADER.unpack(fh.read(_SEG_HEADER.size))
+            if sid.rstrip(b"\0") != b"ZISRAWSUBBLOCK":
+                raise ValueError(
+                    f"directory entry points at {sid!r}, not a subblock segment"
+                )
+            meta_size, _att_size, data_size = _SUBBLOCK_FIXED.unpack(
+                fh.read(_SUBBLOCK_FIXED.size)
+            )
+            entry_size = _DV_FIXED.size + _DIM_ENTRY.size * len(self.dimensions)
+            # spec: pixel data begins max(256, entry+16) bytes into the
+            # segment payload, after the subblock metadata XML
+            fh.seek(
+                self.file_position
+                + _SEG_HEADER.size
+                + max(256, entry_size + 16)
+                + meta_size
+            )
+            raw = fh.read(data_size)
+        arr = np.frombuffer(raw, dtype=dtype)
+        expect = int(np.prod(self.stored_shape))
+        if arr.size != expect:
+            raise ValueError(
+                f"subblock payload holds {arr.size} px, directory says {expect}"
+            )
+        return arr.reshape(self.stored_shape)
+
+
+def _read_directory_entry(buf: bytes, off: int, path: str) -> tuple[SubBlockEntry, int]:
+    (schema, pixel_type, file_pos, _file_part, compression, pyramid, _sp, ndim) = (
+        _DV_FIXED.unpack_from(buf, off)
+    )
+    if schema != b"DV":
+        raise NotImplementedError(f"unsupported directory entry schema {schema!r}")
+    off += _DV_FIXED.size
+    dims = []
+    for _ in range(ndim):
+        d, start, size, coord, stored = _DIM_ENTRY.unpack_from(buf, off)
+        off += _DIM_ENTRY.size
+        dims.append(
+            DimensionEntry(d.rstrip(b"\0").decode("ascii"), start, size, coord, stored)
+        )
+    return (
+        SubBlockEntry(pixel_type, file_pos, compression, pyramid, dims, path),
+        off,
+    )
+
+
+class MiniCziFile:
+    """czifile-API-compatible reader for the vendored subset: context
+    manager with ``.axes``, ``.filtered_subblock_directory``, and
+    ``.metadata()``."""
+
+    def __init__(self, path: str):
+        self.path = os.fspath(path)
+        with open(self.path, "rb") as fh:
+            sid, _alloc, _used = _SEG_HEADER.unpack(fh.read(_SEG_HEADER.size))
+            if sid.rstrip(b"\0") != b"ZISRAWFILE":
+                raise ValueError(f"{self.path}: not a ZISRAW/CZI file (got {sid!r})")
+            (
+                self.version_major,
+                self.version_minor,
+                _reserved,
+                self.primary_file_guid,
+                self.file_guid,
+                self.file_part,
+                self._directory_position,
+                self._metadata_position,
+                self.update_pending,
+                self._attachment_dir_position,
+            ) = _FILE_HEADER.unpack(fh.read(_FILE_HEADER.size))
+            self.subblock_directory = self._read_directory(fh)
+        # overall axes = dimension order of the directory entries (all
+        # entries in one stack share it; asserted by the writer)
+        self.axes = (
+            self.subblock_directory[0].axes if self.subblock_directory else ""
+        )
+
+    def _read_directory(self, fh) -> list[SubBlockEntry]:
+        if self._directory_position <= 0:
+            return []
+        fh.seek(self._directory_position)
+        sid, _alloc, used = _SEG_HEADER.unpack(fh.read(_SEG_HEADER.size))
+        if sid.rstrip(b"\0") != b"ZISRAWDIRECTORY":
+            raise ValueError(f"bad directory segment id {sid!r}")
+        payload = fh.read(used)
+        count, _spare = _DIR_FIXED.unpack_from(payload, 0)
+        off = _DIR_FIXED.size
+        entries = []
+        for _ in range(count):
+            entry, off = _read_directory_entry(payload, off, self.path)
+            entries.append(entry)
+        return entries
+
+    @property
+    def filtered_subblock_directory(self) -> list[SubBlockEntry]:
+        """Highest-resolution subblocks only (pyramid type 0), matching
+        czifile's property of the same name."""
+        return [e for e in self.subblock_directory if e.pyramid_type == 0]
+
+    def metadata(self) -> str:
+        """The file-level metadata XML (empty string if absent)."""
+        if self._metadata_position <= 0:
+            return ""
+        with open(self.path, "rb") as fh:
+            fh.seek(self._metadata_position)
+            sid, _alloc, _used = _SEG_HEADER.unpack(fh.read(_SEG_HEADER.size))
+            if sid.rstrip(b"\0") != b"ZISRAWMETADATA":
+                raise ValueError(f"bad metadata segment id {sid!r}")
+            xml_size, _att, _spare = _META_FIXED.unpack(fh.read(_META_FIXED.size))
+            return fh.read(xml_size).decode("utf-8")
+
+    def __enter__(self) -> "MiniCziFile":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        pass
+
+    def close(self) -> None:  # czifile API parity; handles are per-call
+        pass
+
+
+# ---------------------------------------------------------------------------
+# writer
+
+
+def _segment(sid: bytes, payload: bytes) -> bytes:
+    """A complete segment: 32-byte header + payload padded to the spec's
+    32-byte allocation boundary."""
+    used = len(payload)
+    alloc = (used + 31) // 32 * 32
+    return _SEG_HEADER.pack(sid.ljust(16, b"\0"), alloc, used) + payload.ljust(
+        alloc, b"\0"
+    )
+
+
+def _dv_entry(
+    arr: np.ndarray, z: int, file_position: int, pixel_type: int
+) -> bytes:
+    dims = [("C", 0, 1, 1), ("Z", z, 1, 1), ("Y", 0, arr.shape[0], arr.shape[0]),
+            ("X", 0, arr.shape[1], arr.shape[1])]
+    out = _DV_FIXED.pack(
+        b"DV", pixel_type, file_position, 0, _COMPRESSION_NONE, 0, b"\0" * 5,
+        len(dims),
+    )
+    for name, start, size, stored in dims:
+        out += _DIM_ENTRY.pack(name.encode("ascii").ljust(4, b"\0"), start, size,
+                               float(start), stored)
+    return out
+
+
+def write_czi(
+    path: str,
+    planes: dict[int, np.ndarray],
+    metadata_xml: str = "<ImageDocument><Metadata/></ImageDocument>",
+) -> None:
+    """Write a spec-conformant single-file CZI: one uncompressed subblock
+    per z-plane (``planes``: z → 2-D array, written in the dict's
+    iteration order — pass a scrambled order to exercise reader sorting),
+    then the metadata segment, then the subblock directory, with the file
+    header pointing at both.
+
+    All planes must share shape and dtype (one stack, axes ``CZYX``)."""
+    zs = list(planes)
+    if not zs:
+        raise ValueError("need at least one z-plane")
+    shapes = {planes[z].shape for z in zs}
+    dtypes = {str(planes[z].dtype) for z in zs}
+    if len(shapes) != 1 or len(dtypes) != 1 or len(next(iter(shapes))) != 2:
+        raise ValueError(f"planes must be uniform 2-D: shapes={shapes} dtypes={dtypes}")
+    dtype = next(iter(dtypes))
+    try:
+        pixel_type = _DTYPE_TO_PIXEL_TYPE[dtype]
+    except KeyError:
+        raise ValueError(
+            f"dtype {dtype} has no ZISRAW grayscale pixel type "
+            f"(supported: {sorted(_DTYPE_TO_PIXEL_TYPE)})"
+        ) from None
+
+    # file header first (positions patched below: segment sizes are known
+    # only after writing the subblocks)
+    chunks: list[bytes] = []
+    pos = 0
+    header_payload = _FILE_HEADER.pack(
+        1, 0, b"\0" * 8, b"\0" * 16, b"\0" * 16, 0, 0, 0, 0, 0
+    )
+    header = _segment(b"ZISRAWFILE", header_payload)
+    chunks.append(header)
+    pos += len(header)
+
+    dir_entries: list[bytes] = []
+    for z in zs:
+        arr = np.ascontiguousarray(planes[z])
+        entry = _dv_entry(arr, z, pos, pixel_type)
+        data = arr.tobytes()
+        fixed = _SUBBLOCK_FIXED.pack(0, 0, len(data))
+        pad = max(256, len(entry) + 16) - (_SUBBLOCK_FIXED.size + len(entry))
+        seg = _segment(b"ZISRAWSUBBLOCK", fixed + entry + b"\0" * pad + data)
+        dir_entries.append(entry)
+        chunks.append(seg)
+        pos += len(seg)
+
+    metadata_position = pos
+    xml = metadata_xml.encode("utf-8")
+    meta_seg = _segment(b"ZISRAWMETADATA", _META_FIXED.pack(len(xml), 0, b"") + xml)
+    chunks.append(meta_seg)
+    pos += len(meta_seg)
+
+    directory_position = pos
+    dir_seg = _segment(
+        b"ZISRAWDIRECTORY", _DIR_FIXED.pack(len(dir_entries), b"") + b"".join(dir_entries)
+    )
+    chunks.append(dir_seg)
+
+    chunks[0] = _segment(
+        b"ZISRAWFILE",
+        _FILE_HEADER.pack(
+            1, 0, b"\0" * 8, b"\0" * 16, b"\0" * 16, 0,
+            directory_position, metadata_position, 0, 0,
+        ),
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        for c in chunks:
+            fh.write(c)
+    os.replace(tmp, path)
+
+
+def stack_extents(path: str) -> tuple[int, int, int]:
+    """(z, y, x) extents of a CZI stack from its subblock directory — the
+    planner input ``block_index`` needs for real (non-synthetic) stacks."""
+    with MiniCziFile(path) as czi:
+        zi = czi.axes.index("Z")
+        yi = czi.axes.index("Y")
+        xi = czi.axes.index("X")
+        subs = czi.filtered_subblock_directory
+        z = max(e.start[zi] + e.dimensions[zi].size for e in subs)
+        y = max(e.start[yi] + e.dimensions[yi].size for e in subs)
+        x = max(e.start[xi] + e.dimensions[xi].size for e in subs)
+        return z, y, x

@@ -93,8 +93,15 @@ def test_slab_excludes_out_of_range(fake_czifile):
     np.testing.assert_array_equal(slab[0], synthetic_ramp_block(8, 9, 0, Y, 0, X)[0])
 
 
-def test_missing_codec_raises_not_implemented(monkeypatch):
-    """Without the codec the branch fails loud and names the fallback."""
+def test_missing_codec_falls_back_to_vendored_reader(monkeypatch, tmp_path):
+    """Without the czifile package the branch transparently uses the
+    vendored ZISRAW reader (tests/test_zisraw.py covers it in depth)."""
+    from aind_hcr_data_transformation_spark.sources.zisraw import write_czi
+
     monkeypatch.setitem(sys.modules, "czifile", None)
-    with pytest.raises((NotImplementedError, ImportError)):
-        _read_slab_czifile("/fake/stack.czi", 0, 1)
+    path = str(tmp_path / "s.czi")
+    write_czi(
+        path, {z: synthetic_ramp_block(z, z + 1, 0, Y, 0, X)[0] for z in range(3)}
+    )
+    slab = _read_slab_czifile(path, 0, 3)
+    np.testing.assert_array_equal(slab, synthetic_ramp_block(0, 3, 0, Y, 0, X))
