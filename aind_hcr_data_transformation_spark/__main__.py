@@ -57,12 +57,48 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         return 0
+    if settings.input_source:
+        # real CZI directory (reference job shape, zeiss_job.py:42-60):
+        # every *.czi under input_source converts to a multiscale group.
+        # czifile decodes when installed; the vendored ZISRAW reader
+        # (sources/zisraw.py) handles uncompressed stacks without it.
+        from .pipeline import convert_czi_stack
+        from .sources.czi import stack_catalog
+
+        stacks = [
+            (r["path"], r["stack_name"])
+            for r in stack_catalog(spark, settings.input_source).collect()
+        ]
+        if not stacks:
+            print(
+                json.dumps(
+                    {
+                        "status_code": 400,
+                        "message": f"no *.czi stacks under {settings.input_source}",
+                    }
+                )
+            )
+            return 1
+        groups = [
+            convert_czi_stack(spark, settings, path, stack_name=name)
+            for path, name in stacks
+        ]
+        print(
+            json.dumps(
+                {
+                    "status_code": 200,
+                    "message": f"wrote {len(groups)} groups under "
+                    f"{settings.output_directory} in {time.time() - start:.1f}s",
+                }
+            )
+        )
+        return 0
     print(
         json.dumps(
             {
                 "status_code": 400,
-                "message": "no input: real CZI inputs need the czifile codec "
-                "(sources/czi.py reader='czifile'); use --synthetic Z,Y,X here",
+                "message": "no input: set input_source to a CZI directory "
+                "or use --synthetic Z,Y,X",
             }
         )
     )

@@ -9,11 +9,13 @@ executors, and each task keeps the reference's in-task thread pool for
 I/O-bound subblock reads (SURVEY §4 X5 — threads inside the task are not
 Spark's job).
 
-The CZI codec itself (``czifile``) is not installed in this environment;
-``reader="synthetic"`` generates the deterministic voxel ramp of
-FIXTURES.md B2 through the SAME schema/batching path, so every
-distributed mechanism (index, shuffle, Arrow batches, sink) is exercised
-for real. ``reader="czifile"`` is the production path, import-gated.
+``reader="czifile"`` is the production path: the ``czifile`` package when
+installed (full codec support), else the vendored pure-Python ZISRAW
+reader (:mod:`.zisraw`, uncompressed subblocks) — real CZI binaries
+decode either way. ``reader="synthetic"`` generates the deterministic
+voxel ramp of FIXTURES.md B2 through the SAME schema/batching path, for
+fixture-free tests and benches of the distributed mechanisms (index,
+shuffle, Arrow batches, sink).
 """
 
 from __future__ import annotations
