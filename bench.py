@@ -127,6 +127,54 @@ def _bench_pipeline(spark) -> dict[str, float]:
     }
 
 
+def _bench_czi_decode(spark) -> dict[str, float]:
+    """Timed real-binary CZI → OME-Zarr conversion through the vendored
+    ZISRAW decode branch (one 512³ uint16 stack = 256 MiB of level-0
+    voxels, per-plane subblocks like a real scope dump;
+    `SPARK_GRAFT_PIPE_GB=0` disables). Runs after _bench_pipeline so the
+    write path is warm and the delta vs the synthetic number isolates
+    the decode cost."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from aind_hcr_data_transformation_spark.config import ZarrConversionSettings
+    from aind_hcr_data_transformation_spark.pipeline import convert_czi_stack
+    from aind_hcr_data_transformation_spark.sources.czi import (
+        synthetic_ramp_block,
+    )
+    from aind_hcr_data_transformation_spark.sources.zisraw import write_czi
+
+    if float(os.environ.get("SPARK_GRAFT_PIPE_GB", "2")) <= 0:
+        return {}
+    side = 512
+    work = tempfile.mkdtemp(prefix="bench_czi_")
+    src = os.path.join(work, "stack.czi")
+    write_czi(
+        src,
+        {z: synthetic_ramp_block(z, z + 1, 0, side, 0, side)[0] for z in range(side)},
+    )
+    settings = ZarrConversionSettings(
+        output_directory=os.path.join(work, "out"),
+        chunk_size=(64, 128, 128),
+        scale_factor=(2, 2, 2),
+        downsample_levels=2,
+    )
+    level0_bytes = side**3 * np.dtype("uint16").itemsize
+    t0 = time.perf_counter()
+    try:
+        convert_czi_stack(spark, settings, src)
+        sec = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return {
+        "sec": sec,
+        "gib": round(level0_bytes / 2**30, 3),
+        "mib_per_s": round(level0_bytes / 2**20 / sec, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repo = Path(__file__).resolve().parent
@@ -199,6 +247,9 @@ def main() -> None:
     pipe = _bench_pipeline(spark)
     if pipe:
         print(f"pipe_e2e_convert: {pipe}", file=sys.stderr)
+    czi = _bench_czi_decode(spark)
+    if czi:
+        print(f"pipe_czi_decode: {czi}", file=sys.stderr)
 
     regressions = {
         q: [prior[q], t]
@@ -219,7 +270,10 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "pipeline": {"pipe_e2e_convert": pipe} if pipe else {},
+        "pipeline": {
+            **({"pipe_e2e_convert": pipe} if pipe else {}),
+            **({"pipe_czi_decode": czi} if czi else {}),
+        },
         "sf": sf_val,
         "regressions": regressions,
         "accepted_regressions": accepted,
@@ -253,6 +307,8 @@ def main() -> None:
     if pipe:
         line_doc["pipe_e2e_convert_sec"] = pipe["sec"]
         line_doc["pipe_e2e_convert_mib_per_s"] = pipe["mib_per_s"]
+    if czi:
+        line_doc["pipe_czi_decode_mib_per_s"] = czi["mib_per_s"]
     line = json.dumps(line_doc)
     if len(line) > _MAX_LINE_BYTES:
         # keep only the worst regressions (largest slowdown ratio)
