@@ -528,23 +528,30 @@ def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    sh = _doc_shingles(docs)
+    # shingle ONLY what each side needs, pruning before the explode:
+    # the benchmark holdout is doc_id % mod == 0 (a pushable filter),
+    # and the corpus side shingles just the dedup survivors — explode
+    # AFTER the survivor join, never the full corpus
     bench = (
-        sh.filter(F.col("doc_id") % _CONTAM_MOD == 0)
+        _doc_shingles(docs.filter(F.col("doc_id") % _CONTAM_MOD == 0))
         .select("shingle")
         .distinct()
     )
-    surv_sh = sh.join(
-        base.filter(F.col("dedup_keep")).select("doc_id"), "doc_id"
+    surv_sh = _doc_shingles(
+        docs.join(base.filter(F.col("dedup_keep")).select("doc_id"), "doc_id")
     )
-    totals = surv_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        surv_sh.join(F.broadcast(bench), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
+    # one pass: broadcast LEFT join marks benchmark shingles, a single
+    # aggregate yields totals and hits together (zero-hit docs fall out
+    # of the >= threshold exactly as the old inner join dropped them)
     flagged = (
-        totals.join(hits, "doc_id")
+        surv_sh.join(
+            F.broadcast(bench.withColumn("_hit", F.lit(1))), "shingle", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_hits"),
+        )
         .filter(F.col("n_hits") / F.col("n_grams") >= _CONTAM_FLAG)
         .select("doc_id", F.lit(True).alias("flagged"))
     )
