@@ -177,26 +177,28 @@ def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.format(mod=_CONTAM_MOD, flag=_CONTAM_FLAG)
     # spread: the shingle explosion is the CPU-heavy pre-shuffle stage
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    # three consumers (bench set, totals, hits) — persist so the
-    # split+transform+distinct+explode runs once, not per consumer
-    sh = persist_tracked(_doc_shingles(docs))
+    # filter BEFORE the explode on both branches (bench and corpus doc
+    # sets are disjoint, so every doc is shingled exactly once across
+    # the two — no persist needed), then ONE aggregate: the broadcast
+    # LEFT join marks benchmark shingles and totals/hits come out of
+    # the same pass
     bench = (
-        sh.filter(F.col("doc_id") % _CONTAM_MOD == 0)
+        _doc_shingles(docs.filter(F.col("doc_id") % _CONTAM_MOD == 0))
         .select("shingle")
         .distinct()
     )
-    corpus_sh = sh.filter(F.col("doc_id") % _CONTAM_MOD != 0)
-    totals = corpus_sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams")
-    )
-    hits = (
-        corpus_sh.join(F.broadcast(bench), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
+    corpus_sh = _doc_shingles(docs.filter(F.col("doc_id") % _CONTAM_MOD != 0))
     ratio = F.col("n_hits") / F.col("n_grams")
     return (
-        totals.join(hits, "doc_id")
+        corpus_sh.join(
+            F.broadcast(bench.withColumn("_hit", F.lit(1))), "shingle", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") >= 1)
         .select(
             "doc_id",
             "n_grams",
