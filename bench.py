@@ -294,13 +294,24 @@ def main() -> None:
             + "\n"
         )
 
+    print(_final_line(detail, regressions, pipe, czi))
+
+
+def _final_line(
+    detail: dict, regressions: dict, pipe: dict, czi: dict
+) -> str:
+    """The ONE driver-visible stdout line, guaranteed parseable and under
+    ``_MAX_LINE_BYTES`` (the driver tail-captures ~2000 bytes; round 2
+    shipped an unparseable bench line once — never again). Oversized
+    regression maps are trimmed to the worst 8 by slowdown ratio with an
+    explicit ``regressions_truncated`` count."""
     line_doc = {
         "metric": "total_query_wall_seconds",
         "value": detail["value"],
         "unit": "sec",
-        "sf": sf_val,
-        "n_queries": len(timings),
-        "calib_sec": calib_sec,
+        "sf": detail["sf"],
+        "n_queries": len(detail["queries"]),
+        "calib_sec": detail["calib_sec"],
         "regressions": regressions,
         "detail": "BENCH_DETAIL.json",
     }
@@ -320,7 +331,7 @@ def main() -> None:
             line_doc["regressions"]
         )
         line = json.dumps(line_doc)
-    print(line)
+    return line
 
 
 if __name__ == "__main__":

@@ -1,0 +1,76 @@
+"""The bench reporting channel is part of the driver contract (the
+driver tail-captures ~2000 bytes of stdout and parses the LAST line as
+JSON; round 2 shipped an unparseable line once). These tests pin the
+pure parts of ``bench.py``: prior-timing absorption, the accepted-
+regressions carve-out, and the final-line size/parse guarantees —
+no SparkSession needed.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _detail(n_queries: int = 3) -> dict:
+    return {
+        "value": 12.3,
+        "sf": 0.1,
+        "queries": {f"q{i}": 0.5 for i in range(n_queries)},
+        "calib_sec": 0.5,
+    }
+
+
+def test_final_line_is_one_parseable_json_line():
+    line = bench._final_line(_detail(), {"q1": [0.5, 1.2]}, {}, {})
+    assert "\n" not in line
+    doc = json.loads(line)
+    assert doc["metric"] == "total_query_wall_seconds"
+    assert doc["n_queries"] == 3
+    assert doc["regressions"] == {"q1": [0.5, 1.2]}
+
+
+def test_final_line_truncates_oversized_regression_maps():
+    huge = {f"query_with_a_long_name_{i:04d}": [1.0, 2.0 + i] for i in range(200)}
+    line = bench._final_line(_detail(), huge, {}, {})
+    assert len(line) <= bench._MAX_LINE_BYTES
+    doc = json.loads(line)
+    assert len(doc["regressions"]) == 8
+    assert doc["regressions_truncated"] == 192
+    # worst slowdown ratios survive the trim
+    assert "query_with_a_long_name_0199" in doc["regressions"]
+
+
+def test_final_line_carries_pipeline_sidecars():
+    doc = json.loads(
+        bench._final_line(
+            _detail(), {}, {"sec": 20.0, "mib_per_s": 100.0}, {"mib_per_s": 75.0}
+        )
+    )
+    assert doc["pipe_e2e_convert_sec"] == 20.0
+    assert doc["pipe_czi_decode_mib_per_s"] == 75.0
+
+
+def test_load_prior_keeps_best_timing_at_matching_sf(tmp_path):
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q1": 2.0, "q2": 1.0}})
+    )
+    # driver-wrapped shape: payload under "parsed"
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"parsed": {"sf": 0.1, "queries": {"q1": 1.5}}})
+    )
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q1": 1.8, "q3": 4.0}})
+        + "\n"
+        + json.dumps({"sf": 0.001, "queries": {"q1": 0.01}})  # other sf: ignored
+        + "\n"
+        + "not json\n"  # tolerated
+    )
+    prior = bench._load_prior(tmp_path, 0.1)
+    assert prior == {"q1": 1.5, "q2": 1.0, "q3": 4.0}
+
+
+def test_accepted_regressions_reasons_are_nonempty():
+    for q, why in bench._ACCEPTED_REGRESSIONS.items():
+        assert isinstance(why, str) and len(why) > 20, q
