@@ -13,9 +13,11 @@ Usage::
 
 Each input partition is one (stack, z0, y0, x0) tile — Spark schedules
 tiles exactly like parquet splits, and the reader streams Arrow-friendly
-rows. ``reader="synthetic"`` emits the deterministic ramp; a czifile
-backend drops into ``_make_block`` unchanged (import-gated like
-``sources/czi.py``).
+rows. ``reader="synthetic"`` emits the deterministic ramp;
+``reader="czi"`` decodes real CZI files under ``input_dir`` (czifile
+when installed, the vendored ZISRAW reader otherwise), with one
+z-slab per partition — a partition is the decode unit, so slabs
+never decode twice.
 """
 
 from __future__ import annotations
@@ -37,6 +39,7 @@ class _TilePartition(InputPartition):
     y1: int
     x0: int
     x1: int
+    path: str = ""
 
 
 class StackBlockDataSource(DataSource):
@@ -55,50 +58,89 @@ class StackBlockDataSource(DataSource):
 
 class StackBlockReader(DataSourceReader):
     def __init__(self, options) -> None:
-        self.stacks = [s for s in options.get("stacks", "stack").split(",") if s]
-        self.z = int(options.get("z", 128))
-        self.y = int(options.get("y", 128))
-        self.x = int(options.get("x", 128))
-        self.bz = int(options.get("block_z", 128))
-        self.by = int(options.get("block_y", 128))
-        self.bx = int(options.get("block_x", 128))
         self.reader = options.get("reader", "synthetic")
-        if self.reader != "synthetic":
+        self.bz = int(options.get("block_z", 128))
+        self.by = int(options.get("block_y", 0))  # 0 = full extent (czi)
+        self.bx = int(options.get("block_x", 0))
+        if self.reader == "synthetic":
+            self.stacks = [
+                s for s in options.get("stacks", "stack").split(",") if s
+            ]
+            self.z = int(options.get("z", 128))
+            self.y = int(options.get("y", 128))
+            self.x = int(options.get("x", 128))
+            self.by = self.by or 128
+            self.bx = self.bx or 128
+            self.paths: dict[str, str] = {}
+            self.extents = {s: (self.z, self.y, self.x) for s in self.stacks}
+        elif self.reader == "czi":
+            # driver-side catalog (reference zeiss_job.py:42-60 shape):
+            # list *.czi, extents from each subblock directory
+            import glob
+            import os
+
+            from .zisraw import stack_extents
+
+            input_dir = options.get("input_dir", "")
+            if not input_dir:
+                raise ValueError("reader='czi' requires the input_dir option")
+            self.paths = {
+                os.path.splitext(os.path.basename(p))[0]: p
+                for p in sorted(glob.glob(os.path.join(input_dir, "*.czi")))
+                if os.path.isfile(p)
+            }
+            if not self.paths:
+                raise ValueError(f"no *.czi stacks under {input_dir}")
+            self.extents = {n: stack_extents(p) for n, p in self.paths.items()}
+            self.stacks = sorted(self.paths)
+        else:
             raise NotImplementedError(
-                "only the synthetic backend exists in this environment; the "
-                "czifile backend plugs into _make_block (sources/czi.py)"
+                f"unknown reader {self.reader!r} (synthetic | czi)"
             )
 
     def partitions(self) -> list[_TilePartition]:
         """One partition per 3-D tile (gen_slices semantics,
-        ``zarr_writer.py:129-186``) — the split list Spark schedules."""
+        ``zarr_writer.py:129-186``) — the split list Spark schedules.
+        For czi stacks the y/x block defaults to the full extent (one
+        z-slab per partition = one decode per slab); pass block_y/x to
+        subdivide when planes are mosaic-scale."""
         parts = []
         for s in self.stacks:
-            for z0 in range(0, self.z, self.bz):
-                for y0 in range(0, self.y, self.by):
-                    for x0 in range(0, self.x, self.bx):
+            z, y, x = self.extents[s]
+            by = self.by or y
+            bx = self.bx or x
+            for z0 in range(0, z, self.bz):
+                for y0 in range(0, y, by):
+                    for x0 in range(0, x, bx):
                         parts.append(
                             _TilePartition(
                                 s,
                                 z0,
-                                min(z0 + self.bz, self.z),
+                                min(z0 + self.bz, z),
                                 y0,
-                                min(y0 + self.by, self.y),
+                                min(y0 + by, y),
                                 x0,
-                                min(x0 + self.bx, self.x),
+                                min(x0 + bx, x),
+                                self.paths.get(s, ""),
                             )
                         )
         return parts
 
     def read(self, partition: _TilePartition) -> Iterator[tuple]:
-        arr = synthetic_ramp_block(
-            partition.z0,
-            partition.z1,
-            partition.y0,
-            partition.y1,
-            partition.x0,
-            partition.x1,
-        )
+        if partition.path:
+            from .czi import _read_slab_czifile
+
+            slab = _read_slab_czifile(partition.path, partition.z0, partition.z1)
+            arr = slab[:, partition.y0 : partition.y1, partition.x0 : partition.x1]
+        else:
+            arr = synthetic_ramp_block(
+                partition.z0,
+                partition.z1,
+                partition.y0,
+                partition.y1,
+                partition.x0,
+                partition.x1,
+            )
         yield (
             partition.stack_name,
             0,

@@ -53,3 +53,35 @@ def test_datasource_filter_pushes_to_spark(spark):
     )
     rows = df.collect()
     assert [(r.z0, r.z1) for r in rows] == [(16, 32)]
+
+
+def test_datasource_czi_backend(spark, tmp_path):
+    """reader='czi': real ZISRAW binaries through spark.read.format,
+    one z-slab partition per decode, voxel-exact reassembly."""
+    from aind_hcr_data_transformation_spark.sources.zisraw import write_czi
+
+    nz, y, x = 12, 16, 10
+    for name in ("s1", "s2"):
+        write_czi(
+            str(tmp_path / f"{name}.czi"),
+            {z: synthetic_ramp_block(z, z + 1, 0, y, 0, x)[0] for z in range(nz)},
+        )
+    spark.dataSource.register(StackBlockDataSource)
+    df = (
+        spark.read.format("stack_blocks")
+        .option("reader", "czi")
+        .option("input_dir", str(tmp_path))
+        .option("block_z", 5)
+        .load()
+    )
+    rows = df.collect()
+    # 2 stacks × 3 z-slabs (5+5+2), full y/x per slab
+    assert len(rows) == 2 * 3
+    got = np.zeros((nz, y, x), dtype=np.uint16)
+    for r in rows:
+        if r.stack_name != "s2":
+            continue
+        arr = np.frombuffer(r.block, dtype=np.dtype(r.dtype)).reshape(r.shape[-3:])
+        assert (r.y0, r.y1, r.x0, r.x1) == (0, y, 0, x)
+        got[r.z0 : r.z1] = arr
+    np.testing.assert_array_equal(got, synthetic_ramp_block(0, nz, 0, y, 0, x))
