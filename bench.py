@@ -46,6 +46,11 @@ _ACCEPTED_REGRESSIONS = {
         "(1 job) the 0.215s prior was recorded on; the old plan "
         "serializes on a fact table"
     ),
+    "ivf_kmeans_ann": (
+        "r4 (VERDICT r3 task 6): nprobe=2 multi-probe search (~1.4x the "
+        "nprobe=1 cost the 3.08s prior was recorded on) for recall at "
+        "cell boundaries; recall-vs-bruteforce test pins the gain"
+    ),
 }
 
 

@@ -148,3 +148,35 @@ def test_convert_czi_stack_e2e(spark, tmp_path, no_czifile):
 
     lvl1 = read_array(f"{group}/1")
     np.testing.assert_array_equal(lvl1[0, 0], windowed_mean_nd(golden, (2, 2, 2)))
+
+
+# property: arbitrary geometry / dtype / write order round-trips exactly.
+# y/x start at 2: the slab assembler squeezes singleton dims (czifile
+# parity — reference utils.py:284-395 does the same), so a 1-pixel-wide
+# plane would lose its axis; real scope planes are never degenerate.
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        nz=st.integers(1, 12),
+        y=st.integers(2, 40),
+        x=st.integers(2, 40),
+        dtype=st.sampled_from(["uint8", "uint16", "float32"]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_round_trip_property(tmp_path_factory, nz, y, x, dtype, seed):
+        rng = np.random.default_rng(seed)
+        vals = {
+            z: (rng.integers(0, 255, (y, x)).astype(dtype))
+            for z in rng.permutation(nz)
+        }
+        path = str(tmp_path_factory.mktemp("zr") / "p.czi")
+        write_czi(path, {int(z): v for z, v in vals.items()})
+        slab = _read_slab_czifile(path, 0, nz)
+        assert slab.shape == (nz, y, x) and str(slab.dtype) == dtype
+        for z, v in vals.items():
+            np.testing.assert_array_equal(slab[int(z)], v)
+except ImportError:  # pragma: no cover
+    pass
