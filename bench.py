@@ -243,6 +243,14 @@ def main() -> None:
             retry = run_once(name, fn)
             print(f"{name}: spike {t} -> retry {retry}", file=sys.stderr)
             t = min(t, retry)
+            # host stall windows can span BOTH measurements (observed:
+            # 23s -> 14s on a query whose clean time is 1.7s, while the
+            # next run of the same build recorded 1.73s). One more
+            # sample for extreme outliers only.
+            if t > 3 * prior[name] and t > 1.0:
+                retry2 = run_once(name, fn)
+                print(f"{name}: still {t} -> retry2 {retry2}", file=sys.stderr)
+                t = min(t, retry2)
         timings[name] = t
         print(f"{name}: {timings[name]}", file=sys.stderr)
 

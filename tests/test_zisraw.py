@@ -180,3 +180,89 @@ try:
             np.testing.assert_array_equal(slab[int(z)], v)
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_writer_spec_conformance_golden_bytes(tmp_path):
+    """Spec-conformance pinned at the BYTE level with raw struct reads —
+    deliberately NOT using MiniCziFile, so the writer is checked against
+    the published ZISRAW layout itself rather than against its sibling
+    reader (the two share an author; this test is the independent
+    witness). Layout constants follow the Zeiss ZISRAW specification:
+    32-byte segment headers (Id:16s Alloc:q Used:q, LE), 32-byte
+    alignment, the 80-byte ZISRAWFILE payload, DirectoryEntryDV with
+    20-byte dimension entries, and subblock data at
+    max(256, entry+16) + metadata_size into the segment payload."""
+    import struct
+
+    path = str(tmp_path / "g.czi")
+    write_czi(
+        path, {0: np.array([[1, 2], [3, 4]], np.uint16)}, metadata_xml="<M/>"
+    )
+    raw = open(path, "rb").read()
+
+    # --- file header segment at offset 0
+    sid, alloc, used = struct.unpack_from("<16sqq", raw, 0)
+    assert sid == b"ZISRAWFILE" + b"\0" * 6
+    assert used == 80 and alloc == 96  # 80-byte payload, 32-aligned
+    major, minor = struct.unpack_from("<ii", raw, 32)
+    assert (major, minor) == (1, 0)
+    # guids/reserved: offsets 40..88; file_part, dir_pos, meta_pos at 88+
+    file_part, dir_pos, meta_pos = struct.unpack_from("<iqq", raw, 32 + 48)
+    assert file_part == 0
+    assert raw[dir_pos : dir_pos + 15] == b"ZISRAWDIRECTORY"
+    assert raw[meta_pos : meta_pos + 14] == b"ZISRAWMETADATA"
+
+    # --- first subblock segment directly after the header (offset 128)
+    sb = 128
+    assert raw[sb : sb + 14] == b"ZISRAWSUBBLOCK"
+    meta_size, att_size, data_size = struct.unpack_from("<iiq", raw, sb + 32)
+    assert (meta_size, att_size) == (0, 0)
+    assert data_size == 4 * 2  # 2x2 uint16
+    # DirectoryEntryDV at payload offset 16
+    dv = sb + 32 + 16
+    schema, pixel_type, file_position, fpart, compression = struct.unpack_from(
+        "<2siqii", raw, dv
+    )
+    assert schema == b"DV"
+    assert pixel_type == 1  # Gray16
+    assert file_position == sb and compression == 0
+    ndim = struct.unpack_from("<i", raw, dv + 28)[0]
+    assert ndim == 4
+    dims = {}
+    for k in range(ndim):
+        d, start, size, _coord, stored = struct.unpack_from(
+            "<4siifi", raw, dv + 32 + 20 * k
+        )
+        dims[d.rstrip(b"\0").decode()] = (start, size, stored)
+    assert dims == {
+        "C": (0, 1, 1), "Z": (0, 1, 1), "Y": (0, 2, 2), "X": (0, 2, 2)
+    }
+    # data at max(256, entry+16) into the payload, uncompressed LE pixels
+    entry_size = 32 + 20 * ndim
+    data_off = sb + 32 + max(256, entry_size + 16) + meta_size
+    assert raw[data_off : data_off + data_size] == np.array(
+        [[1, 2], [3, 4]], "<u2"
+    ).tobytes()
+
+    # --- metadata segment: xml_size + 248-byte spare, then XML
+    xml_size = struct.unpack_from("<i", raw, meta_pos + 32)[0]
+    assert raw[meta_pos + 32 + 256 : meta_pos + 32 + 256 + xml_size] == b"<M/>"
+
+    # --- directory: count + 124-byte spare, then the same DV entry bytes
+    count = struct.unpack_from("<i", raw, dir_pos + 32)[0]
+    assert count == 1
+    entry_in_dir = raw[dir_pos + 32 + 128 : dir_pos + 32 + 128 + entry_size]
+    entry_in_sub = raw[dv : dv + entry_size]
+    assert entry_in_dir == entry_in_sub
+
+    # --- every segment header is 32-byte aligned with alloc >= used
+    off = 0
+    seen = []
+    while off < len(raw):
+        sid, alloc, used = struct.unpack_from("<16sqq", raw, off)
+        seen.append(sid.rstrip(b"\0").decode())
+        assert off % 32 == 0 and alloc % 32 == 0 and alloc >= used
+        off += 32 + alloc
+    assert seen == [
+        "ZISRAWFILE", "ZISRAWSUBBLOCK", "ZISRAWMETADATA", "ZISRAWDIRECTORY"
+    ]
