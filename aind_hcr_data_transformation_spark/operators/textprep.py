@@ -237,6 +237,180 @@ ORDER BY t.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter decontamination (the constant-memory scale path)
+# ---------------------------------------------------------------------------
+
+#: probes per shingle; ~32 bits/key at k=5 gives FP ≈ 1e-4
+_BLOOM_K = 5
+_BLOOM_BITS_PER_KEY = 32
+
+
+def _bloom_m(n_keys: int) -> int:
+    """Filter size in bits: smallest power of two ≥ 32·n, clamped to
+    [2^10, 2^26] — integer-exact, mirrored by the SQL CASE ladder
+    (:func:`_sql_bloom_m`), the same derived-from-data pattern as
+    ``dedup._emb_bits``."""
+    t = max(1, _BLOOM_BITS_PER_KEY * n_keys)
+    return min(1 << 26, max(1 << 10, 1 << (t - 1).bit_length()))
+
+
+def _sql_bloom_m(t_expr: str) -> str:
+    cases = " ".join(
+        f"WHEN {t_expr} <= {1 << p} THEN {1 << p}" for p in range(10, 27)
+    )
+    return f"(CASE {cases} ELSE {1 << 26} END)"
+
+
+def _bloom_pos(seed: int, m: int):
+    """Probe position for ``seed``: md5 60-bit prefix of ``seed:shingle``
+    mod m — the engine-exact hash family both engines share."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % m
+    )
+
+
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter — the
+    constant-memory scale path. :func:`contamination` broadcasts the
+    EXACT benchmark shingle set, which works while benchmarks are small;
+    at a 100-TB corpus with a large held-out suite the exact set outgrows
+    a broadcast, and production pipelines switch to a Bloom filter
+    (false positives only ⇒ over-removal, never leakage).
+
+    Spark-first construction, no driver-side bitmap: the filter IS a
+    DataFrame of (word_idx, 32-bit word) built by ``bit_or`` aggregation
+    over the k probe positions of every benchmark shingle; membership is
+    ONE broadcast join of corpus probes against those words plus
+    ``bool_and`` over each shingle's k probes. Geometry derives from the
+    benchmark shingle count with the same integer-exact power-of-two
+    ladder in both engines, so the DuckDB oracle reproduces the filter
+    bit-for-bit — the differential check covers the false-positive
+    behavior too, not just the happy path.
+
+    Output matches :func:`contamination`'s shape (bloom hits replace
+    exact hits; false positives can add rows — that is the documented
+    trade)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    bench_sh = persist_tracked(
+        _doc_shingles(docs.filter(F.col("doc_id") % _CONTAM_MOD == 0))
+        .select("shingle")
+        .distinct()
+    )
+    m = _bloom_m(bench_sh.count())
+
+    probe_arr = F.array(*[_bloom_pos(s, m) for s in range(_BLOOM_K)])
+    words = (
+        bench_sh.select(F.explode(probe_arr).alias("pos"))
+        .select(
+            F.expr("pos div 32").alias("word_idx"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+    )
+
+    corpus_sh = _doc_shingles(docs.filter(F.col("doc_id") % _CONTAM_MOD != 0))
+    probes = corpus_sh.select(
+        "doc_id", "shingle", F.explode(probe_arr).alias("pos")
+    ).select(
+        "doc_id",
+        "shingle",
+        F.expr("pos div 32").alias("word_idx"),
+        F.expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))").alias(
+            "mask"
+        ),
+    )
+    per_shingle = (
+        probes.join(F.broadcast(words), "word_idx", "left")
+        .select(
+            "doc_id",
+            "shingle",
+            F.coalesce(
+                F.expr("(word & mask) != 0"), F.lit(False)
+            ).alias("bit_set"),
+        )
+        .groupBy("doc_id", "shingle")
+        .agg(F.bool_and("bit_set").alias("all_set"))
+    )
+    ratio = F.col("n_bloom_hits") / F.col("n_grams")
+    return (
+        per_shingle.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("all_set").cast("long")).alias("n_bloom_hits"),
+        )
+        .filter(F.col("n_bloom_hits") >= 1)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_bloom_hits",
+            dround(ratio, 4).alias("hit_ratio"),
+            (ratio >= _CONTAM_FLAG).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bloom_sql() -> str:
+    from .dedup import _sql_md5_prefix_int
+
+    seeds = ", ".join(str(s) for s in range(_BLOOM_K))
+    pos = _sql_md5_prefix_int("s::VARCHAR || ':' || shingle")
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+         )) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 3
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_CONTAM_MOD} = 0),
+geom AS (
+  SELECT {_sql_bloom_m(f"{_BLOOM_BITS_PER_KEY} * n")} AS m
+  FROM (SELECT count(*) AS n FROM bench)
+),
+seeds AS (SELECT unnest([{seeds}]) AS s),
+bwords AS (
+  SELECT pos // 32 AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS word
+  FROM (
+    SELECT ({pos}) % m AS pos FROM bench, geom, seeds
+  )
+  GROUP BY 1
+),
+probes AS (
+  SELECT doc_id, shingle, ({pos}) % m AS pos
+  FROM sh, geom, seeds
+  WHERE doc_id % {_CONTAM_MOD} <> 0
+),
+per_shingle AS (
+  SELECT p.doc_id, p.shingle,
+         bool_and(coalesce(
+           (w.word & (1::BIGINT << CAST(p.pos % 32 AS INTEGER))) <> 0, FALSE
+         )) AS all_set
+  FROM probes p LEFT JOIN bwords w ON p.pos // 32 = w.word_idx
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN all_set THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       {sql_round('sum(CASE WHEN all_set THEN 1 ELSE 0 END) / count(*)', 4)} AS hit_ratio,
+       sum(CASE WHEN all_set THEN 1 ELSE 0 END) / count(*) >= {_CONTAM_FLAG} AS flagged
+FROM per_shingle
+GROUP BY doc_id
+HAVING CAST(sum(CASE WHEN all_set THEN 1 ELSE 0 END) AS BIGINT) >= 1
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # PII redaction (regex scrub with match accounting)
 # ---------------------------------------------------------------------------
 
@@ -632,3 +806,6 @@ CORPUS_PREP_FUNNEL_SQL = _funnel_sql()
 
 QUERIES["corpus_prep_funnel"] = corpus_prep_funnel
 ORACLES["corpus_prep_funnel"] = CORPUS_PREP_FUNNEL_SQL
+
+QUERIES["contamination_bloom"] = contamination_bloom
+ORACLES["contamination_bloom"] = _bloom_sql()

@@ -103,3 +103,24 @@ def test_sample_stratified_rates_follow_thresholds(spark, queries):
     # the hard-downsampled majority stratum keeps a smaller fraction
     # than the keep-nearly-all rare stratum
     assert rows["en"].realized_rate < rows["zh"].realized_rate
+
+
+def test_bloom_contamination_never_misses(spark):
+    """Bloom membership can only err toward false POSITIVES: every doc
+    the exact check flags must appear in the bloom result with at least
+    as many hits, and FP inflation stays under the design bound."""
+    from aind_hcr_data_transformation_spark.operators.textprep import (
+        contamination,
+        contamination_bloom,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r.doc_id: r.n_hits for r in contamination(spark, sf).collect()}
+    bloom = {
+        r.doc_id: r.n_bloom_hits for r in contamination_bloom(spark, sf).collect()
+    }
+    for doc_id, n_hits in exact.items():
+        assert bloom.get(doc_id, 0) >= n_hits, doc_id
+    # false positives only add docs/hits; at ~1e-4 FP the overhang is tiny
+    extra_docs = set(bloom) - set(exact)
+    assert len(extra_docs) <= max(3, len(exact) // 10)
