@@ -103,12 +103,177 @@ FROM documents
 """
 
 
+#: frame-sampling geometry: k uniform samples; the frame count derives
+#: deterministically from the payload (no real container parsing here)
+_FRAME_K = 8
+_FRAME_FPS = 24.0
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("ts_sec", T.DoubleType()),
+        T.StructField("frame_digest", T.StringType()),
+    ]
+)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing (north-star brief: "frame-sample as
+    Pandas UDFs over mapInPandas"): k uniformly-strided frame indices per
+    payload, each emitted as a row with its timestamp and a per-frame
+    digest. The DECODE is the deterministic stand-in (digest of
+    payload+index — a real deployment calls ffmpeg on the payload here);
+    everything Spark-side is real: binary Arrow batches in, a k-fold
+    row-expansion out of Python, metadata-only shuffle after.
+
+    The oracle re-derives indices, timestamps, and digests in SQL,
+    pinning the batch path bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "ts_sec": [], "frame_digest": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) % 240 + 16
+                for j in range(_FRAME_K):
+                    idx = j * n_frames // _FRAME_K
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["ts_sec"].append(idx / _FRAME_FPS)
+                    out["frame_digest"].append(
+                        hashlib.md5(
+                            payload + b":" + str(idx).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    sampled = media.mapInPandas(sample, FRAME_SCHEMA)
+    from ..functions.compat import dround
+
+    return sampled.select(
+        "doc_id",
+        "frame_idx",
+        dround(F.col("ts_sec"), 4).alias("ts_sec"),
+        "frame_digest",
+    ).orderBy("doc_id", "frame_idx")
+
+
+def _frame_sample_sql() -> str:
+    from ..functions.compat import sql_round
+
+    return f"""
+SELECT d.doc_id,
+       CAST((j.j * (octet_length(encode(d.text)) % 240 + 16)) // {_FRAME_K} AS BIGINT) AS frame_idx,
+       {sql_round(f"((j.j * (octet_length(encode(d.text)) % 240 + 16)) // {_FRAME_K}) / {_FRAME_FPS}", 4)} AS ts_sec,
+       md5(d.text || ':' ||
+           ((j.j * (octet_length(encode(d.text)) % 240 + 16)) // {_FRAME_K})::VARCHAR
+       ) AS frame_digest
+FROM documents d, (SELECT unnest(range(0, {_FRAME_K})) AS j) j
+ORDER BY d.doc_id, frame_idx
+"""
+
+
+#: thumbnail geometry: a GRID x GRID fake image pooled down POOL x POOL
+_THUMB_GRID = 64
+_THUMB_POOL = 8
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ry", T.IntegerType()),
+        T.StructField("rx", T.IntegerType()),
+        T.StructField("mean_px", T.DoubleType()),
+    ]
+)
+
+
+def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing (north-star brief: "resize as Pandas UDFs"):
+    the payload bytes tile a deterministic 64x64 single-channel "image"
+    (byte value at (r,c) = payload[(r*64+c) % len] — the stand-in for a
+    real decode), which a vectorized numpy kernel mean-pools 8x8 into an
+    8x8 thumbnail, one output row per thumbnail pixel.
+
+    Block means are sums of <=64 ints divided by a power of two, so the
+    values are exactly representable and the SQL oracle reproduces them
+    bit-for-bit — the same windowed-mean semantics as the zarr pyramid
+    (operators/blockwise.py), exercised through the Arrow batch path."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.filter(F.length("text") >= 1).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    g, p = _THUMB_GRID, _THUMB_POOL
+    flat = np.arange(g * g)
+
+    def thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        side = g // p
+        ry = np.repeat(np.arange(side), side).astype("int32")
+        rx = np.tile(np.arange(side), side).astype("int32")
+        for pdf in batches:
+            frames = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, np.uint8)
+                img = b[flat % len(b)].reshape(g, g).astype(np.float64)
+                pooled = img.reshape(side, p, side, p).mean(axis=(1, 3))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": doc_id,
+                            "ry": ry,
+                            "rx": rx,
+                            "mean_px": pooled.ravel(),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    pooled = media.mapInPandas(thumb, THUMB_SCHEMA)
+    from ..functions.compat import dround
+
+    return pooled.select(
+        "doc_id", "ry", "rx", dround(F.col("mean_px"), 4).alias("mean_px")
+    ).orderBy("doc_id", "ry", "rx")
+
+
+def _thumbnail_sql() -> str:
+    from ..functions.compat import sql_round
+
+    g, p = _THUMB_GRID, _THUMB_POOL
+    return f"""
+SELECT doc_id,
+       CAST(r // {p} AS INTEGER) AS ry,
+       CAST(c // {p} AS INTEGER) AS rx,
+       {sql_round(f"sum(px) / {p * p}.0", 4)} AS mean_px
+FROM (
+  SELECT d.doc_id, gr.i AS r, gc.i AS c,
+         ascii(substr(d.text, ((gr.i * {g} + gc.i) % octet_length(encode(d.text))) + 1, 1)) AS px
+  FROM documents d,
+       (SELECT unnest(range(0, {g})) AS i) gr,
+       (SELECT unnest(range(0, {g})) AS i) gc
+  WHERE octet_length(encode(d.text)) >= 1
+)
+GROUP BY doc_id, r // {p}, c // {p}
+ORDER BY doc_id, ry, rx
+"""
+
+
 QUERIES = {
     "multimodal_binary_features": multimodal_binary_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_thumbnail": multimodal_thumbnail,
 }
 
 ORACLES = {
     "multimodal_binary_features": MULTIMODAL_SQL,
+    "multimodal_frame_sample": _frame_sample_sql(),
+    "multimodal_thumbnail": _thumbnail_sql(),
 }
 
 
