@@ -63,9 +63,12 @@ def main() -> int:
 
     argv = sys.argv[1:]
     json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
-        argv = argv[2:]
+    # accept --json anywhere (a misplaced flag once silently became a
+    # "query name" filter that matched nothing and reported 0 failures)
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -78,6 +81,10 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}")
+        return 2
     failures = []
     records: dict[str, dict] = {}
 
