@@ -264,16 +264,72 @@ ORDER BY doc_id, ry, rx
 """
 
 
+def udaf_user_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-AGGREGATE pandas UDF (SURVEY §2.11 — the UDAF mode,
+    completing the Arrow surface next to mapInPandas / grouped-map /
+    stateful): per-user median event value computed by numpy inside an
+    ``AggregateInPandas`` node.
+
+    numpy's even-count median (mean of the two middle doubles) is the
+    same arithmetic as DuckDB's ``median`` (= ``quantile_cont(0.5)``),
+    so the oracle matches bit-for-bit before the display rounding."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.compat import dround
+
+    @pandas_udf("double")
+    def median_udf(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy()))
+
+    # Spark forbids mixing pandas and non-pandas aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the count rides as a second
+    # pandas aggregate
+    @pandas_udf("long")
+    def count_udf(v: pd.Series) -> int:
+        return len(v)
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            count_udf("value").alias("n_events"),
+            median_udf("value").alias("median_raw"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            dround(F.col("median_raw"), 4).alias("median_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _udaf_median_sql() -> str:
+    from ..functions.compat import sql_round
+
+    return f"""
+SELECT user_id,
+       count(*) AS n_events,
+       {sql_round('median(value)', 4)} AS median_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "multimodal_binary_features": multimodal_binary_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_thumbnail": multimodal_thumbnail,
+    "udaf_user_median": udaf_user_median,
 }
 
 ORACLES = {
     "multimodal_binary_features": MULTIMODAL_SQL,
     "multimodal_frame_sample": _frame_sample_sql(),
     "multimodal_thumbnail": _thumbnail_sql(),
+    "udaf_user_median": _udaf_median_sql(),
 }
 
 
