@@ -264,6 +264,94 @@ ORDER BY doc_id, ry, rx
 """
 
 
+#: audio geometry: non-overlapping analysis windows of 256 "samples"
+_AUDIO_WIN = 256
+
+
+def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature plumbing (the audio leg of the multimodal trio —
+    features / frames / thumbnail / RMS): payload bytes are read as a
+    centered 8-bit PCM waveform (sample = byte − 128, the stand-in for a
+    real audio decode) and a vectorized numpy kernel emits per-window
+    RMS energy, one row per non-overlapping 256-sample window (the
+    trailing partial window included, like any streaming feature
+    extractor).
+
+    Window sums are integer-exact and the division/sqrt are single
+    correctly-rounded IEEE ops, so the SQL oracle reproduces every RMS
+    bit-for-bit before display rounding."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.filter(F.length("text") >= 1).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    w = _AUDIO_WIN
+
+    def rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = np.frombuffer(payload, np.uint8).astype(np.int64) - 128
+                n_win = (len(s) + w - 1) // w
+                sq = np.square(s)
+                sums = np.add.reduceat(sq, np.arange(0, len(s), w))
+                counts = np.diff(np.append(np.arange(0, len(s), w), len(s)))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": doc_id,
+                            "win_idx": np.arange(n_win, dtype="int64"),
+                            "n_samples": counts.astype("int64"),
+                            "rms_raw": np.sqrt(sums / counts),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    out = media.mapInPandas(
+        rms,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("win_idx", T.LongType()),
+                T.StructField("n_samples", T.LongType()),
+                T.StructField("rms_raw", T.DoubleType()),
+            ]
+        ),
+    )
+    from ..functions.compat import dround
+
+    return out.select(
+        "doc_id",
+        "win_idx",
+        "n_samples",
+        dround(F.col("rms_raw"), 4).alias("rms"),
+    ).orderBy("doc_id", "win_idx")
+
+
+def _audio_rms_sql() -> str:
+    from ..functions.compat import sql_round
+
+    w = _AUDIO_WIN
+    return f"""
+SELECT doc_id,
+       (pos - 1) // {w} AS win_idx,
+       count(*) AS n_samples,
+       {sql_round('sqrt(sum(sq) / count(*))', 4)} AS rms
+FROM (
+  SELECT d.doc_id, p.pos,
+         CAST(ascii(substr(d.text, CAST(p.pos AS INTEGER), 1)) - 128 AS BIGINT) ** 2 AS sq
+  FROM documents d,
+       LATERAL (SELECT unnest(range(1, octet_length(encode(d.text)) + 1)) AS pos) p
+  WHERE octet_length(encode(d.text)) >= 1
+)
+GROUP BY doc_id, (pos - 1) // {w}
+ORDER BY doc_id, win_idx
+"""
+
+
 def udaf_user_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-AGGREGATE pandas UDF (SURVEY §2.11 — the UDAF mode,
     completing the Arrow surface next to mapInPandas / grouped-map /
@@ -322,6 +410,7 @@ QUERIES = {
     "multimodal_binary_features": multimodal_binary_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_thumbnail": multimodal_thumbnail,
+    "multimodal_audio_rms": multimodal_audio_rms,
     "udaf_user_median": udaf_user_median,
 }
 
@@ -329,6 +418,7 @@ ORACLES = {
     "multimodal_binary_features": MULTIMODAL_SQL,
     "multimodal_frame_sample": _frame_sample_sql(),
     "multimodal_thumbnail": _thumbnail_sql(),
+    "multimodal_audio_rms": _audio_rms_sql(),
     "udaf_user_median": _udaf_median_sql(),
 }
 
