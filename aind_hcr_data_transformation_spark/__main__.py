@@ -62,7 +62,9 @@ def main(argv: list[str] | None = None) -> int:
         # every *.czi under input_source converts to a multiscale group.
         # czifile decodes when installed; the vendored ZISRAW reader
         # (sources/zisraw.py) handles uncompressed stacks without it.
-        from .pipeline import convert_czi_stack
+        import os
+
+        from .pipeline import convert_czi_stack, stack_is_complete
         from .sources.czi import stack_catalog
 
         stacks = [
@@ -79,16 +81,23 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
             return 1
-        groups = [
+        # restart-safe like the synthetic multi-stack path: stacks whose
+        # group already carries the _SUCCESS sentinel are skipped
+        done = skipped = 0
+        for path, name in stacks:
+            group = os.path.join(settings.output_directory, f"{name}.zarr")
+            if stack_is_complete(group):
+                skipped += 1
+                continue
             convert_czi_stack(spark, settings, path, stack_name=name)
-            for path, name in stacks
-        ]
+            done += 1
         print(
             json.dumps(
                 {
                     "status_code": 200,
-                    "message": f"wrote {len(groups)} groups under "
-                    f"{settings.output_directory} in {time.time() - start:.1f}s",
+                    "message": f"wrote {done} groups ({skipped} already "
+                    f"complete) under {settings.output_directory} "
+                    f"in {time.time() - start:.1f}s",
                 }
             )
         )

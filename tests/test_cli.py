@@ -100,3 +100,29 @@ def test_cli_empty_czi_directory_is_an_error(spark, tmp_path, capsys):
         ],
     )
     assert rc == 1 and doc["status_code"] == 400
+
+
+def test_cli_czi_directory_resume_skips_complete(spark, tmp_path, capsys):
+    """Second run over the same directory converts nothing: every group
+    already carries the _SUCCESS sentinel."""
+    src = tmp_path / "in"
+    src.mkdir()
+    write_czi(
+        str(src / "only.czi"),
+        {z: synthetic_ramp_block(z, z + 1, 0, 16, 0, 12)[0] for z in range(8)},
+    )
+    args = [
+        "--job-settings",
+        json.dumps(
+            {
+                "input_source": str(src),
+                "output_directory": str(tmp_path / "out"),
+                "chunk_size": [4, 8, 8],
+                "downsample_levels": 2,
+            }
+        ),
+    ]
+    rc, doc = _run(capsys, args)
+    assert rc == 0 and "wrote 1 groups (0 already complete)" in doc["message"]
+    rc, doc = _run(capsys, args)
+    assert rc == 0 and "wrote 0 groups (1 already complete)" in doc["message"]
