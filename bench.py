@@ -56,8 +56,14 @@ _ACCEPTED_REGRESSIONS = {
 
 def _load_prior(repo: Path, sf_val: object) -> dict[str, float]:
     """Best prior per-query timing from earlier recordings AT THE SAME
-    scale factor (cross-sf comparison would flag phantom regressions)."""
-    prior: dict[str, float] = {}
+    scale factor (cross-sf comparison would flag phantom regressions).
+
+    Robust to outlier minimums: hosts occasionally record anomalously
+    FAST one-offs (a stall elsewhere warming workers, a clock hiccup);
+    taking the raw min then flags every later honest run. When the
+    smallest recording is under 2/3 of the second-smallest it is treated
+    as the outlier and the second-smallest becomes the baseline."""
+    seen: dict[str, list[float]] = {}
 
     def absorb(doc: object) -> None:
         if not isinstance(doc, dict) or doc.get("sf") != sf_val:
@@ -66,8 +72,8 @@ def _load_prior(repo: Path, sf_val: object) -> dict[str, float]:
         if not isinstance(qmap, dict):
             return
         for q, t in qmap.items():
-            if isinstance(t, (int, float)) and (q not in prior or t < prior[q]):
-                prior[q] = float(t)
+            if isinstance(t, (int, float)):
+                seen.setdefault(q, []).append(float(t))
 
     for p in sorted(repo.glob("BENCH_r*.json")):
         try:
@@ -84,6 +90,13 @@ def _load_prior(repo: Path, sf_val: object) -> dict[str, float]:
                 absorb(json.loads(line))
             except json.JSONDecodeError:
                 continue
+    prior: dict[str, float] = {}
+    for q, vals in seen.items():
+        vals.sort()
+        if len(vals) >= 2 and vals[0] < (2 / 3) * vals[1]:
+            prior[q] = vals[1]
+        else:
+            prior[q] = vals[0]
     return prior
 
 

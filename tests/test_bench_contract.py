@@ -74,3 +74,19 @@ def test_load_prior_keeps_best_timing_at_matching_sf(tmp_path):
 def test_accepted_regressions_reasons_are_nonempty():
     for q, why in bench._ACCEPTED_REGRESSIONS.items():
         assert isinstance(why, str) and len(why) > 20, q
+
+
+def test_load_prior_rejects_outlier_minimum(tmp_path):
+    """One anomalously fast recording must not become the baseline every
+    later honest run gets flagged against."""
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q": 1.5, "s": 1.0}})
+        + "\n"
+        + json.dumps({"sf": 0.1, "queries": {"q": 0.2, "s": 0.9}})  # q outlier
+        + "\n"
+        + json.dumps({"sf": 0.1, "queries": {"q": 1.6, "s": 1.1}})
+        + "\n"
+    )
+    prior = bench._load_prior(tmp_path, 0.1)
+    assert prior["q"] == 1.5  # 0.2 < 2/3 * 1.5 -> second-smallest wins
+    assert prior["s"] == 0.9  # 0.9 corroborated by 1.0 -> min kept
