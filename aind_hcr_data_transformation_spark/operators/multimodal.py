@@ -216,23 +216,27 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
         ry = np.repeat(np.arange(side), side).astype("int32")
         rx = np.tile(np.arange(side), side).astype("int32")
         for pdf in batches:
-            frames = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(pdf)
+            if n == 0:
+                continue
+            # one output frame per Arrow batch (per-doc DataFrames would
+            # dominate wall-clock); pooled values land in a prealloc'd
+            # (n, side*side) matrix
+            pooled = np.empty((n, side * side), np.float64)
+            for i, payload in enumerate(pdf["payload"]):
                 b = np.frombuffer(payload, np.uint8)
                 img = b[flat % len(b)].reshape(g, g).astype(np.float64)
-                pooled = img.reshape(side, p, side, p).mean(axis=(1, 3))
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "doc_id": doc_id,
-                            "ry": ry,
-                            "rx": rx,
-                            "mean_px": pooled.ravel(),
-                        }
-                    )
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+                pooled[i] = img.reshape(side, p, side, p).mean(axis=(1, 3)).ravel()
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(
+                        pdf["doc_id"].to_numpy(np.int64), side * side
+                    ),
+                    "ry": np.tile(ry, n),
+                    "rx": np.tile(rx, n),
+                    "mean_px": pooled.ravel(),
+                }
+            )
 
     pooled = media.mapInPandas(thumb, THUMB_SCHEMA)
     from ..functions.compat import dround
@@ -290,25 +294,27 @@ def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            frames = []
+            # accumulate plain arrays, ONE DataFrame per Arrow batch
+            ids, wins, cnts, vals = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 s = np.frombuffer(payload, np.uint8).astype(np.int64) - 128
                 n_win = (len(s) + w - 1) // w
-                sq = np.square(s)
-                sums = np.add.reduceat(sq, np.arange(0, len(s), w))
-                counts = np.diff(np.append(np.arange(0, len(s), w), len(s)))
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "doc_id": doc_id,
-                            "win_idx": np.arange(n_win, dtype="int64"),
-                            "n_samples": counts.astype("int64"),
-                            "rms_raw": np.sqrt(sums / counts),
-                        }
-                    )
+                starts = np.arange(0, len(s), w)
+                sums = np.add.reduceat(np.square(s), starts)
+                counts = np.diff(np.append(starts, len(s)))
+                ids.append(np.full(n_win, doc_id, np.int64))
+                wins.append(np.arange(n_win, dtype=np.int64))
+                cnts.append(counts.astype(np.int64))
+                vals.append(np.sqrt(sums / counts))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids),
+                        "win_idx": np.concatenate(wins),
+                        "n_samples": np.concatenate(cnts),
+                        "rms_raw": np.concatenate(vals),
+                    }
                 )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
 
     out = media.mapInPandas(
         rms,

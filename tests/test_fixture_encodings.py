@@ -97,3 +97,25 @@ class TestTsEncodingSniff:
         )
         span = bounds["hi"] - bounds["lo"]
         assert pd.Timedelta(hours=1) <= span <= pd.Timedelta(days=400)
+
+
+def test_documents_text_is_ascii(spark):
+    """Several oracles equate DuckDB's per-CHARACTER ascii()/substr()
+    with Spark's per-BYTE payload math (multimodal thumbnail/audio,
+    magic_u32). That identity only holds for ASCII text, so a fixture
+    regeneration that introduces non-ASCII vocab must fail HERE with a
+    clear message, not as a mysterious hash mismatch downstream
+    (see memory: the driver has silently changed fixture encodings
+    between rounds before)."""
+    from aind_hcr_data_transformation_spark.tables import load_table
+
+    n_bad = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .filter(~F.col("text").rlike("^[\\x00-\\x7F]*$"))
+        .count()
+    )
+    assert n_bad == 0, (
+        f"{n_bad} documents contain non-ASCII text; byte-vs-char oracles "
+        "(multimodal_thumbnail, multimodal_audio_rms, magic_u32) are no "
+        "longer valid — switch those oracles to blob-based byte access"
+    )
