@@ -64,7 +64,7 @@ def main(argv: list[str] | None = None) -> int:
         # (sources/zisraw.py) handles uncompressed stacks without it.
         import os
 
-        from .pipeline import convert_czi_stack, stack_is_complete
+        from .pipeline import convert_czi_stacks, stack_is_complete
         from .sources.czi import stack_catalog
 
         stacks = [
@@ -81,23 +81,25 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
             return 1
-        # restart-safe like the synthetic multi-stack path: stacks whose
-        # group already carries the _SUCCESS sentinel are skipped
-        done = skipped = 0
-        for path, name in stacks:
-            group = os.path.join(settings.output_directory, f"{name}.zarr")
-            if stack_is_complete(group):
-                skipped += 1
-                continue
-            convert_czi_stack(spark, settings, path, stack_name=name)
-            done += 1
+        # ONE fused job for every incomplete stack (tiles interleave
+        # across cores — no per-stack straggler); stacks whose group
+        # already carries the _SUCCESS sentinel are skipped (resume)
+        skipped = sum(
+            stack_is_complete(
+                os.path.join(settings.output_directory, f"{name}.zarr")
+            )
+            for _, name in stacks
+        )
+        convert_czi_stacks(
+            spark, settings, {name: path for path, name in stacks}, resume=True
+        )
         print(
             json.dumps(
                 {
                     "status_code": 200,
-                    "message": f"wrote {done} groups ({skipped} already "
-                    f"complete) under {settings.output_directory} "
-                    f"in {time.time() - start:.1f}s",
+                    "message": f"wrote {len(stacks) - skipped} groups "
+                    f"({skipped} already complete) under "
+                    f"{settings.output_directory} in {time.time() - start:.1f}s",
                 }
             )
         )

@@ -425,6 +425,58 @@ def convert_synthetic_stacks(
       sentinel is reconverted from scratch, which the deterministic chunk
       writes make safe.
     """
+    return _convert_stacks(
+        spark, settings, stacks, dtype, voxel_size, resume, paths=None
+    )
+
+
+def convert_czi_stacks(
+    spark: SparkSession,
+    settings: ZarrConversionSettings,
+    paths: dict[str, str],
+    voxel_size: tuple[float, float, float] = (1.0, 1.0, 1.0),
+    resume: bool = False,
+) -> dict[str, str]:
+    """Convert MANY real CZI files in ONE fused Spark job per pyramid
+    level — :func:`convert_synthetic_stacks`' scheduling story (tiles of
+    every stack interleave across all cores; the reference's per-node
+    stack loop straggles on its largest stack) applied to actual ZISRAW
+    input, with the same ``_SUCCESS``/``resume`` restart semantics.
+
+    ``paths`` maps stack_name → CZI file. Extents and dtype come from
+    each file's subblock directory; one acquisition = one dtype (mixed
+    dtypes raise — the level arrays of a fused job share a type)."""
+    from .sources.zisraw import _PIXEL_TYPE_TO_DTYPE, MiniCziFile, stack_extents
+
+    stacks: dict[str, tuple[int, int, int]] = {}
+    dtypes: dict[str, str] = {}
+    for name, path in paths.items():
+        stacks[name] = stack_extents(path)
+        with MiniCziFile(path) as czi:
+            ptype = czi.filtered_subblock_directory[0].pixel_type
+        try:
+            dtypes[name] = _PIXEL_TYPE_TO_DTYPE[ptype]
+        except KeyError:
+            raise NotImplementedError(
+                f"{path}: unsupported ZISRAW pixel type {ptype}"
+            ) from None
+    if len(set(dtypes.values())) > 1:
+        raise ValueError(f"mixed stack dtypes in one conversion: {dtypes}")
+    dtype = next(iter(dtypes.values())) if dtypes else "uint16"
+    return _convert_stacks(
+        spark, settings, stacks, dtype, voxel_size, resume, paths=paths
+    )
+
+
+def _convert_stacks(
+    spark: SparkSession,
+    settings: ZarrConversionSettings,
+    stacks: dict[str, tuple[int, int, int]],
+    dtype: str,
+    voxel_size: tuple[float, float, float],
+    resume: bool,
+    paths: dict[str, str] | None,
+) -> dict[str, str]:
     cz, cy, cx = settings.chunk_size
     fz, fy, fx = settings.scale_factor
     n_lvls = settings.downsample_levels
@@ -466,7 +518,13 @@ def convert_synthetic_stacks(
 
     if todo:
         # the fused one-job pyramid writer (per-stack depth clamp included)
-        _convert_pyramid(spark, settings, todo, dtype)
+        _convert_pyramid(
+            spark,
+            settings,
+            todo,
+            dtype,
+            paths={n: p for n, p in (paths or {}).items() if n in todo} or None,
+        )
         for name in todo:
             _mark_complete(group_paths[name])
     return group_paths
