@@ -266,3 +266,52 @@ def test_writer_spec_conformance_golden_bytes(tmp_path):
     assert seen == [
         "ZISRAWFILE", "ZISRAWSUBBLOCK", "ZISRAWMETADATA", "ZISRAWDIRECTORY"
     ]
+
+
+def test_convert_czi_stacks_fused_and_mixed_dtype(spark, tmp_path):
+    """The plural API converts several real CZIs in one fused job with
+    resume, and rejects mixed-dtype acquisitions up front."""
+    from aind_hcr_data_transformation_spark.pipeline import (
+        ZarrConversionSettings,
+        convert_czi_stacks,
+        stack_is_complete,
+    )
+    from aind_hcr_data_transformation_spark.sinks.zarr_sink import read_array
+
+    nz, y, x = 6, 16, 12
+    paths = {}
+    for name in ("fa", "fb"):
+        p = str(tmp_path / f"{name}.czi")
+        write_czi(
+            p, {z: synthetic_ramp_block(z, z + 1, 0, y, 0, x)[0] for z in range(nz)}
+        )
+        paths[name] = p
+    settings = ZarrConversionSettings(
+        output_directory=str(tmp_path / "out"),
+        chunk_size=(4, 8, 8),
+        scale_factor=(2, 2, 2),
+        downsample_levels=2,
+    )
+    groups = convert_czi_stacks(spark, settings, paths)
+    assert sorted(groups) == ["fa", "fb"]
+    for g in groups.values():
+        assert stack_is_complete(g)
+    np.testing.assert_array_equal(
+        read_array(f"{groups['fb']}/0")[0, 0],
+        synthetic_ramp_block(0, nz, 0, y, 0, x),
+    )
+    # resume: nothing reconverts (mtime of a chunk is untouched)
+    import os
+
+    chunk = os.path.join(groups["fa"], "0", "0", "0", "0", "0", "0")
+    before = os.path.getmtime(chunk)
+    convert_czi_stacks(spark, settings, paths, resume=True)
+    assert os.path.getmtime(chunk) == before
+
+    # mixed dtypes refuse up front
+    p8 = str(tmp_path / "u8.czi")
+    write_czi(p8, {0: np.zeros((4, 4), np.uint8)})
+    with pytest.raises(ValueError, match="mixed"):
+        convert_czi_stacks(
+            spark, settings, {"fa": paths["fa"], "u8": p8}
+        )
