@@ -653,3 +653,68 @@ FROM ({GOPHER_RULES_SQL_CORE})
 
 QUERIES["text_gopher_quality"] = text_gopher_quality
 ORACLES["text_gopher_quality"] = TEXT_GOPHER_SQL
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting (training-budget accounting)
+# ---------------------------------------------------------------------------
+
+#: GPT-2-style pre-tokenizer, restricted to the syntax subset where Java
+#: regex (Spark) and RE2 (DuckDB) agree: no lookahead, no \p classes,
+#: explicit whitespace class (Java's \s includes \x0B, RE2's does not).
+#: Contractions split off first, then space-prefixed letter runs, digit
+#: runs, punctuation runs, and residual whitespace — the same shape as
+#: the GPT-2 pattern, minus the Unicode categories.
+_BPE_PAT = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\n\\r]+|[ \\t\\n\\r]+"
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per source — the number every training-data
+    budget is quoted in. Whitespace tokens (the reference-style split)
+    and BPE-ish pre-tokenizer tokens (the regex above) are counted per
+    document and rolled up per source: doc count, token sums, and
+    chars-per-BPE-token (the compression-rate proxy used to convert
+    corpus bytes to token budgets).
+
+    Counting is one regexp pass per document, aggregated map-side — the
+    only shuffle moves one row per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        F.size(F.split(F.col("text"), " ")).alias("n_ws"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0))
+        ).alias("n_bpe"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").alias("ws_tokens"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+            dround(F.sum("n_chars") / F.sum("n_bpe"), 6).alias(
+                "chars_per_bpe_token"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# DuckDB single-quoted literals keep backslashes verbatim (RE2 then reads
+# \t, \n, \r as classes — same as Java); only quotes need doubling
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
+
+TEXT_TOKEN_COUNT_SQL = f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '{_BPE_PAT_SQL}'))) AS BIGINT) AS bpe_tokens,
+       {sql_round("CAST(sum(length(text)) AS DOUBLE) / sum(len(regexp_extract_all(text, '" + _BPE_PAT_SQL + "')))", 6)} AS chars_per_bpe_token
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["text_token_count"] = text_token_count
+ORACLES["text_token_count"] = TEXT_TOKEN_COUNT_SQL
