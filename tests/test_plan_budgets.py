@@ -1,0 +1,41 @@
+"""Shuffle-budget ceilings for headline queries (tools/plan_audit.py
+census): an edit that sneaks an extra Exchange into a hot query fails
+here, not at the next benchmark. Ceilings are the audited values at the
+time of pinning — they may go DOWN freely; raising one requires the
+commit to say why the extra stage is worth it.
+
+Counts are from the pre-execution physical plan; persisted subplans
+print once per consumer, so multi-consumer pipelines legitimately sit
+above their true runtime shuffle count (see tools/plan_audit.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tools.plan_audit import count_exchanges
+
+#: query -> (max shuffle exchanges, min broadcast exchanges)
+BUDGETS = {
+    "q1_pricing_summary": (1, 0),  # one agg shuffle, nothing else
+    "dedup_exact": (1, 0),  # one hash shuffle, min-id keeper
+    "dedup_fingerprint": (1, 0),
+    "q3_shipping_priority": (1, 2),  # dims broadcast, one agg shuffle
+    "join_broadcast_dim": (1, 1),  # the dim must BROADCAST, never shuffle
+    "sim_cosine_topk": (3, 1),  # queries broadcast; topk windows shuffle
+    "text_token_count": (2, 0),  # per-source agg + orderBy
+    "contamination": (5, 1),  # bench set must broadcast
+    "contamination_bloom": (9, 1),  # filter words must broadcast
+    "dedup_minhash_lsh": (16, 1),  # multi-consumer persist overcounts
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_shuffle_budget(spark, name):
+    max_shuffles, min_broadcasts = BUDGETS[name]
+    census = count_exchanges(
+        entrymod.queries()[name](spark, "/root/testdata/sf0.001")
+    )
+    assert census["shuffles"] <= max_shuffles, census
+    assert census["broadcasts"] >= min_broadcasts, census
