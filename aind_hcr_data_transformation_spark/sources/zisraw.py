@@ -166,9 +166,17 @@ class MiniCziFile:
     def __init__(self, path: str):
         self.path = os.fspath(path)
         with open(self.path, "rb") as fh:
-            sid, _alloc, _used = _SEG_HEADER.unpack(fh.read(_SEG_HEADER.size))
-            if sid.rstrip(b"\0") != b"ZISRAWFILE":
-                raise ValueError(f"{self.path}: not a ZISRAW/CZI file (got {sid!r})")
+            head = fh.read(_SEG_HEADER.size + _FILE_HEADER.size)
+            if head[:16].rstrip(b"\0") != b"ZISRAWFILE":
+                raise ValueError(
+                    f"{self.path}: not a ZISRAW/CZI file (got {head[:16]!r})"
+                )
+            if len(head) < _SEG_HEADER.size + _FILE_HEADER.size:
+                raise ValueError(
+                    f"{self.path}: truncated CZI ({len(head)} bytes, need "
+                    f"{_SEG_HEADER.size + _FILE_HEADER.size} for the file header)"
+                )
+            fh.seek(_SEG_HEADER.size)
             (
                 self.version_major,
                 self.version_minor,
@@ -192,10 +200,21 @@ class MiniCziFile:
         if self._directory_position <= 0:
             return []
         fh.seek(self._directory_position)
-        sid, _alloc, used = _SEG_HEADER.unpack(fh.read(_SEG_HEADER.size))
+        hdr = fh.read(_SEG_HEADER.size)
+        if len(hdr) < _SEG_HEADER.size:
+            raise ValueError(
+                f"{self.path}: truncated CZI (directory position "
+                f"{self._directory_position} is past EOF)"
+            )
+        sid, _alloc, used = _SEG_HEADER.unpack(hdr)
         if sid.rstrip(b"\0") != b"ZISRAWDIRECTORY":
             raise ValueError(f"bad directory segment id {sid!r}")
         payload = fh.read(used)
+        if len(payload) < used:
+            raise ValueError(
+                f"{self.path}: truncated CZI (directory payload "
+                f"{len(payload)}/{used} bytes)"
+            )
         count, _spare = _DIR_FIXED.unpack_from(payload, 0)
         off = _DIR_FIXED.size
         entries = []

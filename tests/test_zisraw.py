@@ -315,3 +315,17 @@ def test_convert_czi_stacks_fused_and_mixed_dtype(spark, tmp_path):
         convert_czi_stacks(
             spark, settings, {"fa": paths["fa"], "u8": p8}
         )
+
+
+def test_truncated_file_fails_with_context(tmp_path, ramp_czi):
+    """Truncation fails with a ValueError naming the file and the gap —
+    never a bare struct.error."""
+    raw = open(ramp_czi, "rb").read()
+    short = tmp_path / "short.czi"
+    short.write_bytes(raw[:40])  # header cut mid-payload
+    with pytest.raises(ValueError, match="truncated"):
+        MiniCziFile(str(short))
+    nodir = tmp_path / "nodir.czi"
+    nodir.write_bytes(raw[: len(raw) - 64])  # directory segment clipped
+    with pytest.raises(ValueError, match="truncated"):
+        MiniCziFile(str(nodir))
