@@ -374,7 +374,10 @@ def udaf_user_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def median_udf(v: pd.Series) -> float:
-        return float(np.median(v.to_numpy()))
+        # SQL aggregate semantics: NULLs are ignored (np.median would
+        # propagate NaN); all-NULL group -> NULL, like DuckDB median
+        vals = v.dropna().to_numpy()
+        return float(np.median(vals)) if len(vals) else None
 
     # Spark forbids mixing pandas and non-pandas aggregates in one agg
     # (INVALID_PANDAS_UDF_PLACEMENT), so the count rides as a second
