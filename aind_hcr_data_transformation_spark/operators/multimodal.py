@@ -130,7 +130,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle re-derives indices, timestamps, and digests in SQL,
     pinning the batch path bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
-    media = docs.select(
+    # null text would crash the batch loop (len(None)); filtered in BOTH
+    # engines so a fixture regen with nullable text cannot split them
+    media = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
 
@@ -173,6 +175,7 @@ SELECT d.doc_id,
            ((j.j * (octet_length(encode(d.text)) % 240 + 16)) // {_FRAME_K})::VARCHAR
        ) AS frame_digest
 FROM documents d, (SELECT unnest(range(0, {_FRAME_K})) AS j) j
+WHERE d.text IS NOT NULL
 ORDER BY d.doc_id, frame_idx
 """
 
