@@ -143,7 +143,25 @@ def ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs — a differential test of the full iterative algorithm, not just
     the final search."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
-    codebook = _train(emb)
+    return _search(emb, _train(emb))
+
+
+def save_codebook(codebook: DataFrame, path: str) -> None:
+    """Persist a trained codebook as parquet — the IVF operational
+    pattern is train ONCE on a sample, then reuse the codebook across
+    many search jobs (and for assigning newly-ingested vectors) without
+    re-running Lloyd iterations."""
+    codebook.select("cluster", "cemb").write.mode("overwrite").parquet(path)
+
+
+def load_codebook(spark: SparkSession, path: str) -> DataFrame:
+    """Reload a :func:`save_codebook` parquet for :func:`_search` /
+    :func:`_assign`."""
+    return spark.read.parquet(path).select("cluster", "cemb")
+
+
+def _search(emb: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Multi-probe IVF search against a (possibly reloaded) codebook."""
     assigned = _assign(emb, codebook).select("vec_id", "embedding", "cluster")
     # two consumers (corpus scan, search join) — materialize the
     # assignment once

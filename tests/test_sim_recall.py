@@ -66,3 +66,29 @@ def test_ivf_multiprobe_recall_vs_bruteforce(spark, queries):
         f"IVF nprobe=2 recall {recall:.2f} fell below {_RECALL_FLOOR} "
         f"(missed {sorted(exact - ivf)})"
     )
+
+
+def test_ivf_codebook_round_trip(spark, tmp_path):
+    """Train once, save, reload, search — identical results to searching
+    with the in-memory codebook (the IVF operational pattern)."""
+    from pyspark.sql import functions as F
+
+    from aind_hcr_data_transformation_spark.operators.ivf import (
+        _search,
+        _train,
+        load_codebook,
+        save_codebook,
+    )
+    from aind_hcr_data_transformation_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    codebook = _train(emb)
+    path = str(tmp_path / "codebook.parquet")
+    save_codebook(codebook, path)
+    direct = sorted(map(tuple, _search(emb, codebook).collect()))
+    reloaded = sorted(
+        map(tuple, _search(emb, load_codebook(spark, path)).collect())
+    )
+    assert direct == reloaded and len(direct) > 0
