@@ -304,8 +304,11 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("rf"), F.col("l_quantity").alias("q")
     )
-    w = Window.partitionBy("rf").orderBy("q")
-    ranked = li.select("rf", "q", F.row_number().over(w).alias("rn"))
+    # two-phase parallel per-group rank: a Window.partitionBy("rf") sort
+    # would funnel the whole fact table through 3 tasks (one per flag)
+    from ..plans.partitioning import grouped_row_number
+
+    ranked = grouped_row_number(li.select("rf", "q"), "rf", "q", out="rn")
     # group sizes from a plain count (== max(rn), but without forcing a
     # second full sort-window pass over the fact table)
     n = li.groupBy("rf").agg(F.count(F.lit(1)).alias("n"))

@@ -102,3 +102,54 @@ def assign_round_robin(
         )
         .drop("_pid", "_rn", "_off")
     )
+
+
+def grouped_row_number(
+    df: DataFrame, group_col: str, order_col: str, out: str = "rn"
+) -> DataFrame:
+    """Per-group rank (``row_number() over (partition by g order by v)``)
+    WITHOUT per-group single-reducer sorts.
+
+    A window partitioned by a low-cardinality group funnels each group
+    through one task — 3 groups on a fact table = 3 tasks sorting
+    everything. Instead, the same two-phase shape as
+    :func:`assign_round_robin`: range-shuffle on (group, value) — a
+    fully parallel sort whose range boundaries keep equal keys in one
+    partition — then per-(physical partition, group) local ranks, a tiny
+    (n_partitions x n_groups) census collected and prefix-summed into
+    offsets, broadcast back. Ties within equal values order arbitrarily,
+    exactly like the window formulation."""
+    gk, ok = F.col(group_col), F.col(order_col)
+    ranged = df.repartitionByRange(gk, ok).sortWithinPartitions(gk, ok)
+    local = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_lrn",
+        F.row_number().over(
+            Window.partitionBy("_pid", group_col).orderBy(ok)
+        ),
+    )
+    from ..cache import persist_tracked
+
+    local = persist_tracked(local)
+    rows = sorted(
+        (r["_pid"], r[group_col], r["n"])
+        for r in local.groupBy("_pid", group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    acc: dict = {}
+    offsets = []
+    for pid, g, n in rows:  # pid ascending => prefix sum per group
+        offsets.append((pid, g, acc.get(g, 0)))
+        acc[g] = acc.get(g, 0) + n
+    if not offsets:  # empty input: nothing to offset
+        return local.withColumn(out, F.col("_lrn")).drop("_pid", "_lrn")
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(pid), g, int(off)) for pid, g, off in offsets],
+        ["_pid", group_col, "_off"],
+    )
+    return (
+        local.join(F.broadcast(off_df), ["_pid", group_col])
+        .withColumn(out, (F.col("_off") + F.col("_lrn")).cast("int"))
+        .drop("_pid", "_lrn", "_off")
+    )

@@ -194,3 +194,29 @@ class TestAssignRoundRobin:
         df = spark.createDataFrame([("a",)], "path string")
         with pytest.raises(ValueError):
             assign_round_robin(df, 0)
+
+
+def test_grouped_row_number_matches_window(spark):
+    """Two-phase per-group rank == the single-reducer window formulation:
+    rank i in group g holds the i-th smallest value in both (ties make
+    per-row assignment arbitrary but the (group, rank, value) set is
+    deterministic)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aind_hcr_data_transformation_spark.plans.partitioning import (
+        grouped_row_number,
+    )
+
+    rows = [(g, v) for g in ("a", "b", "c") for v in (5, 1, 3, 3, 9, 1, 7)]
+    df = spark.createDataFrame(rows, "g string, v int").repartition(7)
+    two_phase = {
+        (r["g"], r["rn"], r["v"])
+        for r in grouped_row_number(df, "g", "v").collect()
+    }
+    w = Window.partitionBy("g").orderBy("v")
+    windowed = {
+        (r["g"], r["rn"], r["v"])
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert two_phase == windowed and len(two_phase) == len(rows)
