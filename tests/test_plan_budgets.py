@@ -33,6 +33,10 @@ BUDGETS = {
 
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_shuffle_budget(spark, name):
+    # another test's persist can leave a cached plan that CacheManager
+    # substitutes into a matching subtree here, changing the census —
+    # audit the uncached shape
+    spark.catalog.clearCache()
     max_shuffles, min_broadcasts = BUDGETS[name]
     census = count_exchanges(
         entrymod.queries()[name](spark, "/root/testdata/sf0.001")
