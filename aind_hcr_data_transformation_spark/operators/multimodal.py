@@ -83,7 +83,9 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload column, featurized via ``mapInPandas``. The oracle recomputes
     length/sha256/magic bytes in SQL — pinning that the Python batch path
     and the JVM path see identical bytes."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the documents fixture is one parquet file (one scan task);
+    # the per-payload Python work is the cost, so fan the rows out first
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     binary_df = docs.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
@@ -129,7 +131,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle re-derives indices, timestamps, and digests in SQL,
     pinning the batch path bit-for-bit."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     # null text would crash the batch loop (len(None)); filtered in BOTH
     # engines so a fixture regen with nullable text cannot split them
     media = docs.filter(F.col("text").isNotNull()).select(
@@ -207,7 +209,7 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/blockwise.py), exercised through the Arrow batch path."""
     import numpy as np
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     media = docs.filter(F.length("text") >= 1).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
@@ -289,7 +291,7 @@ def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit before display rounding."""
     import numpy as np
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     media = docs.filter(F.length("text") >= 1).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )

@@ -678,7 +678,9 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Counting is one regexp pass per document, aggregated map-side — the
     only shuffle moves one row per source."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: one regexp pass per doc over a single-file scan would
+    # otherwise run on one task
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     per_doc = docs.select(
         "source",
         F.length("text").alias("n_chars"),
