@@ -81,24 +81,24 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
             return 1
-        # ONE fused job for every incomplete stack (tiles interleave
-        # across cores — no per-stack straggler); stacks whose group
-        # already carries the _SUCCESS sentinel are skipped (resume)
-        skipped = sum(
-            stack_is_complete(
+        # ONE sentinel sweep decides resume AND the report, then ONE
+        # fused job converts every incomplete stack (tiles interleave
+        # across cores — no per-stack straggler)
+        todo = {
+            name: path
+            for path, name in stacks
+            if not stack_is_complete(
                 os.path.join(settings.output_directory, f"{name}.zarr")
             )
-            for _, name in stacks
-        )
-        convert_czi_stacks(
-            spark, settings, {name: path for path, name in stacks}, resume=True
-        )
+        }
+        if todo:
+            convert_czi_stacks(spark, settings, todo)
         print(
             json.dumps(
                 {
                     "status_code": 200,
-                    "message": f"wrote {len(stacks) - skipped} groups "
-                    f"({skipped} already complete) under "
+                    "message": f"wrote {len(todo)} groups "
+                    f"({len(stacks) - len(todo)} already complete) under "
                     f"{settings.output_directory} in {time.time() - start:.1f}s",
                 }
             )

@@ -289,16 +289,10 @@ def convert_czi_stack(
     file's subblock directory; level-0 tiles are decoded by czifile when
     installed, else the vendored ZISRAW reader (uncompressed stacks).
     Returns the group path."""
-    from .sources.zisraw import _PIXEL_TYPE_TO_DTYPE, MiniCziFile, stack_extents
+    from .sources.zisraw import stack_info
 
     name = stack_name or os.path.splitext(os.path.basename(path))[0]
-    z, y, x = stack_extents(path)
-    with MiniCziFile(path) as czi:
-        ptype = czi.filtered_subblock_directory[0].pixel_type
-    try:
-        dtype = _PIXEL_TYPE_TO_DTYPE[ptype]
-    except KeyError:
-        raise NotImplementedError(f"unsupported ZISRAW pixel type {ptype}") from None
+    (z, y, x), dtype = stack_info(path)
     return convert_synthetic_stack(
         spark, settings, name, z, y, x,
         voxel_size=voxel_size, origin=origin, dtype=dtype, source_path=path,
@@ -446,20 +440,12 @@ def convert_czi_stacks(
     ``paths`` maps stack_name → CZI file. Extents and dtype come from
     each file's subblock directory; one acquisition = one dtype (mixed
     dtypes raise — the level arrays of a fused job share a type)."""
-    from .sources.zisraw import _PIXEL_TYPE_TO_DTYPE, MiniCziFile, stack_extents
+    from .sources.zisraw import stack_info
 
     stacks: dict[str, tuple[int, int, int]] = {}
     dtypes: dict[str, str] = {}
     for name, path in paths.items():
-        stacks[name] = stack_extents(path)
-        with MiniCziFile(path) as czi:
-            ptype = czi.filtered_subblock_directory[0].pixel_type
-        try:
-            dtypes[name] = _PIXEL_TYPE_TO_DTYPE[ptype]
-        except KeyError:
-            raise NotImplementedError(
-                f"{path}: unsupported ZISRAW pixel type {ptype}"
-            ) from None
+        stacks[name], dtypes[name] = stack_info(path)
     if len(set(dtypes.values())) > 1:
         raise ValueError(f"mixed stack dtypes in one conversion: {dtypes}")
     dtype = next(iter(dtypes.values())) if dtypes else "uint16"

@@ -130,11 +130,16 @@ def grouped_row_number(
     from ..cache import persist_tracked
 
     local = persist_tracked(local)
+    # NULL group values rank like any other group (the window formulation
+    # ranks them); sort key and join below must both be null-safe
     rows = sorted(
-        (r["_pid"], r[group_col], r["n"])
-        for r in local.groupBy("_pid", group_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        (
+            (r["_pid"], r[group_col], r["n"])
+            for r in local.groupBy("_pid", group_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ),
+        key=lambda t: (t[0], t[1] is not None, t[1]),
     )
     acc: dict = {}
     offsets = []
@@ -147,9 +152,13 @@ def grouped_row_number(
     off_df = spark.createDataFrame(
         [(int(pid), g, int(off)) for pid, g, off in offsets],
         ["_pid", group_col, "_off"],
+    ).withColumnsRenamed({"_pid": "_opid", group_col: "_og"})
+    joined = local.join(
+        F.broadcast(off_df),
+        (F.col("_pid") == F.col("_opid"))
+        & F.col(group_col).eqNullSafe(F.col("_og")),
     )
     return (
-        local.join(F.broadcast(off_df), ["_pid", group_col])
-        .withColumn(out, (F.col("_off") + F.col("_lrn")).cast("int"))
-        .drop("_pid", "_lrn", "_off")
+        joined.withColumn(out, (F.col("_off") + F.col("_lrn")).cast("int"))
+        .drop("_pid", "_lrn", "_off", "_opid", "_og")
     )

@@ -137,21 +137,37 @@ def _read_slab_czifile(path: str, z0: int, z1: int) -> np.ndarray:
     from concurrent.futures import ThreadPoolExecutor
 
     with open_czi(path) as czi:
+        zi = czi.axes.index("Z")
+        yi = czi.axes.index("Y")
+        xi = czi.axes.index("X")
         subblocks = [
             sb
             for sb in czi.filtered_subblock_directory
-            if z0 <= sb.start[czi.axes.index("Z")] < z1
+            if z0 <= sb.start[zi] < z1
         ]
-        subblocks.sort(key=lambda sb: sb.start[czi.axes.index("Z")])
-        out: dict[int, np.ndarray] = {}
+        # mosaic-aware assembly (``utils/utils.py:284-395`` scatter-places
+        # subblocks by offset): a plane may arrive as MANY y/x-offset
+        # tiles; each is placed at its directory start, never
+        # last-writer-wins by z
+        tiles: dict[tuple[int, int, int], np.ndarray] = {}
 
         def fetch(sb: Any) -> None:
-            out[sb.start[czi.axes.index("Z")]] = np.squeeze(sb.data_segment().data())
+            tiles[(sb.start[zi], sb.start[yi], sb.start[xi])] = np.squeeze(
+                sb.data_segment().data()
+            )
 
         workers = max(1, min((os.cpu_count() or 2) // 2, len(subblocks)))
         with ThreadPoolExecutor(workers) as pool:
             list(pool.map(fetch, subblocks))
-        return np.stack([out[k] for k in sorted(out)], axis=0)
+        if not tiles:
+            raise ValueError(f"{path}: no subblocks in z-window [{z0}, {z1})")
+        y_ext = max(ys + t.shape[-2] for (_, ys, _), t in tiles.items())
+        x_ext = max(xs + t.shape[-1] for (_, _, xs), t in tiles.items())
+        first = next(iter(tiles.values()))
+        out = np.zeros((z1 - z0, y_ext, x_ext), dtype=first.dtype)
+        for (z, ys, xs), t in tiles.items():
+            out[z - z0, ys : ys + t.shape[-2], xs : xs + t.shape[-1]] = t
+        return out
 
 
 def read_blocks(

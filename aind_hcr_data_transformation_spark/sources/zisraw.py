@@ -266,10 +266,12 @@ def _segment(sid: bytes, payload: bytes) -> bytes:
 
 
 def _dv_entry(
-    arr: np.ndarray, z: int, file_position: int, pixel_type: int
+    arr: np.ndarray, z: int, file_position: int, pixel_type: int,
+    y0: int = 0, x0: int = 0,
 ) -> bytes:
-    dims = [("C", 0, 1, 1), ("Z", z, 1, 1), ("Y", 0, arr.shape[0], arr.shape[0]),
-            ("X", 0, arr.shape[1], arr.shape[1])]
+    dims = [("C", 0, 1, 1), ("Z", z, 1, 1),
+            ("Y", y0, arr.shape[0], arr.shape[0]),
+            ("X", x0, arr.shape[1], arr.shape[1])]
     out = _DV_FIXED.pack(
         b"DV", pixel_type, file_position, 0, _COMPRESSION_NONE, 0, b"\0" * 5,
         len(dims),
@@ -289,16 +291,27 @@ def write_czi(
     per z-plane (``planes``: z → 2-D array, written in the dict's
     iteration order — pass a scrambled order to exercise reader sorting),
     then the metadata segment, then the subblock directory, with the file
-    header pointing at both.
+    header pointing at both. For multi-tile (mosaic) planes use
+    :func:`write_czi_tiles`."""
+    write_czi_tiles(
+        path, {(z, 0, 0): a for z, a in planes.items()}, metadata_xml
+    )
 
-    All planes must share shape and dtype (one stack, axes ``CZYX``)."""
-    zs = list(planes)
+
+def write_czi_tiles(
+    path: str,
+    tiles: dict[tuple[int, int, int], np.ndarray],
+    metadata_xml: str = "<ImageDocument><Metadata/></ImageDocument>",
+) -> None:
+    """Mosaic-capable writer: ``tiles`` maps (z, y0, x0) → 2-D tile —
+    the multi-subblock-per-plane layout real scope acquisitions use.
+    Tiles may differ in shape; dtype must be uniform (axes ``CZYX``)."""
+    zs = list(tiles)
     if not zs:
-        raise ValueError("need at least one z-plane")
-    shapes = {planes[z].shape for z in zs}
-    dtypes = {str(planes[z].dtype) for z in zs}
-    if len(shapes) != 1 or len(dtypes) != 1 or len(next(iter(shapes))) != 2:
-        raise ValueError(f"planes must be uniform 2-D: shapes={shapes} dtypes={dtypes}")
+        raise ValueError("need at least one tile")
+    dtypes = {str(tiles[k].dtype) for k in zs}
+    if len(dtypes) != 1 or any(tiles[k].ndim != 2 for k in zs):
+        raise ValueError(f"tiles must be uniform-dtype 2-D: dtypes={dtypes}")
     dtype = next(iter(dtypes))
     try:
         pixel_type = _DTYPE_TO_PIXEL_TYPE[dtype]
@@ -320,9 +333,9 @@ def write_czi(
     pos += len(header)
 
     dir_entries: list[bytes] = []
-    for z in zs:
-        arr = np.ascontiguousarray(planes[z])
-        entry = _dv_entry(arr, z, pos, pixel_type)
+    for z, y0, x0 in zs:
+        arr = np.ascontiguousarray(tiles[(z, y0, x0)])
+        entry = _dv_entry(arr, z, pos, pixel_type, y0, x0)
         data = arr.tobytes()
         fixed = _SUBBLOCK_FIXED.pack(0, 0, len(data))
         pad = max(256, len(entry) + 16) - (_SUBBLOCK_FIXED.size + len(entry))
@@ -357,15 +370,31 @@ def write_czi(
     os.replace(tmp, path)
 
 
-def stack_extents(path: str) -> tuple[int, int, int]:
-    """(z, y, x) extents of a CZI stack from its subblock directory — the
-    planner input ``block_index`` needs for real (non-synthetic) stacks."""
+def stack_info(path: str) -> tuple[tuple[int, int, int], str]:
+    """((z, y, x) extents, numpy dtype) from ONE subblock-directory parse
+    — conversion setup needs both, and a 10k-stack catalog should not
+    open every file twice."""
     with MiniCziFile(path) as czi:
         zi = czi.axes.index("Z")
         yi = czi.axes.index("Y")
         xi = czi.axes.index("X")
         subs = czi.filtered_subblock_directory
+        if not subs:
+            raise ValueError(f"{path}: no full-resolution subblocks")
         z = max(e.start[zi] + e.dimensions[zi].size for e in subs)
         y = max(e.start[yi] + e.dimensions[yi].size for e in subs)
         x = max(e.start[xi] + e.dimensions[xi].size for e in subs)
-        return z, y, x
+        ptype = subs[0].pixel_type
+        try:
+            dtype = _PIXEL_TYPE_TO_DTYPE[ptype]
+        except KeyError:
+            raise NotImplementedError(
+                f"{path}: unsupported ZISRAW pixel type {ptype}"
+            ) from None
+        return (z, y, x), dtype
+
+
+def stack_extents(path: str) -> tuple[int, int, int]:
+    """(z, y, x) extents of a CZI stack from its subblock directory — the
+    planner input ``block_index`` needs for real (non-synthetic) stacks."""
+    return stack_info(path)[0]

@@ -220,3 +220,27 @@ def test_grouped_row_number_matches_window(spark):
         for r in df.withColumn("rn", F.row_number().over(w)).collect()
     }
     assert two_phase == windowed and len(two_phase) == len(rows)
+
+
+def test_grouped_row_number_null_groups(spark):
+    """NULL group values rank as their own group, exactly like the
+    window formulation — no dropped rows, no driver crash."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aind_hcr_data_transformation_spark.plans.partitioning import (
+        grouped_row_number,
+    )
+
+    rows = [("a", 2), (None, 5), ("a", 1), (None, 3), (None, 4)]
+    df = spark.createDataFrame(rows, "g string, v int").repartition(3)
+    got = {
+        (r["g"], r["rn"], r["v"])
+        for r in grouped_row_number(df, "g", "v").collect()
+    }
+    w = Window.partitionBy("g").orderBy("v")
+    want = {
+        (r["g"], r["rn"], r["v"])
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want and len(got) == len(rows)

@@ -329,3 +329,30 @@ def test_truncated_file_fails_with_context(tmp_path, ramp_czi):
     nodir.write_bytes(raw[: len(raw) - 64])  # directory segment clipped
     with pytest.raises(ValueError, match="truncated"):
         MiniCziFile(str(nodir))
+
+
+def test_mosaic_planes_assemble_by_offset(tmp_path, no_czifile):
+    """Real Zeiss acquisitions store a plane as MANY y/x-offset subblocks
+    (mosaic); the slab assembler must scatter-place each tile at its
+    directory start (reference utils.py:284-395), never last-writer-wins
+    by z."""
+    from aind_hcr_data_transformation_spark.sources.zisraw import (
+        write_czi_tiles,
+    )
+
+    nz, y, x = 4, 10, 12
+    golden = synthetic_ramp_block(0, nz, 0, y, 0, x)
+    tiles = {}
+    for z in range(nz):
+        # 2x2 mosaic with uneven split, written scrambled
+        for ys, ye in ((0, 6), (6, y)):
+            for xs, xe in ((0, 7), (7, x)):
+                tiles[(z, ys, xs)] = golden[z, ys:ye, xs:xe]
+    path = str(tmp_path / "mosaic.czi")
+    write_czi_tiles(path, dict(reversed(list(tiles.items()))))
+
+    assert stack_extents(path) == (nz, y, x)
+    slab = _read_slab_czifile(path, 0, nz)
+    np.testing.assert_array_equal(slab, golden)
+    mid = _read_slab_czifile(path, 1, 3)
+    np.testing.assert_array_equal(mid, golden[1:3])
