@@ -24,7 +24,7 @@ BUDGETS = {
     "q3_shipping_priority": (1, 2),  # dims broadcast, one agg shuffle
     "join_broadcast_dim": (1, 1),  # the dim must BROADCAST, never shuffle
     "sim_cosine_topk": (3, 1),  # queries broadcast; topk windows shuffle
-    "text_token_count": (2, 0),  # per-source agg + orderBy
+    "text_token_count": (3, 0),  # spread exchange + per-source agg + orderBy
     "contamination": (5, 1),  # bench set must broadcast
     "contamination_bloom": (9, 1),  # filter words must broadcast
     "dedup_minhash_lsh": (16, 1),  # multi-consumer persist overcounts
