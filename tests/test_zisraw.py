@@ -356,3 +356,35 @@ def test_mosaic_planes_assemble_by_offset(tmp_path, no_czifile):
     np.testing.assert_array_equal(slab, golden)
     mid = _read_slab_czifile(path, 1, 3)
     np.testing.assert_array_equal(mid, golden[1:3])
+
+
+def test_convert_mosaic_czi_stack_e2e(spark, tmp_path, no_czifile):
+    """Full conversion of a MOSAIC acquisition (multi-tile planes):
+    CZI file → OME-Zarr, voxel-exact."""
+    from aind_hcr_data_transformation_spark.pipeline import (
+        ZarrConversionSettings,
+        convert_czi_stack,
+    )
+    from aind_hcr_data_transformation_spark.sinks.zarr_sink import read_array
+    from aind_hcr_data_transformation_spark.sources.zisraw import (
+        write_czi_tiles,
+    )
+
+    nz, y, x = 6, 16, 12
+    golden = synthetic_ramp_block(0, nz, 0, y, 0, x)
+    tiles = {}
+    for z in range(nz):
+        for ys, ye in ((0, 9), (9, y)):
+            for xs, xe in ((0, 5), (5, x)):
+                tiles[(z, ys, xs)] = golden[z, ys:ye, xs:xe]
+    src = str(tmp_path / "mosaic_stack.czi")
+    write_czi_tiles(src, tiles)
+
+    settings = ZarrConversionSettings(
+        output_directory=str(tmp_path / "out"),
+        chunk_size=(2, 8, 8),  # chunk divisible by factor (pipeline invariant)
+        scale_factor=(2, 2, 2),
+        downsample_levels=2,
+    )
+    group = convert_czi_stack(spark, settings, src)
+    np.testing.assert_array_equal(read_array(f"{group}/0")[0, 0], golden)
