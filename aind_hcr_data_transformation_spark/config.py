@@ -44,6 +44,18 @@ class ZarrConversionSettings:
             raise ValueError(f"scale_factor must be 3 ints > 1, got {self.scale_factor}")
         if self.downsample_levels < 1:
             raise ValueError(f"downsample_levels must be >= 1, got {self.downsample_levels}")
+        if self.downsample_levels > 1 and any(
+            c % s for c, s in zip(self.chunk_size, self.scale_factor)
+        ):
+            # the fused pyramid pools each level-0 tile independently;
+            # a chunk not divisible by the factor drops edge rows at the
+            # tile seam and surfaces as a cryptic region-extent error
+            # mid-job — reject it here instead
+            raise ValueError(
+                f"chunk_size {self.chunk_size} must be divisible by "
+                f"scale_factor {self.scale_factor} when downsampling "
+                "(blocks pool independently)"
+            )
         if self.compressor_name not in SUPPORTED_COMPRESSORS:
             raise ValueError(
                 f"compressor {self.compressor_name!r} not in {SUPPORTED_COMPRESSORS}"

@@ -249,3 +249,20 @@ def test_multi_stack_per_stack_metadata_clamp(spark, tmp_path):
                 if os.path.isdir(os.path.join(paths[name], d))
         )
         assert [ds["path"] for ds in datasets] == written == lvls
+
+
+def test_settings_reject_chunk_not_divisible_by_factor():
+    """A 3-z chunk with a 2x factor drops a plane at every tile seam —
+    rejected at settings time, not as a mid-job region-extent error."""
+    import pytest
+
+    from aind_hcr_data_transformation_spark.config import (
+        ZarrConversionSettings,
+    )
+
+    with pytest.raises(ValueError, match="divisible"):
+        ZarrConversionSettings(chunk_size=(3, 8, 8), scale_factor=(2, 2, 2))
+    # single level: no pooling, any chunk is fine
+    ZarrConversionSettings(
+        chunk_size=(3, 8, 8), scale_factor=(2, 2, 2), downsample_levels=1
+    )
