@@ -860,7 +860,78 @@ ORDER BY doc_id
 DEDUP_COMPONENTS_SQL = _cc_oracle()
 
 
+#: "new batch" designation for incremental dedup: every 7th document
+#: plays the freshly-crawled shard, the rest the historical corpus
+_BATCH_MOD = 7
+
+
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the nightly-crawl pattern: a NEW batch of
+    documents checks its content fingerprints against the HISTORICAL
+    corpus and only unseen content survives. Distinct from the
+    intra-corpus queries (``dedup_exact``/``dedup_fingerprint``): at
+    100 TB you never re-deduplicate the archive; you anti-join the
+    day's shard against the fingerprint index.
+
+    Scale shape — the archive is NEVER shuffled and never broadcast:
+    the (tiny) batch fingerprint set broadcasts into an inner join the
+    archive merely streams through, producing the ``seen`` subset
+    (bounded by the batch size); the batch then anti-joins against a
+    broadcast of ``seen``. Batch-internal duplicates resolve with the
+    standard min-id keeper over the survivors."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    fp = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))),
+            " ",
+        )
+    )
+    new = persist_tracked(
+        docs.filter(F.col("doc_id") % _BATCH_MOD == 0).select(
+            "doc_id", fp.alias("fingerprint")
+        )
+    )
+    hist = docs.filter(F.col("doc_id") % _BATCH_MOD != 0).select(
+        fp.alias("fingerprint")
+    )
+    seen = (
+        hist.join(
+            F.broadcast(new.select("fingerprint").distinct()), "fingerprint"
+        )
+        .select("fingerprint")
+        .distinct()
+    )
+    unseen = new.join(F.broadcast(seen), "fingerprint", "left_anti")
+    return (
+        unseen.groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_in_batch"),
+        )
+        .orderBy("keeper_id")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+  FROM documents
+),
+new AS (SELECT * FROM fp WHERE doc_id % {_BATCH_MOD} = 0),
+hist AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % {_BATCH_MOD} <> 0)
+SELECT fingerprint,
+       min(doc_id) AS keeper_id,
+       count(*)    AS n_in_batch
+FROM new
+WHERE fingerprint NOT IN (SELECT fingerprint FROM hist)
+GROUP BY fingerprint
+ORDER BY keeper_id
+"""
+
+
 QUERIES = {
+    "dedup_incremental_batch": dedup_incremental_batch,
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -876,6 +947,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_incremental_batch": DEDUP_INCREMENTAL_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,

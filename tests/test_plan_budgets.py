@@ -28,6 +28,9 @@ BUDGETS = {
     "contamination": (5, 1),  # bench set must broadcast
     "contamination_bloom": (9, 1),  # filter words must broadcast
     "dedup_minhash_lsh": (16, 1),  # multi-consumer persist overcounts
+    # batch set + seen set broadcast; archive side never shuffles
+    # (its only exchange is the fixture spread)
+    "dedup_incremental_batch": (7, 2),
 }
 
 
