@@ -548,3 +548,58 @@ ORDER BY user_id
 
 QUERIES["stream_foreach_upsert"] = stream_foreach_upsert
 ORACLES["stream_foreach_upsert"] = STREAM_FOREACH_UPSERT_SQL
+
+
+def stream_static_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static ANTI join — the streaming twin of
+    ``dedup.dedup_incremental_batch``: live events whose user has NO row
+    in the static customer table (unknown-entity detection / dedup of a
+    stream against a historical key set). The static side broadcasts per
+    micro-batch; left_anti adds no stream state, so this runs in append
+    mode under the watermark like any stateless filter.
+
+    Output: per event_type counts + id checksum of the orphaned events
+    (append-mode safe aggregation happens batch-side in the oracle; the
+    streaming side emits the anti-joined rows and the harness counts
+    them after the bounded run)."""
+    from pyspark.sql import functions as F
+
+    from ..tables import load_table
+
+    events = streaming_events(spark, sf_dir)
+    # allowlist subset (every user exists in customer at fixture scale;
+    # a full allowlist would make the anti-join vacuously empty)
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 != 0)
+        .select("c_custkey")
+    )
+    orphans = events.join(
+        F.broadcast(cust), events.user_id == cust.c_custkey, "left_anti"
+    ).select("event_id", "user_id", "event_type")
+    table = _run_to_memory_sink(orphans, "stream_anti", "append")
+    return (
+        table.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_orphans"),
+            F.sum("event_id").alias("sum_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAM_STATIC_ANTI_SQL = """
+SELECT e.event_type,
+       count(*) AS n_orphans,
+       CAST(sum(e.event_id) AS BIGINT) AS sum_event_id
+FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_custkey % 3 <> 0 AND c.c_custkey = e.user_id
+)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+QUERIES["stream_static_anti_join"] = stream_static_anti_join
+ORACLES["stream_static_anti_join"] = STREAM_STATIC_ANTI_SQL
