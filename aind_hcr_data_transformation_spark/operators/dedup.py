@@ -211,6 +211,37 @@ _SHINGLES_SQL = f"""
 """
 
 
+def _minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) LSH band signatures from shingle ids.
+
+    k salted hashes per shingle computed inline, then ONE hash-aggregate
+    with k positional mins — no ×k row explosion, no second shuffle
+    (map-side partial mins shrink the shuffle to one row per doc); band
+    key = ordered concat of the band's minhashes, unpivoted via
+    ``stack()``."""
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat_ws("|", F.lit(str(h)), F.col("sid").cast("string"))
+            ).alias(f"hv{h}")
+            for h in range(_N_HASHES)
+        ],
+    )
+    signature = hashed.groupBy("doc_id").agg(
+        *[F.min(f"hv{h}").alias(f"minh{h}") for h in range(_N_HASHES)]
+    )
+    n_bands = _N_HASHES // _BAND_SIZE
+    stack_args = ", ".join(
+        f"{b}, concat_ws('|', {', '.join(f'minh{h}' for h in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE))})"
+        for b in range(n_bands)
+    )
+    return signature.select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {stack_args}) as (band, band_key)"),
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pipeline, fully relational:
 
@@ -229,32 +260,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes (checkpoint/shuffle-stage reuse) at cluster scale."""
     corpus = _corpus_with_mutants(spark, sf_dir)
     sh = persist_tracked(_shingles(corpus))
-    # k salted hashes per shingle computed inline, then ONE hash-aggregate
-    # with k positional mins — no ×k row explosion, no second shuffle
-    # (map-side partial mins shrink the shuffle to one row per doc).
-    hashed = sh.select(
-        "doc_id",
-        *[
-            F.md5(
-                F.concat_ws("|", F.lit(str(h)), F.col("sid").cast("string"))
-            ).alias(f"hv{h}")
-            for h in range(_N_HASHES)
-        ],
-    )
-    signature = hashed.groupBy("doc_id").agg(
-        *[F.min(f"hv{h}").alias(f"minh{h}") for h in range(_N_HASHES)]
-    )
-    # band signature = ordered concat of the band's minhashes; unpivot the
-    # k columns into (band, band_key) rows via stack()
-    n_bands = _N_HASHES // _BAND_SIZE
-    stack_args = ", ".join(
-        f"{b}, concat_ws('|', {', '.join(f'minh{h}' for h in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE))})"
-        for b in range(n_bands)
-    )
-    bands = signature.select(
-        "doc_id",
-        F.expr(f"stack({n_bands}, {stack_args}) as (band, band_key)"),
-    )
+    bands = _minhash_bands(sh)
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
@@ -930,8 +936,115 @@ ORDER BY keeper_id
 """
 
 
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup: a new crawl shard's MinHash band signatures
+    probe the historical corpus's band index, and only cross-boundary
+    candidates verify exact Jaccard — the production shape where the
+    archive's signatures are a persisted store and the nightly batch
+    never triggers an archive self-join.
+
+    Scale shape: the archive band index stays partitioned (bucketed by
+    band key in a real store); the batch's bands are the small side of
+    the candidate equi-join, and verification touches only bucket-mate
+    pairs. Complements :func:`dedup_incremental_batch` (exact content)
+    and :func:`dedup_minhash_lsh` (intra-corpus near-dup)."""
+    corpus = _corpus_with_mutants(spark, sf_dir)
+    sh = persist_tracked(_shingles(corpus))
+    bands = _minhash_bands(sh)
+    newb = bands.filter(F.col("doc_id") % _BATCH_MOD == 0).alias("a")
+    histb = bands.filter(F.col("doc_id") % _BATCH_MOD != 0).alias("b")
+    candidates = (
+        histb.join(
+            F.broadcast(newb),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_new"),
+            F.col("b.doc_id").alias("doc_hist"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    s1 = sh.select(F.col("doc_id").alias("doc_new"), "sid")
+    s2 = sh.select(F.col("doc_id").alias("doc_hist"), "sid")
+    common = (
+        candidates.join(s1, "doc_new")
+        .join(s2, ["doc_hist", "sid"])
+        .groupBy("doc_new", "doc_hist")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = (
+        common.join(
+            sizes.withColumnRenamed("doc_id", "doc_new").withColumnRenamed(
+                "n_shingles", "n1"
+            ),
+            "doc_new",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_hist").withColumnRenamed(
+                "n_shingles", "n2"
+            ),
+            "doc_hist",
+        )
+        .select(
+            "doc_new",
+            "doc_hist",
+            dround(
+                F.col("n_common")
+                / (F.col("n1") + F.col("n2") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= _JACCARD_THRESHOLD).orderBy(
+        "doc_new", "doc_hist"
+    )
+
+
+DEDUP_MINHASH_INCR_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+hashed AS (
+  SELECT doc_id, h, md5(CAST(h AS VARCHAR) || '|' || CAST(sid AS VARCHAR)) AS hv
+  FROM sh, unnest(range(0, {_N_HASHES})) u(h)
+),
+minhashes AS (
+  SELECT doc_id, h, min(hv) AS minh FROM hashed GROUP BY doc_id, h
+),
+bands AS (
+  SELECT doc_id, CAST(h // {_BAND_SIZE} AS INTEGER) AS band,
+         string_agg(minh, '|' ORDER BY h) AS band_key
+  FROM minhashes GROUP BY 1, 2
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_hist
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id % {_BATCH_MOD} = 0 AND b.doc_id % {_BATCH_MOD} <> 0
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_new, c.doc_hist, count(*) AS n_common
+  FROM candidates c
+  JOIN sh s1 ON s1.doc_id = c.doc_new
+  JOIN sh s2 ON s2.doc_id = c.doc_hist AND s2.sid = s1.sid
+  GROUP BY c.doc_new, c.doc_hist
+)
+SELECT doc_new, doc_hist, jaccard FROM (
+  SELECT doc_new, doc_hist,
+    CAST(round(CAST((CAST(n_common AS DOUBLE) / (z1.n_shingles + z2.n_shingles - n_common)) AS DECIMAL(30,10)), 6) AS DOUBLE) AS jaccard
+  FROM common
+  JOIN sizes z1 ON z1.doc_id = doc_new
+  JOIN sizes z2 ON z2.doc_id = doc_hist
+)
+WHERE jaccard >= {_JACCARD_THRESHOLD}
+ORDER BY doc_new, doc_hist
+"""
+
+
 QUERIES = {
     "dedup_incremental_batch": dedup_incremental_batch,
+    "dedup_minhash_incremental": dedup_minhash_incremental,
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -948,6 +1061,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_incremental_batch": DEDUP_INCREMENTAL_SQL,
+    "dedup_minhash_incremental": DEDUP_MINHASH_INCR_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
