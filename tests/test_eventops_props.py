@@ -120,6 +120,33 @@ def test_top_paths_matches_python_prefixes(spark, queries):
     assert got == want
 
 
+def test_funnel_clickless_slice_yields_null_rate(spark, queries, tmp_path):
+    """Divide-by-zero guard (r4 VERDICT item 3): a fixture slice where no
+    user ever clicks after a view must yield click_to_purchase_rate NULL
+    (nullif(sum(s2),0) on both engines), not a crash, Inf, or NaN — the
+    one query a driver fixture regeneration could silently break."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], type=pa.int64()),
+            "ts": pa.array([1_000_000, 2_000_000, 3_000_000], type=pa.timestamp("us")),
+            "user_id": pa.array([10, 10, 11], type=pa.int64()),
+            "event_type": pa.array(["view", "view", "view"], type=pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0], type=pa.float64()),
+            "props": pa.array(["{}", "{}", "{}"], type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = queries["events_funnel"](spark, str(tmp_path)).collect()[0]
+    assert got.n_view == 2
+    assert got.n_click_after_view == 0
+    assert got.n_purchase_after_click == 0
+    assert got.view_to_click_rate == 0.0
+    assert got.click_to_purchase_rate is None
+
+
 def test_exact_substring_recovers_planted_mutants(spark, queries):
     """Every planted mutant (doc minus its first two tokens, id+1e6)
     shares its ENTIRE text with the original as one verbatim run, so the

@@ -77,6 +77,35 @@ def test_5d_block_write(tmp_path):
     assert out[:, :, :16].sum() == 0
 
 
+def test_recreate_same_url_different_geometry(tmp_path):
+    """Regression guard for the stale-meta hazard (r4 VERDICT item 1): an
+    array re-created at the SAME URL with DIFFERENT shape/chunks/dtype in
+    one session must round-trip voxel-exact. A per-process ``.zarray``
+    meta cache would serve the first geometry to the second write on a
+    long-lived executor → silent misaligned chunks; the sink instead
+    ships the authoritative meta through the task closure (``meta=``) or
+    re-reads it fresh per call, so both write paths below see the new
+    geometry."""
+    p = str(tmp_path / "a")
+    # first life: 8x8 array of uint16, 4x4 chunks
+    meta1 = init_array(p, (8, 8), (4, 4), "uint16")
+    d1 = np.arange(64, dtype=np.uint16).reshape(8, 8)
+    write_region(p, (0, 0), d1, meta=meta1)
+    np.testing.assert_array_equal(read_array(p), d1)
+    # second life at the same URL: different rank-2 geometry AND dtype
+    meta2 = init_array(p, (6, 9), (2, 3), "int32")
+    assert meta2["chunks"] != meta1["chunks"]
+    d2 = np.arange(54, dtype=np.int32).reshape(6, 9) * 7
+    # closure path (what distributed tasks use) ...
+    write_region(p, (0, 0), d2, meta=meta2)
+    np.testing.assert_array_equal(read_array(p), d2)
+    # ... and the meta-less path (fresh read per call) must also see the
+    # new geometry, not anything cached from the first life
+    d3 = d2 + 1
+    write_region(p, (0, 0), d3)
+    np.testing.assert_array_equal(read_array(p), d3)
+
+
 def test_blosc_gated_without_numcodecs(tmp_path):
     """Reference-default Blosc (models.py:52-56) is import-gated: without
     numcodecs the sink refuses at array-init time (driver side), naming
