@@ -105,6 +105,41 @@ def test_minhash_lsh_full_recall_on_planted_pairs(spark, queries):
     )
 
 
+def test_minhash_fast_twin_matches_md5_pairs_and_recall(spark, queries):
+    """The xxhash64 production-hash twin (rows-only, no DuckDB oracle)
+    must (a) recover every planted pair the ground truth demands, and
+    (b) agree with the md5 variant on the full emitted pair set at test
+    scale — both variants verify candidates with the exact Jaccard over
+    their (collision-free here) shingle-id sets, so any pair-set
+    difference means the banding or hashing regressed, not noise."""
+    from aind_hcr_data_transformation_spark.operators.dedup import _MUT_OFFSET
+
+    expected = _planted_truth(spark)
+    assert len(expected) > 10
+
+    fast = {
+        (r.doc1, r.doc2): r.jaccard
+        for r in queries["dedup_minhash_fast"](spark, SF).collect()
+    }
+    planted_found = {p for p in fast if p[1] - p[0] == _MUT_OFFSET}
+    missed = expected - planted_found
+    assert not missed, (
+        f"fast LSH lost {len(missed)}/{len(expected)} planted pairs "
+        f"(e.g. {sorted(missed)[:5]})"
+    )
+
+    md5 = {
+        (r.doc1, r.doc2): r.jaccard
+        for r in queries["dedup_minhash_lsh"](spark, SF).collect()
+    }
+    assert set(fast) == set(md5), (
+        f"pair sets diverge: fast-only {sorted(set(fast) - set(md5))[:5]}, "
+        f"md5-only {sorted(set(md5) - set(fast))[:5]}"
+    )
+    for p, j in fast.items():
+        assert abs(j - md5[p]) < 1e-9, (p, j, md5[p])
+
+
 def test_components_resolve_planted_pairs(spark, queries):
     """Connected components must place every planted pair in one
     component labelled by the component's minimum doc_id — checked
