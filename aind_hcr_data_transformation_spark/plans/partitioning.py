@@ -149,10 +149,23 @@ def grouped_row_number(
     if not offsets:  # empty input: nothing to offset
         return local.withColumn(out, F.col("_lrn")).drop("_pid", "_lrn")
     spark = df.sparkSession
+    # explicit schema, NOT inference: the _og column takes its type from
+    # the input schema, so an all-NULL group column (or one whose Python
+    # values infer differently than Spark's type, e.g. Decimal) builds a
+    # valid frame instead of failing with "Some of types cannot be
+    # determined" — the docstring's NULL-groups promise depends on this
+    from pyspark.sql import types as T
+
+    off_schema = T.StructType(
+        [
+            T.StructField("_opid", T.IntegerType(), False),
+            T.StructField("_og", df.schema[group_col].dataType, True),
+            T.StructField("_off", T.LongType(), False),
+        ]
+    )
     off_df = spark.createDataFrame(
-        [(int(pid), g, int(off)) for pid, g, off in offsets],
-        ["_pid", group_col, "_off"],
-    ).withColumnsRenamed({"_pid": "_opid", group_col: "_og"})
+        [(int(pid), g, int(off)) for pid, g, off in offsets], off_schema
+    )
     joined = local.join(
         F.broadcast(off_df),
         (F.col("_pid") == F.col("_opid"))

@@ -63,6 +63,57 @@ def cpu_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _defaults_conf_value(key: str) -> str | None:
+    """Value for ``key`` from ``spark-defaults.conf`` (``$SPARK_CONF_DIR``
+    or ``$SPARK_HOME/conf``), if the file exists and sets it.  The builder
+    API cannot see these before the JVM launches, so merging deployment
+    JVM flags (GC tuning, ``-D`` props) requires reading the file."""
+    conf_dir = os.environ.get("SPARK_CONF_DIR") or (
+        os.path.join(os.environ["SPARK_HOME"], "conf")
+        if os.environ.get("SPARK_HOME")
+        else None
+    )
+    if not conf_dir:
+        return None
+    path = os.path.join(conf_dir, "spark-defaults.conf")
+    try:
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split(None, 1)
+                if len(parts) == 2 and parts[0] == key:
+                    return parts[1].strip()
+    except OSError:
+        return None
+    return None
+
+
+# Long sessions compile hundreds of distinct wholestage-codegen classes
+# (one registry sweep = ~127 queries); the JVM's default 240 MB reserved
+# code cache fills, JIT compilation stops, and every later CPU-bound
+# query runs interpreted at 5-15x cost. Reserve a real code cache and
+# let the sweeper reclaim cold compiled methods.
+_CODE_CACHE_FLAGS = "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
+
+
+def _merged_java_options(role: str, extra_conf: dict[str, str] | None) -> str:
+    """Code-cache flags PLUS any deployment-supplied extraJavaOptions
+    (spark-defaults.conf or the caller's ``extra_conf``), never clobbering
+    them.  Deployment flags come LAST: for repeated ``-XX`` flags the JVM
+    honors the final occurrence, so operator GC tuning wins over our
+    defaults while the code-cache reserve still applies when unset."""
+    key = f"spark.{role}.extraJavaOptions"
+    existing = []
+    from_defaults = _defaults_conf_value(key)
+    if from_defaults:
+        existing.append(from_defaults)
+    if extra_conf and extra_conf.get(key):
+        existing.append(extra_conf[key])
+    return " ".join([_CODE_CACHE_FLAGS, *existing])
+
+
 def get_spark(
     app_name: str = "aind-hcr-spark",
     master: str | None = None,
@@ -80,21 +131,15 @@ def get_spark(
     builder = builder.config(
         "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     )
-    # Long sessions compile hundreds of distinct wholestage-codegen classes
-    # (one registry sweep = ~114 queries); the JVM's default 240 MB reserved
-    # code cache fills, JIT compilation stops, and every later CPU-bound
-    # query runs interpreted at 5-15x cost. Reserve a real code cache and
-    # let the sweeper reclaim cold compiled methods.
+    # Driver + executor JVMs both JIT the generated classes; merge the
+    # code-cache flags with (never clobber) deployment-supplied options.
     builder = builder.config(
         "spark.driver.extraJavaOptions",
-        "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        _merged_java_options("driver", extra_conf),
     )
-    # executors JIT the same generated classes; on a real cluster each
-    # executor JVM needs the same headroom (local mode ignores this —
-    # executors live in the driver JVM).
     builder = builder.config(
         "spark.executor.extraJavaOptions",
-        "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        _merged_java_options("executor", extra_conf),
     )
     if master is not None:
         builder = builder.master(master)
@@ -104,6 +149,8 @@ def get_spark(
     if extra_conf:
         confs.update(extra_conf)
     for k, v in confs.items():
+        if k.endswith(".extraJavaOptions"):
+            continue  # already merged with the code-cache flags above
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     return spark

@@ -119,7 +119,20 @@ class SubBlockEntry:
             meta_size, _att_size, data_size = _SUBBLOCK_FIXED.unpack(
                 fh.read(_SUBBLOCK_FIXED.size)
             )
-            entry_size = _DV_FIXED.size + _DIM_ENTRY.size * len(self.dimensions)
+            # entry_size comes from the EMBEDDED DirectoryEntryDV that
+            # follows the fixed part inside this segment, not from the
+            # directory-segment copy: real Zeiss writers sometimes store
+            # a different dimension list in the two places (e.g. the
+            # directory copy drops size-1 dims), which would shift the
+            # data offset if we trusted len(self.dimensions)
+            (emb_schema, *_rest, emb_ndim) = _DV_FIXED.unpack(
+                fh.read(_DV_FIXED.size)
+            )
+            if emb_schema != b"DV":
+                raise NotImplementedError(
+                    f"unsupported embedded directory entry schema {emb_schema!r}"
+                )
+            entry_size = _DV_FIXED.size + _DIM_ENTRY.size * emb_ndim
             # spec: pixel data begins max(256, entry+16) bytes into the
             # segment payload, after the subblock metadata XML
             fh.seek(

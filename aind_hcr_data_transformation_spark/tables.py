@@ -131,21 +131,39 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
-# memoized footer sniff: one pyarrow metadata read per events file path,
-# on the driver, to pick the decode branch for the ts column.
-_TS_NANOS_CACHE: dict[str, bool] = {}
+# memoized footer sniff: one pyarrow metadata read per events file
+# (path, mtime), on the driver, to pick the decode branch for the ts
+# column.  The mtime in the key makes an in-place fixture regeneration
+# during a long session take the (possibly different) new encoding
+# instead of a stale memo.
+_TS_NANOS_CACHE: dict[tuple[str, float], bool] = {}
 
 
 def events_ts_is_nanos(path: str) -> bool:
     """True when ``path``'s ``ts`` column is TIMESTAMP(NANOS) (legacy
     fixture encoding that Spark must read as raw longs), False for the
-    directly-decodable MICROS/MILLIS encodings."""
-    if path not in _TS_NANOS_CACHE:
+    directly-decodable MICROS/MILLIS encodings.
+
+    The decision reads the parquet *logical-type unit*
+    (``field.type.unit``), never a physical-type guess: a bare INT64
+    ``ts`` with no timestamp annotation is ambiguous (nanos? micros?
+    epoch seconds?) and silently dividing it by 1000 would shift every
+    event by three orders of magnitude — that case raises instead."""
+    key = (path, os.path.getmtime(path))
+    if key not in _TS_NANOS_CACHE:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        field = pq.ParquetFile(path).schema_arrow.field("ts")
-        _TS_NANOS_CACHE[path] = str(field.type) in ("timestamp[ns]", "int64")
-    return _TS_NANOS_CACHE[path]
+        t = pq.ParquetFile(path).schema_arrow.field("ts").type
+        if not pa.types.is_timestamp(t):
+            raise TypeError(
+                f"events ts column in {path} has non-timestamp type {t}; "
+                "an unannotated integer epoch is ambiguous (nanos vs micros "
+                "vs seconds) — regenerate the fixture with a parquet "
+                "TIMESTAMP logical type"
+            )
+        _TS_NANOS_CACHE[key] = t.unit == "ns"
+    return _TS_NANOS_CACHE[key]
 
 
 def load_table(

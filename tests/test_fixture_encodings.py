@@ -83,6 +83,35 @@ class TestTsEncodingSniff:
         assert a[0][1] == pd.Timestamp("2024-01-01 00:00:00").to_pydatetime()
         assert a[1][1] - a[0][1] == pd.Timedelta(seconds=61)
 
+    def test_bare_int64_ts_is_rejected(self, tmp_path):
+        """An unannotated INT64 ts column is ambiguous (nanos? micros?
+        seconds?) — guessing nanos and dividing by 1000 would shift every
+        event 1000x. The sniff must raise, not guess."""
+        d = tmp_path / "raw"
+        d.mkdir()
+        ts = pa.array([_EPOCH_US, _EPOCH_US + 61_000_000], pa.int64())
+        path = f"{_write_events(str(d), ts)}/events.parquet"
+        with pytest.raises(TypeError, match="ambiguous"):
+            events_ts_is_nanos(path)
+
+    def test_sniff_cache_keyed_by_mtime(self, tmp_path):
+        """Regenerating the fixture in place (same path, new encoding)
+        must re-sniff — the memo is keyed by (path, mtime)."""
+        d = tmp_path / "regen"
+        d.mkdir()
+        ts_us = pa.array(
+            [_EPOCH_US, _EPOCH_US + 61_000_000], pa.timestamp("us")
+        )
+        path = f"{_write_events(str(d), ts_us)}/events.parquet"
+        assert events_ts_is_nanos(path) is False
+        ts_ns = pa.array(
+            np.array([_EPOCH_US * 1000, (_EPOCH_US + 61_000_000) * 1000]),
+            pa.timestamp("ns"),
+        )
+        _write_events(str(d), ts_ns)
+        os.utime(path, (1, 1))  # force a distinct mtime even on coarse clocks
+        assert events_ts_is_nanos(path) is True
+
     def test_real_fixture_loads_expected_span(self, spark):
         """The shipped sf0.001 fixture must decode to a plausible event-time
         span (hours-to-months), never the 1000x-compressed artifact of a
@@ -99,18 +128,23 @@ class TestTsEncodingSniff:
         assert pd.Timedelta(hours=1) <= span <= pd.Timedelta(days=400)
 
 
-def test_documents_text_is_ascii(spark):
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_documents_text_is_ascii(spark, sf_dir):
     """Several oracles equate DuckDB's per-CHARACTER ascii()/substr()
     with Spark's per-BYTE payload math (multimodal thumbnail/audio,
     magic_u32). That identity only holds for ASCII text, so a fixture
     regeneration that introduces non-ASCII vocab must fail HERE with a
     clear message, not as a mysterious hash mismatch downstream
     (see memory: the driver has silently changed fixture encodings
-    between rounds before)."""
+    between rounds before). Checked at every scale factor the oracle
+    gates run at (sf0.1 shares the generator; sf0.01 is the driver's
+    gate scale)."""
     from aind_hcr_data_transformation_spark.tables import load_table
 
     n_bad = (
-        load_table(spark, "/root/testdata/sf0.001", "documents")
+        load_table(spark, sf_dir, "documents")
         .filter(~F.col("text").rlike("^[\\x00-\\x7F]*$"))
         .count()
     )

@@ -244,3 +244,42 @@ def test_grouped_row_number_null_groups(spark):
         for r in df.withColumn("rn", F.row_number().over(w)).collect()
     }
     assert got == want and len(got) == len(rows)
+
+
+def test_grouped_row_number_all_null_groups(spark):
+    """ALL group values NULL: schema inference over the collected census
+    would fail ('Some of types cannot be determined'); the offsets frame
+    takes its group-column type from the input schema instead, so the
+    docstring's NULL-groups promise holds even in the degenerate case."""
+    from aind_hcr_data_transformation_spark.plans.partitioning import (
+        grouped_row_number,
+    )
+
+    rows = [(None, 4), (None, 2), (None, 9), (None, 2)]
+    df = spark.createDataFrame(rows, "g string, v int").repartition(2)
+    got = sorted(
+        (r["rn"], r["v"]) for r in grouped_row_number(df, "g", "v").collect()
+    )
+    assert [rn for rn, _ in got] == [1, 2, 3, 4]
+    assert [v for _, v in got] == [2, 2, 4, 9]
+
+
+def test_grouped_row_number_decimal_group(spark):
+    """A DecimalType group column round-trips through the collected
+    census with its exact type (Python inference would type Decimal
+    values as DECIMAL(38,18) and break the offsets join)."""
+    from decimal import Decimal
+
+    from aind_hcr_data_transformation_spark.plans.partitioning import (
+        grouped_row_number,
+    )
+
+    rows = [
+        (Decimal("1.50"), 7), (Decimal("1.50"), 3), (Decimal("2.25"), 5)
+    ]
+    df = spark.createDataFrame(rows, "g decimal(10,2), v int")
+    got = {
+        (str(r["g"]), r["rn"], r["v"])
+        for r in grouped_row_number(df, "g", "v").collect()
+    }
+    assert got == {("1.50", 1, 3), ("1.50", 2, 7), ("2.25", 1, 5)}

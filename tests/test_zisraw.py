@@ -388,3 +388,77 @@ def test_convert_mosaic_czi_stack_e2e(spark, tmp_path, no_czifile):
     )
     group = convert_czi_stack(spark, settings, src)
     np.testing.assert_array_equal(read_array(f"{group}/0")[0, 0], golden)
+
+
+def test_embedded_entry_dims_govern_data_offset(tmp_path):
+    """Real Zeiss writers sometimes store a different dimension list in a
+    subblock's EMBEDDED DirectoryEntryDV than in the directory-segment
+    copy (e.g. the directory copy drops singleton dims). The pixel-data
+    offset is ``max(256, embedded_entry + 16)``, so the reader must size
+    the entry from the embedded copy — trusting the directory copy here
+    would shift the read 32 bytes early and return garbled (same-sized)
+    pixels. The embedded entry carries 12 dims (offset 288 > the 256
+    clamp) while the directory copy keeps only CZYX."""
+    from aind_hcr_data_transformation_spark.sources import zisraw as Z
+
+    arr = np.arange(16 * 16, dtype=np.uint16).reshape(16, 16)
+
+    def entry(dims, pos):
+        out = Z._DV_FIXED.pack(b"DV", 1, pos, 0, 0, 0, b"\0" * 5, len(dims))
+        for name, start, size, stored in dims:
+            out += Z._DIM_ENTRY.pack(
+                name.encode("ascii").ljust(4, b"\0"), start, size,
+                float(start), stored,
+            )
+        return out
+
+    base = [("C", 0, 1, 1), ("Z", 0, 1, 1), ("Y", 0, 16, 16), ("X", 0, 16, 16)]
+    singletons = [(d, 0, 1, 1) for d in ("B", "T", "R", "S", "I", "H", "V", "M")]
+    embedded_dims = base + singletons   # 12 dims → entry+16 = 288
+    directory_dims = base               # 4 dims → entry+16 = 128 → clamp 256
+
+    chunks, pos = [], 0
+    header = Z._segment(
+        b"ZISRAWFILE",
+        Z._FILE_HEADER.pack(1, 0, b"\0" * 8, b"\0" * 16, b"\0" * 16, 0, 0, 0, 0, 0),
+    )
+    chunks.append(header)
+    pos += len(header)
+    sub_pos = pos
+    emb = entry(embedded_dims, sub_pos)
+    data = arr.tobytes()
+    fixed = Z._SUBBLOCK_FIXED.pack(0, 0, len(data))
+    pad = max(256, len(emb) + 16) - (Z._SUBBLOCK_FIXED.size + len(emb))
+    seg = Z._segment(b"ZISRAWSUBBLOCK", fixed + emb + b"\0" * pad + data)
+    chunks.append(seg)
+    pos += len(seg)
+    meta_pos = pos
+    xml = b"<ImageDocument><Metadata/></ImageDocument>"
+    meta_seg = Z._segment(
+        b"ZISRAWMETADATA", Z._META_FIXED.pack(len(xml), 0, b"") + xml
+    )
+    chunks.append(meta_seg)
+    pos += len(meta_seg)
+    dir_pos = pos
+    dir_seg = Z._segment(
+        b"ZISRAWDIRECTORY",
+        Z._DIR_FIXED.pack(1, b"") + entry(directory_dims, sub_pos),
+    )
+    chunks.append(dir_seg)
+    chunks[0] = Z._segment(
+        b"ZISRAWFILE",
+        Z._FILE_HEADER.pack(
+            1, 0, b"\0" * 8, b"\0" * 16, b"\0" * 16, 0, dir_pos, meta_pos, 0, 0
+        ),
+    )
+    path = str(tmp_path / "divergent.czi")
+    with open(path, "wb") as fh:
+        for c in chunks:
+            fh.write(c)
+
+    with MiniCziFile(path) as czi:
+        subs = czi.filtered_subblock_directory
+        assert len(subs) == 1
+        assert len(subs[0].dimensions) == 4  # directory copy: CZYX only
+        got = subs[0].data()
+        np.testing.assert_array_equal(got.reshape(16, 16), arr)
