@@ -462,3 +462,60 @@ def test_embedded_entry_dims_govern_data_offset(tmp_path):
         assert len(subs[0].dimensions) == 4  # directory copy: CZYX only
         got = subs[0].data()
         np.testing.assert_array_equal(got.reshape(16, 16), arr)
+
+
+def test_compressed_fixture_file_gates_loudly(tmp_path):
+    """An on-disk CZI whose subblock carries compression=2 (zstd) must
+    raise the documented NotImplementedError, naming the packages that
+    light up the path (czifile + imagecodecs), when decoded through the
+    normal directory-scan path — not garble pixels or fail obscurely."""
+    from aind_hcr_data_transformation_spark.sources import zisraw as Z
+
+    arr = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    data = arr.tobytes()  # stored uncompressed; only the flag is set —
+    # the reader must refuse BEFORE interpreting the payload
+
+    def entry(pos):
+        out = Z._DV_FIXED.pack(b"DV", 0, pos, 0, 2, 0, b"\0" * 5, 4)
+        for name, start, size, stored in (
+            ("C", 0, 1, 1), ("Z", 0, 1, 1), ("Y", 0, 3, 3), ("X", 0, 4, 4)
+        ):
+            out += Z._DIM_ENTRY.pack(
+                name.encode().ljust(4, b"\0"), start, size, float(start), stored
+            )
+        return out
+
+    chunks, pos = [], 0
+    head = Z._segment(
+        b"ZISRAWFILE",
+        Z._FILE_HEADER.pack(1, 0, b"\0" * 8, b"\0" * 16, b"\0" * 16, 0, 0, 0, 0, 0),
+    )
+    chunks.append(head)
+    pos += len(head)
+    sub_pos = pos
+    e = entry(sub_pos)
+    fixed = Z._SUBBLOCK_FIXED.pack(0, 0, len(data))
+    pad = max(256, len(e) + 16) - (Z._SUBBLOCK_FIXED.size + len(e))
+    seg = Z._segment(b"ZISRAWSUBBLOCK", fixed + e + b"\0" * pad + data)
+    chunks.append(seg)
+    pos += len(seg)
+    dir_pos = pos
+    chunks.append(
+        Z._segment(b"ZISRAWDIRECTORY", Z._DIR_FIXED.pack(1, b"") + entry(sub_pos))
+    )
+    chunks[0] = Z._segment(
+        b"ZISRAWFILE",
+        Z._FILE_HEADER.pack(
+            1, 0, b"\0" * 8, b"\0" * 16, b"\0" * 16, 0, dir_pos, 0, 0, 0
+        ),
+    )
+    path = str(tmp_path / "compressed.czi")
+    with open(path, "wb") as fh:
+        for c in chunks:
+            fh.write(c)
+
+    with MiniCziFile(path) as czi:
+        subs = czi.filtered_subblock_directory
+        assert len(subs) == 1 and subs[0].compression == 2
+        with pytest.raises(NotImplementedError, match="czifile"):
+            subs[0].data()
