@@ -100,7 +100,20 @@ def _load_prior(repo: Path, sf_val: object) -> dict[str, float]:
     return prior
 
 
-def _bench_pipeline(spark) -> dict[str, float]:
+def _robust_timed(once, max_runs: int = 3, agree_ratio: float = 1.3) -> tuple[float, list[float]]:
+    """min-of-N sidecar timing with the same spike treatment queries get:
+    two samples, a third only when the first two disagree by more than
+    ``agree_ratio`` (host-variance runs have swung the conversion numbers
+    61-133 MiB/s on unchanged code; a single sample is noise). Returns
+    (best, all_samples)."""
+    times = [once(), once()]
+    lo, hi = sorted(times)
+    if hi > agree_ratio * lo and max_runs > 2:
+        times.append(once())
+    return min(times), [round(t, 3) for t in times]
+
+
+def _bench_pipeline(spark) -> dict[str, object]:
     """Timed multi-stack zarr conversion — the pipeline layer (the
     reference's actual capability, ``czi_to_zarr.py:457-653``) gets a
     tracked number like every query (r3 task 3).
@@ -108,7 +121,8 @@ def _bench_pipeline(spark) -> dict[str, float]:
     Geometry: N stacks of 512³ uint16 (256 MiB of level-0 voxels each;
     default N=8 → 2 GiB), chunk 128³ (the reference default), 3 pyramid
     levels, written to a throwaway local zarr store. Sized by
-    ``SPARK_GRAFT_PIPE_GB`` (0 disables)."""
+    ``SPARK_GRAFT_PIPE_GB`` (0 disables). Best-of-2 (3 on disagreement)
+    like the query spike guard — see ``_robust_timed``."""
     import shutil
     import tempfile
 
@@ -122,23 +136,28 @@ def _bench_pipeline(spark) -> dict[str, float]:
         return {}
     n_stacks = max(1, round(gb * 4))  # 0.25 GiB per 512^3 uint16 stack
     side = 512
-    out = tempfile.mkdtemp(prefix="bench_zarr_")
-    settings = ZarrConversionSettings(
-        output_directory=out,
-        chunk_size=(128, 128, 128),
-        scale_factor=(2, 2, 2),
-        downsample_levels=3,
-    )
     stacks = {f"bench_s{i:02d}": (side, side, side) for i in range(n_stacks)}
     level0_bytes = n_stacks * side**3 * 2
-    t0 = time.perf_counter()
-    try:
-        convert_synthetic_stacks(spark, settings, stacks)
-        sec = round(time.perf_counter() - t0, 3)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+
+    def once() -> float:
+        out = tempfile.mkdtemp(prefix="bench_zarr_")
+        settings = ZarrConversionSettings(
+            output_directory=out,
+            chunk_size=(128, 128, 128),
+            scale_factor=(2, 2, 2),
+            downsample_levels=3,
+        )
+        t0 = time.perf_counter()
+        try:
+            convert_synthetic_stacks(spark, settings, stacks)
+            return time.perf_counter() - t0
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    sec, samples = _robust_timed(once)
     return {
-        "sec": sec,
+        "sec": round(sec, 3),
+        "samples": samples,
         "gib": round(level0_bytes / 2**30, 3),
         "mib_per_s": round(level0_bytes / 2**20 / sec, 1),
         "n_stacks": n_stacks,
@@ -173,21 +192,31 @@ def _bench_czi_decode(spark) -> dict[str, float]:
         src,
         {z: synthetic_ramp_block(z, z + 1, 0, side, 0, side)[0] for z in range(side)},
     )
-    settings = ZarrConversionSettings(
-        output_directory=os.path.join(work, "out"),
-        chunk_size=(64, 128, 128),
-        scale_factor=(2, 2, 2),
-        downsample_levels=2,
-    )
     level0_bytes = side**3 * np.dtype("uint16").itemsize
-    t0 = time.perf_counter()
+    run_idx = [0]
+
+    def once() -> float:
+        run_idx[0] += 1
+        settings = ZarrConversionSettings(
+            output_directory=os.path.join(work, f"out{run_idx[0]}"),
+            chunk_size=(64, 128, 128),
+            scale_factor=(2, 2, 2),
+            downsample_levels=2,
+        )
+        t0 = time.perf_counter()
+        try:
+            convert_czi_stack(spark, settings, src)
+            return time.perf_counter() - t0
+        finally:
+            shutil.rmtree(settings.output_directory, ignore_errors=True)
+
     try:
-        convert_czi_stack(spark, settings, src)
-        sec = round(time.perf_counter() - t0, 3)
+        sec, samples = _robust_timed(once)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return {
-        "sec": sec,
+        "sec": round(sec, 3),
+        "samples": samples,
         "gib": round(level0_bytes / 2**30, 3),
         "mib_per_s": round(level0_bytes / 2**20 / sec, 1),
     }
@@ -322,6 +351,12 @@ def main() -> None:
                     "sf": sf_val,
                     "calib_sec": calib_sec,
                     "ts": detail["ts"],
+                    **(
+                        {"pipe_mib_per_s": pipe["mib_per_s"]} if pipe else {}
+                    ),
+                    **(
+                        {"czi_mib_per_s": czi["mib_per_s"]} if czi else {}
+                    ),
                 }
             )
             + "\n"
