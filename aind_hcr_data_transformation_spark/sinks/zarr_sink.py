@@ -187,12 +187,15 @@ def write_blocks_to_zarr(
     (``zarr_writer.py:188-213``), the scheduler bounding concurrency
     instead of hand-serialization. Returns the number of blocks written.
 
-    Implemented as an Arrow ``mapInPandas`` side-effect writer, NOT
+    Implemented as an Arrow ``mapInArrow`` side-effect writer, NOT
     ``foreachPartition``: the latter funnels rows through the RDD pickle
     path, where the JVM pickler buffers every multi-MB block payload and
     OOMs on large stacks (observed at 512³). Arrow streams the binary
-    column zero-copy. The array metadata just built on the driver ships
-    to every task via the closure, so workers never GET ``.zarray``."""
+    column, and each payload is read zero-copy straight from the Arrow
+    buffer (``as_buffer`` → ``np.frombuffer``) — no per-block Python
+    bytes object, no pandas frame. The array metadata just built on the
+    driver ships to every task via the closure, so workers never GET
+    ``.zarray``."""
     if array_url.startswith("memory://"):
         # MemoryStore is process-local: chunks written inside Spark
         # python workers would land in worker dicts and silently vanish.
@@ -203,22 +206,33 @@ def write_blocks_to_zarr(
     meta = init_array(array_url, shape, chunks, dtype, compressor, compressor_kwargs)
 
     def write_batches(batches: Iterable[Any]) -> Any:
-        import pandas as pd
+        import pyarrow as pa
 
         n = 0
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                arr = np.frombuffer(row.block, dtype=np.dtype(row.dtype)).reshape(
-                    tuple(row.shape)
-                )
+        for batch in batches:
+            block_col = batch.column("block")
+            shapes = batch.column("shape").to_pylist()
+            dtypes = batch.column("dtype").to_pylist()
+            t_col = batch.column("t").to_pylist()
+            c_col = batch.column("c").to_pylist()
+            z0 = batch.column("z0").to_pylist()
+            y0 = batch.column("y0").to_pylist()
+            x0 = batch.column("x0").to_pylist()
+            for i in range(batch.num_rows):
+                arr = np.frombuffer(
+                    block_col[i].as_buffer(), dtype=np.dtype(dtypes[i])
+                ).reshape(tuple(shapes[i]))
                 write_region(
                     array_url,
-                    (row.t, row.c, row.z0, row.y0, row.x0),
+                    (t_col[i], c_col[i], z0[i], y0[i], x0[i]),
                     arr,
                     meta=meta,
                 )
                 n += 1
-        yield pd.DataFrame({"n_written": [n]})
+        yield pa.RecordBatch.from_pydict(
+            {"n_written": [n]},
+            schema=pa.schema([("n_written", pa.int64())]),
+        )
 
-    counts = blocks.mapInPandas(write_batches, "n_written long").collect()
+    counts = blocks.mapInArrow(write_batches, "n_written long").collect()
     return int(sum(r.n_written for r in counts))
