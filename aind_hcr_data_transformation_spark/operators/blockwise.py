@@ -42,26 +42,10 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..sources.czi import BLOCK_SCHEMA
+from ..sources.czi import BLOCK_SCHEMA, _block_arrow_schema
 
-#: Arrow twin of BLOCK_SCHEMA for the mapInArrow / applyInArrow paths
-#: (Spark IntegerType ↔ int32, ArrayType(int) ↔ list<int32>).
-_BLOCK_ARROW = pa.schema(
-    [
-        ("stack_name", pa.string()),
-        ("t", pa.int32()),
-        ("c", pa.int32()),
-        ("z0", pa.int32()),
-        ("z1", pa.int32()),
-        ("y0", pa.int32()),
-        ("y1", pa.int32()),
-        ("x0", pa.int32()),
-        ("x1", pa.int32()),
-        ("shape", pa.list_(pa.int32())),
-        ("dtype", pa.string()),
-        ("block", pa.binary()),
-    ]
-)
+#: Arrow twin of BLOCK_SCHEMA for the mapInArrow / applyInArrow paths.
+_BLOCK_ARROW = _block_arrow_schema()
 
 
 def windowed_mean_nd(

@@ -25,7 +25,6 @@ from collections.abc import Iterator
 from typing import Any
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -49,6 +48,29 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("block", T.BinaryType()),
     ]
 )
+
+
+def _block_arrow_schema():
+    """Arrow twin of BLOCK_SCHEMA for the mapInArrow / applyInArrow stages
+    (Spark IntegerType ↔ int32, ArrayType(int) ↔ list<int32>)."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("stack_name", pa.string()),
+            ("t", pa.int32()),
+            ("c", pa.int32()),
+            ("z0", pa.int32()),
+            ("z1", pa.int32()),
+            ("y0", pa.int32()),
+            ("y1", pa.int32()),
+            ("x0", pa.int32()),
+            ("x1", pa.int32()),
+            ("shape", pa.list_(pa.int32())),
+            ("dtype", pa.string()),
+            ("block", pa.binary()),
+        ]
+    )
 
 
 def stack_catalog(spark: SparkSession, input_dir: str, suffix: str = ".czi") -> DataFrame:
@@ -175,49 +197,55 @@ def read_blocks(
     reader: str = "synthetic",
     dtype: str = "uint16",
 ) -> DataFrame:
-    """Distributed tile read: ``mapInPandas`` over the 3-D block index —
+    """Distributed tile read: ``mapInArrow`` over the 3-D block index —
     each (stack, z0..x1) row becomes a block row with a binary payload.
 
     One task reads many tiles; payloads never pass through the driver and
     flow straight to the sink stage (SURVEY §3.2 Spark restatement).
+    Arrow-native like the blockwise/sink stages: one RecordBatch per
+    block (bounds each Arrow batch at one payload so tile size never
+    multiplies into batch memory), no pandas frame in between.
     """
     if reader not in ("synthetic", "czifile"):
         raise ValueError(f"unknown reader {reader!r}")
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in BLOCK_SCHEMA.fields]
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
+    import pyarrow as pa
+
+    _BLOCK_ARROW = _block_arrow_schema()
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            rows = batch.to_pylist()  # index rows: tiny scalar columns
+            for row in rows:
                 if reader == "synthetic":
                     arr = synthetic_ramp_block(
-                        row.z0, row.z1, row.y0, row.y1, row.x0, row.x1, dtype
+                        row["z0"], row["z1"], row["y0"], row["y1"],
+                        row["x0"], row["x1"], dtype,
                     )
                 else:
-                    slab = _read_slab_czifile(row.path, row.z0, row.z1)
-                    arr = slab[:, row.y0 : row.y1, row.x0 : row.x1].astype(dtype)
-                # one frame per block: bounds each Arrow batch at one
-                # payload so tile size never multiplies into batch memory
-                yield pd.DataFrame(
-                    [
-                        {
-                            "stack_name": row.stack_name,
-                            "t": 0,
-                            "c": 0,
-                            "z0": int(row.z0),
-                            "z1": int(row.z1),
-                            "y0": int(row.y0),
-                            "y1": int(row.y1),
-                            "x0": int(row.x0),
-                            "x1": int(row.x1),
-                            "shape": [1, 1, *arr.shape],
-                            "dtype": str(arr.dtype),
-                            "block": arr.tobytes(),
-                        }
-                    ],
-                    columns=cols,
+                    slab = _read_slab_czifile(row["path"], row["z0"], row["z1"])
+                    arr = slab[
+                        :, row["y0"] : row["y1"], row["x0"] : row["x1"]
+                    ].astype(dtype)
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "stack_name": [row["stack_name"]],
+                        "t": [0],
+                        "c": [0],
+                        "z0": [int(row["z0"])],
+                        "z1": [int(row["z1"])],
+                        "y0": [int(row["y0"])],
+                        "y1": [int(row["y1"])],
+                        "x0": [int(row["x0"])],
+                        "x1": [int(row["x1"])],
+                        "shape": [[1, 1, *arr.shape]],
+                        "dtype": [str(arr.dtype)],
+                        "block": [arr.tobytes()],
+                    },
+                    schema=_BLOCK_ARROW,
                 )
 
-    return index.mapInPandas(gen, BLOCK_SCHEMA)
+    return index.mapInArrow(gen, BLOCK_SCHEMA)
 
 
 def synthetic_stack_blocks(
