@@ -240,8 +240,10 @@ def _sql_score(e: str, c: str) -> str:
     return f"(({_sql_dot(c, c)}) - 2 * ({_sql_dot(e, c)}))"
 
 
-def _sql_iteration(i: int) -> str:
-    """assign against c{i-1}, update into c{i}."""
+def _sql_iteration(i: int, src: str = "embeddings") -> str:
+    """assign against c{i-1}, update into c{i} (``src`` = the vector
+    relation the Lloyd pass runs over — the raw table for IVF, the
+    normalized mutant corpus for SemDeDup)."""
     sums = ", ".join(
         f"sum(CAST(CAST(embedding[{d + 1}] AS DOUBLE) AS DECIMAL(30,10))) AS s{d}"
         for d in range(EMB_DIM)
@@ -257,7 +259,7 @@ a{i} AS (
              PARTITION BY e.vec_id
              ORDER BY {_sql_score('e.embedding', 'c.cemb')}, c.cluster
            ) AS rn
-    FROM embeddings e CROSS JOIN c{i - 1} c
+    FROM {src} e CROSS JOIN c{i - 1} c
   ) WHERE rn = 1
 ),
 c{i} AS (
@@ -266,17 +268,23 @@ c{i} AS (
 )"""
 
 
-def _build_oracle() -> str:
+def _sql_train_ctes(src: str = "embeddings") -> str:
+    """c0 (first-K init) + the unrolled Lloyd iterations over ``src``;
+    final codebook CTE is ``c{_ITERS}``."""
     init_cemb = ", ".join(
         f"CAST(embedding[{i}] AS DOUBLE)" for i in range(1, EMB_DIM + 1)
     )
-    iters = ",".join(_sql_iteration(i + 1) for i in range(_ITERS))
+    iters = ",".join(_sql_iteration(i + 1, src) for i in range(_ITERS))
+    return f"""c0 AS (
+  SELECT vec_id AS cluster, list_value({init_cemb}) AS cemb
+  FROM {src} WHERE vec_id < {_K}
+),{iters}"""
+
+
+def _build_oracle() -> str:
     final = _ITERS
     return f"""
-WITH c0 AS (
-  SELECT vec_id AS cluster, list_value({init_cemb}) AS cemb
-  FROM embeddings WHERE vec_id < {_K}
-),{iters},
+WITH {_sql_train_ctes()},
 assigned AS (
   SELECT vec_id, embedding, cluster FROM (
     SELECT e.vec_id, e.embedding, c.cluster,
@@ -314,10 +322,156 @@ WHERE rank <= {_TOP_K}
 IVF_ANN_SQL = _build_oracle()
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication (Abbas et al. 2023, arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+#: prune a vector when a smaller-id cluster-mate's cosine (on the rounded
+#: value, so both engines threshold the same number) reaches this
+_SEM_EPS = 0.98
+_SEM_MUT_OFFSET = 1_000_000
+
+
+def _sem_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ planted semantic duplicates: every 50th vector
+    re-appears scaled ×1.1 (id + 1e6).  Uniform scaling preserves
+    direction exactly, so after L2 normalization each planted pair is
+    (numerically) identical — cosine 1.0, same k-means cell — giving the
+    recall test an exact ground truth (unlike the single-component
+    perturbation ``dedup_embedding_cosine`` plants, which only bounds
+    cosine ≥ 0.98)."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", "embedding"
+    )
+    mutants = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + _SEM_MUT_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.1)).cast("float")
+        ).alias("embedding"),
+    )
+    return emb.unionByName(mutants)
+
+
+def _normalize(df: DataFrame) -> DataFrame:
+    """L2-normalize (SemDeDup clusters on the unit sphere, where cosine
+    = plain dot): per-component double division by the same
+    left-associated norm fold on both engines — deterministic."""
+    n = F.sqrt(spark_dot(F.col("embedding"), F.col("embedding")))
+    return df.filter(n > 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / n).alias(
+            "embedding"
+        ),
+    )
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-cluster the normalized corpus, then prune
+    within-cluster semantic duplicates — the embedding-space analog of
+    MinHash dedup, and the published recipe (SemDeDup, Abbas et al.
+    2023) for shrinking web-scale training corpora with minimal quality
+    loss.
+
+    Output: one row per PRUNED vector — ``(vec_id, cluster, pruned_by,
+    max_cos)`` where ``pruned_by`` is the smallest-id cluster-mate above
+    the threshold (min-id keeper, the same convention as
+    ``dedup_exact``) and ``max_cos`` the strongest qualifying cosine.
+
+    Scale design (100 TB): the cluster assignment IS the blocking
+    structure — k grows with n (k ≈ n / target_cluster_size), so
+    within-cluster pair volume stays (n/k)² per cluster and the
+    all-pairs join never materializes; the pair stage is an equi-join on
+    ``cluster`` exactly like the LSH band join.  Train on a sample +
+    ``save_codebook`` for the production train-once/prune-many split.
+    The whole pipeline (normalize → 3 Lloyd iterations → assign →
+    within-cluster prune) is differentially tested against DuckDB via
+    unrolled CTEs — same fold orders, same decimal update sums, same
+    rounded-cosine threshold."""
+    corpus = _normalize(_sem_corpus(spark, sf_dir))
+    codebook = _train(corpus)
+    assigned = persist_tracked(_assign(corpus, codebook))
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("aemb"), "cluster"
+    )
+    b = assigned.select("vec_id", F.col("embedding").alias("bemb"), "cluster")
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .select(
+            "vec_id",
+            "cluster",
+            "a_id",
+            # normalized vectors: cosine IS the dot product
+            dround(spark_dot(F.col("aemb"), F.col("bemb")), 6).alias("cos"),
+        )
+    )
+    return (
+        pairs.filter(F.col("cos") >= _SEM_EPS)
+        .groupBy("vec_id", "cluster")
+        .agg(
+            F.min("a_id").alias("pruned_by"),
+            F.max("cos").alias("max_cos"),
+        )
+    )
+
+
+def _build_semdedup_oracle() -> str:
+    mut_cemb = ", ".join(
+        f"CAST(embedding[{i}] * 1.1 AS REAL)" for i in range(1, EMB_DIM + 1)
+    )
+    norm_cemb = ", ".join(
+        f"CAST(embedding[{i}] AS DOUBLE) / nv" for i in range(1, EMB_DIM + 1)
+    )
+    final = _ITERS
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_SEM_MUT_OFFSET} AS vec_id,
+         list_value({mut_cemb}) AS embedding
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+normd AS (
+  SELECT vec_id, list_value({norm_cemb}) AS embedding
+  FROM (
+    SELECT vec_id, embedding,
+           sqrt({_sql_dot('embedding', 'embedding')}) AS nv
+    FROM corpus
+  ) WHERE nv > 0
+),
+{_sql_train_ctes('normd')},
+assigned AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_score('e.embedding', 'c.cemb')}, c.cluster
+           ) AS rn
+    FROM normd e CROSS JOIN c{final} c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT b.vec_id AS vec_id, b.cluster AS cluster, a.vec_id AS a_id,
+         CAST(round(CAST(({_sql_dot('a.embedding', 'b.embedding')})
+           AS DECIMAL(30,10)), 6) AS DOUBLE) AS cos
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+)
+SELECT vec_id, cluster, min(a_id) AS pruned_by, max(cos) AS max_cos
+FROM pairs WHERE cos >= {_SEM_EPS}
+GROUP BY vec_id, cluster
+"""
+
+
+DEDUP_SEMANTIC_SQL = _build_semdedup_oracle()
+
+
 QUERIES = {
     "ivf_kmeans_ann": ivf_kmeans_ann,
+    "dedup_semantic": dedup_semantic,
 }
 
 ORACLES = {
     "ivf_kmeans_ann": IVF_ANN_SQL,
+    "dedup_semantic": DEDUP_SEMANTIC_SQL,
 }

@@ -173,3 +173,39 @@ def test_components_resolve_planted_pairs(spark, queries):
     # planted pairs co-resolve
     planted = [(d, d + _MUT_OFFSET) for d in comp if d % 20 == 0 and d < _MUT_OFFSET]
     assert planted and all(comp[a] == comp[b] for a, b in planted if b in comp)
+
+
+def test_semdedup_prunes_every_planted_semantic_duplicate(spark, queries):
+    """SemDeDup ground truth: every planted duplicate is a uniformly
+    scaled copy (direction preserved), so after L2 normalization it is
+    numerically identical to its original — same k-means cell, cosine
+    1.0 — and MUST be pruned with pruned_by pointing at a smaller id.
+    Any original pruned without a qualifying smaller near-identical
+    partner would be a false positive."""
+    import duckdb
+
+    from aind_hcr_data_transformation_spark.operators.ivf import (
+        _SEM_MUT_OFFSET,
+    )
+
+    expected = {
+        int(v) + _SEM_MUT_OFFSET
+        for (v,) in duckdb.sql(
+            f"SELECT vec_id FROM '{SF}/embeddings.parquet' WHERE vec_id % 50 = 0"
+        ).fetchall()
+    }
+    assert len(expected) >= 10
+
+    rows = queries["dedup_semantic"](spark, SF).collect()
+    pruned = {r.vec_id for r in rows}
+    missed = expected - pruned
+    assert not missed, (
+        f"SemDeDup missed {len(missed)}/{len(expected)} planted semantic "
+        f"duplicates (e.g. {sorted(missed)[:5]})"
+    )
+    for r in rows:
+        assert r.pruned_by < r.vec_id
+        assert r.max_cos >= 0.98
+        # planted mutants pair with their own original
+        if r.vec_id in expected:
+            assert r.pruned_by == r.vec_id - _SEM_MUT_OFFSET
