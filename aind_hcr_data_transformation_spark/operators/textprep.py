@@ -624,12 +624,128 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# data mixing: token-budget-driven multi-source sampling
+# ---------------------------------------------------------------------------
+
+# Corpus-level token budget as an exact fraction of the total (the
+# "train on 40% of available tokens" knob of a mixing recipe).
+_MIX_NUM, _MIX_DEN = 2, 5
+
+
+def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data MIXING: hit a corpus-level token budget with
+    per-source shares proportional to a mixing weight — the Pile/Dolma-
+    style recipe step that upweights curated sources and downweights
+    bulk web text when assembling a pretraining corpus.
+
+    Unlike ``sample_stratified`` (fixed per-stratum thresholds), the
+    per-source keep thresholds here are DERIVED FROM THE DATA in a
+    first aggregation pass: target tokens for source s =
+    ``budget · w_s / Σw``, threshold = ``min(2¹⁶, 2¹⁶·target_s /
+    tokens_s)`` — all exact integer arithmetic, so both engines derive
+    identical thresholds (the same data-derived-parameter discipline as
+    the LSH band widths).  A source whose availability is below its
+    target is kept whole (rate capped at 1) — exactly what real mixers
+    hit on small curated sources.  Weights tier by source id
+    (id mod 4 → 4/2/2/1), standing in for the recipe's per-source
+    config.
+
+    Selection is md5-deterministic per doc_id (reproducible across
+    engines, reruns, partitionings — no ``rand()``).  Scale shape: one
+    per-source stats aggregate (map-side combine, k rows) + broadcast
+    of the k-row rate table + one filtered re-aggregate — two scans,
+    zero wide shuffles.  Output: per-source totals, threshold, kept
+    counts and kept tokens."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("toks"),
+    )
+    srcn = F.regexp_replace(F.col("source"), "[^0-9]", "").cast("int")
+    weight = (
+        F.when(srcn % 4 == 0, 4)
+        .when(srcn % 4 == 1, 2)
+        .when(srcn % 4 == 2, 2)
+        .otherwise(1)
+    ).cast("long")
+    stats = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("toks").alias("src_toks"))
+        .withColumn("w", weight)
+    )
+    totals = stats.agg(
+        F.sum("src_toks").alias("tot_toks"), F.sum("w").alias("tot_w")
+    )
+    rates = (
+        stats.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "thr",
+            F.least(
+                F.lit(65536).cast("long"),
+                F.expr(
+                    f"(65536 * ((tot_toks * {_MIX_NUM}) div {_MIX_DEN}) * w)"
+                    " div (tot_w * src_toks)"
+                ),
+            ),
+        )
+        .select("source", "w", "n_docs", "src_toks", "thr")
+    )
+    h16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    kept = (
+        docs.join(F.broadcast(rates.select("source", "thr")), "source")
+        .withColumn("kept", F.when(h16 < F.col("thr"), 1).otherwise(0))
+        .groupBy("source")
+        .agg(
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.sum(F.col("kept") * F.col("toks")).cast("long").alias("toks_kept"),
+        )
+    )
+    return kept.join(F.broadcast(rates), "source").select(
+        "source", "w", "n_docs", "src_toks", "thr", "n_kept", "toks_kept"
+    )
+
+
+MIX_TOKEN_BUDGET_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+  FROM documents
+),
+stats AS (
+  SELECT source, count(*) AS n_docs, sum(toks) AS src_toks,
+         CAST(CASE CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INTEGER) % 4
+              WHEN 0 THEN 4 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 1 END AS BIGINT) AS w
+  FROM docs GROUP BY source
+),
+totals AS (SELECT sum(src_toks) AS tot_toks, sum(w) AS tot_w FROM stats),
+rates AS (
+  SELECT source, w, n_docs, CAST(src_toks AS BIGINT) AS src_toks,
+         CAST(least(65536, (65536 * ((tot_toks * {_MIX_NUM}) // {_MIX_DEN}) * w)
+                    // (tot_w * src_toks)) AS BIGINT) AS thr
+  FROM stats CROSS JOIN totals
+),
+kept AS (
+  SELECT d.source,
+         CAST(sum(CASE WHEN {_H16} < r.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN {_H16} < r.thr THEN d.toks ELSE 0 END) AS BIGINT) AS toks_kept
+  FROM docs d JOIN rates r USING (source)
+  GROUP BY d.source
+)
+SELECT source, w, n_docs, src_toks, thr, n_kept, toks_kept
+FROM kept JOIN rates USING (source)
+"""
+
+
 QUERIES = {
     "seq_pack": seq_pack,
     "contamination": contamination,
     "pii_redact": pii_redact,
     "doc_chunk": doc_chunk,
     "sample_stratified": sample_stratified,
+    "mix_token_budget": mix_token_budget,
 }
 
 ORACLES = {
@@ -638,6 +754,7 @@ ORACLES = {
     "pii_redact": PII_REDACT_SQL,
     "doc_chunk": DOC_CHUNK_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "mix_token_budget": MIX_TOKEN_BUDGET_SQL,
 }
 
 

@@ -124,3 +124,26 @@ def test_bloom_contamination_never_misses(spark):
     # false positives only add docs/hits; at ~1e-4 FP the overhang is tiny
     extra_docs = set(bloom) - set(exact)
     assert len(extra_docs) <= max(3, len(exact) // 10)
+
+
+def test_mix_token_budget_semantics(spark, queries):
+    """Mixing invariants: thresholds are availability-capped at 2^16,
+    kept counts are bounded by totals, the realized corpus-level token
+    take is near the 40% budget (hash-sampling tolerance), and the
+    weight tiers order the realized per-source rates."""
+    rows = queries["mix_token_budget"](spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r.thr <= 65536
+        assert 0 <= r.n_kept <= r.n_docs
+        assert 0 <= r.toks_kept <= r.src_toks
+    tot = sum(r.src_toks for r in rows)
+    kept = sum(r.toks_kept for r in rows)
+    assert 0.3 <= kept / tot <= 0.5, "realized take far from the 40% budget"
+    # per-token keep probability rises with the mixing weight
+    by_w = {}
+    for r in rows:
+        a, b = by_w.get(r.w, (0, 0))
+        by_w[r.w] = (a + r.toks_kept, b + r.src_toks)
+    rates = {w: a / b for w, (a, b) in by_w.items()}
+    assert rates[4] > rates[2] > rates[1]
