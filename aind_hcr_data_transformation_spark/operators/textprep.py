@@ -739,6 +739,163 @@ FROM kept JOIN rates USING (source)
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR-shaped importance selection (Xie et al. 2023, arXiv:2302.03169)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256   # hashed n-gram feature buckets (the paper uses 10k)
+_DSIR_TOP = 50        # docs selected
+_DSIR_SCALE = 65536   # integer likelihood-ratio scale (2^16)
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling, DSIR-shaped (Xie et
+    al. 2023): score every document by how target-like its hashed
+    n-gram (unigram + bigram) feature distribution is, then select the
+    top documents — the published recipe for picking pretraining data
+    that matches a target domain (here: the ``lang='en'`` slice stands
+    in for the target corpus; the whole table is the raw pool).
+
+    Deviation from the paper, by design: per-bucket LOG-likelihood
+    ratios are replaced by INTEGER-scaled likelihood ratios
+    ``s_b = (2¹⁶ · p_b) // q_b`` (add-one smoothed) and the document
+    score is the exact integer ``Σ c_b · s_b`` — ``ln`` is a libm call
+    with no cross-engine bit guarantee, while this variant keeps the
+    same per-bucket monotonicity and makes the whole selection
+    differentially testable.  (Integer headroom: 2¹⁶·cnt·total fits
+    int64 up to ~2¹⁵ tokens of target corpus per bucket ratio term; a
+    100 TB deployment lifts the products into decimal(38), same plan.)
+
+    Plan shape: one explode to (doc, bucket) counts, two bucket-stat
+    aggregates (256-row tables), a broadcast join of bucket scores back
+    onto per-doc counts, one sum per doc, global top-k
+    (TakeOrderedAndProject).  No wide shuffles beyond the doc-count
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("t")
+    )
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(
+                F.col("t"),
+                F.when(
+                    F.size("t") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - 1),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(F.col("t"), i),
+                            F.element_at(F.col("t"), i + 1),
+                        ),
+                    ),
+                ).otherwise(F.array()),
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("int")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    grams = persist_tracked(grams)
+    # bucket models: add-one smoothed counts for target (en) and raw pool
+    stats = grams.groupBy("b").agg(
+        (F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) + 1).alias("tn"),
+        (F.count(F.lit(1)) + 1).alias("rn"),
+    )
+    totals = stats.agg(
+        F.sum("tn").alias("tt"), F.sum("rn").alias("rt")
+    )
+    scores = stats.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.expr(f"({_DSIR_SCALE} * tn * rt) div (rn * tt)").alias("s"),
+    )
+    # score = per-gram AVERAGE ratio (exact integer numerator/denominator,
+    # one deterministic double division): the raw DSIR weight is a product
+    # over grams, so its log scales with length and top-k degenerates to
+    # "longest target-ish doc"; the per-gram mean is the length-normalized
+    # deterministic stand-in for the paper's Gumbel resampling
+    per_doc = (
+        grams.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(F.broadcast(scores), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("s")).alias("num"),
+            F.sum("c").alias("den"),
+        )
+        .select(
+            "doc_id",
+            (F.col("num").cast("double") / F.col("den")).alias("avg_s"),
+        )
+    )
+    # distributed top-k (TakeOrderedAndProject) FIRST, then rank the
+    # k survivors — a global row_number window over every doc would be a
+    # single-reducer sort of the whole corpus
+    top = per_doc.orderBy(F.desc("avg_s"), F.asc("doc_id")).limit(_DSIR_TOP)
+    w = Window.orderBy(F.desc("avg_s"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", dround(F.col("avg_s"), 6).alias("avg_score")
+    )
+
+
+_GNIB = "(instr('0123456789abcdef', substr(md5(g), {p}, 1)) - 1)"
+_GH16 = (
+    f"({_GNIB.format(p=1)} * 4096 + {_GNIB.format(p=2)} * 256 + "
+    f"{_GNIB.format(p=3)} * 16 + {_GNIB.format(p=4)})"
+)
+
+DSIR_IMPORTANCE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, ({_GH16}) % {_DSIR_BUCKETS} AS b FROM (
+    SELECT doc_id, lang, unnest(
+      list_concat(
+        t,
+        CASE WHEN len(t) >= 2
+             THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+             ELSE [] END
+      )
+    ) AS g
+    FROM toks
+  )
+),
+stats AS (
+  SELECT b,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1 AS tn,
+         count(*) + 1 AS rn
+  FROM grams GROUP BY b
+),
+totals AS (SELECT sum(tn) AS tt, sum(rn) AS rt FROM stats),
+scores AS (
+  SELECT b, ({_DSIR_SCALE} * tn * rt) // (rn * tt) AS s
+  FROM stats CROSS JOIN totals
+),
+per_doc AS (
+  SELECT c.doc_id,
+         CAST(CAST(sum(c.c * s.s) AS BIGINT) AS DOUBLE)
+           / CAST(sum(c.c) AS BIGINT) AS avg_s
+  FROM (SELECT doc_id, b, count(*) AS c FROM grams GROUP BY doc_id, b) c
+  JOIN scores s USING (b)
+  GROUP BY c.doc_id
+)
+SELECT rank, doc_id,
+       {sql_round('avg_s', 6)} AS avg_score
+FROM (
+  SELECT doc_id, avg_s,
+         CAST(row_number() OVER (ORDER BY avg_s DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM per_doc
+)
+WHERE rank <= {_DSIR_TOP}
+"""
+
+
 QUERIES = {
     "seq_pack": seq_pack,
     "contamination": contamination,
@@ -746,6 +903,7 @@ QUERIES = {
     "doc_chunk": doc_chunk,
     "sample_stratified": sample_stratified,
     "mix_token_budget": mix_token_budget,
+    "dsir_importance": dsir_importance,
 }
 
 ORACLES = {
@@ -755,6 +913,7 @@ ORACLES = {
     "doc_chunk": DOC_CHUNK_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "mix_token_budget": MIX_TOKEN_BUDGET_SQL,
+    "dsir_importance": DSIR_IMPORTANCE_SQL,
 }
 
 

@@ -147,3 +147,63 @@ def test_mix_token_budget_semantics(spark, queries):
         by_w[r.w] = (a + r.toks_kept, b + r.src_toks)
     rates = {w: a / b for w, (a, b) in by_w.items()}
     assert rates[4] > rates[2] > rates[1]
+
+
+def test_dsir_matches_python_walk(spark, queries):
+    """Independent pure-Python reimplementation of the DSIR-shaped
+    selection (hashed uni+bigram buckets, add-one smoothed integer
+    ratios, per-gram average, top-50 by (avg desc, doc_id)) — the same
+    third-opinion pattern as test_funnel_matches_python_walk, so a bug
+    shared by the Spark and SQL formulations still fails here."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from aind_hcr_data_transformation_spark.operators.textprep import (
+        _DSIR_BUCKETS,
+        _DSIR_SCALE,
+        _DSIR_TOP,
+    )
+
+    docs = duckdb.sql(
+        "SELECT doc_id, lang, text FROM '/root/testdata/sf0.01/documents.parquet'"
+    ).fetchall()
+
+    def buckets(text):
+        t = text.split(" ")
+        grams = t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:4], 16) % _DSIR_BUCKETS
+            for g in grams
+        ]
+
+    tn, rn = Counter(), Counter()
+    per_doc = {}
+    for doc_id, lang, text in docs:
+        bs = buckets(text)
+        per_doc[doc_id] = Counter(bs)
+        rn.update(bs)
+        if lang == "en":
+            tn.update(bs)
+    observed = set(rn)  # smoothing totals run over OBSERVED buckets only
+    tt = sum(tn[b] + 1 for b in observed)
+    rt = sum(rn[b] + 1 for b in observed)
+    s = {
+        b: (_DSIR_SCALE * (tn[b] + 1) * rt) // ((rn[b] + 1) * tt)
+        for b in observed
+    }
+    avg = {
+        d: sum(c * s[b] for b, c in cnt.items()) / sum(cnt.values())
+        for d, cnt in per_doc.items()
+    }
+    want = sorted(avg, key=lambda d: (-avg[d], d))[:_DSIR_TOP]
+
+    rows = sorted(
+        queries["dsir_importance"](spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.doc_id for r in rows] == want
+    assert [r.rank for r in rows] == list(range(1, _DSIR_TOP + 1))
+    for r in rows:
+        assert abs(r.avg_score - avg[r.doc_id]) < 1e-6
