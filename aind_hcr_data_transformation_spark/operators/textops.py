@@ -732,6 +732,48 @@ _QC_WRANGE = 2001  # weights take values in [-1000, 1000]
 _QC_BIAS = -120    # intercept (per-token units)
 
 
+def quality_logits(docs: DataFrame) -> DataFrame:
+    """Per-document classifier logits for a (doc_id, source, t[array])
+    frame — shared by the batch query and the streaming ingest filter
+    (``streaming.events.stream_quality_filter``), so the two stages can
+    never drift apart.  ONE aggregation (streaming-legal): explode to
+    hashed buckets, hash-derive the integer weight per token (no weight
+    table to join), sum exactly, one double division per doc."""
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size("t").alias("len"),
+        F.explode("t").alias("tok"),
+    ).select(
+        "doc_id",
+        "source",
+        "len",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+            % _QC_BUCKETS
+        ).alias("b"),
+    )
+    w = (
+        F.conv(F.substring(F.md5(F.col("b").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _QC_WRANGE
+        - (_QC_WRANGE - 1) // 2
+    )
+    return (
+        toks.withColumn("w", w)
+        .groupBy("doc_id", "source", "len")
+        .agg(F.sum("w").alias("wsum"))
+        .select(
+            "doc_id",
+            "source",
+            (
+                (F.col("wsum") + F.lit(_QC_BIAS) * F.col("len")).cast("double")
+                / F.col("len")
+            ).alias("logit"),
+        )
+    )
+
+
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering — the classifier stage of
     FineWeb-Edu / DCLM-style pipelines (a fasttext-like linear scorer
@@ -753,40 +795,7 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", "source", F.split(F.col("text"), " ").alias("t")
     )
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.size("t").alias("len"),
-        F.explode("t").alias("tok"),
-    ).select(
-        "doc_id",
-        "source",
-        "len",
-        (
-            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
-            % _QC_BUCKETS
-        ).alias("b"),
-    )
-    # weight derived from the bucket id by hash — no weight table to join
-    w = (
-        F.conv(F.substring(F.md5(F.col("b").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % _QC_WRANGE
-        - (_QC_WRANGE - 1) // 2
-    )
-    per_doc = (
-        toks.withColumn("w", w)
-        .groupBy("doc_id", "source", "len")
-        .agg(F.sum("w").alias("wsum"))
-        .select(
-            "doc_id",
-            "source",
-            (
-                (F.col("wsum") + F.lit(_QC_BIAS) * F.col("len")).cast("double")
-                / F.col("len")
-            ).alias("logit"),
-        )
-    )
+    per_doc = quality_logits(docs)
     return (
         per_doc.groupBy("source")
         .agg(

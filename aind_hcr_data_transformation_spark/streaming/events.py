@@ -603,3 +603,58 @@ ORDER BY e.event_type
 
 QUERIES["stream_static_anti_join"] = stream_static_anti_join
 ORACLES["stream_static_anti_join"] = STREAM_STATIC_ANTI_SQL
+
+
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming INGEST QUALITY GATE — the continuous-crawl shape of a
+    training-data pipeline: documents arrive as a file stream (Kafka in
+    production), each micro-batch is scored by the hashed-linear quality
+    classifier, and the per-source keep/drop monitoring view rolls up on
+    the sink.
+
+    The scoring is literally the batch operator's code
+    (``textops.quality_logits`` — one streaming-legal aggregation),
+    so the streaming and batch stages cannot drift; the oracle is the
+    batch twin's SQL verbatim.  Streaming carries the per-doc scoring
+    (update mode — each doc's logit finalizes once its one source file
+    is read); the source-level rollup is a batch aggregate over the
+    sink table, because stacked streaming aggregations are unsupported
+    and a monitoring rollup belongs on the serving side anyway."""
+    from ..operators.textops import quality_logits
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    docs = raw.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("t")
+    )
+    per_doc = quality_logits(docs)
+    table = _run_to_memory_sink(per_doc, "stream_quality", "update")
+    return (
+        table.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("logit") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            dround(
+                F.sum(F.col("logit").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_logit"),
+        )
+        .orderBy("source")
+    )
+
+
+def _stream_quality_oracle() -> str:
+    from ..operators.textops import QUALITY_CLASSIFIER_SQL
+
+    return QUALITY_CLASSIFIER_SQL
+
+
+QUERIES["stream_quality_filter"] = stream_quality_filter
+ORACLES["stream_quality_filter"] = _stream_quality_oracle()
