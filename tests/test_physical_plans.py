@@ -104,8 +104,15 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
         "q11_important_parts",
         "q22_global_sales",
         "ivf_kmeans_ann",
+        # same k-row codebook broadcast as ivf_kmeans_ann, plus the
+        # one-row normalization-totals broadcast
+        "dedup_semantic",
         # one-row corpus-count broadcast (the N in tf*N/df)
         "text_tfidf_topk",
+        # one-row grand-totals broadcast joined onto k-row stats (the
+        # derived mixing thresholds / bucket scores)
+        "mix_token_budget",
+        "dsir_importance",
     }
     for name, fn in queries.items():
         if name.startswith("stream_"):
