@@ -387,7 +387,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cluster prune) is differentially tested against DuckDB via
     unrolled CTEs — same fold orders, same decimal update sums, same
     rounded-cosine threshold."""
-    corpus = _normalize(_sem_corpus(spark, sf_dir))
+    # persist the normalized corpus: unlike the IVF path (whose input is
+    # a raw parquet scan, cheap to re-read), this union+normalize lineage
+    # would otherwise re-run for every Lloyd assign/update consumer —
+    # 3 iterations × 2 consumers + the final assignment
+    corpus = persist_tracked(_normalize(_sem_corpus(spark, sf_dir)))
     codebook = _train(corpus)
     assigned = persist_tracked(_assign(corpus, codebook))
     a = assigned.select(
