@@ -31,6 +31,18 @@ BUDGETS = {
     # batch set + seen set broadcast; archive side never shuffles
     # (its only exchange is the fixture spread)
     "dedup_incremental_batch": (7, 2),
+    # xxhash64 twin mirrors the md5 pipeline's stage structure
+    "dedup_minhash_fast": (16, 1),
+    # 3 Lloyd iterations × persisted-subplan overcount + pair join;
+    # codebook and totals must broadcast
+    "dedup_semantic": (42, 8),
+    # stats pass + kept pass; rate table and totals must broadcast
+    "mix_token_budget": (7, 2),
+    # gram explode + two bucket aggregates + per-doc sum + top-k;
+    # bucket scores must broadcast
+    "dsir_importance": (8, 2),
+    # explode + one per-doc agg + per-source agg + orderBy
+    "quality_classifier": (4, 0),
 }
 
 
