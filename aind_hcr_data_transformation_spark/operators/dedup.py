@@ -1158,6 +1158,133 @@ ORDER BY doc_new, doc_hist
 """
 
 
+# ---------------------------------------------------------------------------
+# content-defined chunk (CDC) dedup — shift-robust paragraph dedup
+# ---------------------------------------------------------------------------
+
+_CDC_MOD = 8          # boundary when h16(token) % 8 == 0 → ~8-token chunks
+_CDC_MIN_SHARED = 2   # report pairs sharing at least this many chunks
+
+
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup with CONTENT-DEFINED chunk boundaries — the
+    Dolma-style "remove duplicated paragraphs" stage made robust to
+    boundary shifts: fixed-width windows stop matching after any
+    insertion/deletion, but rolling-hash boundaries (chunk ends wherever
+    ``h16(token) % 8 == 0``) re-synchronize immediately, so the planted
+    mutants (first two tokens dropped) still share every interior chunk
+    with their originals.
+
+    Pipeline: per-doc boundary positions (pure array expressions — no
+    UDF), chunk strings md5-keyed, distinct (doc, chunk), a
+    document-frequency cut (chunks in more than ``cap`` docs are
+    boilerplate — the same derived cut as the n-gram join, and exactly
+    the frequent-paragraph removal production pipelines apply), then an
+    inverted-index self-join on the chunk key.  Output: doc pairs
+    sharing ≥ 2 chunks with the shared count.  At 100 TB the chunk key
+    becomes an xxhash64 int (the ``dedup_minhash_fast`` trick) and the
+    join stays bucketed by key; nothing is all-pairs."""
+    corpus = _corpus_with_mutants(spark, sf_dir)
+    toks = corpus.select("doc_id", F.split(F.col("text"), " ").alias("t")).filter(
+        F.size("t") >= 1
+    )
+    h16 = lambda c: (  # noqa: E731
+        F.conv(F.substring(F.md5(c), 1, 4), 16, 10).cast("int")
+    )
+    with_bounds = toks.withColumn(
+        "bounds",
+        F.concat(
+            F.array(F.lit(0)),
+            F.filter(
+                F.sequence(F.lit(1), F.size("t")),
+                lambda p: h16(F.element_at(F.col("t"), p)) % _CDC_MOD == 0,
+            ),
+            F.array(F.size("t")),
+        ),
+    )
+    chunks = with_bounds.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.filter(
+                    F.sequence(F.lit(1), F.size("bounds") - 1),
+                    lambda i: F.element_at(F.col("bounds"), i + 1)
+                    > F.element_at(F.col("bounds"), i),
+                ),
+                lambda i: F.md5(
+                    F.array_join(
+                        F.slice(
+                            F.col("t"),
+                            F.element_at(F.col("bounds"), i) + 1,
+                            F.element_at(F.col("bounds"), i + 1)
+                            - F.element_at(F.col("bounds"), i),
+                        ),
+                        " ",
+                    )
+                ),
+            )
+        ).alias("ck"),
+    ).distinct()
+    chunks = persist_tracked(chunks)
+    # cap derived from the RAW documents count (same base as the SQL
+    # twin's subquery — the mutant-augmented corpus would give n + n/20)
+    cap = _ngram_df_cap(table_count(spark, sf_dir, "documents"))
+    common = chunks.groupBy("ck").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= cap
+    )
+    keyed = chunks.join(common.select("ck"), "ck")
+    a = keyed.select(F.col("doc_id").alias("doc1"), "ck")
+    b = keyed.select(F.col("doc_id").alias("doc2"), "ck")
+    return (
+        a.join(b, "ck")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
+        .filter(F.col("n_shared_chunks") >= _CDC_MIN_SHARED)
+    )
+
+
+_CDC_NIB = "(instr('0123456789abcdef', substr(md5(t[p]), {q}, 1)) - 1)"
+_CDC_H16 = (
+    f"({_CDC_NIB.format(q=1)} * 4096 + {_CDC_NIB.format(q=2)} * 256 + "
+    f"{_CDC_NIB.format(q=3)} * 16 + {_CDC_NIB.format(q=4)})"
+)
+
+DEDUP_CDC_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, string_split(text, ' ') AS t FROM ({_CORPUS_SQL})
+  ) WHERE len(t) >= 1
+),
+bounded AS (
+  SELECT doc_id, t,
+         [0]
+           || [p for p in range(1, len(t) + 1) if ({_CDC_H16}) % {_CDC_MOD} = 0]
+           || [len(t)] AS bounds
+  FROM toks
+),
+chunks AS (
+  SELECT DISTINCT doc_id, ck FROM (
+    SELECT doc_id, unnest(
+      [md5(array_to_string(t[bounds[i] + 1 : bounds[i + 1]], ' '))
+       for i in range(1, len(bounds)) if bounds[i + 1] > bounds[i]]
+    ) AS ck
+    FROM bounded
+  )
+),
+capped AS (
+  SELECT ck FROM chunks GROUP BY ck
+  HAVING count(*) <= ({_NGRAM_DF_CAP_SQL})
+),
+keyed AS (SELECT c.doc_id, c.ck FROM chunks c JOIN capped USING (ck))
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       count(*) AS n_shared_chunks
+FROM keyed a JOIN keyed b ON a.ck = b.ck AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {_CDC_MIN_SHARED}
+"""
+
+
 QUERIES = {
     "dedup_incremental_batch": dedup_incremental_batch,
     "dedup_minhash_incremental": dedup_minhash_incremental,
@@ -1167,6 +1294,7 @@ QUERIES = {
     # rows-only production-hash twin (xxhash64 has no DuckDB equivalent;
     # recall pinned by tests/test_dedup_recall.py)
     "dedup_minhash_fast": dedup_minhash_fast,
+    "dedup_cdc_chunks": dedup_cdc_chunks,
     # NOTE: dedup_ngram_jaccard's 0.4 threshold is a Jaccard over the
     # DF-CAPPED shingle universe — both engines and the recall test use
     # the identical capped universe, but the score is not the
@@ -1185,6 +1313,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_cdc_chunks": DEDUP_CDC_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_embedding_cosine": DEDUP_EMB_SQL,

@@ -209,3 +209,71 @@ def test_semdedup_prunes_every_planted_semantic_duplicate(spark, queries):
         # planted mutants pair with their own original
         if r.vec_id in expected:
             assert r.pruned_by == r.vec_id - _SEM_MUT_OFFSET
+
+
+def test_cdc_chunks_resync_on_planted_prefix_drops(spark, queries):
+    """CDC boundaries re-synchronize after the planted 2-token prefix
+    drop, so every planted pair whose shared-chunk count (computed by an
+    independent Python walk over md5 boundaries) reaches the report
+    threshold MUST appear with exactly that count — the shift-robustness
+    that fixed-width paragraph windows cannot provide."""
+    import hashlib
+
+    import duckdb
+
+    from aind_hcr_data_transformation_spark.operators.dedup import (
+        _CDC_MIN_SHARED,
+        _CDC_MOD,
+        _MUT_OFFSET,
+    )
+
+    def chunk_set(text):
+        t = text.split(" ")
+        h16 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:4], 16)  # noqa: E731
+        bounds = (
+            [0]
+            + [p for p in range(1, len(t) + 1) if h16(t[p - 1]) % _CDC_MOD == 0]
+            + [len(t)]
+        )
+        return {
+            hashlib.md5(" ".join(t[a:b]).encode()).hexdigest()
+            for a, b in zip(bounds, bounds[1:])
+            if b > a
+        }
+
+    from collections import Counter
+
+    from aind_hcr_data_transformation_spark.operators.dedup import (
+        _ngram_df_cap,
+    )
+
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    )
+    # mirror the operator's df cut: chunk document-frequency over the
+    # FULL mutant-augmented corpus, cap derived from the raw doc count
+    # (common short chunks are boilerplate and are dropped by design)
+    sets = {d: chunk_set(t) for d, t in docs.items()}
+    for d, t in docs.items():
+        if d % 20 == 0:
+            sets[d + _MUT_OFFSET] = chunk_set(" ".join(t.split(" ")[2:]))
+    df = Counter(ck for s in sets.values() for ck in s)
+    cap = _ngram_df_cap(len(docs))
+    live = {ck for ck, n in df.items() if n <= cap}
+    expected = {}
+    for d in docs:
+        if d % 20 != 0:
+            continue
+        n = len(sets[d] & sets[d + _MUT_OFFSET] & live)
+        if n >= _CDC_MIN_SHARED:
+            expected[(d, d + _MUT_OFFSET)] = n
+    assert len(expected) >= 10
+
+    found = {
+        (r.doc1, r.doc2): r.n_shared_chunks
+        for r in queries["dedup_cdc_chunks"](spark, SF).collect()
+    }
+    for pair, n in expected.items():
+        assert found.get(pair) == n, (pair, n, found.get(pair))
