@@ -252,12 +252,92 @@ WHERE rank <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# RAG retrieval + context assembly
+# ---------------------------------------------------------------------------
+
+_RAG_K = 3         # retrieved passages per query
+_RAG_BUDGET = 80   # context token budget (truncate the assembly here)
+
+
+def rag_retrieve_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG data path end to end: retrieve the top-3 passages per
+    query by exact cosine, join the document store (the fixture
+    convention links ``doc_id = vec_id``), and assemble a token-budgeted
+    context string per query in rank order — the retrieve→join→assemble
+    shape every retrieval-augmented pipeline runs between the ANN index
+    and the prompt builder.
+
+    Assembly is pure built-in expressions: rank-ordered ``collect_list``
+    of (rank, text) structs (``array_sort`` on the struct — rank is the
+    leading field, so the order is deterministic), joined, then trimmed
+    to the first ``_RAG_BUDGET`` whitespace tokens.  At scale the
+    retrieval stage swaps for ``sim_ann_signlsh`` / the IVF index — the
+    join+assembly plan is identical (document store joined on id, one
+    per-query aggregate)."""
+    hits = sim_cosine_topk(spark, sf_dir).filter(F.col("rank") <= _RAG_K)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "text"
+    )
+    joined = hits.join(docs, "vec_id")
+    ctx = joined.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "text"))),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("full_ctx"),
+    )
+    toks = F.split(F.col("full_ctx"), " ")
+    return ctx.select(
+        "qid",
+        "n_docs",
+        F.least(F.size(toks), F.lit(_RAG_BUDGET)).alias("context_tokens"),
+        F.array_join(F.slice(toks, 1, _RAG_BUDGET), " ").alias("context"),
+    )
+
+
+RAG_ASSEMBLE_SQL = f"""
+WITH queries AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+    CAST(round(CAST(({sql_cosine('q.qe', 'e.embedding')}) AS DECIMAL(30,10)), 6) AS DOUBLE) AS cos
+  FROM embeddings e JOIN queries q ON e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {_RAG_K}
+),
+joined AS (
+  SELECT r.qid, r.rank, d.text
+  FROM ranked r JOIN documents d ON d.doc_id = r.vec_id
+),
+ctx AS (
+  SELECT qid, count(*) AS n_docs,
+         string_agg(text, ' ' ORDER BY rank) AS full_ctx
+  FROM joined GROUP BY qid
+)
+SELECT qid, n_docs,
+       CAST(least(len(string_split(full_ctx, ' ')), {_RAG_BUDGET}) AS INTEGER) AS context_tokens,
+       array_to_string(string_split(full_ctx, ' ')[1:{_RAG_BUDGET}], ' ') AS context
+FROM ctx
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_signlsh": sim_ann_signlsh,
+    "rag_retrieve_assemble": rag_retrieve_assemble,
 }
 
 ORACLES = {
     "sim_cosine_topk": SIM_TOPK_SQL,
     "sim_ann_signlsh": SIM_ANN_SQL,
+    "rag_retrieve_assemble": RAG_ASSEMBLE_SQL,
 }
