@@ -100,6 +100,8 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
     # not data-sized).
     allowed_bnlj = {
         "sim_cosine_topk",
+        # built on sim_cosine_topk's broadcast-queries scorer
+        "rag_retrieve_assemble",
         "join_cross",
         "q11_important_parts",
         "q22_global_sales",
