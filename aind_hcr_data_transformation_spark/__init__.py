@@ -13,14 +13,19 @@ Two layers (see /root/repo/SURVEY.md):
 2. **Pipeline layer** — the reference's actual capability (CZI image stacks →
    multiscale OME-Zarr: partitioned scan → blocked read → windowed-mean
    pyramid → chunked compressed sink + OME-NGFF metadata) re-expressed with
-   Spark's execution model: block-index DataFrames + ``mapInPandas`` scans,
-   ``groupBy``/``applyInPandas`` downsampling, ``foreachPartition`` sinks.
+   Spark's execution model: block-index DataFrames + Arrow-native
+   ``mapInArrow`` scans/sinks (voxel payloads read zero-copy from Arrow
+   buffers), ``applyInArrow`` chunk re-tiling, ``groupBy`` downsampling.
    The manual round-robin/SLURM partition plumbing of the reference
    (``zeiss_job.py:29-60``) is replaced by Spark's scheduler.
 
-Plus LLM-data-pipeline extensions designed for 100 TB scale: exact and
-near-duplicate detection (MinHash/LSH, SimHash, n-gram Jaccard), embedding
-similarity search, multimodal binary-column plumbing, and text analysis.
+Plus LLM-data-pipeline extensions designed for 100 TB scale: exact,
+near-duplicate, and semantic dedup (MinHash/LSH with an xxhash64
+production twin, SimHash, n-gram Jaccard, CDC paragraph chunks,
+SemDeDup), embedding similarity search (brute force, sign-LSH, IVF) and
+RAG context assembly, data selection (DSIR importance, quality
+classifier, token-budget mixing), multimodal binary-column plumbing,
+text analysis, and a streaming ingest quality gate.
 """
 
 __version__ = "0.1.0"
