@@ -43,6 +43,11 @@ BUDGETS = {
     "dsir_importance": (8, 2),
     # explode + one per-doc agg + per-source agg + orderBy
     "quality_classifier": (4, 0),
+    # chunk explode + distinct + df-cut + inverted-index join + pair agg
+    # (persisted chunk relation overcounts across its 3 consumers)
+    "dedup_cdc_chunks": (15, 0),
+    # queries broadcast into the scorer; top-k + assembly shuffles
+    "rag_retrieve_assemble": (3, 2),
 }
 
 
