@@ -277,3 +277,45 @@ def test_cdc_chunks_resync_on_planted_prefix_drops(spark, queries):
     }
     for pair, n in expected.items():
         assert found.get(pair) == n, (pair, n, found.get(pair))
+
+
+def test_cdc_chunks_edge_documents(spark, queries, tmp_path):
+    """CDC edge geometry: documents made ENTIRELY of boundary tokens
+    (every chunk is one token), single-token documents, and exact tiny
+    duplicates must flow through without index errors, and identical
+    docs must pair with n_shared_chunks = their distinct chunk count.
+    Tokens chosen by their md5: gamma/zeta/eta are boundaries
+    (h16 % 8 == 0), alpha/beta/delta/epsilon are not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = {
+        # identical all-boundary docs: chunks = {gamma, zeta, eta} -> 3 shared
+        1: "gamma zeta eta",
+        2: "gamma zeta eta",
+        # identical no-boundary docs: one chunk each -> 1 shared (< threshold)
+        3: "alpha beta delta",
+        4: "alpha beta delta",
+        # single-token doc
+        5: "epsilon",
+        # identical mixed docs: chunks {alpha beta gamma, delta epsilon} -> 2
+        6: "alpha beta gamma delta epsilon",
+        7: "alpha beta gamma delta epsilon",
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(texts), type=pa.int64()),
+            "text": pa.array(list(texts.values()), type=pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["src0"] * len(texts)),
+            "n_chars": pa.array(
+                [len(t) for t in texts.values()], type=pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {
+        (r.doc1, r.doc2): r.n_shared_chunks
+        for r in queries["dedup_cdc_chunks"](spark, str(tmp_path)).collect()
+    }
+    assert rows == {(1, 2): 3, (6, 7): 2}
