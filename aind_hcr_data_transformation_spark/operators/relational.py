@@ -1172,6 +1172,79 @@ ORDER BY c_custkey
 """
 
 
+def upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history build — the versioned-dimension MERGE every
+    warehouse runs when history must be queryable (``AS OF`` joins,
+    audit): each change per key OPENS a new version and CLOSES the
+    previous one; the pre-existing snapshot row is version 1 with an
+    open lower bound; the newest version per key stays current.
+
+    Relational formulation: snapshot ∪ change rows, ONE window over
+    (key) ordered by (valid_from, event_id) assigning version numbers
+    and ``lead`` of the next change as each version's ``valid_to`` —
+    one key-partitioned shuffle total, independent of how many versions
+    a key accumulates.  Timestamps are integer MICROsecond epochs (the
+    post-load ts contract); the snapshot's open lower bound is the -1
+    sentinel internally and NULL in the output.  Keys with no changes
+    keep a single current snapshot version; keys never seen in the
+    snapshot enter at their first change (same full-outer key semantics
+    as ``upsert_scd1``)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.lit(-1).cast("long").alias("vf"),
+        F.lit(-1).cast("long").alias("eid"),
+        F.col("c_acctbal").alias("value"),
+    )
+    chg = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.unix_micros("ts").alias("vf"),
+        F.col("event_id").alias("eid"),
+        "value",
+    )
+    hist = cust.unionByName(chg)
+    w = Window.partitionBy("key").orderBy("vf", "eid")
+    return (
+        hist.withColumn("version", F.row_number().over(w))
+        .withColumn("valid_to_us", F.lead("vf").over(w))
+        .select(
+            F.col("key").alias("c_custkey"),
+            "version",
+            dround(F.col("value"), 2).alias("value"),
+            F.nullif(F.col("vf"), F.lit(-1).cast("long")).alias("valid_from_us"),
+            "valid_to_us",
+            F.col("valid_to_us").isNull().alias("is_current"),
+        )
+    )
+
+
+UPSERT_SCD2_SQL = """
+WITH hist AS (
+  SELECT c_custkey AS key, CAST(-1 AS BIGINT) AS vf,
+         CAST(-1 AS BIGINT) AS eid, c_acctbal AS value
+  FROM customer
+  UNION ALL
+  SELECT user_id AS key, epoch_ns(ts) // 1000 AS vf, event_id AS eid, value
+  FROM events
+),
+versioned AS (
+  SELECT key, vf, value,
+         row_number() OVER (PARTITION BY key ORDER BY vf, eid) AS version,
+         lead(vf) OVER (PARTITION BY key ORDER BY vf, eid) AS valid_to_us
+  FROM hist
+)
+SELECT key AS c_custkey,
+       CAST(version AS INTEGER) AS version,
+       CAST(round(CAST(value AS DECIMAL(30,10)), 2) AS DOUBLE) AS value,
+       nullif(vf, -1) AS valid_from_us,
+       valid_to_us,
+       valid_to_us IS NULL AS is_current
+FROM versioned
+"""
+
+QUERIES["upsert_scd2"] = upsert_scd2
+ORACLES["upsert_scd2"] = UPSERT_SCD2_SQL
+
+
 def sort_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Natural sort of strings with embedded numbers ('src2' < 'src10') —
     the ``natsorted`` subblock ordering of the reference

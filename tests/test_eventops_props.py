@@ -165,3 +165,33 @@ def test_exact_substring_recovers_planted_mutants(spark, queries):
             assert got[(doc_id, doc_id + 1_000_000)] == n_tok - 2, doc_id
             planted += 1
     assert planted > 0
+
+
+def test_scd2_history_invariants(spark, queries):
+    """SCD-2 structural invariants, independent of the SQL twin: per key
+    the versions are 1..n, validity intervals chain exactly (each
+    valid_to equals the next valid_from), exactly one version is current
+    (the last), and snapshot keys open with a NULL lower bound."""
+    from collections import defaultdict
+
+    rows = queries["upsert_scd2"](spark, SF).collect()
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r.c_custkey].append(r)
+    assert len(by_key) >= 100  # sf0.001: 150 customers
+    saw_multi = saw_snapshot_only = 0
+    for key, vs in by_key.items():
+        vs.sort(key=lambda r: r.version)
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1))
+        currents = [r for r in vs if r.is_current]
+        assert currents == [vs[-1]]
+        assert vs[-1].valid_to_us is None
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to_us == b.valid_from_us
+        if len(vs) > 1:
+            saw_multi += 1
+        elif vs[0].valid_from_us is None:
+            saw_snapshot_only += 1
+    # the fixture must exercise both multi-version histories (sf0.001
+    # events cover 15 users) and untouched snapshot keys
+    assert saw_multi >= 10 and saw_snapshot_only > 0
