@@ -1245,6 +1245,58 @@ QUERIES["upsert_scd2"] = upsert_scd2
 ORACLES["upsert_scd2"] = UPSERT_SCD2_SQL
 
 
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct dimension lookup against the SCD-2 history —
+    the feature-store join that prevents training-data leakage: each
+    event is paired with the dimension version that was in effect AT its
+    timestamp (``valid_from <= ts < valid_to``, snapshot's NULL lower
+    bound = −∞, open upper bound = +∞), never a later one.
+
+    Shape: equi-join on the key, interval filter after — per-key fanout
+    is that key's version count, so the join never degenerates; at
+    100 TB both sides sort-merge on the key.  The timeline is
+    partitioned by the intervals, so EXACTLY one version matches each
+    event (a zero-width version produced by tied change timestamps
+    matches nothing, preserving uniqueness) — pinned by the row count
+    equalling the event count."""
+    dim = upsert_scd2(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("c_custkey"),
+        F.unix_micros("ts").alias("tsu"),
+    )
+    return (
+        ev.join(dim, "c_custkey")
+        .filter(
+            (F.col("valid_from_us").isNull() | (F.col("valid_from_us") <= F.col("tsu")))
+            & (F.col("valid_to_us").isNull() | (F.col("tsu") < F.col("valid_to_us")))
+        )
+        .select(
+            "event_id",
+            "c_custkey",
+            "tsu",
+            "version",
+            F.col("value").alias("value_asof"),
+        )
+    )
+
+
+SCD2_ASOF_SQL = f"""
+WITH dim AS ({UPSERT_SCD2_SQL}),
+ev AS (
+  SELECT event_id, user_id AS c_custkey, epoch_ns(ts) // 1000 AS tsu
+  FROM events
+)
+SELECT e.event_id, e.c_custkey, e.tsu, d.version, d.value AS value_asof
+FROM ev e JOIN dim d USING (c_custkey)
+WHERE (d.valid_from_us IS NULL OR d.valid_from_us <= e.tsu)
+  AND (d.valid_to_us IS NULL OR e.tsu < d.valid_to_us)
+"""
+
+QUERIES["scd2_asof_lookup"] = scd2_asof_lookup
+ORACLES["scd2_asof_lookup"] = SCD2_ASOF_SQL
+
+
 def sort_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Natural sort of strings with embedded numbers ('src2' < 'src10') —
     the ``natsorted`` subblock ordering of the reference

