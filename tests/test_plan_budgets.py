@@ -48,6 +48,11 @@ BUDGETS = {
     "dedup_cdc_chunks": (15, 0),
     # queries broadcast into the scorer; top-k + assembly shuffles
     "rag_retrieve_assemble": (3, 2),
+    # ONE key-partitioned window shuffle builds the whole history
+    "upsert_scd2": (1, 0),
+    # history window + one key join (dimension side broadcastable at
+    # fixture scale)
+    "scd2_asof_lookup": (1, 1),
 }
 
 
