@@ -77,6 +77,17 @@ def main() -> int:
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # bounded memory + disk spill: the heavy unrolled-CTE oracles
+    # (SemDeDup's 3 Lloyd iterations over 64-dim folds) can exceed
+    # DuckDB's default allocation budget while the Spark JVM holds its
+    # own heap on the same host — without a temp_directory DuckDB FAILS
+    # with Out of Memory instead of spilling (observed once at sf0.1)
+    import tempfile
+
+    con.execute("SET memory_limit='16GB'")
+    con.execute(
+        f"SET temp_directory='{tempfile.gettempdir()}/duckdb_oracle_spill'"
+    )
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
