@@ -480,3 +480,63 @@ WINDOW w AS (PARTITION BY user_id)
 
 QUERIES["grouped_zscore"] = grouped_zscore
 ORACLES["grouped_zscore"] = GROUPED_ZSCORE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4 table function surface, round 5)
+# ---------------------------------------------------------------------------
+
+
+def udtf_doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDTF: one input doc row → many bigram rows.
+
+    Completes the sanctioned Python-crossing surface (mapInPandas,
+    grouped-map, grouped-agg, scalar pandas_udf, stateful, and now table
+    functions): the UDTF is registered with ``useArrow=True`` so it executes
+    as ``ArrowEvalPythonUDTF`` — batched Arrow exchange, never row-pickling
+    (the plan test forbids ``BatchEvalPython``). The doc filter is applied
+    in a pre-filtered subquery *below* the UDTF, since generator output
+    blocks predicate pushdown through it. Per-doc expansion is
+    embarrassingly parallel; the downstream shape is identical to
+    ``scalar_posexplode`` (the reference's indexed-yield generator,
+    ``czi_to_zarr.py:229-258``, as a user-defined table function).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram string, cnt int", useArrow=True)
+    class DocBigrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            counts: dict[tuple[str, str], int] = {}
+            for pair in zip(toks, toks[1:]):
+                counts[pair] = counts.get(pair, 0) + 1
+            for (a, b), n in counts.items():
+                yield (a + " " + b, n)
+
+    spark.udtf.register("doc_bigrams", DocBigrams)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 40
+    ).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.bigram, b.cnt
+        FROM udtf_docs d, LATERAL doc_bigrams(d.text) b
+        """
+    )
+
+
+UDTF_DOC_BIGRAMS_SQL = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 40
+),
+pairs AS (
+  SELECT doc_id, t[i + 1] || ' ' || t[i + 2] AS bigram
+  FROM docs, unnest(range(0, len(t) - 1)) u(i)
+)
+SELECT doc_id, bigram, CAST(count(*) AS INT) AS cnt
+FROM pairs
+GROUP BY doc_id, bigram
+"""
+
+QUERIES["udtf_doc_bigrams"] = udtf_doc_bigrams
+ORACLES["udtf_doc_bigrams"] = UDTF_DOC_BIGRAMS_SQL

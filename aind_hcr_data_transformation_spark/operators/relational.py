@@ -1758,3 +1758,104 @@ ORACLES["scalar_posexplode"] = SCALAR_POSEXPLODE_SQL
 
 QUERIES["upsert_scd1"] = upsert_scd1
 ORACLES["upsert_scd1"] = UPSERT_SCD1_SQL
+
+
+# ---------------------------------------------------------------------------
+# Lateral correlated subquery + VARIANT semi-structured type (round 5)
+# ---------------------------------------------------------------------------
+
+
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: top-2 customers by balance per nation.
+
+    Spark decorrelates ``JOIN LATERAL (... ORDER BY ... LIMIT k)`` into a
+    rank-per-group ``WindowGroupLimit`` (pushed below the shuffle, so each
+    map task pre-trims to k rows per group) followed by a broadcast join on
+    the tiny nation side — no per-row re-execution of the inner query, which
+    is what makes the construct safe at 100 TB. Reference analog: the
+    per-stack "pick the first scale transform" lookup
+    (``czi_to_zarr.py:360-377``), generalized to top-k per key.
+    """
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lv")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lv")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation_lv n
+        JOIN LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer_lv c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        """
+    )
+
+
+JOIN_LATERAL_SQL = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n
+JOIN LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+) t ON TRUE
+"""
+
+
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: parse each event's JSON props into a variant
+    once, then do typed extraction (``try_variant_get``) instead of
+    re-parsing the string per path the way ``get_json_object`` does.
+
+    At scale the win is parse-once/extract-many: the variant's binary
+    encoding lives in the Tungsten row, so every additional path probe is a
+    cheap binary walk, not another JSON tokenizer pass. Missing paths and
+    type mismatches yield NULL (``try_`` semantics) rather than task
+    failures — the right contract for 100 TB of dirty telemetry. Oracle:
+    DuckDB's JSON extraction computes identical values (DuckDB has no
+    variant type; the *values* are engine-independent).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "event_type",
+        F.parse_json(F.col("props")).alias("v"),
+    )
+    per_event = v.select(
+        "event_id",
+        "event_type",
+        F.try_variant_get("v", "$.k", "long").alias("k"),
+        F.try_variant_get("v", "$.k", "string").alias("k_str"),
+        F.try_variant_get("v", "$.missing", "long").isNull().alias("missing_is_null"),
+    )
+    return per_event.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dround(F.avg("k"), 4).alias("avg_k"),
+        F.min("k_str").alias("min_k_str"),
+        F.max("k").alias("max_k"),
+        F.sum(F.when(F.col("missing_is_null"), 1).otherwise(0)).alias("n_missing_null"),
+    )
+
+
+SCALAR_VARIANT_SQL = """
+WITH per_event AS (
+  SELECT event_id, event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         json_extract_string(props, '$.k')                 AS k_str,
+         json_extract_string(props, '$.missing') IS NULL   AS missing_is_null
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(round(CAST(avg(k) AS DECIMAL(30,10)), 4) AS DOUBLE) AS avg_k,
+       min(k_str) AS min_k_str,
+       max(k)     AS max_k,
+       sum(CASE WHEN missing_is_null THEN 1 ELSE 0 END) AS n_missing_null
+FROM per_event
+GROUP BY event_type
+"""
+
+QUERIES["join_lateral"] = join_lateral
+ORACLES["join_lateral"] = JOIN_LATERAL_SQL
+QUERIES["scalar_variant_json"] = scalar_variant_json
+ORACLES["scalar_variant_json"] = SCALAR_VARIANT_SQL
