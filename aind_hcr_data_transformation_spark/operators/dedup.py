@@ -1467,3 +1467,78 @@ ORDER BY id_a, id_b
 
 QUERIES["dedup_exact_substring"] = dedup_exact_substring
 ORACLES["dedup_exact_substring"] = DEDUP_EXACT_SUBSTRING_SQL
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted canonical selection (round 5)
+# ---------------------------------------------------------------------------
+
+
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: within each duplicate component, keep
+    the HIGHEST-QUALITY copy rather than the lowest id.
+
+    Production dedup pipelines don't keep an arbitrary member of a
+    duplicate cluster — they keep the best one (longest, least-truncated,
+    richest vocabulary; cf. CCNet/RefinedWeb keeping the highest-scoring
+    duplicate). Quality here is a deterministic integer score
+    (``distinct_tokens · 100000 + char_length`` — lexicographic
+    vocabulary-then-length, exact in both engines); ties break to the
+    smaller doc_id.
+
+    Plan shape on top of :func:`dedup_components`: one equi-join of the
+    component labels against the per-doc score (both keyed by doc_id) and
+    ONE window shuffle on the component key for the argmax — the keeper
+    choice adds a single extra stage to the CC resolution, and per-group
+    state is one row. At 100 TB the quality score would come precomputed
+    from the scoring stage; the selection plan is unchanged."""
+    labels = dedup_components(spark, sf_dir)
+    corpus = _corpus_with_mutants(spark, sf_dir)
+    qual = corpus.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct(F.split(F.lower(F.col("text")), " "))).cast("long")
+            * F.lit(100000)
+            + F.length("text").cast("long")
+        ).alias("score"),
+    )
+    members = labels.join(qual, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper"),
+            F.max(F.when(F.col("rn") == 1, F.col("score"))).alias("keeper_score"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+DEDUP_CANONICAL_SQL = f"""
+WITH comp AS MATERIALIZED (
+{DEDUP_COMPONENTS_SQL}
+),
+qual AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) * 100000
+           + CAST(len(text) AS BIGINT) AS score
+  FROM ({_CORPUS_SQL})
+),
+ranked AS (
+  SELECT c.component, c.doc_id, q.score,
+         row_number() OVER (
+           PARTITION BY c.component ORDER BY q.score DESC, c.doc_id ASC
+         ) AS rn
+  FROM comp c JOIN qual q ON c.doc_id = q.doc_id
+)
+SELECT component,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS keeper,
+       max(CASE WHEN rn = 1 THEN score END)  AS keeper_score,
+       count(*) AS n_members
+FROM ranked
+GROUP BY component
+"""
+
+QUERIES["dedup_canonical_pick"] = dedup_canonical_pick
+ORACLES["dedup_canonical_pick"] = DEDUP_CANONICAL_SQL

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import persist_tracked
 from ..functions.compat import dround
 from ..functions.vectors import spark_cosine_prenorm, spark_dot, sql_cosine
 from ..tables import load_table, table_count
@@ -341,3 +342,202 @@ ORACLES = {
     "sim_ann_signlsh": SIM_ANN_SQL,
     "rag_retrieve_assemble": RAG_ASSEMBLE_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified rerank (round 5)
+# ---------------------------------------------------------------------------
+
+_MMR_K = 3          # diversified selections per query
+_MMR_LAMBDA = 0.7   # relevance weight (1-λ penalizes redundancy)
+
+
+def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank of the retrieval pool: from each
+    query's exact-cosine top-10 pool, greedily pick 3 passages maximizing
+    ``λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`` — the standard redundancy
+    control between the ANN index and the prompt builder (Carbonell &
+    Goldstein 1998).
+
+    The greedy loop is unrolled into ``_MMR_K`` dataframe stages (k is a
+    prompt-budget constant, never data-sized), exactly like the IVF
+    Lloyd-iteration unroll (``ivf.py``): each stage is a join against the
+    previously-selected rows plus one windowed argmax per query.  All
+    pairwise similarity lives in a (pool × pool) per-query relation built
+    by an equi-join on qid — pool size is a constant, so the pair relation
+    is O(queries · pool²) regardless of corpus size; the corpus itself is
+    touched only once, by the scorer scan.  Relevance and similarity are
+    rounded to 6 dp before any comparison so both engines rank identical
+    doubles (ties broken by vec_id)."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).withColumn(
+        "n2", spark_dot(F.col("embedding"), F.col("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("n2").alias("qn2"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cands = persist_tracked(
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "embedding",
+            "n2",
+            dround(
+                spark_cosine_prenorm(
+                    spark_dot(F.col("qe"), F.col("embedding")),
+                    F.col("qn2"),
+                    F.col("n2"),
+                ),
+                6,
+            ).alias("rel"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+    )
+    a = cands.select(
+        "qid",
+        F.col("vec_id").alias("vid_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("n2").alias("n2_a"),
+    )
+    b = cands.select(
+        "qid",
+        F.col("vec_id").alias("vid_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("n2").alias("n2_b"),
+    )
+    pairs = persist_tracked(
+        a.join(b, "qid")
+        .filter(F.col("vid_a") != F.col("vid_b"))
+        .select(
+            "qid",
+            "vid_a",
+            "vid_b",
+            dround(
+                spark_cosine_prenorm(
+                    spark_dot(F.col("emb_a"), F.col("emb_b")),
+                    F.col("n2_a"),
+                    F.col("n2_b"),
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    pool = cands.select("qid", "vec_id", "rel")
+
+    selected = pool.filter(F.col("rel").isNotNull()).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("vec_id")))
+    ).filter(F.col("rn") == 1).select(
+        "qid", "vec_id", F.lit(1).alias("sel_rank"), F.col("rel").alias("mmr_score")
+    )
+    for step in range(2, _MMR_K + 1):
+        sel_keys = selected.select("qid", F.col("vec_id").alias("vid_b"))
+        max_sim = (
+            pairs.join(F.broadcast(sel_keys), ["qid", "vid_b"])
+            .groupBy("qid", F.col("vid_a").alias("vec_id"))
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        remaining = pool.join(
+            selected.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti"
+        )
+        scored = remaining.join(max_sim, ["qid", "vec_id"]).select(
+            "qid",
+            "vec_id",
+            dround(
+                F.lit(_MMR_LAMBDA) * F.col("rel")
+                - F.lit(1 - _MMR_LAMBDA) * F.col("max_sim"),
+                6,
+            ).alias("mmr_score"),
+        )
+        pick = (
+            scored.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(
+                        F.desc("mmr_score"), F.asc("vec_id")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("qid", "vec_id", F.lit(step).alias("sel_rank"), "mmr_score")
+        )
+        selected = selected.unionByName(pick)
+    return selected
+
+
+def _mmr_sql() -> str:
+    lam, mu = _MMR_LAMBDA, 1 - _MMR_LAMBDA
+    steps = []
+    prev_sel = "sel1"
+    steps.append(
+        """
+sel1 AS MATERIALIZED (
+  SELECT qid, vec_id, 1 AS sel_rank, rel AS mmr_score FROM (
+    SELECT qid, vec_id, rel,
+           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id ASC) AS rn
+    FROM pool
+  ) WHERE rn = 1
+)"""
+    )
+    for step in range(2, _MMR_K + 1):
+        steps.append(
+            f"""
+sel{step} AS MATERIALIZED (
+  SELECT * FROM {prev_sel}
+  UNION ALL
+  SELECT qid, vec_id, {step} AS sel_rank, mmr_score FROM (
+    SELECT s.qid, s.vec_id, s.mmr_score,
+           row_number() OVER (PARTITION BY s.qid ORDER BY s.mmr_score DESC, s.vec_id ASC) AS rn
+    FROM (
+      SELECT p.qid, p.vec_id,
+             CAST(round(CAST(({lam} * p.rel - {mu} * ms.max_sim) AS DECIMAL(30,10)), 6) AS DOUBLE) AS mmr_score
+      FROM pool p
+      JOIN (
+        SELECT pr.qid, pr.vid_a AS vec_id, max(pr.sim) AS max_sim
+        FROM pairs pr JOIN {prev_sel} s ON pr.qid = s.qid AND pr.vid_b = s.vec_id
+        GROUP BY pr.qid, pr.vid_a
+      ) ms ON ms.qid = p.qid AND ms.vec_id = p.vec_id
+      WHERE NOT EXISTS (
+        SELECT 1 FROM {prev_sel} s2 WHERE s2.qid = p.qid AND s2.vec_id = p.vec_id
+      )
+    ) s
+  ) WHERE rn = 1
+)"""
+        )
+        prev_sel = f"sel{step}"
+    return (
+        f"""
+WITH queries AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+scored AS MATERIALIZED (
+  SELECT q.qid, e.vec_id, e.embedding,
+    CAST(round(CAST(({sql_cosine('q.qe', 'e.embedding')}) AS DECIMAL(30,10)), 6) AS DOUBLE) AS rel
+  FROM embeddings e JOIN queries q ON e.vec_id <> q.qid
+),
+cands AS MATERIALIZED (
+  SELECT qid, vec_id, embedding, rel, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {_TOP_K}
+),
+pool AS MATERIALIZED (SELECT qid, vec_id, rel FROM cands),
+pairs AS MATERIALIZED (
+  SELECT a.qid, a.vec_id AS vid_a, b.vec_id AS vid_b,
+    CAST(round(CAST(({sql_cosine('a.embedding', 'b.embedding')}) AS DECIMAL(30,10)), 6) AS DOUBLE) AS sim
+  FROM cands a JOIN cands b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+),"""
+        + ",".join(steps)
+        + f"""
+SELECT qid, vec_id, sel_rank, mmr_score FROM {prev_sel}
+"""
+    )
+
+
+RAG_MMR_SQL = _mmr_sql()
+
+QUERIES["rag_mmr_rerank"] = rag_mmr_rerank
+ORACLES["rag_mmr_rerank"] = RAG_MMR_SQL

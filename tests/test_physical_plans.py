@@ -102,6 +102,7 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
         "sim_cosine_topk",
         # built on sim_cosine_topk's broadcast-queries scorer
         "rag_retrieve_assemble",
+        "rag_mmr_rerank",
         "join_cross",
         "q11_important_parts",
         "q22_global_sales",

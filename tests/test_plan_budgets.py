@@ -48,6 +48,13 @@ BUDGETS = {
     "dedup_cdc_chunks": (15, 0),
     # queries broadcast into the scorer; top-k + assembly shuffles
     "rag_retrieve_assemble": (3, 2),
+    # unrolled greedy MMR: persisted cands/pairs subplans reprint under
+    # every selection step and union branch (true runtime shuffles ≈ 6)
+    "rag_mmr_rerank": (96, 10),
+    # decorrelated WindowGroupLimit + broadcast nation dim
+    "join_lateral": (1, 1),
+    "scalar_variant_json": (1, 0),  # parse-once variant, one agg shuffle
+    "udtf_doc_bigrams": (0, 0),  # pure generator, no exchange at all
     # ONE key-partitioned window shuffle builds the whole history
     "upsert_scd2": (1, 0),
     # history window + one key join (dimension side broadcastable at
