@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.compat import dround, dsum, dsum_round
+from ..functions.compat import dround, dsum, dsum_round, sql_sum_round
 from ..tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -1859,3 +1859,52 @@ QUERIES["join_lateral"] = join_lateral
 ORACLES["join_lateral"] = JOIN_LATERAL_SQL
 QUERIES["scalar_variant_json"] = scalar_variant_json
 ORACLES["scalar_variant_json"] = SCALAR_VARIANT_SQL
+
+
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted shuffle join: the explicit fact-side salting recipe for
+    hot join keys, the JOIN counterpart of ``agg_salted_skew``.
+
+    The fact side gets a deterministic salt in ``[0, 8)`` (derived from
+    its own row identity — no ``rand()``, so replays and the oracle are
+    stable); the dimension side is replicated once per salt value
+    (``explode`` of an 8-element literal array — 8× a DIMENSION table is
+    cheap; 8 partitions now share each hot supplier's rows instead of
+    one). The join runs on the composite ``(suppkey, salt)`` key with a
+    ``shuffle_hash`` hint so the skew actually exercises the shuffle path
+    (a broadcast would hide it — and at 100 TB the dimension may not fit
+    the driver anyway). Semantically a no-op vs the plain join, which is
+    exactly what the oracle checks. AQE's ``skewJoin`` does this
+    adaptively for sort-merge joins; explicit salting remains the
+    portable form that also covers hash joins and pre-aggregations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    n_salt = 8
+    fact = li.withColumn(
+        "salt",
+        F.pmod(F.col("l_orderkey") * 31 + F.col("l_linenumber"), F.lit(n_salt)).cast(
+            "int"
+        ),
+    )
+    dim = supp.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    joined = fact.join(
+        dim.hint("shuffle_hash"),
+        (fact["l_suppkey"] == dim["s_suppkey"]) & (fact["salt"] == dim["salt"]),
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum_round(F.col("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+JOIN_SALTED_SQL = f"""
+SELECT s_nationkey, count(*) AS n_items,
+       {sql_sum_round('l_extendedprice', 2)} AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+QUERIES["join_salted_skew"] = join_salted_skew
+ORACLES["join_salted_skew"] = JOIN_SALTED_SQL

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..cache import persist_tracked
 from ..functions.compat import dround, sql_round
-from ..tables import load_table
+from ..tables import load_table, table_count
 
 # ---------------------------------------------------------------------------
 # sequence packing (concat-and-chunk, per shard)
@@ -1085,3 +1085,142 @@ ORACLES["corpus_prep_funnel"] = CORPUS_PREP_FUNNEL_SQL
 
 QUERIES["contamination_bloom"] = contamination_bloom
 ORACLES["contamination_bloom"] = _bloom_sql()
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency boilerplate removal (round 5)
+# ---------------------------------------------------------------------------
+
+# boilerplate cut: a bigram is boilerplate when it appears in at least
+# n_docs/25 distinct documents (min 3) — derived from the corpus size with
+# exact integer arithmetic so both engines and both scale factors agree
+# (20 at the 500-doc fixture, 200 at sf0.1's 5000).
+_BOILER_DIV, _BOILER_MIN = 25, 3
+
+
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the CCNet / RefinedWeb
+    "shared-line" cleaning stage, at bigram granularity): any token
+    bigram occurring in ≥ ``n_docs/25`` distinct documents is boilerplate;
+    every token covered by a boilerplate bigram occurrence is dropped and
+    the document re-assembled from the survivors in position order.
+
+    Unlike the dedup family (which decides keep/drop per DOCUMENT), this
+    is a corpus-statistics-driven TRANSFORM of each document's payload —
+    the navigation-chrome/cookie-banner cleanup pass that runs before
+    dedup in web-corpus pipelines.
+
+    Scale shape: one aggregation over exploded bigrams builds the
+    document-frequency table (map-side combine; key cardinality is the
+    bigram vocabulary, far below the corpus size); the boilerplate set
+    (frequency ≥ cut) is small by construction and BROADCASTS back
+    against the bigram stream, so the corpus text itself is never
+    shuffled — only (doc_id, position) pairs after the match, then one
+    per-doc window-free aggregation re-assembles survivors. Reference
+    analog: none (the reference never rewrites payloads conditionally);
+    closest is the keep/drop block predicate (``czi_to_zarr.py:300-316``)
+    applied at token rather than block granularity."""
+    n_docs = table_count(spark, sf_dir, "documents")
+    cut = max(_BOILER_MIN, n_docs // _BOILER_DIV)
+    docs = persist_tracked(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.split(F.col("text"), " ").alias("t")
+        )
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode("t").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("p"), "tok")
+    grams = persist_tracked(
+        docs.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i -> "
+                    "struct(i AS gpos, concat(element_at(t, i), ' ', "
+                    "element_at(t, i + 1)) AS gram))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.gpos").alias("gpos"), F.col("g.gram").alias("gram"))
+    )
+    boiler = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= cut)
+        .select("gram")
+    )
+    covered = (
+        grams.join(F.broadcast(boiler), "gram")
+        .select(
+            "doc_id",
+            F.explode(F.array(F.col("gpos"), F.col("gpos") + 1)).alias("p"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, ["doc_id", "p"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return (
+        docs.select("doc_id", F.size("t").alias("n_before"))
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_before",
+            F.coalesce(F.col("n_after"), F.lit(0).cast("long")).alias("n_after"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
+BOILERPLATE_STRIP_SQL = f"""
+WITH pd AS (
+  SELECT greatest({_BOILER_MIN}, count(*) // {_BOILER_DIV}) AS cut FROM documents
+),
+docs AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+toks AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS p, t[i] AS tok
+  FROM docs, unnest(range(1, len(t) + 1)) u(i)
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, CAST(i AS INTEGER) AS gpos, t[i] || ' ' || t[i + 1] AS gram
+  FROM docs, unnest(range(1, len(t))) u(i)
+  WHERE len(t) >= 2
+),
+boiler AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS df FROM grams GROUP BY gram
+  ) WHERE df >= (SELECT cut FROM pd)
+),
+covered AS (
+  SELECT DISTINCT g.doc_id, CAST(v.p AS INTEGER) AS p
+  FROM grams g JOIN boiler b USING (gram), unnest([g.gpos, g.gpos + 1]) v(p)
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM toks t ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
+),
+cleaned AS (
+  SELECT doc_id, count(*) AS n_after,
+         string_agg(tok, ' ' ORDER BY p) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.t) AS INTEGER) AS n_before,
+       coalesce(c.n_after, 0)    AS n_after,
+       coalesce(c.cleaned_text, '') AS cleaned_text
+FROM docs d LEFT JOIN cleaned c USING (doc_id)
+"""
+
+QUERIES["boilerplate_strip"] = boilerplate_strip
+ORACLES["boilerplate_strip"] = BOILERPLATE_STRIP_SQL

@@ -55,6 +55,12 @@ BUDGETS = {
     "join_lateral": (1, 1),
     "scalar_variant_json": (1, 0),  # parse-once variant, one agg shuffle
     "udtf_doc_bigrams": (0, 0),  # pure generator, no exchange at all
+    # two salted-key join inputs + one agg shuffle; dim replicated, NOT
+    # broadcast (the point is exercising the shuffle path)
+    "join_salted_skew": (3, 0),
+    # df aggregate + covered-distinct + per-doc reassembly + final join;
+    # the boilerplate set must broadcast back against the gram stream
+    "boilerplate_strip": (4, 3),
     # ONE key-partitioned window shuffle builds the whole history
     "upsert_scd2": (1, 0),
     # history window + one key join (dimension side broadcastable at
