@@ -1908,3 +1908,114 @@ GROUP BY s_nationkey
 
 QUERIES["join_salted_skew"] = join_salted_skew
 ORACLES["join_salted_skew"] = JOIN_SALTED_SQL
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS with ``grouping()`` bitmask disambiguation —
+    the general form of which cube/rollup (``agg_cube``/``agg_rollup``)
+    are special cases: the user picks exactly which group-bys share one
+    scan. Physically one Expand node multiplies each input row by the
+    number of sets before a single hash aggregate — one shuffle total
+    instead of one per GROUP BY, which is the whole point at 100 TB
+    (the expand factor is the set count, a query constant)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE)
+                 AS sum_price,
+               CAST(grouping_id(o_orderpriority, o_orderstatus) AS INT) AS gid
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+AGG_GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE)
+         AS sum_price,
+       CAST(grouping(o_orderpriority, o_orderstatus) AS INT) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority),
+                        (o_orderstatus), ())
+"""
+
+
+def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC changelog apply with tombstones (the Debezium/MERGE shape
+    including the DELETE clause, extending ``upsert_scd1`` which is
+    insert/update-only): each event maps to an op — ``purchase`` is a
+    DELETE tombstone, everything else an upsert carrying ``value`` — and
+    the final state keeps, per key, the latest op by (ts, event_id)
+    UNLESS that op is a delete, in which case the key vanishes from the
+    result even if it exists in the base snapshot.
+
+    One window shuffle over the changelog (partitioned by key) + one
+    full-outer key join against the snapshot, then the tombstone filter —
+    delete semantics cost zero extra stages over the upsert. At 100 TB
+    the changelog batch is hours of changes (broadcastable or sort-merge
+    on the key); the snapshot is never shuffled beyond the join."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.unix_micros("ts").alias("tsu"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "value",
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("tsu"), F.desc("event_id"))
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "op", "value")
+    )
+    merged = cust.join(latest, cust.c_custkey == latest.key, "full_outer")
+    return (
+        merged.filter((F.col("op").isNull()) | (F.col("op") != "D"))
+        .select(
+            F.coalesce(F.col("c_custkey"), F.col("key")).alias("custkey"),
+            F.col("c_name").alias("name"),
+            dround(
+                F.when(F.col("op") == "U", F.col("value")).otherwise(
+                    F.col("c_acctbal")
+                ),
+                2,
+            ).alias("acctbal"),
+            F.coalesce(F.col("op") == "U", F.lit(False)).alias("updated"),
+        )
+    )
+
+
+CDC_APPLY_DELETES_SQL = """
+WITH chg AS (
+  SELECT user_id AS key,
+         CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+         value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+),
+latest AS (SELECT key, op, value FROM chg WHERE rn = 1)
+SELECT coalesce(c.c_custkey, l.key) AS custkey,
+       c.c_name AS name,
+       CAST(round(CAST((CASE WHEN l.op = 'U' THEN l.value ELSE c.c_acctbal END)
+            AS DECIMAL(30,10)), 2) AS DOUBLE) AS acctbal,
+       coalesce(l.op = 'U', FALSE) AS updated
+FROM customer c
+FULL OUTER JOIN latest l ON c.c_custkey = l.key
+WHERE l.op IS NULL OR l.op <> 'D'
+"""
+
+QUERIES["agg_grouping_sets"] = agg_grouping_sets
+ORACLES["agg_grouping_sets"] = AGG_GROUPING_SETS_SQL
+QUERIES["cdc_apply_deletes"] = cdc_apply_deletes
+ORACLES["cdc_apply_deletes"] = CDC_APPLY_DELETES_SQL

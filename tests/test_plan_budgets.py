@@ -53,6 +53,10 @@ BUDGETS = {
     "rag_mmr_rerank": (96, 10),
     # decorrelated WindowGroupLimit + broadcast nation dim
     "join_lateral": (1, 1),
+    # one Expand + ONE hash-agg shuffle for all four grouping sets
+    "agg_grouping_sets": (1, 0),
+    # changelog window shuffle + key join; tombstone filter is free
+    "cdc_apply_deletes": (2, 0),
     "scalar_variant_json": (1, 0),  # parse-once variant, one agg shuffle
     "udtf_doc_bigrams": (0, 0),  # pure generator, no exchange at all
     # two salted-key join inputs + one agg shuffle; dim replicated, NOT
