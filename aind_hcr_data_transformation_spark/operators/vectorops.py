@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import persist_tracked
 from ..functions.compat import dround, dsum, sql_round
 from ..functions.vectors import EMB_DIM
 from ..tables import load_table
@@ -227,3 +228,186 @@ ORACLES = {
     "embed_quantize_int8": EMBED_QUANTIZE_SQL,
     "embed_centroids": EMBED_CENTROIDS_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 5): per-subspace k-means codebooks
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4                    # subspaces
+_PQ_SUB = EMB_DIM // _PQ_M   # dims per subspace (16)
+_PQ_K = 4                    # codewords per subspace codebook
+_PQ_ITERS = 2                # fixed Lloyd iterations per subspace
+
+
+def _sq_l2(x, c) -> F.Column:
+    """Left-folded squared-L2 between two equal-length arrays, double."""
+    return F.aggregate(
+        F.zip_with(
+            x,
+            c,
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def embed_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each 64-dim vector
+    into 4 subspaces of 16 dims, train an independent k-means codebook
+    (k=4, 2 Lloyd iterations, first-k deterministic init) per subspace,
+    and emit each vector's 4-byte PQ code plus its exact reconstruction
+    error — the compression stage between the IVF coarse quantizer
+    (``ivf_kmeans_ann``) and a production IVF-PQ index, shrinking a
+    64×float32 vector to 4 code bytes (64×) for in-memory search.
+
+    Reuses the IVF Lloyd kernel (``ivf._assign``/``_update`` are
+    dimension-agnostic): per subspace, training sees only 16-dim slices —
+    a narrow projection of the scan, k·16 doubles of broadcast state, and
+    the same broadcast-join + hash-aggregate iteration shape. The M
+    codebooks train over the SAME persisted scan (one materialization, M
+    narrow consumers); code assembly is M-1 equi-joins on vec_id of
+    (id, code, err) rows — at 100 TB these joins carry codes, never
+    vectors.  The whole pipeline (4 × 2 Lloyd iterations + assignment +
+    reconstruction error) is differentially tested via unrolled CTEs,
+    like the IVF oracle."""
+    from .ivf import _assign, _update
+
+    emb = persist_tracked(
+        load_table(spark, sf_dir, "embeddings", spread=True).select(
+            "vec_id", "embedding"
+        )
+    )
+    out = None
+    for m in range(_PQ_M):
+        sub = emb.select(
+            "vec_id",
+            F.slice("embedding", m * _PQ_SUB + 1, _PQ_SUB).alias("embedding"),
+        )
+        cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+            F.col("vec_id").alias("cluster"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("cemb"),
+        )
+        for _ in range(_PQ_ITERS):
+            cb = persist_tracked(_update(_assign(sub, cb)))
+        part = (
+            _assign(sub, cb)
+            .join(F.broadcast(cb), "cluster")
+            .select(
+                "vec_id",
+                F.col("cluster").cast("int").alias(f"code{m}"),
+                _sq_l2(F.col("embedding"), F.col("cemb")).alias(f"_err{m}"),
+            )
+        )
+        out = part if out is None else out.join(part, "vec_id")
+    err = F.col("_err0")
+    for m in range(1, _PQ_M):
+        err = err + F.col(f"_err{m}")
+    return out.select(
+        "vec_id",
+        *[f"code{m}" for m in range(_PQ_M)],
+        dround(err, 6).alias("sq_err"),
+    )
+
+
+def _pq_oracle() -> str:
+    """Unrolled-CTE DuckDB twin: per subspace, first-k init, _PQ_ITERS
+    assign/update rounds, then a final assignment against the last
+    codebook carrying the winning centroid through for the error term —
+    the exact fold orders and decimal update sums of the Spark side."""
+
+    def dot_off(a: str, b: str, off: int) -> str:
+        return " + ".join(
+            f"CAST({a}[{off + i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+            for i in range(1, _PQ_SUB + 1)
+        )
+
+    def cc(b: str) -> str:
+        return " + ".join(
+            f"CAST({b}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+            for i in range(1, _PQ_SUB + 1)
+        )
+
+    def err_off(a: str, b: str, off: int) -> str:
+        return " + ".join(
+            f"(CAST({a}[{off + i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+            f" * (CAST({a}[{off + i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+            for i in range(1, _PQ_SUB + 1)
+        )
+
+    ctes = []
+    for m in range(_PQ_M):
+        off = m * _PQ_SUB
+        init = ", ".join(
+            f"CAST(embedding[{off + i}] AS DOUBLE)" for i in range(1, _PQ_SUB + 1)
+        )
+        ctes.append(
+            f"""pc{m}_0 AS (
+  SELECT vec_id AS cluster, list_value({init}) AS cemb
+  FROM embeddings WHERE vec_id < {_PQ_K}
+)"""
+        )
+        for t in range(1, _PQ_ITERS + 1):
+            score = (
+                f"(({cc('c.cemb')}) - 2 * ({dot_off('e.embedding', 'c.cemb', off)}))"
+            )
+            sums = ", ".join(
+                f"sum(CAST(CAST(embedding[{off + d}] AS DOUBLE) AS DECIMAL(30,10)))"
+                f" AS s{d}"
+                for d in range(1, _PQ_SUB + 1)
+            )
+            means = ", ".join(
+                f"CAST(s{d} AS DOUBLE) / n" for d in range(1, _PQ_SUB + 1)
+            )
+            ctes.append(
+                f"""pa{m}_{t} AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {score}, c.cluster
+           ) AS rn
+    FROM embeddings e CROSS JOIN pc{m}_{t - 1} c
+  ) WHERE rn = 1
+)"""
+            )
+            ctes.append(
+                f"""pc{m}_{t} AS (
+  SELECT cluster, list_value({means}) AS cemb
+  FROM (SELECT cluster, count(*) AS n, {sums} FROM pa{m}_{t} GROUP BY cluster)
+)"""
+            )
+        final_score = (
+            f"(({cc('c.cemb')}) - 2 * ({dot_off('e.embedding', 'c.cemb', off)}))"
+        )
+        ctes.append(
+            f"""pf{m} AS MATERIALIZED (
+  SELECT vec_id, CAST(cluster AS INTEGER) AS code{m},
+         ({err_off('embedding', 'cemb', off)}) AS err{m}
+  FROM (
+    SELECT e.vec_id, e.embedding, c.cluster, c.cemb,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {final_score}, c.cluster
+           ) AS rn
+    FROM embeddings e CROSS JOIN pc{m}_{_PQ_ITERS} c
+  ) WHERE rn = 1
+)"""
+        )
+    joins = " ".join(
+        f"JOIN pf{m} f{m} ON f0.vec_id = f{m}.vec_id" for m in range(1, _PQ_M)
+    )
+    err_sum = " + ".join(f"f{m}.err{m}" for m in range(_PQ_M))
+    codes = ", ".join(f"f{m}.code{m}" for m in range(_PQ_M))
+    return f"""
+WITH {','.join(ctes)}
+SELECT f0.vec_id, {codes},
+       CAST(round(CAST(({err_sum}) AS DECIMAL(30,10)), 6) AS DOUBLE) AS sq_err
+FROM pf0 f0 {joins}
+"""
+
+
+EMBED_PQ_SQL = _pq_oracle()
+
+QUERIES["embed_pq_quantize"] = embed_pq_quantize
+ORACLES["embed_pq_quantize"] = EMBED_PQ_SQL

@@ -107,6 +107,9 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
         "q11_important_parts",
         "q22_global_sales",
         "ivf_kmeans_ann",
+        # per-subspace k-row codebook broadcasts (the PQ Lloyd kernel is
+        # ivf's _assign reused on 16-dim slices)
+        "embed_pq_quantize",
         # same k-row codebook broadcast as ivf_kmeans_ann, plus the
         # one-row normalization-totals broadcast
         "dedup_semantic",

@@ -58,6 +58,9 @@ BUDGETS = {
     # changelog window shuffle + key join; tombstone filter is free
     "cdc_apply_deletes": (2, 0),
     "scalar_variant_json": (1, 0),  # parse-once variant, one agg shuffle
+    # 4 subspaces × (2 Lloyd rounds × persisted-subplan overcount) + the
+    # vec_id code-assembly joins; per-subspace codebooks must broadcast
+    "embed_pq_quantize": (80, 24),
     "udtf_doc_bigrams": (0, 0),  # pure generator, no exchange at all
     # two salted-key join inputs + one agg shuffle; dim replicated, NOT
     # broadcast (the point is exercising the shuffle path)
