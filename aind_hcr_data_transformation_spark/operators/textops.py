@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.compat import dround, sql_round
+from ..cache import persist_tracked
 from ..tables import load_table
 
 # tiny per-language stopword lexicons (language ID by stopword voting)
@@ -856,3 +857,96 @@ ORDER BY source
 
 QUERIES["quality_classifier"] = quality_classifier
 ORACLES["quality_classifier"] = QUALITY_CLASSIFIER_SQL
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM-score bucketing (round 5)
+# ---------------------------------------------------------------------------
+
+
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped corpus bucketing (Wenzek et al. 2020): score each doc
+    by a unigram language-model "surprise" and split the corpus into
+    head / middle / tail terciles — the standard pre-filter that routes
+    only the most-fluent third of a crawl into training.
+
+    Like ``text_tfidf_topk``'s rational idf, the LM score avoids
+    transcendentals so the oracle is exact: per-token surprise =
+    ``total_tokens // corpus_freq(token)`` (integer inverse probability
+    — order-equivalent to -log p for ranking), per-doc score = integer
+    mean surprise. Tercile CUTOFFS come from a histogram, not a global
+    sort: the cumulative window runs over the few DISTINCT integer score
+    values (bounded by the score range, not the corpus size), so no
+    single-reducer doc-level window exists anywhere — the CCNet paper's
+    "bin by precomputed perplexity thresholds" in exactly the shape that
+    survives 100 TB. Ties share a value, hence a bucket: bucketing is by
+    VALUE, deterministic without a per-doc tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = persist_tracked(
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+        )
+    )
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    total = toks.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    surp = tf.crossJoin(F.broadcast(total)).select(
+        "tok", F.expr("(n * 1000) DIV freq").alias("surprise")
+    )
+    doc_score = (
+        toks.join(F.broadcast(surp), "tok")
+        .groupBy("doc_id")
+        .agg(F.expr("CAST(sum(surprise) DIV count(*) AS LONG)").alias("mean_surprise"))
+    )
+    doc_score = persist_tracked(doc_score)
+    n_docs = doc_score.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    dist = doc_score.groupBy("mean_surprise").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.orderBy("mean_surprise")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    buckets = (
+        dist.withColumn("cum", F.sum("c").over(wcum))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "mean_surprise",
+            F.when(F.col("cum") * 3 <= F.col("n_docs"), F.lit("head"))
+            .when(F.col("cum") * 3 <= 2 * F.col("n_docs"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+    return doc_score.join(F.broadcast(buckets), "mean_surprise").select(
+        "doc_id", "mean_surprise", "bucket"
+    )
+
+
+TEXT_CCNET_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+tf AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+tot AS (SELECT count(*) AS n FROM toks),
+surp AS (SELECT tok, ((SELECT n FROM tot) * 1000) // freq AS surprise FROM tf),
+doc_score AS (
+  SELECT doc_id, sum(surprise) // count(*) AS mean_surprise
+  FROM toks JOIN surp USING (tok) GROUP BY doc_id
+),
+nd AS (SELECT count(*) AS n_docs FROM doc_score),
+dist AS (
+  SELECT mean_surprise, count(*) AS c,
+         sum(count(*)) OVER (ORDER BY mean_surprise) AS cum
+  FROM doc_score GROUP BY mean_surprise
+),
+buckets AS (
+  SELECT mean_surprise,
+         CASE WHEN cum * 3 <= (SELECT n_docs FROM nd) THEN 'head'
+              WHEN cum * 3 <= 2 * (SELECT n_docs FROM nd) THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM dist
+)
+SELECT d.doc_id, d.mean_surprise, b.bucket
+FROM doc_score d JOIN buckets b USING (mean_surprise)
+"""
+
+QUERIES["text_ccnet_buckets"] = text_ccnet_buckets
+ORACLES["text_ccnet_buckets"] = TEXT_CCNET_SQL

@@ -115,6 +115,9 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
         "dedup_semantic",
         # one-row corpus-count broadcast (the N in tf*N/df)
         "text_tfidf_topk",
+        # one-row token-total and doc-total broadcasts (the N in N//freq
+        # and the tercile denominators)
+        "text_ccnet_buckets",
         # one-row grand-totals broadcast joined onto k-row stats (the
         # derived mixing thresholds / bucket scores)
         "mix_token_budget",

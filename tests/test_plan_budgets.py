@@ -62,6 +62,11 @@ BUDGETS = {
     # vec_id code-assembly joins; per-subspace codebooks must broadcast
     "embed_pq_quantize": (80, 24),
     "udtf_doc_bigrams": (0, 0),  # pure generator, no exchange at all
+    # tf + totals + doc-score + histogram stages over two persisted
+    # relations (census overcounts); the cutoff histogram and totals
+    # must broadcast — the doc-level relation never re-shuffles for
+    # bucketing
+    "text_ccnet_buckets": (12, 8),
     # two salted-key join inputs + one agg shuffle; dim replicated, NOT
     # broadcast (the point is exercising the shuffle path)
     "join_salted_skew": (3, 0),
