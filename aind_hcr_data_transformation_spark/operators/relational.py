@@ -2019,3 +2019,79 @@ QUERIES["agg_grouping_sets"] = agg_grouping_sets
 ORACLES["agg_grouping_sets"] = AGG_GROUPING_SETS_SQL
 QUERIES["cdc_apply_deletes"] = cdc_apply_deletes
 ORACLES["cdc_apply_deletes"] = CDC_APPLY_DELETES_SQL
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval overlap join with NO shared equi key: for every
+    error event, the purchases (any user) inside the 10 minutes that
+    follow it — the incident-impact / ad-attribution join shape, the
+    time-domain complement of ``join_range_bucketed``'s value-range
+    join.
+
+    Scale pattern: a raw ``tp BETWEEN t0 AND t1`` theta join is a nested
+    loop; instead both sides get integer grid-cell keys (cell = epoch
+    micros DIV window), the interval side exploding over the ≤2 cells it
+    spans, and the join is EQUI on the cell with the exact containment
+    predicate re-applied after. Each point lies in exactly one cell, so
+    no pair dedup is needed. Cell width = interval length keeps the
+    explode factor ≤2 regardless of scale; skewed cells (incident
+    storms) fall back to the same salting recipe as
+    ``join_salted_skew``."""
+    w_us = 600 * 1_000_000  # 10-minute grid = interval length
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.unix_micros("ts").alias("t0"),
+    )
+    err_cells = err.select(
+        "err_id",
+        "t0",
+        F.explode(
+            F.sequence(
+                F.expr(f"t0 DIV {w_us}"), F.expr(f"(t0 + {w_us}) DIV {w_us}")
+            )
+        ).alias("cell"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.unix_micros("ts").alias("tp"),
+        "value",
+        F.expr(f"unix_micros(ts) DIV {w_us}").alias("cell"),
+    )
+    pairs = (
+        err_cells.join(pur, "cell")
+        .filter((F.col("tp") >= F.col("t0")) & (F.col("tp") <= F.col("t0") + w_us))
+        .groupBy("err_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum_round(F.col("value"), 2).alias("sum_value"),
+        )
+    )
+    return err.select("err_id").join(pairs, "err_id", "left").select(
+        "err_id",
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+JOIN_INTERVAL_SQL = """
+WITH err AS (
+  SELECT event_id AS err_id, epoch_us(ts) AS t0 FROM events
+  WHERE event_type = 'error'
+),
+pur AS (
+  SELECT epoch_us(ts) AS tp, value FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT err_id, count(*) AS n_purchases,
+         CAST(round(sum(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
+  FROM err JOIN pur ON tp >= t0 AND tp <= t0 + 600000000
+  GROUP BY err_id
+)
+SELECT e.err_id,
+       coalesce(p.n_purchases, 0)   AS n_purchases,
+       coalesce(p.sum_value, 0.0)   AS sum_value
+FROM err e LEFT JOIN pairs p USING (err_id)
+"""
+
+QUERIES["join_interval_overlap"] = join_interval_overlap
+ORACLES["join_interval_overlap"] = JOIN_INTERVAL_SQL

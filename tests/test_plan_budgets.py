@@ -70,6 +70,9 @@ BUDGETS = {
     # two salted-key join inputs + one agg shuffle; dim replicated, NOT
     # broadcast (the point is exercising the shuffle path)
     "join_salted_skew": (3, 0),
+    # grid-cell equi join (one side broadcast at fixture scale) + pair
+    # agg + the keep-zero-matches left join
+    "join_interval_overlap": (2, 1),
     # df aggregate + covered-distinct + per-doc reassembly + final join;
     # the boilerplate set must broadcast back against the gram stream
     "boilerplate_strip": (4, 3),
