@@ -1515,9 +1515,22 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The embedded CC rounds re-inline when nested inside another CTE (each
+# l{{i}}/p{{i}} is referenced twice per round, so the expression tree can
+# double per round) — at sf0.1 that overran the oracle harness's 16 GB
+# DuckDB budget. Forcing every round CTE to MATERIALIZE bounds the work
+# to one evaluation per round, like the Spark side's localCheckpoint.
+_CC_SQL_MATERIALIZED = DEDUP_COMPONENTS_SQL
+for _n in ["fp", "keeper", "dir_edges", "edges", "l0"] + [
+    f"{_k}{_i}" for _i in range(1, _CC_ITERS + 1) for _k in ("n", "p", "l")
+]:
+    _CC_SQL_MATERIALIZED = _CC_SQL_MATERIALIZED.replace(
+        f"{_n} AS (", f"{_n} AS MATERIALIZED (", 1
+    )
+
 DEDUP_CANONICAL_SQL = f"""
 WITH comp AS MATERIALIZED (
-{DEDUP_COMPONENTS_SQL}
+{_CC_SQL_MATERIALIZED}
 ),
 qual AS (
   SELECT doc_id,

@@ -58,9 +58,10 @@ BUDGETS = {
     # changelog window shuffle + key join; tombstone filter is free
     "cdc_apply_deletes": (2, 0),
     "scalar_variant_json": (1, 0),  # parse-once variant, one agg shuffle
-    # 4 subspaces × (2 Lloyd rounds × persisted-subplan overcount) + the
-    # vec_id code-assembly joins; per-subspace codebooks must broadcast
-    "embed_pq_quantize": (80, 24),
+    # ONE Lloyd chain for all 4 codebooks (subspace = key column):
+    # 3 assignment windows + 2 two-stage updates + the code pivot;
+    # the (m, cluster) codebooks must broadcast
+    "embed_pq_quantize": (12, 3),
     "udtf_doc_bigrams": (0, 0),  # pure generator, no exchange at all
     # tf + totals + doc-score + histogram stages over two persisted
     # relations (census overcounts); the cutoff histogram and totals
