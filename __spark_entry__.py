@@ -28,6 +28,7 @@ from aind_hcr_data_transformation_spark.operators import (
     similarity,
     textops,
     textprep,
+    timeseries,
     tpch,
     vectorops,
     windows,
@@ -45,6 +46,7 @@ _MODULES = [
     ivf,
     textops,
     textprep,
+    timeseries,
     vectorops,
     multimodal,
     streaming_events,

@@ -1,0 +1,372 @@
+"""Time-series operators over the ``events`` hypertable.
+
+The reference's only temporal structure is acquisition timestamps in
+metadata (``SURVEY.md §2.10``); these operators supply the time-series
+surface a production telemetry / training-data pipeline layers on top of
+the same engine: hypertable rollups (OHLC resample), gap-filling with
+LOCF + linear interpolation (TimescaleDB ``time_bucket_gapfill`` shape),
+recursive smoothing (EWMA), and rolling-moment anomaly detection.
+
+Scale notes (100 TB):
+
+* Every query shuffles once on ``user_id`` (or ``user_id × bucket``) —
+  the natural hypertable partitioning; at production scale events arrive
+  time-partitioned, so the per-user shuffle is the only exchange and the
+  window sorts run inside millions of small per-user partitions.
+* ``ts_gapfill_interp`` materializes the bucket spine with
+  ``sequence()``+``explode`` per user — spine size is bounded by the
+  user's own observation span (never the global time range), so a
+  10-year corpus with week-active users stays proportional to real data.
+* ``ts_ewma_fold`` is the one inherently sequential-per-key recursion;
+  it folds an in-partition sorted array (``aggregate`` higher-order
+  function, JVM codegen — no Python). Per-user arrays are bounded by
+  per-user activity; a pathological single hot key would use the same
+  segmented-fold treatment as the two-phase rank helpers.
+* Rolling moments use EXACT decimal window sums (see ``dround``'s
+  rationale in functions/compat.py): Spark's sliding-frame accumulation
+  and DuckDB's segment-tree both reassociate float adds, so double sums
+  diverge between engines — decimal sums do not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.compat import dround, sql_round
+from ..tables import load_table
+
+# ---------------------------------------------------------------------------
+# OHLC hypertable rollup
+# ---------------------------------------------------------------------------
+
+
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC resample per user: open/close by deterministic
+    (ts, event_id) order, high/low, count.
+
+    One hash shuffle on (user_id, hour). ``min_by``/``max_by`` over a
+    struct key is the Spark-idiomatic arg-min — a single hash aggregate,
+    no window sort (the oracle uses two row_number windows only because
+    DuckDB 1.0's arg_min cannot take a composite key).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    return ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        dround(F.min_by("value", key), 2).alias("open"),
+        dround(F.max("value"), 2).alias("high"),
+        dround(F.min("value"), 2).alias("low"),
+        dround(F.max_by("value", key), 2).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+TS_RESAMPLE_OHLC_SQL = f"""
+WITH r AS (
+  SELECT
+    user_id,
+    date_trunc('hour', ts) AS bucket,
+    value,
+    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts ASC, event_id ASC) AS rn_a,
+    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT
+  user_id,
+  bucket,
+  {sql_round('max(CASE WHEN rn_a = 1 THEN value END)', 2)} AS open,
+  {sql_round('max(value)', 2)} AS high,
+  {sql_round('min(value)', 2)} AS low,
+  {sql_round('max(CASE WHEN rn_d = 1 THEN value END)', 2)} AS close,
+  count(*) AS n_events
+FROM r
+GROUP BY user_id, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill: bucket spine + LOCF + linear interpolation
+# ---------------------------------------------------------------------------
+
+
+def ts_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB ``time_bucket_gapfill``-shaped operator: hourly buckets
+    per user, missing hours materialized from a per-user spine, filled
+    two ways — LOCF (last observation carried forward) and linear
+    interpolation between the bracketing observations.
+
+    The observed per-bucket value is an exact decimal mean (order-immune);
+    the interpolation arithmetic is plain double, but every input double
+    is identical on both engines (same decimal mean, same integer
+    microsecond bucket positions), and the expression tree is textually
+    identical — so IEEE evaluation matches bit-for-bit.
+
+    Plan: one shuffle to (user_id, bucket) for the observed means, an AQE
+    re-used exchange for the per-user bounds, spine explode, a shuffle
+    join spine↔observed on (user_id, bucket), and one window sort per
+    user. The spine is per-user min..max — bounded by each user's own
+    activity span.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    base = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,10)")) / F.count(F.lit(1))
+        ).cast("double").alias("obs")
+    )
+    bounds = base.groupBy("user_id").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("b0", "b1", F.expr("interval 1 hour"))).alias("bucket"),
+    )
+    filled = spine.join(base, ["user_id", "bucket"], "left")
+
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("obs").isNotNull(), F.col("bucket"))
+    prev_v = F.last("obs", ignorenulls=True).over(wp)
+    prev_b = F.last(obs_bucket, ignorenulls=True).over(wp)
+    next_v = F.first("obs", ignorenulls=True).over(wn)
+    next_b = F.first(obs_bucket, ignorenulls=True).over(wn)
+    frac = (
+        (F.unix_micros(F.col("bucket")) - F.unix_micros(prev_b)).cast("double")
+        / (F.unix_micros(next_b) - F.unix_micros(prev_b)).cast("double")
+    )
+    interp = (
+        F.when(F.col("obs").isNotNull(), F.col("obs"))
+        .when(prev_v.isNull() | next_v.isNull(), F.lit(None).cast("double"))
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return filled.select(
+        "user_id",
+        "bucket",
+        F.col("obs").isNotNull().alias("observed"),
+        dround(prev_v, 6).alias("locf"),
+        dround(interp, 6).alias("interp"),
+    )
+
+
+TS_GAPFILL_INTERP_SQL = f"""
+WITH base AS (
+  SELECT
+    user_id,
+    date_trunc('hour', ts) AS bucket,
+    CAST(sum(CAST(value AS DECIMAL(30,10))) / count(*) AS DOUBLE) AS obs
+  FROM events
+  WHERE user_id % 5 = 0
+  GROUP BY user_id, date_trunc('hour', ts)
+),
+bounds AS (
+  SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM base GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+),
+filled AS (
+  SELECT s.user_id, s.bucket, b.obs
+  FROM spine s LEFT JOIN base b ON s.user_id = b.user_id AND s.bucket = b.bucket
+),
+win AS (
+  SELECT
+    user_id,
+    bucket,
+    obs,
+    last_value(obs IGNORE NULLS) OVER wp AS prev_v,
+    last_value(CASE WHEN obs IS NOT NULL THEN bucket END IGNORE NULLS) OVER wp AS prev_b,
+    first_value(obs IGNORE NULLS) OVER wn AS next_v,
+    first_value(CASE WHEN obs IS NOT NULL THEN bucket END IGNORE NULLS) OVER wn AS next_b
+  FROM filled
+  WINDOW
+    wp AS (PARTITION BY user_id ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wn AS (PARTITION BY user_id ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT
+  user_id,
+  bucket,
+  obs IS NOT NULL AS observed,
+  {sql_round('prev_v', 6)} AS locf,
+  {sql_round(
+    "CASE WHEN obs IS NOT NULL THEN obs "
+    "WHEN prev_v IS NULL OR next_v IS NULL THEN NULL "
+    "ELSE prev_v + (next_v - prev_v) * "
+    "(CAST(epoch_us(bucket) - epoch_us(prev_b) AS DOUBLE) / "
+    "CAST(epoch_us(next_b) - epoch_us(prev_b) AS DOUBLE)) END", 6)} AS interp
+FROM win
+"""
+
+
+# ---------------------------------------------------------------------------
+# EWMA — recursive smoothing as an in-partition fold
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+
+
+def ts_ewma_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (final value),
+    y_1 = x_1, y_i = α·x_i + (1−α)·y_{i−1} (pandas ``ewm(adjust=False)``).
+
+    A recursion has no distributive decomposition, so it runs as an
+    in-partition fold: collect the user's values in deterministic
+    (ts, event_id) order and fold with the ``aggregate`` higher-order
+    function — JVM whole-stage codegen, no Python, one shuffle on
+    user_id. DuckDB's ``list_reduce`` seeds the fold with the first list
+    element, so the Spark side folds ``slice(vals, 2, n−1)`` seeded with
+    ``vals[1]`` — identical operation sequence, hence identical IEEE
+    doubles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias(
+            "seq"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    vals = F.transform("seq", lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(_EWMA_ALPHA) * x + F.lit(1.0 - _EWMA_ALPHA) * acc,
+    )
+    return agg.select("user_id", "n_events", dround(ewma, 6).alias("ewma"))
+
+
+TS_EWMA_FOLD_SQL = f"""
+WITH seqs AS (
+  SELECT
+    user_id,
+    list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals,
+    count(*) AS n_events
+  FROM events
+  GROUP BY user_id
+)
+SELECT
+  user_id,
+  n_events,
+  {sql_round(
+    "list_reduce(vals, (acc, x) -> "
+    f"{_EWMA_ALPHA} * x + {1.0 - _EWMA_ALPHA} * acc)", 6)} AS ewma
+FROM seqs
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling-moment anomaly detection
+# ---------------------------------------------------------------------------
+
+_ROLL_N = 20
+_Z_CUT = 2.5
+
+
+def ts_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags: mean/variance over the trailing
+    20-row frame per user, flag |z| > 2.5 (emitted rows only — the flags
+    are the sparse output a monitoring sink would ingest).
+
+    The rolling moments are EXACT decimal window sums (Spark's sliding
+    frame and DuckDB's segment tree reassociate float adds differently;
+    decimals are associative). The variance/z arithmetic then runs in
+    double on identical inputs with an identical expression tree.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_ROLL_N - 1), 0)
+    )
+    vdec = F.col("value").cast("decimal(30,10)")
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(vdec).over(w).cast("double")
+    # square in double (IEEE-identical on both engines), then exact decimal
+    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(30,10)")).over(
+        w
+    ).cast("double")
+    mean = s1 / n.cast("double")
+    var = F.greatest(
+        s2 / n.cast("double") - mean * mean, F.lit(0.0)
+    )
+    z = (F.col("value") - mean) / F.sqrt(var)
+    flagged = (
+        ev.select(
+            "event_id",
+            "user_id",
+            dround(F.col("value"), 2).alias("value"),
+            n.alias("frame_n"),
+            dround(mean, 6).alias("roll_mean"),
+            dround(z, 4).alias("z"),
+        )
+        .filter(
+            (F.col("frame_n") >= 5) & (F.abs(F.col("z")) > F.lit(_Z_CUT))
+        )
+    )
+    return flagged
+
+
+TS_ROLLING_ANOMALY_SQL = f"""
+WITH w AS (
+  SELECT
+    event_id,
+    user_id,
+    value,
+    count(*) OVER fr AS frame_n,
+    CAST(sum(CAST(value AS DECIMAL(30,10))) OVER fr AS DOUBLE) AS s1,
+    CAST(sum(CAST(value * value AS DECIMAL(30,10))) OVER fr AS DOUBLE) AS s2
+  FROM events
+  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN {_ROLL_N - 1} PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT
+    event_id,
+    user_id,
+    value,
+    frame_n,
+    s1 / CAST(frame_n AS DOUBLE) AS mean,
+    greatest(s2 / CAST(frame_n AS DOUBLE)
+             - (s1 / CAST(frame_n AS DOUBLE)) * (s1 / CAST(frame_n AS DOUBLE)),
+             0.0) AS var
+  FROM w
+)
+SELECT
+  event_id,
+  user_id,
+  {sql_round('value', 2)} AS value,
+  frame_n,
+  {sql_round('mean', 6)} AS roll_mean,
+  {sql_round('(value - mean) / sqrt(var)', 4)} AS z
+FROM scored
+WHERE frame_n >= 5 AND abs((value - mean) / sqrt(var)) > {_Z_CUT}
+"""
+
+
+QUERIES = {
+    "ts_resample_ohlc": ts_resample_ohlc,
+    "ts_gapfill_interp": ts_gapfill_interp,
+    "ts_ewma_fold": ts_ewma_fold,
+    "ts_rolling_anomaly": ts_rolling_anomaly,
+}
+
+ORACLES = {
+    "ts_resample_ohlc": TS_RESAMPLE_OHLC_SQL,
+    "ts_gapfill_interp": TS_GAPFILL_INTERP_SQL,
+    "ts_ewma_fold": TS_EWMA_FOLD_SQL,
+    "ts_rolling_anomaly": TS_ROLLING_ANOMALY_SQL,
+}
