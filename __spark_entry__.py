@@ -21,6 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from aind_hcr_data_transformation_spark.operators import (
     dedup,
+    graphops,
     ivf,
     multimodal,
     pipeline_queries,
@@ -47,6 +48,7 @@ _MODULES = [
     textops,
     textprep,
     timeseries,
+    graphops,
     vectorops,
     multimodal,
     streaming_events,

@@ -2095,3 +2095,192 @@ FROM err e LEFT JOIN pairs p USING (err_id)
 
 QUERIES["join_interval_overlap"] = join_interval_overlap
 ORACLES["join_interval_overlap"] = JOIN_INTERVAL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered semi join (runtime-filter pattern, SURVEY §2 J-semi at
+# scale) and Z-order layout clustering
+# ---------------------------------------------------------------------------
+
+_BSJ_K = 3  # bloom probe count
+
+
+def _bsj_m(n_keys: int) -> int:
+    """Bits in the join filter: smallest power of two ≥ 32·n_keys,
+    clamped to [2^10, 2^26] — the same integer-exact ladder as
+    textprep._bloom_m so the SQL twin can reproduce it."""
+    t = max(1, 32 * n_keys)
+    return min(1 << 26, max(1 << 10, 1 << (t - 1).bit_length()))
+
+
+def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join with an explicit Bloom runtime filter: lineitem rows are
+    prefiltered through a Bloom filter of the urgent-order keys BEFORE
+    the exact semi join, the pattern Spark's own
+    ``spark.sql.optimizer.runtimeFilter.bloomFilter`` injects — built
+    here as first-class DataFrame ops so the engine exposes it on any
+    join, not only where the optimizer volunteers it.
+
+    The filter is a DataFrame of (word_idx, 32-bit word) built by
+    ``bit_or`` aggregation (no driver-side bitmap); membership is K=3
+    broadcast hash joins (one per probe seed) — ZERO added shuffles on
+    the probe side. False positives are removed by the exact semi join,
+    false negatives are impossible, so the result equals the plain semi
+    join and the oracle is the plain EXISTS aggregate.
+
+    At 100 TB the win is shuffle volume: the semi join's probe side
+    shrinks to ~|matches| + ε before the exchange. The filter's bit count
+    derives from the build-side key count (power-of-two ladder, capped at
+    2^26 bits = 8 MiB — always broadcastable).
+    """
+    o_urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    m = _bsj_m(o_urgent.count())
+
+    def pos(seed: int, key_col: str) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m
+        )
+
+    words = (
+        o_urgent.select(
+            F.explode(
+                F.array(*[pos(s, "o_orderkey") for s in range(_BSJ_K)])
+            ).alias("pos")
+        )
+        .select(
+            (F.col("pos") / 32).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1, CAST(pos % 32 AS INT))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+    )
+
+    probed = li
+    for s in range(_BSJ_K):
+        w_s = words.select(
+            F.col("word_idx").alias(f"wi{s}"), F.col("word").alias(f"w{s}")
+        )
+        probed = (
+            probed.withColumn(f"pos{s}", pos(s, "l_orderkey"))
+            .join(
+                F.broadcast(w_s),
+                (F.col(f"pos{s}") / 32).cast("long") == F.col(f"wi{s}"),
+                "left",
+            )
+            .filter(
+                F.coalesce(
+                    F.col(f"w{s}").bitwiseAND(
+                        F.expr(f"shiftleft(1, CAST(pos{s} % 32 AS INT))")
+                    )
+                    != 0,
+                    F.lit(False),
+                )
+            )
+            .drop(f"pos{s}", f"wi{s}", f"w{s}")
+        )
+
+    verified = probed.join(o_urgent, probed.l_orderkey == o_urgent.o_orderkey, "semi")
+    return verified.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum_round("l_extendedprice", 2).alias("sum_price"),
+    )
+
+
+JOIN_BLOOM_SEMI_SQL = f"""
+SELECT
+  l_returnflag,
+  count(*) AS n_items,
+  {sql_sum_round('l_extendedprice', 2)} AS sum_price
+FROM lineitem
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag
+"""
+
+QUERIES["join_bloom_semi"] = join_bloom_semi
+ORACLES["join_bloom_semi"] = JOIN_BLOOM_SEMI_SQL
+
+
+_Z_BITS = 8  # bits per dimension interleaved
+_Z_BUCKET_SHIFT = 10  # 2^16 z-values / 2^10 = 64 buckets
+
+
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout clustering: interleave 8 bits of two join
+    dimensions (l_partkey, l_suppkey mod 256) into a space-filling-curve
+    key, bucket the curve, and report per-bucket row counts and min/max
+    ranges of BOTH dimensions.
+
+    This is the layout operator behind multi-column data skipping
+    (Delta/Iceberg OPTIMIZE ZORDER BY): rows sorted by the Morton key
+    give parquet row groups whose min/max stats are tight on both
+    columns at once, so either predicate prunes. At 100 TB the write
+    path is ``repartitionByRange(morton_key)`` + sortWithinPartitions
+    before the parquet sink; this query materializes the bucket→range
+    map that proves the clustering property (each bucket covers a
+    bounded tile of the (x, y) plane, not a stripe).
+
+    Pure integer bit arithmetic — identical in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("x"), (F.col("l_suppkey") % 256).alias("y")
+    )
+    z = F.lit(0)
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(
+            F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i
+        ) + F.shiftleft(
+            F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return (
+        li.withColumn("z_bucket", F.shiftright(z, _Z_BUCKET_SHIFT))
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )
+
+
+def _zorder_sql() -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(((l_partkey % 256) // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(((l_suppkey % 256) // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    z = "(" + " + ".join(terms) + ")"
+    return f"""
+SELECT
+  {z} // {1 << _Z_BUCKET_SHIFT} AS z_bucket,
+  count(*) AS n_rows,
+  min(l_partkey % 256) AS x_min,
+  max(l_partkey % 256) AS x_max,
+  min(l_suppkey % 256) AS y_min,
+  max(l_suppkey % 256) AS y_max
+FROM lineitem
+GROUP BY 1
+"""
+
+
+LAYOUT_ZORDER_SQL = _zorder_sql()
+
+QUERIES["layout_zorder"] = layout_zorder
+ORACLES["layout_zorder"] = LAYOUT_ZORDER_SQL

@@ -950,3 +950,113 @@ FROM doc_score d JOIN buckets b USING (mean_surprise)
 
 QUERIES["text_ccnet_buckets"] = text_ccnet_buckets
 ORACLES["text_ccnet_buckets"] = TEXT_CCNET_SQL
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 512  # cells per row
+
+
+def _cms_cell(j, tok) -> F.Column:
+    """Cell index for hash row j: md5-prefix integer of 'j:tok' mod W —
+    the same salted-md5 family every dedup kernel uses (bit-identical in
+    both engines, dedup.py:22-25)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(j.cast("string"), F.lit(":"), tok)), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W
+    )
+
+
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a Count-Min sketch (Cormode & Muthukrishnan 2005):
+    a d×w grid of counters (d=4 rows, w=512 cells), each token occurrence
+    counted into one cell per row; a token's estimate is the MIN of its d
+    cells (always ≥ the true count). Tokens whose estimate clears
+    total/200 are reported with both the estimate and the true count, so
+    the overestimate property is visible in the output.
+
+    Scale (100 TB): the sketch itself is FIXED-SIZE (d·w = 2048 cells)
+    regardless of corpus size — the per-token pre-aggregate is ordinary
+    map-side combine, the sketch build is a 2048-group aggregate, and the
+    probe joins candidates against the sketch with the sketch BROADCAST.
+    In production the candidate set comes from outside (a watchlist or a
+    sampled frontier), not a full distinct — the fixture probe uses the
+    full vocabulary so the oracle can verify every estimate.
+
+    The threshold is data-derived (total_tokens // 200), the same
+    derived-parameter pattern as the LSH band widths.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = persist_tracked(
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    js = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("j")
+    cells = (
+        tf.select("n", "tok", js)
+        .withColumn("cell", _cms_cell(F.col("j"), F.col("tok")))
+        .groupBy("j", "cell")
+        .agg(F.sum("n").alias("c"))
+    )
+    est = (
+        tf.select("tok", "n", js)
+        .withColumn("cell", _cms_cell(F.col("j"), F.col("tok")))
+        .join(F.broadcast(cells), ["j", "cell"])
+        .groupBy("tok", "n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    total = tf.agg(F.sum("n").alias("total"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("cms_est") >= F.expr("total DIV 200"))
+        .select("tok", F.col("n").alias("exact_n"), "cms_est")
+    )
+
+
+def _cms_sql() -> str:
+    from .dedup import _sql_md5_prefix_int
+
+    def cell(tok_expr: str) -> str:
+        return (
+            f"({_sql_md5_prefix_int(f'CAST(js.j AS VARCHAR) || :sep || {tok_expr}', 15)}"
+            f" % {_CMS_W})"
+        ).replace(":sep", "':'")
+
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+tf AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT sum(n) AS total FROM tf),
+cells AS (
+  SELECT js.j, {cell('tf.tok')} AS cell, sum(tf.n) AS c
+  FROM tf CROSS JOIN (VALUES (0), (1), (2), (3)) js(j)
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT tf.tok, tf.n, min(c.c) AS cms_est
+  FROM tf
+  CROSS JOIN (VALUES (0), (1), (2), (3)) js(j)
+  JOIN cells c ON c.j = js.j AND c.cell = {cell('tf.tok')}
+  GROUP BY 1, 2
+)
+SELECT tok, n AS exact_n, cms_est
+FROM est
+WHERE cms_est >= (SELECT total // 200 FROM tot)
+"""
+
+
+TEXT_HEAVY_HITTERS_CMS_SQL = _cms_sql()
+
+QUERIES["text_heavy_hitters_cms"] = text_heavy_hitters_cms
+ORACLES["text_heavy_hitters_cms"] = TEXT_HEAVY_HITTERS_CMS_SQL

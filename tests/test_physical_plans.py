@@ -122,6 +122,9 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
         # derived mixing thresholds / bucket scores)
         "mix_token_budget",
         "dsir_importance",
+        # one-row total-token-count broadcast (the derived heavy-hitter
+        # threshold total // 200)
+        "text_heavy_hitters_cms",
     }
     for name, fn in queries.items():
         if name.startswith("stream_"):

@@ -82,6 +82,25 @@ BUDGETS = {
     # history window + one key join (dimension side broadcastable at
     # fixture scale)
     "scd2_asof_lookup": (1, 1),
+    # ONE hash shuffle each: (user, hour) agg / user-keyed fold / user
+    # window — no window sort rides a second exchange
+    "ts_resample_ohlc": (1, 0),
+    "ts_ewma_fold": (1, 0),
+    "ts_rolling_anomaly": (1, 0),
+    # (user, hour) agg + spine⋈observed join; the per-user bounds frame
+    # must broadcast onto the spine side
+    "ts_gapfill_interp": (2, 1),
+    # lineitem⋈orders⋈customer shuffles + 3 broadcast-rank iterations;
+    # the persisted edge subplan reprints under every consumer
+    "graph_pagerank": (26, 3),
+    # tf + sketch aggregates over the persisted tf (census overcounts);
+    # the 2048-cell sketch and one-row total must broadcast
+    "text_heavy_hitters_cms": (6, 2),
+    # filter-words agg + exact verify semi + final agg; the bloom words
+    # must broadcast (3 probe joins share the broadcast)
+    "join_bloom_semi": (4, 4),
+    # single hash aggregate over the Morton key
+    "layout_zorder": (1, 0),
 }
 
 

@@ -1,0 +1,145 @@
+"""Semantic invariants for the time-series / graph / sketch / layout
+operators — properties the differential oracle can't express (it proves
+Spark == DuckDB, not that the shared semantics are the INTENDED ones)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from aind_hcr_data_transformation_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_ohlc_ordering_invariants(spark, queries):
+    """low ≤ open, close ≤ high on every bucket; n_events ≥ 1; and the
+    single-event buckets have open == close == high == low."""
+    rows = queries["ts_resample_ohlc"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n_events"] >= 1
+        if r["n_events"] == 1:
+            assert r["open"] == r["close"] == r["high"] == r["low"]
+
+
+def test_gapfill_spine_contiguous_and_fills(spark, queries):
+    """The per-user spine is a contiguous hourly ladder; LOCF is non-null
+    from the first observation onward; interpolation on gap rows lies
+    between the bracketing observed values."""
+    rows = queries["ts_gapfill_interp"](spark, SF_DIR).collect()
+    assert rows
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    assert len(by_user) >= 3
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r["bucket"])
+        # contiguous hourly ladder, endpoints observed (they ARE the bounds)
+        for a, b in zip(rs, rs[1:]):
+            assert (b["bucket"] - a["bucket"]).total_seconds() == 3600
+        assert rs[0]["observed"] and rs[-1]["observed"]
+        # locf defined everywhere (first spine row is an observation)
+        assert all(r["locf"] is not None for r in rs)
+        # gap interp bounded by the bracketing observations
+        obs_vals = [r["locf"] for r in rs if r["observed"]]
+        lo, hi = min(obs_vals), max(obs_vals)
+        for r in rs:
+            if not r["observed"]:
+                assert lo - 1e-6 <= r["interp"] <= hi + 1e-6
+
+
+def test_ewma_is_a_convex_combination(spark, queries):
+    """EWMA of a sequence is a convex combination of its values: it lies
+    in [min, max]; single-event users get exactly their value."""
+    ew = {
+        r["user_id"]: (r["ewma"], r["n_events"])
+        for r in queries["ts_ewma_fold"](spark, SF_DIR).collect()
+    }
+    stats = {
+        r["user_id"]: r
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    assert ew and set(ew) == set(stats)
+    for user, (v, _n) in ew.items():
+        assert stats[user]["lo"] - 1e-6 <= v <= stats[user]["hi"] + 1e-6
+
+
+def test_rolling_anomaly_flags_are_extreme(spark, queries):
+    rows = queries["ts_rolling_anomaly"](spark, SF_DIR).collect()
+    for r in rows:
+        assert abs(r["z"]) > 2.5
+        assert r["frame_n"] >= 5
+
+
+def test_pagerank_mass_and_floor(spark, queries):
+    """25 nations; every rank ≥ the teleport floor; total mass within
+    floor-rounding drift of 1.0 (each edge and each node can drop at
+    most 1 fixed-point unit per iteration)."""
+    rows = queries["graph_pagerank"](spark, SF_DIR).collect()
+    assert len(rows) == 25
+    total = sum(r["rank_e9"] for r in rows)
+    assert all(r["rank_e9"] >= 6_000_000 for r in rows)
+    assert 900_000_000 <= total <= 1_000_000_000
+    # the graph must actually differentiate nations
+    assert len({r["rank_e9"] for r in rows}) > 5
+
+
+def test_cms_overestimates_and_misses_nothing(spark, queries):
+    """Count-Min property: estimate ≥ true count for every reported
+    token, and every truly-heavy token (exact ≥ total // 200) appears."""
+    rows = queries["text_heavy_hitters_cms"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["cms_est"] >= r["exact_n"]
+    docs = load_table(spark, SF_DIR, "documents")
+    tf = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in tf)
+    heavy_true = {r["tok"] for r in tf if r["count"] >= total // 200}
+    reported = {r["tok"] for r in rows}
+    assert heavy_true <= reported  # no false negatives, ever
+
+
+def test_bloom_semi_equals_plain_semi(spark, queries):
+    """The Bloom prefilter must not change the answer: compare against a
+    directly-computed exact semi-join aggregate."""
+    got = {
+        r["l_returnflag"]: (r["n_items"], r["sum_price"])
+        for r in queries["join_bloom_semi"](spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    want = {
+        r["l_returnflag"]: r["n_items"]
+        for r in li.join(o, li.l_orderkey == o.o_orderkey, "semi")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == want
+
+
+def test_zorder_buckets_are_tiles_not_stripes(spark, queries):
+    """Morton bucketing must bound BOTH dimensions: dropping the 10 low
+    z-bits leaves the top 3 bits of each 8-bit dimension fixed, so every
+    bucket is a 32×32 tile — x and y each confined to one 32-wide band."""
+    rows = queries["layout_zorder"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["x_min"] // 32 == r["x_max"] // 32
+        assert r["y_min"] // 32 == r["y_max"] // 32
+    assert sum(r["n_rows"] for r in rows) == load_table(
+        spark, SF_DIR, "lineitem"
+    ).count()
