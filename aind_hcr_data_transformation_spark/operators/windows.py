@@ -578,3 +578,124 @@ QUERIES["events_retention_cohorts"] = events_retention_cohorts
 ORACLES["events_retention_cohorts"] = EVENTS_RETENTION_SQL
 QUERIES["events_top_paths"] = events_top_paths
 ORACLES["events_top_paths"] = EVENTS_TOP_PATHS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution (position-based / U-shaped)
+# ---------------------------------------------------------------------------
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) marketing attribution: each purchase's
+    value is split across the user's view/click touchpoints in the 7
+    days before it — 40% to the first touch, 40% to the last, 20%
+    spread over the middle touches; 1-touch paths get 100%, 2-touch
+    paths 50/50. Reported per touch channel (event_type).
+
+    Weights are integer permille with floor division for the middle
+    split (exact and identical in both engines; the ≤(n−2)‰ flooring
+    remainder is dropped, deterministically). value × permille is IEEE
+    double (identical), then exact decimal summation.
+
+    Plan: ONE shuffle joins purchases to their user's touches (equi on
+    user_id; the 7-day predicate filters inside the join), one window
+    over each purchase's touch list, one final channel aggregate. At
+    100 TB the lookback bound keeps per-purchase touch lists small, and
+    user_id partitioning is the natural key — no global sort anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+    )
+    paths = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("interval 7 days")),
+    )
+    w = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    wd = Window.partitionBy("p_id").orderBy(F.desc("t_ts"), F.desc("t_id"))
+    wn = Window.partitionBy("p_id")
+    scored = paths.select(
+        "p_id",
+        "p_value",
+        "channel",
+        F.row_number().over(w).alias("rn"),
+        F.row_number().over(wd).alias("rn_rev"),
+        F.count(F.lit(1)).over(wn).alias("n_touch"),
+    ).withColumn(
+        "w_pm",
+        F.when(F.col("n_touch") == 1, F.lit(1000))
+        .when(F.col("n_touch") == 2, F.lit(500))
+        .when(F.col("rn") == 1, F.lit(400))
+        .when(F.col("rn_rev") == 1, F.lit(400))
+        .otherwise(F.expr("200 DIV (n_touch - 2)")),
+    )
+    return scored.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        dround(
+            F.sum((F.col("p_value") * F.col("w_pm")).cast("decimal(30,10)"))
+            / 1000,
+            4,
+        ).alias("attributed_value"),
+    )
+
+
+EVENTS_ATTRIBUTION_SQL = """
+WITH purchases AS (
+  SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id AS t_user, ts AS t_ts, event_id AS t_id,
+         event_type AS channel
+  FROM events WHERE event_type IN ('view', 'click')
+),
+paths AS (
+  SELECT p.p_id, p.p_value, t.channel, t.t_ts, t.t_id
+  FROM purchases p JOIN touches t
+    ON p.p_user = t.t_user
+   AND t.t_ts < p.p_ts
+   AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+),
+scored AS (
+  SELECT
+    p_id,
+    p_value,
+    channel,
+    row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rn,
+    row_number() OVER (PARTITION BY p_id ORDER BY t_ts DESC, t_id DESC) AS rn_rev,
+    count(*) OVER (PARTITION BY p_id) AS n_touch
+  FROM paths
+),
+weighted AS (
+  SELECT
+    channel,
+    p_value,
+    CASE WHEN n_touch = 1 THEN 1000
+         WHEN n_touch = 2 THEN 500
+         WHEN rn = 1 THEN 400
+         WHEN rn_rev = 1 THEN 400
+         ELSE 200 // (n_touch - 2) END AS w_pm
+  FROM scored
+)
+SELECT
+  channel,
+  count(*) AS n_touches,
+  CAST(round(CAST((sum(CAST(p_value * w_pm AS DECIMAL(30,10))) / 1000)
+       AS DECIMAL(30,10)), 4) AS DOUBLE) AS attributed_value
+FROM weighted
+GROUP BY channel
+"""
+
+QUERIES["events_attribution"] = events_attribution
+ORACLES["events_attribution"] = EVENTS_ATTRIBUTION_SQL

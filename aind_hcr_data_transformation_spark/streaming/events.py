@@ -658,3 +658,60 @@ def _stream_quality_oracle() -> str:
 
 QUERIES["stream_quality_filter"] = stream_quality_filter
 ORACLES["stream_quality_filter"] = _stream_quality_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming hypertable rollup: watermarked OHLC in append mode
+# ---------------------------------------------------------------------------
+
+
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``timeseries.ts_resample_ohlc``: watermarked
+    hourly OHLC per user in APPEND mode — each (user, hour) candle is
+    emitted exactly once when the watermark passes the window end, the
+    shape a live market-data / telemetry rollup ships to its sink.
+
+    ``min_by``/``max_by`` over the (ts, event_id) struct run inside the
+    streaming aggregation exactly as in batch (declarative aggregates are
+    shared between the two runtimes — the point of the batch/streaming
+    twin pairs). State per open window is O(1): five scalars, no event
+    buffer. The oracle is the batch OHLC restricted to watermark-closed
+    windows.
+    """
+    events = streaming_events(spark, sf_dir)
+    key = F.struct("ts", "event_id")
+    candles = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            dround(F.min_by("value", key), 2).alias("open"),
+            dround(F.max("value"), 2).alias("high"),
+            dround(F.min("value"), 2).alias("low"),
+            dround(F.max_by("value", key), 2).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"),
+            "user_id",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+    return _run_to_memory_sink(candles, "stream_ohlc", "append")
+
+
+def _stream_ohlc_oracle() -> str:
+    from ..operators.timeseries import TS_RESAMPLE_OHLC_SQL
+
+    return f"""
+WITH full_result AS ({TS_RESAMPLE_OHLC_SQL})
+SELECT * FROM full_result
+WHERE bucket + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+"""
+
+
+QUERIES["stream_ohlc"] = stream_ohlc
+ORACLES["stream_ohlc"] = _stream_ohlc_oracle()

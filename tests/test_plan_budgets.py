@@ -101,6 +101,10 @@ BUDGETS = {
     "join_bloom_semi": (4, 4),
     # single hash aggregate over the Morton key
     "layout_zorder": (1, 0),
+    # purchases⋈touches user-keyed join + per-purchase window + channel
+    # agg (touch side broadcasts at fixture scale — 0 min pins the
+    # at-scale shuffle shape, not the small-side shortcut)
+    "events_attribution": (3, 0),
 }
 
 

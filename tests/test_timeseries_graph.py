@@ -143,3 +143,34 @@ def test_zorder_buckets_are_tiles_not_stripes(spark, queries):
     assert sum(r["n_rows"] for r in rows) == load_table(
         spark, SF_DIR, "lineitem"
     ).count()
+
+
+def test_attribution_conserves_purchase_value(spark, queries):
+    """Attributed value never exceeds total purchase value with ≥1 touch
+    (flooring can only lose permille mass), and both funnel channels
+    appear."""
+    rows = queries["events_attribution"](spark, SF_DIR).collect()
+    channels = {r["channel"] for r in rows}
+    assert channels == {"view", "click"}
+    attributed = sum(r["attributed_value"] for r in rows)
+    ev = load_table(spark, SF_DIR, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"), F.col("value").alias("p_value"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"), F.col("ts").alias("t_ts"),
+    )
+    with_touch = (
+        purchases.join(
+            touches,
+            (F.col("p_user") == F.col("t_user"))
+            & (F.col("t_ts") < F.col("p_ts"))
+            & (F.col("t_ts") >= F.col("p_ts") - F.expr("interval 7 days")),
+            "semi",
+        )
+        .agg(F.sum("p_value").alias("total"))
+        .collect()[0]["total"]
+    )
+    assert attributed <= with_touch + 1e-6
+    assert attributed >= 0.9 * with_touch  # flooring loses ≤ 20% only on 3+-touch paths
