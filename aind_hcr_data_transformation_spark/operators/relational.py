@@ -2284,3 +2284,76 @@ LAYOUT_ZORDER_SQL = _zorder_sql()
 
 QUERIES["layout_zorder"] = layout_zorder
 ORACLES["layout_zorder"] = LAYOUT_ZORDER_SQL
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (multi-objective dominance)
+# ---------------------------------------------------------------------------
+
+
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto skyline of parts: maximize p_size, minimize
+    p_retailprice — a part survives iff no same-brand part has size ≥ AND
+    price ≤ with at least one strict. The skyline operator (Börzsönyi et
+    al., ICDE 2001) has no SQL-standard form; engines either nest a
+    quadratic NOT EXISTS (the oracle here — the SPEC) or special-case it.
+
+    Spark-first O(n log n) per group instead: sort each brand by size
+    descending and take two window minima —
+
+    * ``m_larger``  = min price over STRICTLY larger sizes (RANGE frame
+      ending 1 PRECEDING under the descending sort);
+    * ``m_same``    = min price among the same (brand, size).
+
+    dominated ⇔ ``m_larger ≤ price`` (bigger part, no pricier) OR
+    ``m_same < price`` (same size, strictly cheaper). One shuffle on
+    brand, one in-partition sort, no self-join — at 100 TB the quadratic
+    spec is unrunnable while this plan is a plain window.
+
+    Ties: identical (size, price) points do not dominate each other and
+    survive together — both formulations agree.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    w_larger = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("p_size").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("p_brand", "p_size")
+    m_larger = F.min("p_retailprice").over(w_larger)
+    m_same = F.min("p_retailprice").over(w_same)
+    dominated = (
+        m_larger.isNotNull() & (m_larger <= F.col("p_retailprice"))
+    ) | (m_same < F.col("p_retailprice"))
+    return (
+        p.withColumn("dominated", dominated)
+        .filter(~F.col("dominated"))
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_size",
+            dround(F.col("p_retailprice"), 2).alias("price"),
+        )
+    )
+
+
+SKYLINE_PARETO_SQL = """
+SELECT
+  p1.p_brand,
+  p1.p_partkey,
+  p1.p_size,
+  CAST(round(CAST((p1.p_retailprice) AS DECIMAL(30,10)), 2) AS DOUBLE) AS price
+FROM part p1
+WHERE NOT EXISTS (
+  SELECT 1 FROM part p2
+  WHERE p2.p_brand = p1.p_brand
+    AND p2.p_size >= p1.p_size
+    AND p2.p_retailprice <= p1.p_retailprice
+    AND (p2.p_size > p1.p_size OR p2.p_retailprice < p1.p_retailprice)
+)
+"""
+
+QUERIES["skyline_pareto"] = skyline_pareto
+ORACLES["skyline_pareto"] = SKYLINE_PARETO_SQL

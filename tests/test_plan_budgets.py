@@ -105,6 +105,9 @@ BUDGETS = {
     # agg (touch side broadcasts at fixture scale — 0 min pins the
     # at-scale shuffle shape, not the small-side shortcut)
     "events_attribution": (3, 0),
+    # ONE brand shuffle + in-partition window sort — no self-join (the
+    # quadratic NOT EXISTS spec lives only in the oracle)
+    "skyline_pareto": (1, 0),
 }
 
 

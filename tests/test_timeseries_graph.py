@@ -174,3 +174,39 @@ def test_attribution_conserves_purchase_value(spark, queries):
     )
     assert attributed <= with_touch + 1e-6
     assert attributed >= 0.9 * with_touch  # flooring loses ≤ 20% only on 3+-touch paths
+
+
+def test_skyline_mutual_nondominance(spark, queries):
+    """No skyline point may dominate another in the same brand, and every
+    non-skyline part must be dominated by some skyline part (the skyline
+    is exactly the maximal set)."""
+    sky = [
+        (r["p_brand"], r["p_partkey"], r["p_size"], r["price"])
+        for r in queries["skyline_pareto"](spark, SF_DIR).collect()
+    ]
+    assert sky
+    allp = [
+        (r["p_brand"], r["p_partkey"], r["p_size"], round(r["p_retailprice"], 2))
+        for r in load_table(spark, SF_DIR, "part").collect()
+    ]
+
+    def dominates(a, b):  # same brand: size >=, price <=, one strict
+        return (
+            a[2] >= b[2]
+            and a[3] <= b[3]
+            and (a[2] > b[2] or a[3] < b[3])
+        )
+
+    by_brand = defaultdict(list)
+    for p in sky:
+        by_brand[p[0]].append(p)
+    for brand, pts in by_brand.items():
+        for a in pts:
+            for b in pts:
+                assert not dominates(a, b), (a, b)
+    sky_keys = {p[1] for p in sky}
+    for q in allp:
+        if q[1] not in sky_keys:
+            assert any(
+                dominates(s, q) for s in by_brand.get(q[0], [])
+            ), f"non-skyline part {q} not dominated"
