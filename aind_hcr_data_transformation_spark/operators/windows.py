@@ -699,3 +699,72 @@ GROUP BY channel
 
 QUERIES["events_attribution"] = events_attribution
 ORACLES["events_attribution"] = EVENTS_ATTRIBUTION_SQL
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over event sequences
+# ---------------------------------------------------------------------------
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: for each
+    (from_type → to_type) pair of consecutive events within a user's
+    timeline, the transition count and row-normalized probability — the
+    statistic behind next-event prediction, journey simulation, and
+    anomalous-sequence scoring.
+
+    Probability is emitted in exact parts-per-million (integer floor
+    division) — row-stochastic up to flooring, bit-identical across
+    engines. One window shuffle on user_id + one pair aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("to_type"),
+            F.lag("event_type", 1).over(w).alias("from_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrow = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("CAST(n * 1000000 AS BIGINT)").alias("_num"),
+        F.sum("n").over(wrow).alias("_den"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("CAST(_num DIV _den AS BIGINT)").alias("prob_ppm"),
+    )
+
+
+EVENTS_MARKOV_SQL = """
+WITH pairs AS (
+  SELECT
+    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS from_type,
+    event_type AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs
+  WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT
+  from_type,
+  to_type,
+  n,
+  CAST((CAST(n AS HUGEINT) * 1000000) // sum(n) OVER (PARTITION BY from_type)
+       AS BIGINT) AS prob_ppm
+FROM counts
+"""
+
+QUERIES["events_markov_transitions"] = events_markov_transitions
+ORACLES["events_markov_transitions"] = EVENTS_MARKOV_SQL
