@@ -1224,3 +1224,73 @@ FROM docs d LEFT JOIN cleaned c USING (doc_id)
 
 QUERIES["boilerplate_strip"] = boilerplate_strip
 ORACLES["boilerplate_strip"] = BOILERPLATE_STRIP_SQL
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training kernel: merge-candidate ranking
+# ---------------------------------------------------------------------------
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner kernel of BPE tokenizer training (Sennrich et al. 2016)
+    run corpus-wide: frequency of every adjacent symbol pair at the
+    character stage — the statistic whose argmax becomes the first merge
+    rule. Top-20 pairs with a fully deterministic ordering
+    (count desc, pair asc).
+
+    Training loops this kernel: apply the chosen merge (broadcast the
+    merge table, remap symbols), recount, pick the next pair. Each
+    iteration is one explode + one hash aggregate over the corpus — at
+    100 TB the word-frequency pre-aggregate below is the critical step,
+    shrinking the explode input from total tokens to DISTINCT words
+    (orders of magnitude at web scale), which is exactly how production
+    BPE trainers (HuggingFace tokenizers, SentencePiece) stay tractable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    pairs = (
+        words.select(
+            "w",
+            "wn",
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        )
+        .select(
+            F.expr("substring(w, i, 1)").alias("a"),
+            F.expr("substring(w, i + 1, 1)").alias("b"),
+            "wn",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("wn").alias("n_pairs"))
+    )
+    return pairs.orderBy(F.desc("n_pairs"), "a", "b").limit(20)
+
+
+BPE_MERGE_CANDIDATES_SQL = """
+WITH words AS (
+  SELECT w, count(*) AS wn
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE length(w) >= 2
+  GROUP BY w
+),
+pos AS (
+  SELECT w, wn, unnest(range(1, length(w))) AS i FROM words
+),
+pairs AS (
+  SELECT substr(w, CAST(i AS INT), 1) AS a,
+         substr(w, CAST(i AS INT) + 1, 1) AS b,
+         sum(wn) AS n_pairs
+  FROM pos
+  GROUP BY 1, 2
+)
+SELECT a, b, n_pairs FROM pairs
+ORDER BY n_pairs DESC, a, b
+LIMIT 20
+"""
+
+QUERIES["bpe_merge_candidates"] = bpe_merge_candidates
+ORACLES["bpe_merge_candidates"] = BPE_MERGE_CANDIDATES_SQL
