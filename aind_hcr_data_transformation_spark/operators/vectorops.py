@@ -278,6 +278,35 @@ def embed_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment + reconstruction error) is differentially tested via
     unrolled CTEs, like the IVF oracle (the oracle states the identical
     VALUES per subspace; plan shape is free)."""
+    _cb, final = _pq_train(spark, sf_dir)
+    agg = final.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("cluster")))
+            .cast("int")
+            .alias(f"code{m}")
+            for m in range(_PQ_M)
+        ],
+        *[
+            F.max(F.when(F.col("m") == m, F.col("err"))).alias(f"_err{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    err = F.col("_err0")
+    for m in range(1, _PQ_M):
+        err = err + F.col(f"_err{m}")
+    return agg.select(
+        "vec_id",
+        *[f"code{m}" for m in range(_PQ_M)],
+        dround(err, 6).alias("sq_err"),
+    )
+
+
+def _pq_train(spark: SparkSession, sf_dir: str):
+    """Shared PQ trainer: returns ``(cb, final)`` — the (m, cluster,
+    cemb) codebook after ``_PQ_ITERS`` Lloyd rounds and the
+    (vec_id, m, cluster, err) assignment against it. Consumed by
+    :func:`embed_pq_quantize` (codes + reconstruction error) and
+    :func:`pq_adc_topk` (ADC search lookup tables)."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", "embedding"
     )
@@ -388,53 +417,36 @@ def embed_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sq_l2(F.col("semb"), F.col("cemb")).alias("err"),
         )
     )
-    agg = final.groupBy("vec_id").agg(
-        *[
-            F.max(F.when(F.col("m") == m, F.col("cluster")))
-            .cast("int")
-            .alias(f"code{m}")
-            for m in range(_PQ_M)
-        ],
-        *[
-            F.max(F.when(F.col("m") == m, F.col("err"))).alias(f"_err{m}")
-            for m in range(_PQ_M)
-        ],
-    )
-    err = F.col("_err0")
-    for m in range(1, _PQ_M):
-        err = err + F.col(f"_err{m}")
-    return agg.select(
-        "vec_id",
-        *[f"code{m}" for m in range(_PQ_M)],
-        dround(err, 6).alias("sq_err"),
+    return cb, final
+
+
+def _sql_pq_dot_off(a: str, b: str, off: int) -> str:
+    return " + ".join(
+        f"CAST({a}[{off + i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, _PQ_SUB + 1)
     )
 
 
-def _pq_oracle() -> str:
-    """Unrolled-CTE DuckDB twin: per subspace, first-k init, _PQ_ITERS
-    assign/update rounds, then a final assignment against the last
-    codebook carrying the winning centroid through for the error term —
-    the exact fold orders and decimal update sums of the Spark side."""
+def _sql_pq_cc(b: str) -> str:
+    return " + ".join(
+        f"CAST({b}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, _PQ_SUB + 1)
+    )
 
-    def dot_off(a: str, b: str, off: int) -> str:
-        return " + ".join(
-            f"CAST({a}[{off + i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
-            for i in range(1, _PQ_SUB + 1)
-        )
 
-    def cc(b: str) -> str:
-        return " + ".join(
-            f"CAST({b}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
-            for i in range(1, _PQ_SUB + 1)
-        )
+def _sql_pq_err_off(a: str, b: str, off: int) -> str:
+    return " + ".join(
+        f"(CAST({a}[{off + i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        f" * (CAST({a}[{off + i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(1, _PQ_SUB + 1)
+    )
 
-    def err_off(a: str, b: str, off: int) -> str:
-        return " + ".join(
-            f"(CAST({a}[{off + i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
-            f" * (CAST({a}[{off + i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
-            for i in range(1, _PQ_SUB + 1)
-        )
 
+def _pq_ctes() -> list[str]:
+    """The unrolled PQ-training CTE chain (per subspace: first-k init,
+    ``_PQ_ITERS`` assign/update rounds, final assignment ``pf{m}`` with
+    codes + error). Shared prefix of the PQ oracle and the ADC oracle."""
+    dot_off, cc, err_off = _sql_pq_dot_off, _sql_pq_cc, _sql_pq_err_off
     ctes = []
     for m in range(_PQ_M):
         off = m * _PQ_SUB
@@ -492,6 +504,13 @@ def _pq_oracle() -> str:
   ) WHERE rn = 1
 )"""
         )
+    return ctes
+
+
+def _pq_oracle() -> str:
+    """Unrolled-CTE DuckDB twin of :func:`embed_pq_quantize` — the exact
+    fold orders and decimal update sums of the Spark side."""
+    ctes = _pq_ctes()
     joins = " ".join(
         f"JOIN pf{m} f{m} ON f0.vec_id = f{m}.vec_id" for m in range(1, _PQ_M)
     )
@@ -509,3 +528,145 @@ EMBED_PQ_SQL = _pq_oracle()
 
 QUERIES["embed_pq_quantize"] = embed_pq_quantize
 ORACLES["embed_pq_quantize"] = EMBED_PQ_SQL
+
+
+# ---------------------------------------------------------------------------
+# ADC search over PQ codes (the IVF-PQ read path)
+# ---------------------------------------------------------------------------
+
+_ADC_QUERIES = 5
+_ADC_TOP_K = 10
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k over PQ codes — the
+    FAISS IVFADC read path (Jégou et al. 2011 §IV): each query vector
+    precomputes a tiny lookup table of squared-L2 distances from its 16-dim
+    subvectors to every codebook centroid (M×k = 16 entries per query),
+    and a database vector's approximate distance is the SUM of 4 table
+    lookups keyed by its PQ code — the vectors themselves are never
+    touched at search time.
+
+    Plan: the LUT is (queries × M × k) = 80 rows — BROADCAST; the code
+    table (one row per vector, 4 small ints) flows through 4 broadcast
+    hash joins (one per subspace) with ZERO shuffles until the final
+    per-query top-k window. At 100 TB the codes are 4 bytes/vector
+    (64× smaller than raw), which is the entire point: scan codes, not
+    vectors. The 4-term distance sum is exact decimal in a fixed textual
+    order, so both engines rank identically.
+    """
+    cb, final = _pq_train(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qsub = (
+        emb.filter(F.col("vec_id") < _ADC_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.slice("embedding", m * _PQ_SUB + 1, _PQ_SUB).alias(
+                                "qemb"
+                            ),
+                        )
+                        for m in range(_PQ_M)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("qid", F.col("s.m").alias("m"), F.col("s.qemb").alias("qemb"))
+    )
+    lut = qsub.join(F.broadcast(cb), "m").select(
+        "qid", "m", "cluster", _sq_l2(F.col("qemb"), F.col("cemb")).alias("d")
+    )
+    codes = final.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("cluster")))
+            .cast("int")
+            .alias(f"code{m}")
+            for m in range(_PQ_M)
+        ]
+    )
+    res = codes
+    for m in range(_PQ_M):
+        lm = lut.filter(F.col("m") == m).select(
+            F.col("qid").alias(f"q{m}"),
+            F.col("cluster").alias(f"cl{m}"),
+            F.col("d").alias(f"d{m}"),
+        )
+        cond = F.col(f"code{m}") == F.col(f"cl{m}")
+        if m > 0:
+            cond = cond & (F.col("q0") == F.col(f"q{m}"))
+        res = res.join(F.broadcast(lm), cond).drop(f"cl{m}")
+    adc = (
+        F.col("d0").cast("decimal(30,10)")
+        + F.col("d1").cast("decimal(30,10)")
+        + F.col("d2").cast("decimal(30,10)")
+        + F.col("d3").cast("decimal(30,10)")
+    )
+    scored = (
+        res.select(
+            F.col("q0").alias("qid"), "vec_id", adc.alias("adc_dec")
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc_dec", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ADC_TOP_K)
+        .select(
+            "qid",
+            "vec_id",
+            "rank",
+            F.round("adc_dec", 6).cast("double").alias("adc"),
+        )
+    )
+
+
+def _adc_oracle() -> str:
+    ctes = _pq_ctes()
+    ctes.append(
+        f"""q AS (
+  SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < {_ADC_QUERIES}
+)"""
+    )
+    for m in range(_PQ_M):
+        off = m * _PQ_SUB
+        ctes.append(
+            f"""lut{m} AS (
+  SELECT q.qid, c.cluster,
+         ({_sql_pq_err_off('q.embedding', 'c.cemb', off)}) AS d
+  FROM q CROSS JOIN pc{m}_{_PQ_ITERS} c
+)"""
+        )
+    code_joins = " ".join(
+        f"JOIN pf{m} f{m} ON f0.vec_id = f{m}.vec_id" for m in range(1, _PQ_M)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut{m} l{m} ON l{m}.qid = l0.qid AND l{m}.cluster = f{m}.code{m}"
+        for m in range(1, _PQ_M)
+    )
+    adc = " + ".join(f"CAST(l{m}.d AS DECIMAL(30,10))" for m in range(_PQ_M))
+    return f"""
+WITH {','.join(ctes)},
+scored AS (
+  SELECT l0.qid, f0.vec_id, ({adc}) AS adc_dec
+  FROM pf0 f0 {code_joins}
+  JOIN lut0 l0 ON l0.cluster = f0.code0
+  {lut_joins}
+  WHERE f0.vec_id <> l0.qid
+)
+SELECT qid, vec_id, rank, CAST(round(adc_dec, 6) AS DOUBLE) AS adc
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_dec, vec_id) AS rank
+  FROM scored
+)
+WHERE rank <= {_ADC_TOP_K}
+"""
+
+
+PQ_ADC_SQL = _adc_oracle()
+
+QUERIES["pq_adc_topk"] = pq_adc_topk
+ORACLES["pq_adc_topk"] = PQ_ADC_SQL

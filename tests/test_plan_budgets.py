@@ -108,6 +108,11 @@ BUDGETS = {
     # ONE brand shuffle + in-partition window sort — no self-join (the
     # quadratic NOT EXISTS spec lives only in the oracle)
     "skyline_pareto": (1, 0),
+    # PQ training chain (persisted subplans overcount) + code pivot +
+    # final top-k window; the 80-row LUT and the codebooks must
+    # broadcast — the code table crosses ZERO shuffles between pivot
+    # and window
+    "pq_adc_topk": (18, 7),
 }
 
 

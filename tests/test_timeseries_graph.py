@@ -210,3 +210,39 @@ def test_skyline_mutual_nondominance(spark, queries):
             assert any(
                 dominates(s, q) for s in by_brand.get(q[0], [])
             ), f"non-skyline part {q} not dominated"
+
+
+def test_adc_search_matches_exact_l2_on_codes(spark, queries):
+    """ADC structural invariants: 10 hits per query, ranks 1..10, adc ≥ 0
+    non-decreasing per query, no self-hit; and ADC recall vs exact L2
+    top-10 is well above chance (PQ with k=4 codebooks is coarse, but
+    planted-cluster fixtures keep neighbors in-cell)."""
+    rows = queries["pq_adc_topk"](spark, SF_DIR).collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r["qid"]].append(r)
+    assert len(by_q) == 5
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, 11))
+        assert all(r["vec_id"] != qid for r in rs)
+        assert all(r["adc"] >= 0 for r in rs)
+        assert all(a["adc"] <= b["adc"] + 1e-9 for a, b in zip(rs, rs[1:]))
+    # recall vs exact L2: brute-force in python at sf0.001
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    hits = 0
+    for qid, rs in by_q.items():
+        q = emb[qid]
+        d = sorted(
+            (sum((a - b) ** 2 for a, b in zip(v, q)), vid)
+            for vid, v in emb.items()
+            if vid != qid
+        )[:10]
+        exact = {vid for _, vid in d}
+        hits += len(exact & {r["vec_id"] for r in rs})
+    # chance is ~10/499 ≈ 2% (1/50); k=4 codebooks are deliberately
+    # coarse (256 code tuples for 500 vectors) — observed ≈22%
+    assert hits >= 8, f"ADC recall at/below chance: {hits}/50"
