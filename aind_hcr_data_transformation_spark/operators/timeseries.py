@@ -133,16 +133,23 @@ def ts_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    wn = (
+    # the "next observation" side runs as last-ignore-nulls over the
+    # REVERSE-ordered running frame, NOT first-ignore-nulls over
+    # [current, unbounded following]: Spark's unbounded-following frame
+    # with ignore-nulls rescans the partition tail per row (O(n²) per
+    # user — measured 8.1 s vs 0.8 s on this query at sf0.1), while
+    # running frames accumulate incrementally in O(n). Same values, same
+    # oracle (DuckDB's segment tree is fine either way).
+    wr = (
         Window.partitionBy("user_id")
-        .orderBy("bucket")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     obs_bucket = F.when(F.col("obs").isNotNull(), F.col("bucket"))
     prev_v = F.last("obs", ignorenulls=True).over(wp)
     prev_b = F.last(obs_bucket, ignorenulls=True).over(wp)
-    next_v = F.first("obs", ignorenulls=True).over(wn)
-    next_b = F.first(obs_bucket, ignorenulls=True).over(wn)
+    next_v = F.last("obs", ignorenulls=True).over(wr)
+    next_b = F.last(obs_bucket, ignorenulls=True).over(wr)
     frac = (
         (F.unix_micros(F.col("bucket")) - F.unix_micros(prev_b)).cast("double")
         / (F.unix_micros(next_b) - F.unix_micros(prev_b)).cast("double")

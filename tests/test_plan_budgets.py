@@ -108,11 +108,12 @@ BUDGETS = {
     # ONE brand shuffle + in-partition window sort — no self-join (the
     # quadratic NOT EXISTS spec lives only in the oracle)
     "skyline_pareto": (1, 0),
-    # PQ training chain (persisted subplans overcount) + code pivot +
-    # final top-k window; the 80-row LUT and the codebooks must
-    # broadcast — the code table crosses ZERO shuffles between pivot
-    # and window
-    "pq_adc_topk": (18, 7),
+    # PQ training chain reprints under BOTH consumers (the LUT build and
+    # the code pivot) and under each of the 4 broadcast code joins —
+    # true runtime shuffles ≈ 12 (training + pivot + top-k window); the
+    # 80-row LUT and the codebooks must broadcast — the code table
+    # crosses ZERO shuffles between pivot and window
+    "pq_adc_topk": (52, 7),
 }
 
 
