@@ -11,7 +11,7 @@ Spark's job).
 
 ``reader="czifile"`` is the production path: the ``czifile`` package when
 installed (full codec support), else the vendored pure-Python ZISRAW
-reader (:mod:`.zisraw`, uncompressed subblocks) — real CZI binaries
+reader (:mod:`.zisraw`, uncompressed + zstd subblocks) — real CZI binaries
 decode either way. ``reader="synthetic"`` generates the deterministic
 voxel ramp of FIXTURES.md B2 through the SAME schema/batching path, for
 fixture-free tests and benches of the distributed mechanisms (index,
@@ -143,7 +143,7 @@ def _read_slab_czifile(path: str, z0: int, z1: int) -> np.ndarray:
 
     Backend selection: the ``czifile`` package when installed (full codec
     support, compressed stacks); otherwise the vendored pure-Python
-    ZISRAW reader (:mod:`.zisraw`, uncompressed subblocks only) — both
+    ZISRAW reader (:mod:`.zisraw`, uncompressed + zstd subblocks) — both
     expose the same subblock-directory surface, so the slab logic
     (z-window filter, scrambled-directory sort, squeeze/stack) below is
     backend-agnostic. ``tests/test_zisraw.py`` decodes real spec-format

@@ -1,5 +1,6 @@
-"""Vendored minimal ZISRAW (Zeiss CZI) container codec — pure Python,
-uncompressed subblocks only.
+"""Vendored minimal ZISRAW (Zeiss CZI) container codec — pure Python;
+uncompressed and zstd (modes 5/6, incl. hi-lo byte planing) subblocks.
+JPEG / JPEG-XR subblocks still require czifile + imagecodecs.
 
 Why this exists: the production slab reader (``czi.py::_read_slab_czifile``,
 mirroring ``read_slices_czi``, reference ``utils/utils.py:284-395``) needs a
@@ -7,7 +8,10 @@ CZI decoder, and the ``czifile`` package is not installable in every
 deployment (not in this CI container). This module implements the subset of
 the **public ZISRAW file-format specification** (Zeiss, "ZISRAW (CZI) File
 Format Design specification"; the same layout the open-source ``czifile``
-reader consumes) required to decode uncompressed subblock data:
+reader consumes) required to decode subblock data (uncompressed, or
+zstd-compressed via pyarrow's bundled codec — modes 5 "zstd0" and 6
+"zstd1" with the optional hi/lo byte-planing preprocessing header
+documented by the public libCZI decoder):
 
 - 32-byte segment headers (``Id:16s  AllocatedSize:q  UsedSize:q``, little
   endian, segments 32-byte aligned),
@@ -54,6 +58,44 @@ _PIXEL_TYPE_TO_DTYPE = {0: "uint8", 1: "uint16", 4: "float32"}
 _DTYPE_TO_PIXEL_TYPE = {v: k for k, v in _PIXEL_TYPE_TO_DTYPE.items()}
 
 _COMPRESSION_NONE = 0
+#: public ZISRAW / libCZI compression mode ids: 1 = JPEG, 4 = JPEG-XR
+#: (both need imagecodecs — not decodable here), 5 = zstd raw frame,
+#: 6 = zstd with a small preprocessing header (optional hi/lo byte
+#: planing of 16-bit pixels before compression).
+_COMPRESSION_ZSTD0 = 5
+_COMPRESSION_ZSTD1 = 6
+
+
+def _zstd_codec():
+    """pyarrow's bundled zstd codec, or None if unavailable — the
+    import-try gate pattern used throughout sinks/codecs.py."""
+    try:  # pragma: no cover - pyarrow is baked into this environment
+        import pyarrow as pa
+
+        if pa.Codec.is_available("zstd"):
+            return pa.Codec("zstd")
+    except Exception:
+        pass
+    return None
+
+
+def _zstd1_split_header(payload: bytes) -> tuple[bytes, bool]:
+    """Split a zstd1 payload into (zstd stream, hi-lo-packed?).
+
+    Per the public libCZI decoder: byte 0 is the header size (counting
+    itself); if the header carries a chunk of type 1, its flag byte's
+    bit 0 enables hi/lo byte planing (all low bytes, then all high
+    bytes, of the 16-bit pixels — packed BEFORE compression, so undo
+    AFTER decompression)."""
+    if not payload:
+        raise ValueError("empty zstd1 subblock payload")
+    hdr = payload[0]
+    if hdr < 1 or hdr > len(payload):
+        raise ValueError(f"bad zstd1 header size {hdr}")
+    hilo = False
+    if hdr >= 3 and payload[1] == 1:
+        hilo = bool(payload[2] & 1)
+    return payload[hdr:], hilo
 
 
 @dataclass
@@ -93,12 +135,14 @@ class SubBlockEntry:
         return self
 
     def data(self) -> np.ndarray:
-        """Decode this subblock's pixel payload (uncompressed only).
+        """Decode this subblock's pixel payload (uncompressed, zstd0, or
+        zstd1 — JPEG/JPEG-XR still need czifile+imagecodecs).
 
         Opens its own file handle — ``_read_slab_czifile`` fetches
         subblocks from a thread pool, and per-call handles make the
         reader trivially thread-safe (no shared seek position)."""
-        if self.compression != _COMPRESSION_NONE:
+        zstd_modes = (_COMPRESSION_ZSTD0, _COMPRESSION_ZSTD1)
+        if self.compression != _COMPRESSION_NONE and self.compression not in zstd_modes:
             raise NotImplementedError(
                 f"compressed subblock (compression={self.compression}); "
                 "install czifile+imagecodecs for compressed CZI stacks"
@@ -142,8 +186,35 @@ class SubBlockEntry:
                 + meta_size
             )
             raw = fh.read(data_size)
-        arr = np.frombuffer(raw, dtype=dtype)
         expect = int(np.prod(self.stored_shape))
+        if self.compression in zstd_modes:
+            codec = _zstd_codec()
+            if codec is None:
+                raise NotImplementedError(
+                    "zstd subblock needs pyarrow's zstd codec "
+                    "(pyarrow.Codec('zstd') unavailable)"
+                )
+            itemsize = np.dtype(dtype).itemsize
+            nbytes = expect * itemsize
+            hilo = False
+            if self.compression == _COMPRESSION_ZSTD1:
+                raw, hilo = _zstd1_split_header(raw)
+            buf = codec.decompress(bytes(raw), decompressed_size=nbytes, asbytes=True)
+            if hilo:
+                if itemsize != 2:
+                    raise ValueError(
+                        f"zstd1 hi-lo byte planing on {itemsize}-byte pixels"
+                    )
+                half = nbytes // 2
+                planes = np.frombuffer(buf, dtype=np.uint8)
+                out = np.empty(nbytes, dtype=np.uint8)
+                out[0::2] = planes[:half]  # low bytes (little-endian)
+                out[1::2] = planes[half:]
+                arr = out.view(dtype)
+            else:
+                arr = np.frombuffer(buf, dtype=dtype)
+        else:
+            arr = np.frombuffer(raw, dtype=dtype)
         if arr.size != expect:
             raise ValueError(
                 f"subblock payload holds {arr.size} px, directory says {expect}"
@@ -280,13 +351,13 @@ def _segment(sid: bytes, payload: bytes) -> bytes:
 
 def _dv_entry(
     arr: np.ndarray, z: int, file_position: int, pixel_type: int,
-    y0: int = 0, x0: int = 0,
+    y0: int = 0, x0: int = 0, compression: int = _COMPRESSION_NONE,
 ) -> bytes:
     dims = [("C", 0, 1, 1), ("Z", z, 1, 1),
             ("Y", y0, arr.shape[0], arr.shape[0]),
             ("X", x0, arr.shape[1], arr.shape[1])]
     out = _DV_FIXED.pack(
-        b"DV", pixel_type, file_position, 0, _COMPRESSION_NONE, 0, b"\0" * 5,
+        b"DV", pixel_type, file_position, 0, compression, 0, b"\0" * 5,
         len(dims),
     )
     for name, start, size, stored in dims:
@@ -299,6 +370,7 @@ def write_czi(
     path: str,
     planes: dict[int, np.ndarray],
     metadata_xml: str = "<ImageDocument><Metadata/></ImageDocument>",
+    compression: int = _COMPRESSION_NONE,
 ) -> None:
     """Write a spec-conformant single-file CZI: one uncompressed subblock
     per z-plane (``planes``: z → 2-D array, written in the dict's
@@ -307,7 +379,7 @@ def write_czi(
     header pointing at both. For multi-tile (mosaic) planes use
     :func:`write_czi_tiles`."""
     write_czi_tiles(
-        path, {(z, 0, 0): a for z, a in planes.items()}, metadata_xml
+        path, {(z, 0, 0): a for z, a in planes.items()}, metadata_xml, compression
     )
 
 
@@ -315,10 +387,14 @@ def write_czi_tiles(
     path: str,
     tiles: dict[tuple[int, int, int], np.ndarray],
     metadata_xml: str = "<ImageDocument><Metadata/></ImageDocument>",
+    compression: int = _COMPRESSION_NONE,
 ) -> None:
     """Mosaic-capable writer: ``tiles`` maps (z, y0, x0) → 2-D tile —
     the multi-subblock-per-plane layout real scope acquisitions use.
-    Tiles may differ in shape; dtype must be uniform (axes ``CZYX``)."""
+    Tiles may differ in shape; dtype must be uniform (axes ``CZYX``).
+    ``compression``: 0 (uncompressed), 5 (zstd0 raw frame), or 6 (zstd1
+    — 16-bit tiles get the hi/lo byte-planing header real Zeiss
+    acquisitions use, other dtypes a plain 1-byte header)."""
     zs = list(tiles)
     if not zs:
         raise ValueError("need at least one tile")
@@ -345,11 +421,35 @@ def write_czi_tiles(
     chunks.append(header)
     pos += len(header)
 
+    if compression not in (_COMPRESSION_NONE, _COMPRESSION_ZSTD0, _COMPRESSION_ZSTD1):
+        raise ValueError(f"unsupported writer compression {compression}")
+    codec = None
+    if compression != _COMPRESSION_NONE:
+        codec = _zstd_codec()
+        if codec is None:
+            raise NotImplementedError(
+                "zstd writing needs pyarrow's zstd codec"
+            )
+
     dir_entries: list[bytes] = []
     for z, y0, x0 in zs:
         arr = np.ascontiguousarray(tiles[(z, y0, x0)])
-        entry = _dv_entry(arr, z, pos, pixel_type, y0, x0)
+        entry = _dv_entry(arr, z, pos, pixel_type, y0, x0, compression)
         data = arr.tobytes()
+        if compression == _COMPRESSION_ZSTD0:
+            data = codec.compress(data, asbytes=True)
+        elif compression == _COMPRESSION_ZSTD1:
+            if arr.dtype.itemsize == 2:
+                flat = np.frombuffer(data, dtype=np.uint8)
+                packed = np.empty(len(data), dtype=np.uint8)
+                half = len(data) // 2
+                packed[:half] = flat[0::2]  # low bytes first
+                packed[half:] = flat[1::2]
+                data = b"\x03\x01\x01" + codec.compress(
+                    packed.tobytes(), asbytes=True
+                )
+            else:
+                data = b"\x01" + codec.compress(data, asbytes=True)
         fixed = _SUBBLOCK_FIXED.pack(0, 0, len(data))
         pad = max(256, len(entry) + 16) - (_SUBBLOCK_FIXED.size + len(entry))
         seg = _segment(b"ZISRAWSUBBLOCK", fixed + entry + b"\0" * pad + data)

@@ -465,10 +465,11 @@ def test_embedded_entry_dims_govern_data_offset(tmp_path):
 
 
 def test_compressed_fixture_file_gates_loudly(tmp_path):
-    """An on-disk CZI whose subblock carries compression=2 (zstd) must
-    raise the documented NotImplementedError, naming the packages that
-    light up the path (czifile + imagecodecs), when decoded through the
-    normal directory-scan path — not garble pixels or fail obscurely."""
+    """An on-disk CZI whose subblock carries an undecodable compression
+    id (2 — not one of uncompressed/zstd0/zstd1) must raise the
+    documented NotImplementedError, naming the packages that light up
+    the path (czifile + imagecodecs), when decoded through the normal
+    directory-scan path — not garble pixels or fail obscurely."""
     from aind_hcr_data_transformation_spark.sources import zisraw as Z
 
     arr = np.arange(12, dtype=np.uint8).reshape(3, 4)
@@ -519,3 +520,100 @@ def test_compressed_fixture_file_gates_loudly(tmp_path):
         assert len(subs) == 1 and subs[0].compression == 2
         with pytest.raises(NotImplementedError, match="czifile"):
             subs[0].data()
+
+
+# ---------------------------------------------------------------------------
+# zstd-compressed subblocks (ZISRAW compression modes 5 / 6)
+# ---------------------------------------------------------------------------
+
+
+def test_zstd0_roundtrip_uint16(tmp_path):
+    """compression=5 (raw zstd frame) decodes voxel-exact, and the file
+    is actually smaller than the uncompressed twin for compressible
+    pixels (proves the payload really is compressed, not just flagged)."""
+    from aind_hcr_data_transformation_spark.sources import zisraw as Z
+
+    planes = {
+        z: synthetic_ramp_block(z, z + 1, 0, 32, 0, 24)[0] for z in range(4)
+    }
+    plain = str(tmp_path / "plain.czi")
+    comp = str(tmp_path / "zstd0.czi")
+    write_czi(plain, planes)
+    write_czi(comp, planes, compression=Z._COMPRESSION_ZSTD0)
+    import os
+
+    assert os.path.getsize(comp) < os.path.getsize(plain)
+    with MiniCziFile(comp) as czi:
+        subs = sorted(
+            czi.filtered_subblock_directory,
+            key=lambda e: e.start[e.axes.index("Z")],
+        )
+        assert all(s.compression == Z._COMPRESSION_ZSTD0 for s in subs)
+        for z, s in enumerate(subs):
+            np.testing.assert_array_equal(
+                s.data().reshape(32, 24), planes[z]
+            )
+
+
+def test_zstd1_roundtrip_hilo_uint16(tmp_path):
+    """compression=6 with the hi/lo byte-planing header (the layout real
+    Zeiss 16-bit acquisitions write) decodes voxel-exact."""
+    from aind_hcr_data_transformation_spark.sources import zisraw as Z
+
+    rng = np.random.default_rng(7)
+    planes = {
+        z: rng.integers(0, 65535, size=(17, 13), dtype=np.uint16)
+        for z in range(3)
+    }
+    path = str(tmp_path / "zstd1.czi")
+    write_czi(path, planes, compression=Z._COMPRESSION_ZSTD1)
+    with MiniCziFile(path) as czi:
+        subs = sorted(
+            czi.filtered_subblock_directory,
+            key=lambda e: e.start[e.axes.index("Z")],
+        )
+        for z, s in enumerate(subs):
+            assert s.compression == Z._COMPRESSION_ZSTD1
+            np.testing.assert_array_equal(s.data().reshape(17, 13), planes[z])
+
+
+def test_zstd1_roundtrip_plain_header_uint8(tmp_path):
+    """compression=6 on non-16-bit pixels uses the 1-byte header (no
+    byte planing) — the other branch of the header parse."""
+    from aind_hcr_data_transformation_spark.sources import zisraw as Z
+
+    planes = {0: np.arange(96, dtype=np.uint8).reshape(8, 12)}
+    path = str(tmp_path / "zstd1_u8.czi")
+    write_czi(path, planes, compression=Z._COMPRESSION_ZSTD1)
+    with MiniCziFile(path) as czi:
+        (s,) = czi.filtered_subblock_directory
+        np.testing.assert_array_equal(s.data().reshape(8, 12), planes[0])
+
+
+def test_convert_zstd_czi_stack_e2e(spark, tmp_path, no_czifile):
+    """The reference's core job on a zstd1-COMPRESSED CZI — the format
+    real Zeiss acquisitions ship — through the vendored decoder with
+    zero codec packages: voxel-exact at level 0."""
+    from aind_hcr_data_transformation_spark.pipeline import (
+        ZarrConversionSettings,
+        convert_czi_stack,
+        stack_is_complete,
+    )
+    from aind_hcr_data_transformation_spark.sinks.zarr_sink import read_array
+    from aind_hcr_data_transformation_spark.sources import zisraw as Z
+
+    nz, y, x = 8, 16, 12
+    planes = {z: synthetic_ramp_block(z, z + 1, 0, y, 0, x)[0] for z in range(nz)}
+    src = str(tmp_path / "zstd_stack.czi")
+    write_czi(src, planes, compression=Z._COMPRESSION_ZSTD1)
+
+    settings = ZarrConversionSettings(
+        output_directory=str(tmp_path / "out"),
+        chunk_size=(4, 8, 8),
+        scale_factor=(2, 2, 2),
+        downsample_levels=2,
+    )
+    group = convert_czi_stack(spark, settings, src)
+    assert stack_is_complete(group)
+    golden = synthetic_ramp_block(0, nz, 0, y, 0, x)
+    np.testing.assert_array_equal(read_array(f"{group}/0")[0, 0], golden)
