@@ -2,10 +2,12 @@
 
 Image/audio/video payloads are opaque ``BinaryType`` columns with typed
 metadata. The Spark-side machinery — schema, Arrow batching, ``mapInPandas``
-UDF signature, partitioning — is real and oracle-tested; the actual media
-*decode* is stubbed (:func:`decode_image`) because codec libraries are not
-in this container. Swapping the stub for PIL/ffmpeg changes one function,
-not the plan.
+UDF signature, partitioning — is real and oracle-tested. Media decode
+(:func:`decode_image`) decodes PNG FOR REAL through the vendored stdlib
+codec (``functions/png.py``, exercised end-to-end by
+``multimodal_png_decode``); other formats (JPEG, TIFF, video) gate
+loudly because their codec libraries are not in this container —
+swapping in PIL/ffmpeg changes one function, not the plan.
 
 Scale notes: binary payloads ride Arrow batches into Python once
 (``mapInPandas``), are hashed/measured vectorized, and never shuffle —
@@ -41,13 +43,20 @@ FEATURE_SCHEMA = T.StructType(
 def decode_image(payload: bytes) -> "object":
     """Decode an image payload into an ndarray.
 
-    STUB — media codecs are not available in this environment. The Spark
-    plumbing around it (binary column → Arrow batch → per-batch Python)
-    is real; plug PIL/imageio here for production.
+    PNG (8-bit grayscale, non-interlaced — any scanline filter) decodes
+    FOR REAL through the vendored stdlib codec
+    (``functions/png.py``; exercised end-to-end by
+    ``multimodal_png_decode``). Other formats gate loudly: general media
+    codecs (JPEG, TIFF, …) are not available in this environment — plug
+    PIL/imageio here for production.
     """
+    from ..functions.png import PNG_SIGNATURE, decode_png_gray8
+
+    if bytes(payload[:8]) == PNG_SIGNATURE:
+        return decode_png_gray8(bytes(payload))
     raise NotImplementedError(
-        "media decode is stubbed in this environment; "
-        "binary plumbing is exercised via extract_binary_features"
+        "only PNG (8-bit gray, non-interlaced) decodes in this "
+        "environment; plug PIL/imageio for other formats"
     )
 
 
@@ -540,3 +549,105 @@ GROUP BY doc_id, bigram
 
 QUERIES["udtf_doc_bigrams"] = udtf_doc_bigrams
 ORACLES["udtf_doc_bigrams"] = UDTF_DOC_BIGRAMS_SQL
+
+
+# ---------------------------------------------------------------------------
+# REAL image codec end-to-end: PNG encode → binary column → decode
+# ---------------------------------------------------------------------------
+
+_PNG_GRID = 64
+
+PNG_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pix_sum", T.LongType()),
+        T.StructField("pix_md5", T.StringType()),
+    ]
+)
+
+
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode done FOR REAL, not stubbed: each doc's deterministic
+    64×64 grayscale image (text bytes tiled, the fixture convention of
+    ``multimodal_thumbnail``) is encoded to an actual PNG — Paeth
+    filtering, CRC-checked chunks, DEFLATE payload — shipped through the
+    Arrow binary-column path, then decoded by :func:`decode_image`'s
+    vendored stdlib codec. The emitted stats (dims, pixel sum, md5 of
+    the decoded bytes) come from the DECODED array, so any codec bug
+    breaks the oracle match: the round-trip must be lossless for the
+    DuckDB twin (which computes the same stats straight from the text
+    bytes, never seeing a PNG) to agree.
+
+    Scale: one mapInPandas pass, no shuffle before the tiny result; the
+    PNG work is per-row CPU inside Arrow batches — exactly where a real
+    PIL/libvips decode would sit, with the same batch shape.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from ..functions.png import encode_png_gray8
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    media = docs.filter(F.length("text") >= 1).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    g = _PNG_GRID
+    flat = np.arange(g * g)
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids, sums, digests = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, np.uint8)
+                img = b[flat % len(b)].reshape(g, g)
+                png = encode_png_gray8(img, filter_type=4)
+                arr = decode_image(png)
+                ids.append(doc_id)
+                sums.append(int(arr.astype(np.int64).sum()))
+                digests.append(hashlib.md5(arr.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, np.int64),
+                    "width": np.full(n, g, np.int32),
+                    "height": np.full(n, g, np.int32),
+                    "pix_sum": np.asarray(sums, np.int64),
+                    "pix_md5": digests,
+                }
+            )
+
+    return media.mapInPandas(roundtrip, PNG_DECODE_SCHEMA)
+
+
+MULTIMODAL_PNG_DECODE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE octet_length(encode(text)) >= 1
+),
+grid AS (SELECT unnest(range(0, {_PNG_GRID * _PNG_GRID})) AS i),
+px AS (
+  SELECT d.doc_id,
+         ascii(substr(d.text,
+                      CAST((gi.i % octet_length(encode(d.text))) + 1 AS INTEGER),
+                      1)) AS v
+  FROM d CROSS JOIN grid gi
+)
+SELECT
+  p.doc_id,
+  CAST({_PNG_GRID} AS INTEGER) AS width,
+  CAST({_PNG_GRID} AS INTEGER) AS height,
+  CAST(sum(p.v) AS BIGINT) AS pix_sum,
+  md5(substr(repeat(d.text,
+                    CAST({_PNG_GRID * _PNG_GRID} // octet_length(encode(d.text))
+                         + 1 AS INTEGER)),
+             1, {_PNG_GRID * _PNG_GRID})) AS pix_md5
+FROM px p JOIN d ON p.doc_id = d.doc_id
+GROUP BY p.doc_id, d.text
+"""
+
+QUERIES["multimodal_png_decode"] = multimodal_png_decode
+ORACLES["multimodal_png_decode"] = MULTIMODAL_PNG_DECODE_SQL

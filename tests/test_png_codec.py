@@ -1,0 +1,78 @@
+"""The vendored stdlib PNG codec: real-format invariants the oracle
+can't see (it only proves the round-trip is lossless)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from aind_hcr_data_transformation_spark.functions.png import (
+    PNG_SIGNATURE,
+    decode_png_gray8,
+    encode_png_gray8,
+)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_roundtrip_every_filter(ftype):
+    """All five standard scanline filters invert exactly — including the
+    sequential Sub/Average/Paeth reconstructions."""
+    rng = np.random.default_rng(ftype)
+    arr = rng.integers(0, 256, size=(23, 17), dtype=np.uint8)
+    png = encode_png_gray8(arr, filter_type=ftype)
+    assert png[:8] == PNG_SIGNATURE
+    np.testing.assert_array_equal(decode_png_gray8(png), arr)
+
+
+def test_gradient_compresses_under_paeth():
+    """A smooth gradient must compress well under Paeth — evidence the
+    filter actually transforms the data, not just tags it."""
+    arr = np.add.outer(np.arange(64), np.arange(64)).astype(np.uint8)
+    plain = encode_png_gray8(arr, filter_type=0)
+    paeth = encode_png_gray8(arr, filter_type=4)
+    assert len(paeth) < len(plain)
+    np.testing.assert_array_equal(decode_png_gray8(paeth), arr)
+
+
+def test_crc_corruption_detected():
+    arr = np.zeros((4, 4), np.uint8)
+    png = bytearray(encode_png_gray8(arr))
+    png[20] ^= 0xFF  # flip a byte inside IHDR (after length+tag)
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_gray8(bytes(png))
+
+
+def test_unsupported_flavor_gates_loudly():
+    """A 16-bit-depth IHDR must raise the documented NotImplementedError
+    naming PIL, not misdecode."""
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    png = PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_png_gray8(png)
+
+
+def test_decode_image_dispatch():
+    """decode_image: PNG payloads decode for real; anything else raises
+    the documented gate."""
+    from aind_hcr_data_transformation_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    np.testing.assert_array_equal(
+        decode_image(encode_png_gray8(arr, filter_type=2)), arr
+    )
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\xff\xd8\xff\xe0 not a png")
