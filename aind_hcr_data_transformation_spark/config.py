@@ -14,9 +14,11 @@ from dataclasses import dataclass, field
 from typing import Any
 
 #: compressors the sink understands (CompressorName enum, models.py:17-20;
-#: blosc-zstd in the reference — zlib here because it is stdlib and a
-#: valid zarr v2 codec; numcodecs/blosc plugs in when available)
-SUPPORTED_COMPRESSORS = ("zlib", "none")
+#: blosc-zstd in the reference — "zstd" here is the same compression via
+#: pyarrow's bundled codec (numcodecs ``{"id": "zstd"}`` metadata, minus
+#: blosc's byte-shuffle wrapper); zlib is the stdlib-only fallback and
+#: numcodecs/blosc plugs in when available)
+SUPPORTED_COMPRESSORS = ("zlib", "zstd", "none")
 
 
 @dataclass
@@ -32,7 +34,11 @@ class ZarrConversionSettings:
     chunk_size: tuple[int, int, int] = (128, 128, 128)
     scale_factor: tuple[int, int, int] = (2, 2, 2)
     downsample_levels: int = 4
-    compressor_name: str = "zlib"
+    # zstd (pyarrow codec, numcodecs-standard metadata) is the default —
+    # the same compression the reference's blosc-zstd-3 uses, and ~5-10x
+    # faster than zlib on dense uint16 chunks; zlib remains the
+    # stdlib-only fallback
+    compressor_name: str = "zstd"
     compressor_kwargs: dict[str, Any] = field(default_factory=lambda: {"level": 3})
     target_size_mb: int = 19_200
     s3_location: str | None = None

@@ -29,6 +29,9 @@ def make_compressor_meta(
     kwargs = kwargs or {}
     if name == "zlib":
         return {"id": "zlib", "level": kwargs.get("level", 3)}
+    if name == "zstd":
+        _require_pyarrow_zstd()
+        return {"id": "zstd", "level": kwargs.get("level", 3)}
     if name == "blosc":
         _require_numcodecs()
         return {"id": "blosc", **{**BLOSC_DEFAULTS, **kwargs}}
@@ -50,6 +53,26 @@ def _require_numcodecs():
         ) from exc
 
 
+def _require_pyarrow_zstd():
+    """pyarrow's bundled zstd codec (always present in this container;
+    import-gated for portability). Writes the standard numcodecs
+    ``{"id": "zstd", "level": n}`` zarr v2 metadata — the compression
+    the reference's Blosc default actually uses, minus the byte-shuffle
+    wrapper — and the frames embed their content size, so numcodecs'
+    Zstd reads them back."""
+    try:
+        import pyarrow as pa
+
+        if pa.Codec.is_available("zstd"):
+            return pa
+    except ImportError:
+        pass
+    raise NotImplementedError(
+        "zstd compression requires pyarrow's zstd codec; use "
+        "compressor='zlib' — chunks stay readable by any zarr v2 client"
+    )
+
+
 def _blosc(meta: dict[str, Any]):
     numcodecs = _require_numcodecs()
     return numcodecs.Blosc(
@@ -65,16 +88,33 @@ def compress(raw: bytes, meta: dict[str, Any] | None) -> bytes:
         return raw
     if meta["id"] == "zlib":
         return zlib.compress(raw, meta.get("level", 3))
+    if meta["id"] == "zstd":
+        pa = _require_pyarrow_zstd()
+        return pa.Codec("zstd", compression_level=meta.get("level", 3)).compress(
+            raw, asbytes=True
+        )
     if meta["id"] == "blosc":
         return _blosc(meta).encode(raw)
     raise ValueError(f"unsupported compressor meta {meta!r}")
 
 
-def decompress(raw: bytes, meta: dict[str, Any] | None) -> bytes:
+def decompress(
+    raw: bytes, meta: dict[str, Any] | None, nbytes: int | None = None
+) -> bytes:
+    """``nbytes`` (the chunk's raw byte count — always known in zarr v2:
+    chunks are stored full-size) is required by the zstd path: pyarrow's
+    single-shot decompress wants the destination size up front."""
     if meta is None:
         return raw
     if meta["id"] == "zlib":
         return zlib.decompress(raw)
+    if meta["id"] == "zstd":
+        if nbytes is None:
+            raise ValueError("zstd chunk decode needs the expected byte count")
+        pa = _require_pyarrow_zstd()
+        return pa.Codec("zstd").decompress(
+            raw, decompressed_size=nbytes, asbytes=True
+        )
     if meta["id"] == "blosc":
         return bytes(_blosc(meta).decode(raw))
     raise ValueError(f"unsupported compressor meta {meta!r}")

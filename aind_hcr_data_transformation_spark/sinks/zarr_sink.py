@@ -167,7 +167,11 @@ def read_array(url: str) -> np.ndarray:
         chunk_file = store.join(path, *[str(i) for i in idx])
         if not store.exists(chunk_file):
             continue
-        raw = decompress(store.read_bytes(chunk_file), comp)
+        raw = decompress(
+            store.read_bytes(chunk_file),
+            comp,
+            nbytes=int(np.prod(chunks)) * dtype.itemsize,
+        )
         tile = np.frombuffer(raw, dtype=dtype).reshape(tuple(chunks))
         out[sl] = tile[tuple(slice(0, s.stop - s.start) for s in sl)]
     return out

@@ -138,7 +138,7 @@ def test_codec_roundtrip_matrix(tmp_path):
     import pytest
 
     data = np.arange(64, dtype=np.uint16).reshape(8, 8)
-    for comp in ("zlib", "none", "blosc"):
+    for comp in ("zlib", "zstd", "none", "blosc"):
         p = str(tmp_path / f"arr_{comp}")
         try:
             init_array(p, (8, 8), (4, 4), "uint16", compressor=comp)
@@ -147,3 +147,27 @@ def test_codec_roundtrip_matrix(tmp_path):
             continue
         write_region(p, (0, 0), data)
         np.testing.assert_array_equal(read_array(p), data)
+
+
+def test_zstd_chunks_are_standard_frames(tmp_path):
+    """zstd chunks carry numcodecs-standard metadata and decode as plain
+    zstd frames with the embedded content size — any zarr v2 client with
+    numcodecs' Zstd codec reads them (here: pyarrow itself plays the
+    foreign reader, given only the frame and the chunk geometry)."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+
+    p = str(tmp_path / "arr_zstd_meta")
+    meta = init_array(p, (4, 4), (4, 4), "uint16", compressor="zstd")
+    assert meta["compressor"] == {"id": "zstd", "level": 3}
+    assert json.load(open(f"{p}/.zarray"))["compressor"]["id"] == "zstd"
+    data = np.arange(16, dtype=np.uint16).reshape(4, 4)
+    write_region(p, (0, 0), data)
+    raw = pa.Codec("zstd").decompress(
+        open(f"{p}/0/0", "rb").read(), decompressed_size=32, asbytes=True
+    )
+    np.testing.assert_array_equal(
+        np.frombuffer(raw, np.uint16).reshape(4, 4), data
+    )
