@@ -584,44 +584,45 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     PNG work is per-row CPU inside Arrow batches — exactly where a real
     PIL/libvips decode would sit, with the same batch shape.
     """
-    import hashlib
-
-    import numpy as np
-
-    from ..functions.png import encode_png_gray8
-
     docs = load_table(spark, sf_dir, "documents", spread=True)
     media = docs.filter(F.length("text") >= 1).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
+    return media.mapInPandas(_png_roundtrip, PNG_DECODE_SCHEMA)
+
+
+def _png_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The PNG encode→decode kernel shared verbatim by the batch query
+    and ``streaming.events.stream_png_decode`` (the batch/streaming twin
+    pattern — one implementation, two runtimes)."""
+    import numpy as np
+
+    from ..functions.png import encode_png_gray8
+
     g = _PNG_GRID
     flat = np.arange(g * g)
-
-    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                continue
-            ids, sums, digests = [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = np.frombuffer(payload, np.uint8)
-                img = b[flat % len(b)].reshape(g, g)
-                png = encode_png_gray8(img, filter_type=4)
-                arr = decode_image(png)
-                ids.append(doc_id)
-                sums.append(int(arr.astype(np.int64).sum()))
-                digests.append(hashlib.md5(arr.tobytes()).hexdigest())
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.asarray(ids, np.int64),
-                    "width": np.full(n, g, np.int32),
-                    "height": np.full(n, g, np.int32),
-                    "pix_sum": np.asarray(sums, np.int64),
-                    "pix_md5": digests,
-                }
-            )
-
-    return media.mapInPandas(roundtrip, PNG_DECODE_SCHEMA)
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        ids, sums, digests = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(payload, np.uint8)
+            img = b[flat % len(b)].reshape(g, g)
+            png = encode_png_gray8(img, filter_type=4)
+            arr = decode_image(png)
+            ids.append(doc_id)
+            sums.append(int(arr.astype(np.int64).sum()))
+            digests.append(hashlib.md5(arr.tobytes()).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, np.int64),
+                "width": np.full(n, g, np.int32),
+                "height": np.full(n, g, np.int32),
+                "pix_sum": np.asarray(sums, np.int64),
+                "pix_md5": digests,
+            }
+        )
 
 
 MULTIMODAL_PNG_DECODE_SQL = f"""

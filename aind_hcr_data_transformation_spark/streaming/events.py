@@ -715,3 +715,49 @@ WHERE bucket + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
 
 QUERIES["stream_ohlc"] = stream_ohlc
 ORACLES["stream_ohlc"] = _stream_ohlc_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming multimodal ingest: binary columns + real PNG decode on a stream
+# ---------------------------------------------------------------------------
+
+
+def stream_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous multimodal ingest: the documents table as a file
+    stream, each row's payload encoded to a real PNG and decoded back by
+    the SAME ``mapInPandas`` kernel the batch query uses
+    (``multimodal._png_roundtrip`` — one implementation, two runtimes).
+    Stateless transform, append mode: binary columns ride Arrow batches
+    through Python on a stream exactly as in batch, no state store.
+
+    Production shape: the parquet source becomes a Kafka topic of blob
+    references or inline payloads; the decode kernel is unchanged.
+    """
+    from ..operators.multimodal import PNG_DECODE_SCHEMA, _png_roundtrip
+    from ..tables import SCHEMAS
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    media = raw.filter(F.length("text") >= 1).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    decoded = media.mapInPandas(_png_roundtrip, PNG_DECODE_SCHEMA).select(
+        "doc_id", "pix_sum", "pix_md5"
+    )
+    return _run_to_memory_sink(decoded, "stream_png", "append")
+
+
+def _stream_png_oracle() -> str:
+    from ..operators.multimodal import MULTIMODAL_PNG_DECODE_SQL
+
+    return f"""
+SELECT doc_id, pix_sum, pix_md5 FROM ({MULTIMODAL_PNG_DECODE_SQL})
+"""
+
+
+QUERIES["stream_png_decode"] = stream_png_decode
+ORACLES["stream_png_decode"] = _stream_png_oracle()
