@@ -377,3 +377,123 @@ ORACLES = {
     "ts_ewma_fold": TS_EWMA_FOLD_SQL,
     "ts_rolling_anomaly": TS_ROLLING_ANOMALY_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Per-key OLS trend fit
+# ---------------------------------------------------------------------------
+
+
+def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordinary-least-squares trend of value over time:
+    slope (per hour), intercept (value at the user's first event), and
+    R² — the drift-detection statistic behind "is this metric trending".
+
+    Determinism: x is the INTEGER microsecond offset from the user's
+    first event (exact), and every moment (Σx, Σx², Σy, Σxy, Σy²) is an
+    exact decimal sum — float accumulation order never enters. The
+    closed-form solve then runs in double on identical inputs with an
+    identical expression tree on both engines. Zero-variance users
+    (n < 2 or all events at one timestamp) yield NULL slope via nullif,
+    identically.
+
+    One shuffle: the partition-only window that supplies min(ts) rides
+    the same user_id exchange the aggregate uses.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    x = F.unix_micros(F.col("ts")) - F.unix_micros(F.min("ts").over(w))
+    based = ev.select(
+        "user_id",
+        x.alias("x"),
+        F.col("value").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    agg = based.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        # x² in DOUBLE first: microsecond offsets square past int64; the
+        # double product rounds identically on both engines, then sums
+        # exactly as decimal
+        F.sum(dec(F.col("x").cast("double") * F.col("x").cast("double"))).alias(
+            "sxx"
+        ),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x").cast("double") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    den = F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    slope_us = (n * sxy - sx * sy) / den
+    intercept = (sy - slope_us * sx) / n
+    sst = F.nullif(n * syy - sy * sy, F.lit(0.0))
+    r2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) / (den * sst)
+    return agg.select(
+        "user_id",
+        "n",
+        dround(slope_us * F.lit(3.6e9), 6).alias("slope_per_hour"),
+        dround(intercept, 4).alias("intercept"),
+        dround(r2, 6).alias("r2"),
+    )
+
+
+TS_LINEAR_TREND_SQL = f"""
+WITH based AS (
+  SELECT
+    user_id,
+    epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id) AS x,
+    value AS y
+  FROM events
+),
+m AS (
+  SELECT
+    user_id,
+    count(*) AS n,
+    sum(CAST(x AS DECIMAL(38,6))) AS sx,
+    sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,6))) AS sxx,
+    sum(CAST(y AS DECIMAL(38,6))) AS sy,
+    sum(CAST(CAST(x AS DOUBLE) * y AS DECIMAL(38,6))) AS sxy,
+    sum(CAST(y * y AS DECIMAL(38,6))) AS syy
+  FROM based
+  GROUP BY user_id
+),
+d AS (
+  SELECT
+    user_id,
+    n,
+    CAST(n AS DOUBLE) AS nd,
+    CAST(sx AS DOUBLE) AS sxd,
+    CAST(sxx AS DOUBLE) AS sxxd,
+    CAST(sy AS DOUBLE) AS syd,
+    CAST(sxy AS DOUBLE) AS sxyd,
+    CAST(syy AS DOUBLE) AS syyd
+  FROM m
+),
+s AS (
+  SELECT
+    user_id,
+    n,
+    nd,
+    sxd,
+    syd,
+    nullif(nd * sxxd - sxd * sxd, 0.0) AS den,
+    nullif(nd * syyd - syd * syd, 0.0) AS sst,
+    nd * sxyd - sxd * syd AS num
+  FROM d
+)
+SELECT
+  user_id,
+  n,
+  {sql_round('(num / den) * 3600000000.0', 6)} AS slope_per_hour,
+  {sql_round('(syd - (num / den) * sxd) / nd', 4)} AS intercept,
+  {sql_round('(num * num) / (den * sst)', 6)} AS r2
+FROM s
+"""
+
+QUERIES["ts_linear_trend"] = ts_linear_trend
+ORACLES["ts_linear_trend"] = TS_LINEAR_TREND_SQL

@@ -114,6 +114,9 @@ BUDGETS = {
     # 80-row LUT and the codebooks must broadcast — the code table
     # crosses ZERO shuffles between pivot and window
     "pq_adc_topk": (52, 7),
+    # ONE user shuffle: the partition-only min(ts) window and the moment
+    # aggregate ride the same exchange
+    "ts_linear_trend": (1, 0),
 }
 
 

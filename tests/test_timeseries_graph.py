@@ -246,3 +246,31 @@ def test_adc_search_matches_exact_l2_on_codes(spark, queries):
     # chance is ~10/499 ≈ 2% (1/50); k=4 codebooks are deliberately
     # coarse (256 code tuples for 500 vectors) — observed ≈22%
     assert hits >= 8, f"ADC recall at/below chance: {hits}/50"
+
+
+def test_linear_trend_matches_numpy_polyfit(spark, queries):
+    """R² ∈ [0, 1]; slope/intercept agree with numpy's OLS fit computed
+    independently per user (loose tolerance — numpy solves via SVD, we
+    use the closed form)."""
+    import numpy as np
+
+    rows = {r["user_id"]: r for r in queries["ts_linear_trend"](spark, SF_DIR).collect()}
+    assert rows
+    ev = defaultdict(list)
+    for r in load_table(spark, SF_DIR, "events").collect():
+        ev[r["user_id"]].append((r["ts"], r["value"]))
+    for user, pts in list(ev.items())[:10]:
+        got = rows[user]
+        if got["r2"] is not None:
+            assert -1e-9 <= got["r2"] <= 1 + 1e-9
+        if len(pts) < 2:
+            continue
+        t0 = min(t for t, _ in pts)
+        x = np.array([(t - t0).total_seconds() / 3600.0 for t, _ in pts])
+        y = np.array([v for _, v in pts])
+        if np.ptp(x) == 0:
+            assert got["slope_per_hour"] is None
+            continue
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(got["slope_per_hour"] - slope) <= 1e-3 * max(1, abs(slope))
+        assert abs(got["intercept"] - intercept) <= 1e-3 * max(1, abs(intercept))
