@@ -479,3 +479,200 @@ ORACLES = {
     "ivf_kmeans_ann": IVF_ANN_SQL,
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed production ANN index (coarse cells + ADC codes)
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FAISS-style IVFADC read path (Jégou et al. 2011): the IVF
+    coarse quantizer restricts each query to its ``_NPROBE`` nearest
+    cells, and ranking inside those cells runs on 4-byte PQ codes via
+    per-query lookup tables — vectors are touched only at train time.
+    This composes the two trainers this module family already proves
+    (:func:`_train` here, ``vectorops._pq_train``) into one index.
+
+    Plan: both codebooks broadcast; the code table joins the cell
+    assignment on vec_id, the probe list (5 queries × nprobe cells,
+    broadcast) prunes candidates by cell, then 4 broadcast LUT joins and
+    a per-query top-k window. The only large-side shuffles are the
+    trainers' own aggregates — search adds none before the final window.
+    At 100 TB: cells shard the corpus (n/k vectors each), codes are 16×
+    smaller than the embeddings, and the probe list bounds read volume
+    per query — the reason this is THE production ANN layout.
+    """
+    from .vectorops import _PQ_M, _pq_train, _sq_l2
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", "embedding"
+    )
+    ivf_cb = _train(emb)
+    assigned = _assign(emb, ivf_cb).select("vec_id", "cluster")
+    pq_cb, pq_final = _pq_train(spark, sf_dir)
+
+    cents = ivf_cb.select(
+        "cluster", "cemb", spark_dot(F.col("cemb"), F.col("cemb")).alias("c2")
+    )
+    qw = Window.partitionBy("vec_id").orderBy("score", "cluster")
+    probe = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cluster",
+            (
+                F.col("c2")
+                - F.lit(2) * spark_dot(F.col("embedding"), F.col("cemb"))
+            ).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= _NPROBE)
+        .select(F.col("vec_id").alias("qid"), "cluster")
+    )
+
+    from .vectorops import _PQ_SUB
+
+    qsub = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.slice("embedding", m * _PQ_SUB + 1, _PQ_SUB).alias(
+                                "qemb"
+                            ),
+                        )
+                        for m in range(_PQ_M)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("qid", F.col("s.m").alias("m"), F.col("s.qemb").alias("qemb"))
+    )
+    lut = qsub.join(F.broadcast(pq_cb), "m").select(
+        "qid", "m", "cluster", _sq_l2(F.col("qemb"), F.col("cemb")).alias("d")
+    )
+
+    codes = pq_final.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("cluster")))
+            .cast("int")
+            .alias(f"code{m}")
+            for m in range(_PQ_M)
+        ]
+    )
+    cand = (
+        codes.join(assigned, "vec_id")
+        .join(F.broadcast(probe), "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+    )
+    res = cand
+    for m in range(_PQ_M):
+        lm = lut.filter(F.col("m") == m).select(
+            F.col("qid").alias(f"q{m}"),
+            F.col("cluster").alias(f"cl{m}"),
+            F.col("d").alias(f"d{m}"),
+        )
+        res = res.join(
+            F.broadcast(lm),
+            (F.col("qid") == F.col(f"q{m}"))
+            & (F.col(f"code{m}") == F.col(f"cl{m}")),
+        ).drop(f"q{m}", f"cl{m}")
+    adc = (
+        F.col("d0").cast("decimal(30,10)")
+        + F.col("d1").cast("decimal(30,10)")
+        + F.col("d2").cast("decimal(30,10)")
+        + F.col("d3").cast("decimal(30,10)")
+    )
+    scored = res.select("qid", "vec_id", adc.alias("adc_dec"))
+    w = Window.partitionBy("qid").orderBy("adc_dec", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "qid",
+            "vec_id",
+            "rank",
+            F.round("adc_dec", 6).cast("double").alias("adc"),
+        )
+    )
+
+
+def _build_ivfpq_oracle() -> str:
+    from .vectorops import _PQ_ITERS, _PQ_M, _PQ_SUB, _pq_ctes, _sql_pq_err_off
+
+    final = _ITERS
+    pq_ctes = ",".join(_pq_ctes())
+    lut_ctes = []
+    for m in range(_PQ_M):
+        off = m * _PQ_SUB
+        lut_ctes.append(
+            f"""lut{m} AS (
+  SELECT q.qid, c.cluster,
+         ({_sql_pq_err_off('q.embedding', 'c.cemb', off)}) AS d
+  FROM ivq q CROSS JOIN pc{m}_{_PQ_ITERS} c
+)"""
+        )
+    code_joins = " ".join(
+        f"JOIN pf{m} f{m} ON f0.vec_id = f{m}.vec_id" for m in range(1, _PQ_M)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut{m} l{m} ON l{m}.qid = l0.qid AND l{m}.cluster = f{m}.code{m}"
+        for m in range(1, _PQ_M)
+    )
+    adc = " + ".join(f"CAST(l{m}.d AS DECIMAL(30,10))" for m in range(_PQ_M))
+    return f"""
+WITH {_sql_train_ctes()},
+{pq_ctes},
+iassigned AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_score('e.embedding', 'c.cemb')}, c.cluster
+           ) AS rn
+    FROM embeddings e CROSS JOIN c{final} c
+  ) WHERE rn = 1
+),
+iprobe AS (
+  SELECT qid, cluster FROM (
+    SELECT e.vec_id AS qid, c.cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_score('e.embedding', 'c.cemb')}, c.cluster
+           ) AS rn
+    FROM embeddings e CROSS JOIN c{final} c
+    WHERE e.vec_id < {_N_QUERIES}
+  ) WHERE rn <= {_NPROBE}
+),
+ivq AS (
+  SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+{','.join(lut_ctes)},
+scored AS (
+  SELECT p.qid, f0.vec_id, ({adc}) AS adc_dec
+  FROM pf0 f0 {code_joins}
+  JOIN iassigned ia ON ia.vec_id = f0.vec_id
+  JOIN iprobe p ON p.cluster = ia.cluster
+  JOIN lut0 l0 ON l0.qid = p.qid AND l0.cluster = f0.code0
+  {lut_joins}
+  WHERE f0.vec_id <> p.qid
+)
+SELECT qid, vec_id, rank, CAST(round(adc_dec, 6) AS DOUBLE) AS adc
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_dec, vec_id) AS rank
+  FROM scored
+)
+WHERE rank <= {_TOP_K}
+"""
+
+
+IVFPQ_SQL = _build_ivfpq_oracle()
+
+QUERIES["ivfpq_search"] = ivfpq_search
+ORACLES["ivfpq_search"] = IVFPQ_SQL

@@ -274,3 +274,43 @@ def test_linear_trend_matches_numpy_polyfit(spark, queries):
         slope, intercept = np.polyfit(x, y, 1)
         assert abs(got["slope_per_hour"] - slope) <= 1e-3 * max(1, abs(slope))
         assert abs(got["intercept"] - intercept) <= 1e-3 * max(1, abs(intercept))
+
+
+def test_ivfpq_candidates_respect_cells(spark, queries):
+    """Every IVF-PQ hit must come from one of its query's probed cells
+    (recomputed independently), ranks are 1..3 per query, and ADC ≥ 0."""
+    rows = queries["ivfpq_search"](spark, SF_DIR).collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r["qid"]].append(r)
+    assert len(by_q) == 5
+    for qid, rs in by_q.items():
+        assert sorted(r["rank"] for r in rs) == [1, 2, 3]
+        assert all(r["adc"] >= 0 for r in rs)
+        assert all(r["vec_id"] != qid for r in rs)
+    # independent cell check: hits' cells ⊆ the query's nprobe cells
+    from aind_hcr_data_transformation_spark.operators.ivf import (
+        _NPROBE,
+        _assign,
+        _train,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cb = _train(emb)
+    cells = {
+        r["vec_id"]: r["cluster"] for r in _assign(emb, cb).collect()
+    }
+    # probe list via the same scoring: nearest _NPROBE centroids per query
+    import numpy as np
+
+    cents = {r["cluster"]: np.array(r["cemb"]) for r in cb.collect()}
+    evecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+             for r in emb.filter(F.col("vec_id") < 5).collect()}
+    for qid, rs in by_q.items():
+        q = evecs[qid]
+        scores = sorted(
+            (float(c @ c - 2 * (q @ c)), cl) for cl, c in cents.items()
+        )
+        probed = {cl for _, cl in scores[:_NPROBE]}
+        for r in rs:
+            assert cells[r["vec_id"]] in probed, (qid, r["vec_id"])
