@@ -125,6 +125,9 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
         # one-row total-token-count broadcast (the derived heavy-hitter
         # threshold total // 200)
         "text_heavy_hitters_cms",
+        # ivf_kmeans_ann's k-row centroid broadcast (probe-list build) plus
+        # embed_pq_quantize's per-subspace codebook broadcasts, composed
+        "ivfpq_search",
     }
     for name, fn in queries.items():
         if name.startswith("stream_"):
