@@ -32,6 +32,7 @@ from aind_hcr_data_transformation_spark.operators import (
     timeseries,
     tpch,
     vectorops,
+    warehouse,
     windows,
 )
 from aind_hcr_data_transformation_spark.session import apply_session_confs
@@ -50,6 +51,7 @@ _MODULES = [
     timeseries,
     graphops,
     vectorops,
+    warehouse,
     multimodal,
     streaming_events,
 ]

@@ -161,10 +161,157 @@ FROM nation n JOIN {prev} ON n.n_nationkey = {prev}.node
 GRAPH_PAGERANK_SQL = _pagerank_sql()
 
 
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered compact-forward)
+# ---------------------------------------------------------------------------
+
+# an edge exists where two brands co-occur in at least n_baskets/this orders
+_TRI_SUP_DIV = 50
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the brand co-purchase graph, enumerated by the
+    degree-ordered compact-forward algorithm (Latapy 2008 / Schank &
+    Wagner 2005) — THE scale shape for triangle counting.
+
+    Undirected edges connect brands co-occurring in ≥ n_orders/50 orders
+    (support derived from corpus size). Each edge is then ORIENTED from
+    its lower (degree, id) endpoint to its higher one; wedges are built
+    only from a common SOURCE's outgoing pairs, and a wedge closes iff
+    the oriented edge (v→w) exists. Orienting by degree bounds every
+    node's out-degree by O(√m), so wedge fan-out is O(m^1.5) total
+    regardless of degree skew — a star node that would generate deg²
+    wedges under naive enumeration generates none, because a hub sorts
+    LAST in (degree, id) order and keeps no out-edges. Both the Spark
+    plan and the oracle use row-value (deg, id) comparisons, so the two
+    engines orient identically.
+
+    Plan: basket build (one shuffle) → pair aggregate → degree aggregate
+    (tiny, broadcast) → oriented edge list → wedge self-join on source →
+    closure equi-join on (v, w). All joins equi; no cartesian anywhere.
+    """
+    items = persist_tracked(
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("brand").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("brand").alias("v"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    totals = items.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    edges = persist_tracked(
+        pairs.crossJoin(F.broadcast(totals))
+        .filter(F.col("co") >= F.expr(f"n_baskets DIV {_TRI_SUP_DIV}"))
+        .select("u", "v")
+    )
+
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = F.broadcast(deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u")))
+    dv = F.broadcast(deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v")))
+    # orient each undirected edge from lower (deg, id) to higher (deg, id);
+    # keep the destination's degree so wedge endpoints rank by the same key
+    lower_first = F.struct(F.col("deg_u"), F.col("u")) < F.struct(
+        F.col("deg_v"), F.col("v")
+    )
+    oriented = persist_tracked(
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("d"),
+            F.when(lower_first, F.col("deg_v"))
+            .otherwise(F.col("deg_u"))
+            .alias("deg_d"),
+        )
+    )
+
+    e1 = oriented.select(
+        F.col("s").alias("u"), F.col("d").alias("v"), F.col("deg_d").alias("kv")
+    )
+    e2 = oriented.select(
+        F.col("s").alias("u"), F.col("d").alias("w"), F.col("deg_d").alias("kw")
+    )
+    # order u's two out-neighbors by the SAME (deg, id) key the edges are
+    # oriented by — the closing oriented edge, if it exists, is exactly
+    # v→w, so closure is ONE equi join (no OR-condition nested loop)
+    wedges = e1.join(e2, "u").filter(
+        F.struct(F.col("kv"), F.col("v")) < F.struct(F.col("kw"), F.col("w"))
+    )
+    closure = oriented.select(F.col("s").alias("v"), F.col("d").alias("w"))
+    tri = wedges.join(closure, ["v", "w"])
+    trip = F.array_sort(F.array("u", "v", "w"))
+    return tri.select(
+        trip.getItem(0).alias("b1"),
+        trip.getItem(1).alias("b2"),
+        trip.getItem(2).alias("b3"),
+    )
+
+
+GRAPH_TRIANGLE_COUNT_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+pairs AS (
+  SELECT a.brand AS u, b.brand AS v, count(*) AS co
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT u, v FROM pairs
+  WHERE co >= (SELECT count(DISTINCT l_orderkey) FROM items) // {_TRI_SUP_DIV}
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  ) GROUP BY 1
+),
+oriented AS (
+  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS s,
+         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS d,
+         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN dv.deg ELSE du.deg END AS deg_d
+  FROM edges e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+wedges AS (
+  SELECT e1.s AS u, e1.d AS v, e2.d AS w
+  FROM oriented e1 JOIN oriented e2
+    ON e1.s = e2.s AND (e1.deg_d, e1.d) < (e2.deg_d, e2.d)
+)
+SELECT
+  list_sort([wd.u, wd.v, wd.w])[1] AS b1,
+  list_sort([wd.u, wd.v, wd.w])[2] AS b2,
+  list_sort([wd.u, wd.v, wd.w])[3] AS b3
+FROM wedges wd JOIN oriented c
+  ON wd.v = c.s AND wd.w = c.d
+"""
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
+    "graph_triangle_count": graph_triangle_count,
 }
 
 ORACLES = {
     "graph_pagerank": GRAPH_PAGERANK_SQL,
+    "graph_triangle_count": GRAPH_TRIANGLE_COUNT_SQL,
 }

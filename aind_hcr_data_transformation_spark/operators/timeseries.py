@@ -497,3 +497,100 @@ FROM s
 
 QUERIES["ts_linear_trend"] = ts_linear_trend
 ORACLES["ts_linear_trend"] = TS_LINEAR_TREND_SQL
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation of per-user daily activity
+# ---------------------------------------------------------------------------
+
+
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation of the daily event-count series —
+    the "is activity sticky day-over-day" statistic (Pearson r between
+    consecutive observed days; days with no events are skipped, i.e.
+    ACF over the observation sequence, not the calendar — documented
+    semantics, matching the gapfill operator's spine distinction).
+
+    Determinism: daily counts are integers, so all six moments
+    (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as exact DECIMAL(38,0)
+    (HUGEINT on the DuckDB side); r folds from them with one double
+    division and one sqrt — IEEE-identical in both engines. Constant
+    series (zero variance on either side) yield NULL via nullif.
+
+    Scale: one shuffle to daily counts on (user_id, day), one
+    per-user-partitioned window for the lag pair, one hash aggregate —
+    the hypertable's natural partitioning end to end; no global sort,
+    no driver collect.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    pairs = (
+        daily.withColumn("y", F.lag("x").over(w))
+        .filter(F.col("y").isNotNull())
+        .select("user_id", "x", "y")
+    )
+
+    def _d(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    m = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(_d("x")).alias("sx"),
+        F.sum(_d("y")).alias("sy"),
+        F.sum(_d("x") * _d("y")).alias("sxy"),
+        F.sum(_d("x") * _d("x")).alias("sxx"),
+        F.sum(_d("y") * _d("y")).alias("syy"),
+    )
+    num = (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    da = (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    db = (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    r = num / F.sqrt(F.nullif(da * db, F.lit(0.0)))
+    return m.select(
+        "user_id",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        dround(r, 6).alias("acf1"),
+    )
+
+
+TS_AUTOCORR_SQL = f"""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT user_id, x,
+         lag(x) OVER (PARTITION BY user_id ORDER BY day) AS y
+  FROM daily
+),
+m AS (
+  SELECT user_id,
+         count(*) AS n_pairs,
+         sum(CAST(x AS HUGEINT)) AS sx,
+         sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM p WHERE y IS NOT NULL
+  GROUP BY 1
+)
+SELECT
+  user_id,
+  CAST(n_pairs AS BIGINT) AS n_pairs,
+  {sql_round(
+      "CAST(n_pairs * sxy - sx * sy AS DOUBLE) / "
+      "sqrt(nullif(CAST(n_pairs * sxx - sx * sx AS DOUBLE) * "
+      "CAST(n_pairs * syy - sy * sy AS DOUBLE), 0.0))", 6)} AS acf1
+FROM m
+"""
+
+QUERIES["ts_autocorr"] = ts_autocorr
+ORACLES["ts_autocorr"] = TS_AUTOCORR_SQL

