@@ -379,3 +379,165 @@ ORACLES = {
     "mv_incremental_refresh": MV_INCREMENTAL_REFRESH_SQL,
     "ab_welch_t": AB_WELCH_T_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering (cosine over the interaction matrix)
+# ---------------------------------------------------------------------------
+
+_REC_MIN_COS = 0.5
+
+
+def rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity (Sarwar et al. 2001):
+    cosine between brand columns of the customer×brand purchase-count
+    matrix, computed sparsely — dot products come from a self-join on the
+    CUSTOMER key (the inverted index of the matrix), never from
+    materializing item vectors.
+
+    Per-customer pair fan-out is bounded by the brand vocabulary (≤ the
+    items one customer touched, squared) — at web scale the hot-row cut
+    is the same df-cap treatment ``dedup.ngram_jaccard`` documents: drop
+    or downweight users interacting with everything; here the vocabulary
+    itself is the bound.
+
+    Determinism: counts are integers, dots and squared norms accumulate
+    as exact DECIMAL(38,0) (HUGEINT in DuckDB); cosine is one double
+    division of sqrt-folded exact integers, then ``dround``.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    inter = persist_tracked(
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    norms = inter.groupBy("brand").agg(
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt")).alias("sq")
+    )
+    a = inter.select("cust", F.col("brand").alias("brand_a"), F.col("cnt").alias("ca"))
+    b = inter.select("cust", F.col("brand").alias("brand_b"), F.col("cnt").alias("cb"))
+    dots = (
+        a.join(b, "cust")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(
+            F.sum(F.col("ca").cast("decimal(38,0)") * F.col("cb")).alias("dot")
+        )
+    )
+    na = F.broadcast(norms.select(F.col("brand").alias("brand_a"), F.col("sq").alias("sqa")))
+    nb = F.broadcast(norms.select(F.col("brand").alias("brand_b"), F.col("sq").alias("sqb")))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("sqa").cast("double")) * F.sqrt(F.col("sqb").cast("double"))
+    )
+    return (
+        dots.join(na, "brand_a")
+        .join(nb, "brand_b")
+        .select(
+            "brand_a", "brand_b", dround(cos, 6).alias("cosine")
+        )
+        .filter(F.col("cosine") >= _REC_MIN_COS)
+    )
+
+
+REC_ITEM_COSINE_SQL = f"""
+WITH inter AS (
+  SELECT o.o_custkey AS cust, p.p_brand AS brand, count(*) AS cnt
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p   ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+norms AS (
+  SELECT brand, sum(CAST(cnt AS HUGEINT) * cnt) AS sq FROM inter GROUP BY 1
+),
+dots AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         sum(CAST(a.cnt AS HUGEINT) * b.cnt) AS dot
+  FROM inter a JOIN inter b
+    ON a.cust = b.cust AND a.brand < b.brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, cosine FROM (
+  SELECT d.brand_a, d.brand_b,
+         {sql_round("CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE)))", 6)} AS cosine
+  FROM dots d
+  JOIN norms na ON na.brand = d.brand_a
+  JOIN norms nb ON nb.brand = d.brand_b
+)
+WHERE cosine >= {_REC_MIN_COS}
+"""
+
+# ---------------------------------------------------------------------------
+# Exact equi-width histogram
+# ---------------------------------------------------------------------------
+
+_HIST_K = 20
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of ``events.value`` in {_HIST_K} buckets —
+    the profiling primitive behind every "distribution looks wrong"
+    debug session, computed EXACTLY: values become integer cents, the
+    bucket index is pure integer arithmetic on the (min, max) range (a
+    two-row broadcast), so the edge cases float binning gets wrong
+    (values landing exactly on a boundary, the max value) are
+    deterministic and identical in both engines.
+
+    Plan: one aggregate for the range (broadcast), one projection, one
+    hash aggregate — two passes over the column, no sort.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("c")
+    )
+    rng = ev.agg(F.min("c").alias("lo_c"), F.max("c").alias("hi_c"))
+    # bucket index in PURE integer arithmetic (DIV, not /): float binning
+    # disagrees between engines exactly at bucket boundaries
+    binned = (
+        ev.crossJoin(F.broadcast(rng))
+        .select(
+            F.expr(
+                f"(c - lo_c) * {_HIST_K} DIV (hi_c - lo_c + 1)"
+            ).alias("bucket"),
+            "lo_c",
+            "hi_c",
+        )
+        .groupBy("bucket", "lo_c", "hi_c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return binned.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        dround(
+            (
+                F.col("lo_c")
+                + (F.col("bucket") * (F.col("hi_c") - F.col("lo_c") + 1))
+                / F.lit(float(_HIST_K))
+            )
+            / F.lit(100.0),
+            4,
+        ).alias("bucket_lo"),
+        F.col("n"),
+    )
+
+
+AGG_HISTOGRAM_SQL = f"""
+WITH c AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+),
+rng AS (SELECT min(c) AS lo_c, max(c) AS hi_c FROM c)
+SELECT
+  CAST((c.c - r.lo_c) * {_HIST_K} // (r.hi_c - r.lo_c + 1) AS BIGINT) AS bucket,
+  {sql_round(f"(r.lo_c + (((c.c - r.lo_c) * {_HIST_K} // (r.hi_c - r.lo_c + 1)) * (r.hi_c - r.lo_c + 1)) / {float(_HIST_K)}) / 100.0", 4)} AS bucket_lo,
+  count(*) AS n
+FROM c CROSS JOIN rng r
+GROUP BY 1, 2
+"""
+
+
+QUERIES["rec_item_cosine"] = rec_item_cosine
+QUERIES["agg_histogram"] = agg_histogram
+ORACLES["rec_item_cosine"] = REC_ITEM_COSINE_SQL
+ORACLES["agg_histogram"] = AGG_HISTOGRAM_SQL

@@ -132,6 +132,8 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
         # support threshold), same pattern as text_tfidf_topk
         "assoc_basket_rules",
         "graph_triangle_count",
+        # one-row (min, max) range broadcast for integer bucket math
+        "agg_histogram",
     }
     for name, fn in queries.items():
         if name.startswith("stream_"):

@@ -169,3 +169,56 @@ def test_fuzzy_match_dist_is_true_levenshtein(spark, queries):
     for r in out:
         assert r["dist"] == lev(types[r["part_a"]], types[r["part_b"]])
         assert r["dist"] <= 5
+
+
+def test_histogram_total_and_edges(spark, queries):
+    """Bucket counts must sum to the row count; indexes live in
+    [0, K-1]; bucket_lo is nondecreasing with the index; min and max
+    values land in the first and last OCCUPIED buckets respectively."""
+    rows = sorted(
+        queries["agg_histogram"](spark, SF_DIR).collect(),
+        key=lambda r: r["bucket"],
+    )
+    from aind_hcr_data_transformation_spark.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(r["n"] for r in rows) == ev.count()
+    assert all(0 <= r["bucket"] <= 19 for r in rows)
+    los = [r["bucket_lo"] for r in rows]
+    assert los == sorted(los)
+    assert rows[0]["bucket"] == 0, "min value must occupy bucket 0"
+    assert rows[-1]["bucket"] == 19, "max value must occupy the last bucket"
+
+
+def test_item_cosine_bounds_and_selfsim(spark, queries):
+    """Cosines live in (0, 1] (counts are nonnegative); a brand pair
+    with identical interaction vectors would hit exactly 1 — verify the
+    top pair against a numpy recompute."""
+    out = queries["rec_item_cosine"](spark, SF_DIR).collect()
+    assert len(out) > 0
+    assert all(0 < r["cosine"] <= 1 for r in out)
+
+    from aind_hcr_data_transformation_spark.tables import load_table
+    import numpy as np
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    p = load_table(spark, SF_DIR, "part").select("p_partkey", "p_brand")
+    inter = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("o_custkey", "p_brand")
+        .count()
+        .collect()
+    )
+    custs = sorted({r["o_custkey"] for r in inter})
+    brands = sorted({r["p_brand"] for r in inter})
+    m = np.zeros((len(custs), len(brands)))
+    ci = {c: i for i, c in enumerate(custs)}
+    bi = {b: i for i, b in enumerate(brands)}
+    for r in inter:
+        m[ci[r["o_custkey"]], bi[r["p_brand"]]] = r["count"]
+    best = max(out, key=lambda r: r["cosine"])
+    va, vb = m[:, bi[best["brand_a"]]], m[:, bi[best["brand_b"]]]
+    ref = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+    assert abs(best["cosine"] - ref) < 1e-6
