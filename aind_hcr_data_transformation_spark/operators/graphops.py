@@ -202,6 +202,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", F.col("p_brand").alias("brand"))
         .distinct()
     )
+    items.count()  # one basket build; pairs consumes it twice + totals
     a = items.select(F.col("l_orderkey").alias("ok"), F.col("brand").alias("u"))
     b = items.select(F.col("l_orderkey").alias("ok"), F.col("brand").alias("v"))
     pairs = (
@@ -216,6 +217,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("co") >= F.expr(f"n_baskets DIV {_TRI_SUP_DIV}"))
         .select("u", "v")
     )
+    edges.count()  # materialize: consumed by deg (twice) and orientation
 
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -241,6 +243,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("deg_d"),
         )
     )
+    oriented.count()  # consumed by e1, e2, and the closure probe
 
     e1 = oriented.select(
         F.col("s").alias("u"), F.col("d").alias("v"), F.col("deg_d").alias("kv")

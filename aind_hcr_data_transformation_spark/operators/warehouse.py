@@ -89,6 +89,7 @@ def assoc_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumed by the pair join (twice), the marginals, and the total —
     # materialize once; released by the harness's release_persists()
     items = persist_tracked(_brand_baskets(spark, sf_dir))
+    items.count()  # materialize before the 4-consumer fan-out (one build)
 
     a = items.select(F.col("l_orderkey").alias("ok"), F.col("brand").alias("brand_a"))
     b = items.select(F.col("l_orderkey").alias("ok"), F.col("brand").alias("brand_b"))
@@ -414,6 +415,7 @@ def rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    inter.count()  # materialize before the 3-consumer fan-out
 
     norms = inter.groupBy("brand").agg(
         F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt")).alias("sq")

@@ -117,6 +117,24 @@ BUDGETS = {
     # ONE user shuffle: the partition-only min(ts) window and the moment
     # aggregate ride the same exchange
     "ts_linear_trend": (1, 0),
+    # block-keyed self-join broadcasts at fixture scale; the Levenshtein
+    # verify adds no exchange
+    "entity_match_fuzzy": (0, 1),
+    # two rollup shuffles on the SAME (user, event_type) key — the
+    # full-outer merge reuses their partitioning, no third exchange
+    "mv_incremental_refresh": (2, 0),
+    # one conditional-moment aggregate; t folds from the single row
+    "ab_welch_t": (1, 0),
+    # (user, day) agg + user-window lag + moment agg (window rides the
+    # narrower user partitioning via one exchange)
+    "ts_autocorr": (2, 0),
+    # range aggregate (broadcast back) + bucket aggregate
+    "agg_histogram": (2, 1),
+    # NOTE: assoc_basket_rules / graph_triangle_count / rec_item_cosine
+    # are audited in PLAN_AUDIT.json but not pinned here: their nested
+    # persist_tracked chains make treeString reprint cached build plans
+    # per consumer, so the census number is a print artifact, not a
+    # stage count (runtime shuffles ≈ 4 / 7 / 4).
 }
 
 
