@@ -594,3 +594,91 @@ FROM m
 
 QUERIES["ts_autocorr"] = ts_autocorr
 ORACLES["ts_autocorr"] = TS_AUTOCORR_SQL
+
+
+# ---------------------------------------------------------------------------
+# Continuous-aggregate cascade (hour -> day rollup reuse)
+# ---------------------------------------------------------------------------
+
+
+def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC built FROM the hourly rollup, never re-scanning raw —
+    the TimescaleDB continuous-aggregate / materialized-rollup pattern
+    (and the time-series twin of ``pipe_multiscale_cascade``'s
+    level-from-level image pyramid). The ORACLE computes the daily
+    answer directly from raw events, so the differential check proves
+    the cascade identity: agg(day) == agg(agg(hour)).
+
+    Re-aggregation rules: counts and sums are distributive; high/low
+    take max/min of the hourly extrema; open/close pick the hourly open
+    of the MIN hour / close of the MAX hour via ``min_by``/``max_by`` —
+    every rule a single hash aggregate over the (already tiny) hourly
+    relation. At 100 TB the hourly layer is the stored continuous
+    aggregate; a day's refresh touches 24 rows per user, not the raw
+    partition.
+
+    One shuffle to (user, hour), one to (user, day) — the day shuffle
+    moves rollup rows, not events. Exact decimal sums; open/close ride
+    deterministic (ts, event_id) struct keys.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+    )
+    daily = hourly.groupBy(
+        "user_id", F.date_trunc("day", "hour").alias("day")
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("sv").alias("sv"),
+        F.min_by("open", F.col("hour")).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", F.col("hour")).alias("close"),
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        dround("open", 2).alias("open"),
+        dround("high", 2).alias("high"),
+        dround("low", 2).alias("low"),
+        dround("close", 2).alias("close"),
+        F.round(F.col("sv"), 2).cast("double").alias("sum_value"),
+    )
+
+
+TS_ROLLUP_CASCADE_SQL = f"""
+WITH r AS (
+  SELECT user_id,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         value,
+         CAST(value AS DECIMAL(18,2)) AS dv,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT
+  user_id,
+  day,
+  count(*) AS n_events,
+  {sql_round("min(CASE WHEN rn_a = 1 THEN value END)", 2)} AS open,
+  {sql_round("max(value)", 2)} AS high,
+  {sql_round("min(value)", 2)} AS low,
+  {sql_round("min(CASE WHEN rn_d = 1 THEN value END)", 2)} AS close,
+  CAST(round(sum(dv), 2) AS DOUBLE) AS sum_value
+FROM r
+GROUP BY 1, 2
+"""
+
+QUERIES["ts_rollup_cascade"] = ts_rollup_cascade
+ORACLES["ts_rollup_cascade"] = TS_ROLLUP_CASCADE_SQL

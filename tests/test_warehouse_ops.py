@@ -222,3 +222,34 @@ def test_item_cosine_bounds_and_selfsim(spark, queries):
     va, vb = m[:, bi[best["brand_a"]]], m[:, bi[best["brand_b"]]]
     ref = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
     assert abs(best["cosine"] - ref) < 1e-6
+
+
+def test_rollup_cascade_equals_direct_daily(spark, queries):
+    """The hour→day cascade must equal a direct daily aggregate computed
+    in-Spark (independent of the DuckDB oracle): same OHLC, same counts."""
+    from aind_hcr_data_transformation_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    key = F.struct("ts", "event_id")
+    direct = {
+        (r["user_id"], r["day"]): r
+        for r in ev.groupBy(
+            "user_id", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min_by("value", key), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", key), 2).alias("close"),
+        )
+        .collect()
+    }
+    out = queries["ts_rollup_cascade"](spark, SF_DIR).collect()
+    assert len(out) == len(direct) > 0
+    for r in out:
+        d = direct[(r["user_id"], r["day"])]
+        assert r["n_events"] == d["n_events"]
+        for c in ("open", "high", "low", "close"):
+            assert abs(r[c] - d[c]) < 1e-9, (r, d)
