@@ -318,3 +318,136 @@ ORACLES = {
     "graph_pagerank": GRAPH_PAGERANK_SQL,
     "graph_triangle_count": GRAPH_TRIANGLE_COUNT_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest hops (iterative frontier relaxation)
+# ---------------------------------------------------------------------------
+
+_BFS_ITERS = 3
+
+
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest hop count from the hub nation (max total outgoing
+    weight — data-derived, so every scale factor has a seed with live
+    edges) over the *above-mean* trade graph: keep only edges whose
+    lineitem weight is >= the mean edge weight, then run ``_BFS_ITERS``
+    rounds of frontier
+    relaxation — dist'(v) = min(dist(v), min over edges u->v of
+    dist(u)+1) — the min-plus twin of ``graph_pagerank``'s sum-times
+    iteration. Unreached nations report hops = -1.
+
+    Plan per round: one equi-join (distance vector broadcast — it is
+    |V|-sized, tiny next to the edge list) + one hash min-aggregate; at
+    a billion nodes the vector shuffles instead of broadcasting and the
+    round is still join + aggregate, the Pregel shape. All arithmetic
+    integer, so both engines agree exactly.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    weights = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    # three consumers (mean, seed, edge filter): materialize once
+    weights = persist_tracked(weights)
+    weights.count()
+    mean_w = weights.agg(
+        (F.sum("w") / F.count(F.lit(1))).alias("mw")
+    )
+    edges = persist_tracked(
+        weights.crossJoin(F.broadcast(mean_w))
+        .filter(F.col("w") >= F.col("mw"))
+        .select("src", "dst")
+    )
+    edges.count()  # consumed once per BFS round
+
+    seed = (
+        weights.groupBy("src")
+        .agg(F.sum("w").alias("out_w"))
+        .agg(
+            F.min_by(
+                "src", F.struct((-F.col("out_w")).alias("nw"), F.col("src"))
+            ).alias("seed")
+        )
+    )
+    dist = n.crossJoin(F.broadcast(seed)).select(
+        F.col("n_nationkey").alias("node"),
+        F.when(F.col("n_nationkey") == F.col("seed"), F.lit(0)).alias("d"),
+    )
+    for _ in range(_BFS_ITERS):
+        relaxed = (
+            edges.join(
+                F.broadcast(dist.filter(F.col("d").isNotNull())),
+                edges.src == F.col("node"),
+            )
+            .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+    return n.join(dist, n.n_nationkey == dist.node).select(
+        F.col("n_name").alias("nation"),
+        F.coalesce(F.col("d"), F.lit(-1)).alias("hops"),
+    )
+
+
+def _bfs_sql() -> str:
+    sql = f"""
+WITH weights AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey  = c.c_custkey
+  JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+  GROUP BY 1, 2
+  HAVING c.c_nationkey <> s.s_nationkey
+),
+edges AS (
+  SELECT src, dst FROM weights
+  WHERE w >= (SELECT sum(w) / count(*) FROM weights)
+),
+seed AS (
+  SELECT src AS seed FROM weights
+  GROUP BY src ORDER BY sum(w) DESC, src LIMIT 1
+),
+d0 AS (
+  SELECT n_nationkey AS node,
+         CASE WHEN n_nationkey = (SELECT seed FROM seed) THEN 0 END AS d
+  FROM nation
+)"""
+    prev = "d0"
+    for i in range(1, _BFS_ITERS + 1):
+        sql += f""",
+d{i} AS (
+  SELECT node, min(d) AS d FROM (
+    SELECT node, d FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, {prev}.d + 1 AS d
+    FROM edges e JOIN {prev} ON e.src = {prev}.node AND {prev}.d IS NOT NULL
+  ) GROUP BY node
+)"""
+        prev = f"d{i}"
+    sql += f"""
+SELECT n.n_name AS nation, COALESCE({prev}.d, -1) AS hops
+FROM nation n JOIN {prev} ON n.n_nationkey = {prev}.node
+"""
+    return sql
+
+
+GRAPH_BFS_HOPS_SQL = _bfs_sql()
+
+QUERIES["graph_bfs_hops"] = graph_bfs_hops
+ORACLES["graph_bfs_hops"] = GRAPH_BFS_HOPS_SQL

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.compat import dround, dsum, dsum_round, sql_sum_round
+from ..functions.compat import dround, dsum, dsum_round, sql_round, sql_sum_round
 from ..tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -2357,3 +2357,266 @@ WHERE NOT EXISTS (
 
 QUERIES["skyline_pareto"] = skyline_pareto
 ORACLES["skyline_pareto"] = SKYLINE_PARETO_SQL
+
+
+# ---------------------------------------------------------------------------
+# Per-group statistical mode (argmax aggregate)
+# ---------------------------------------------------------------------------
+
+
+def agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group: the most frequent ``l_shipmode`` for
+    every (returnflag, linestatus) cell, plus its count and share.
+    (The fixture lineitem carries no shipmode column, so the candidate
+    is the ship MONTH — cardinality 12, the same bounded-domain shape.)
+
+    The scale-correct plan is two hash aggregates — count per candidate,
+    then ``min_by`` over ``struct(-cnt, shipmode)`` (highest count,
+    lexicographically-smallest tie-break) — both map-side combinable,
+    keyed on the group columns. No window over the full table: the
+    second aggregate's input is |groups| x |shipmodes| rows regardless
+    of corpus size. The tie-break makes the answer deterministic, so the
+    oracle (a rank-1 window over the same counts) agrees exactly.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.month("l_shipdate").alias("ship_month"),
+    )
+    counts = li.groupBy("l_returnflag", "l_linestatus", "ship_month").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    order = F.struct(
+        (-F.col("cnt")).alias("nc"), F.col("ship_month").alias("m")
+    )
+    return (
+        counts.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.min_by("ship_month", order).alias("mode_month"),
+            F.max("cnt").alias("mode_cnt"),
+            F.sum("cnt").alias("group_cnt"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "mode_month",
+            "mode_cnt",
+            dround(
+                F.col("mode_cnt").cast("decimal(30,10)")
+                / F.col("group_cnt"),
+                6,
+            ).alias("mode_share"),
+        )
+    )
+
+
+AGG_MODE_ARGMAX_SQL = f"""
+WITH counts AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(month(l_shipdate) AS INTEGER) AS ship_month, count(*) AS cnt
+  FROM lineitem
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY l_returnflag, l_linestatus
+           ORDER BY cnt DESC, ship_month ASC
+         ) AS rn,
+         sum(cnt) OVER (
+           PARTITION BY l_returnflag, l_linestatus
+         ) AS group_cnt
+  FROM counts
+)
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ship_month AS mode_month,
+  cnt AS mode_cnt,
+  {sql_round('CAST(cnt AS DECIMAL(30,10)) / group_cnt', 6)} AS mode_share
+FROM ranked
+WHERE rn = 1
+"""
+
+QUERIES["agg_mode_argmax"] = agg_mode_argmax
+ORACLES["agg_mode_argmax"] = AGG_MODE_ARGMAX_SQL
+
+
+# ---------------------------------------------------------------------------
+# Compaction planner (small-file bin packing)
+# ---------------------------------------------------------------------------
+
+# ~8 output bins per table partition at any scale factor: target bytes
+# per bin derive from the partition's total payload (in production this
+# is the fixed 128 MiB-class OPTIMIZE target), never an absolute
+# constant the fixture scale would break
+_COMPACT_BINS = 8
+
+
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan (Delta/Iceberg ``OPTIMIZE`` shape):
+    pack the documents of each ``source`` partition into ~fixed-byte
+    output bins by cumulative payload size, and report each bin's file
+    count, byte total, and doc-id range.
+
+    Plan: one aggregate derives each partition's byte total (broadcast
+    back), one window per ``source`` computes the exclusive running sum
+    in deterministic (source, doc_id) order, then a hash aggregate
+    summarizes bins. The window partitions by ``source`` — the real
+    compaction-planning shape: table-maintenance jobs plan per table
+    partition (Delta OPTIMIZE batches WHERE partition = ...), so no
+    global single-reducer sort exists at any scale; a partition's file
+    *listing* (not payload) is what sorts, and listings are metadata-
+    sized.
+
+    Pure integer arithmetic (octet lengths, DIV) — identical engines.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.octet_length("text").alias("bytes")
+    )
+    totals = docs.groupBy("source").agg(
+        F.sum("bytes").alias("part_bytes")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = (
+        docs.join(F.broadcast(totals), "source")
+        .withColumn(
+            "target",
+            F.expr(f"GREATEST(part_bytes DIV {_COMPACT_BINS}, 1)"),
+        )
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+        )
+        .withColumn("bin", F.expr("cum_before DIV target"))
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("bin_bytes"),
+        F.min("doc_id").alias("doc_lo"),
+        F.max("doc_id").alias("doc_hi"),
+    )
+
+
+LAYOUT_COMPACTION_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, source, octet_length(encode(text)) AS bytes FROM documents
+),
+totals AS (
+  SELECT source, sum(bytes) AS part_bytes FROM docs GROUP BY 1
+),
+binned AS (
+  SELECT
+    d.doc_id, d.source, d.bytes,
+    GREATEST(t.part_bytes // {_COMPACT_BINS}, 1) AS target,
+    COALESCE(sum(d.bytes) OVER (
+      PARTITION BY d.source ORDER BY d.doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS cum_before
+  FROM docs d JOIN totals t ON d.source = t.source
+)
+SELECT
+  source,
+  cum_before // target AS bin,
+  count(*) AS n_files,
+  sum(bytes) AS bin_bytes,
+  min(doc_id) AS doc_lo,
+  max(doc_id) AS doc_hi
+FROM binned
+GROUP BY 1, 2
+"""
+
+QUERIES["layout_compaction_plan"] = layout_compaction_plan
+ORACLES["layout_compaction_plan"] = LAYOUT_COMPACTION_SQL
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join (the zero-shuffle join layout)
+# ---------------------------------------------------------------------------
+
+_BUCKETS = 16
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize lineitem/orders bucketed+sorted by order key, once
+    per (session, sf_dir); later calls reuse the layout.
+
+    Bucketing is a layout INVESTMENT: one write-side shuffle buys every
+    subsequent equi-join on the bucket key a plan with no exchange and
+    no sort on either side — at 100 TB this converts the recurring
+    orders⋈lineitem shuffle (the largest exchange in most TPC-H shapes)
+    into a local per-bucket merge. The write is the amortized cost, so
+    it is cached exactly the way ``ivf.py`` caches its trained codebook
+    (train-once / search-many).
+    """
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    li_name, ord_name = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    base = Path(tempfile.gettempdir()) / f"spark_graft_bucketed_{tag}"
+    for name, table, key, sort_extra in (
+        (li_name, "lineitem", "l_orderkey", "l_linenumber"),
+        (ord_name, "orders", "o_orderkey", "o_custkey"),
+    ):
+        path = base / name
+        if spark.catalog.tableExists(name) and (path / "_SUCCESS").exists():
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            load_table(spark, sf_dir, table)
+            .write.bucketBy(_BUCKETS, key)
+            .sortBy(key, sort_extra)
+            .format("parquet")
+            .option("path", str(path))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return li_name, ord_name
+
+
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join on pre-bucketed fact tables: revenue per order priority
+    through an orders⋈lineitem join whose plan has NO exchange and NO
+    sort on either input — both sides read 16 co-located, pre-sorted
+    buckets (``tests/test_physical_plans.py`` pins the plan shape).
+
+    The ``merge`` hint keeps the sort-merge path even where the fixture
+    would let the planner broadcast the orders side: at 100 TB neither
+    fact broadcasts, which is exactly the regime bucketing exists for.
+    The only shuffle in the returned plan is the final 5-group
+    aggregate.
+    """
+    li_name, ord_name = _bucketed_tables(spark, sf_dir)
+    li = spark.table(li_name).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = spark.table(ord_name).select("o_orderkey", "o_orderpriority")
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum_round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+JOIN_BUCKETED_SQL = f"""
+SELECT
+  o_orderpriority,
+  count(*) AS n_items,
+  {sql_sum_round('l_extendedprice * (1 - l_discount)', 2)} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+QUERIES["join_bucketed_colocated"] = join_bucketed_colocated
+ORACLES["join_bucketed_colocated"] = JOIN_BUCKETED_SQL

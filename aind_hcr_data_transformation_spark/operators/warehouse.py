@@ -543,3 +543,101 @@ QUERIES["rec_item_cosine"] = rec_item_cosine
 QUERIES["agg_histogram"] = agg_histogram
 ORACLES["rec_item_cosine"] = REC_ITEM_COSINE_SQL
 ORACLES["agg_histogram"] = AGG_HISTOGRAM_SQL
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation matrix (exact-moment single pass)
+# ---------------------------------------------------------------------------
+
+# (name, SQL expression producing an integer fixed-point value at 1e4)
+_CORR_COLS = [
+    ("quantity", "CAST(l_quantity * 10000 AS BIGINT)"),
+    ("price", "CAST(l_extendedprice * 10000 AS BIGINT)"),
+    ("discount", "CAST(l_discount * 10000 AS BIGINT)"),
+]
+
+
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation across lineitem measures, long-form
+    (col_x, col_y, corr) for the 3 unordered pairs.
+
+    Built-in ``corr()`` is a float aggregate whose merge order differs
+    between engines (and between partition counts), so instead ONE
+    map-side-combinable hash aggregate collects exact integer moments
+    (n, Σx, Σx², Σxy on 1e4 fixed-point values — the ``ab_welch_t``
+    convention), and the classic formula
+    (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) folds on the single
+    moment row: the two sqrts and the division are each IEEE-correctly-
+    rounded doubles of exact decimals, so both engines emit identical
+    bits before the final round. Single pass, no shuffle beyond the
+    1-row aggregate, any column count — the plan a 100 TB feature-
+    profiling job wants.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select(
+        *[F.expr(expr).alias(nm) for nm, expr in _CORR_COLS]
+    )
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for nm, _ in _CORR_COLS:
+        aggs.append(F.sum(F.col(nm).cast("decimal(38,0)")).alias(f"s_{nm}"))
+    for i, (a, _) in enumerate(_CORR_COLS):
+        for b, _b in _CORR_COLS[i:]:
+            aggs.append(
+                F.sum(
+                    (F.col(a).cast("decimal(19,0)") * F.col(b)).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias(f"s_{a}_{b}")
+            )
+    m = vals.agg(*aggs)
+
+    pair_rows = []
+    for i, (a, _) in enumerate(_CORR_COLS):
+        for b, _b in _CORR_COLS[i + 1 :]:
+            cov = (F.col("n") * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast("double")
+            var_a = (F.col("n") * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast("double")
+            var_b = (F.col("n") * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast("double")
+            pair_rows.append(
+                m.select(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    dround(cov / (F.sqrt(var_a) * F.sqrt(var_b)), 6).alias(
+                        "corr"
+                    ),
+                )
+            )
+    out = pair_rows[0]
+    for r in pair_rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def _corr_matrix_sql() -> str:
+    sums = ", ".join(
+        ["count(*) AS n"]
+        + [f"sum(CAST({expr} AS HUGEINT)) AS s_{nm}" for nm, expr in _CORR_COLS]
+        + [
+            f"sum(CAST({ea} AS HUGEINT) * CAST({eb} AS HUGEINT)) AS s_{a}_{b}"
+            for i, (a, ea) in enumerate(_CORR_COLS)
+            for b, eb in [(x, y) for x, y in _CORR_COLS[i:]]
+        ]
+    )
+    selects = []
+    for i, (a, _) in enumerate(_CORR_COLS):
+        for b, _b in _CORR_COLS[i + 1 :]:
+            cov = f"CAST(n * s_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+            va = f"CAST(n * s_{a}_{a} - s_{a} * s_{a} AS DOUBLE)"
+            vb = f"CAST(n * s_{b}_{b} - s_{b} * s_{b} AS DOUBLE)"
+            selects.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+                f"{sql_round(f'{cov} / (sqrt({va}) * sqrt({vb}))', 6)} AS corr "
+                "FROM m"
+            )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH m AS (SELECT {sums} FROM lineitem)\n{body}"
+
+
+STATS_CORR_MATRIX_SQL = _corr_matrix_sql()
+
+QUERIES["stats_corr_matrix"] = stats_corr_matrix
+ORACLES["stats_corr_matrix"] = STATS_CORR_MATRIX_SQL

@@ -130,11 +130,21 @@ BUDGETS = {
     "ts_autocorr": (2, 0),
     # range aggregate (broadcast back) + bucket aggregate
     "agg_histogram": (2, 1),
-    # NOTE: assoc_basket_rules / graph_triangle_count / rec_item_cosine
-    # are audited in PLAN_AUDIT.json but not pinned here: their nested
-    # persist_tracked chains make treeString reprint cached build plans
-    # per consumer, so the census number is a print artifact, not a
-    # stage count (runtime shuffles ≈ 4 / 7 / 4).
+    # two hash aggregates: per-candidate counts, then the per-group
+    # argmax over a bounded (|groups| x 12) input
+    "agg_mode_argmax": (2, 0),
+    # totals agg (broadcast back) + per-source window + bin agg
+    "layout_compaction_plan": (2, 1),
+    # the whole point: both bucketed fact inputs join with NO exchange —
+    # only the final 5-group aggregate shuffles, nothing broadcasts
+    "join_bucketed_colocated": (1, 0),
+    # ONE exact-moment aggregate reprinted under the 3 union branches
+    "stats_corr_matrix": (3, 0),
+    # NOTE: assoc_basket_rules / graph_triangle_count / rec_item_cosine /
+    # graph_bfs_hops are audited in PLAN_AUDIT.json but not pinned here:
+    # their nested persist_tracked chains make treeString reprint cached
+    # build plans per consumer, so the census number is a print artifact,
+    # not a stage count (runtime shuffles ≈ 4 / 7 / 4 / 8).
 }
 
 
