@@ -2620,3 +2620,142 @@ GROUP BY 1
 
 QUERIES["join_bucketed_colocated"] = join_bucketed_colocated
 ORACLES["join_bucketed_colocated"] = JOIN_BUCKETED_SQL
+
+
+# ---------------------------------------------------------------------------
+# Bitmap exact-distinct aggregation
+# ---------------------------------------------------------------------------
+
+_BMP_BITS = 32  # ids per bitmap word
+
+
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type via two-level bitmap
+    aggregation — the ClickHouse/Doris bitmap pattern that replaces
+    sort-based count(distinct) at scale.
+
+    Level 1 groups by (event_type, user_id DIV 32) and ORs one-hot bit
+    masks into a word; level 2 sums ``bit_count`` over the words. Both
+    aggregates are map-side combinable (OR and + are associative and
+    commutative), so a 100 TB scan reduces to |types| x |id-space|/32
+    words with partial aggregation on every executor — no per-group sort
+    and no shuffle of raw ids, which is what makes exact distinct
+    tractable where ``count(distinct)`` would shuffle every row. The
+    oracle is the plain ``count(DISTINCT ...)`` the bitmap must equal.
+    Pure integer bit arithmetic.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    words = e.groupBy(
+        "event_type", F.expr(f"user_id DIV {_BMP_BITS}").alias("bucket")
+    ).agg(
+        F.expr(f"bit_or(shiftleft(1L, CAST(user_id % {_BMP_BITS} AS INT)))").alias(
+            "word"
+        )
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).alias("n_users"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+
+
+AGG_BITMAP_DISTINCT_SQL = f"""
+SELECT
+  event_type,
+  count(DISTINCT user_id) AS n_users,
+  count(DISTINCT user_id // {_BMP_BITS}) AS n_words
+FROM events
+GROUP BY 1
+"""
+
+QUERIES["agg_bitmap_distinct"] = agg_bitmap_distinct
+ORACLES["agg_bitmap_distinct"] = AGG_BITMAP_DISTINCT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Text source formats (CSV / JSON-lines scans)
+# ---------------------------------------------------------------------------
+
+
+def _text_format_copies(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the documents table as CSV and JSON-lines once per
+    (session, sf_dir); returns the base dir. The parquet fixture is the
+    source of truth — the copies exist to exercise the text scan paths."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = Path(tempfile.gettempdir()) / f"spark_graft_textsrc_{tag}"
+    docs = load_table(spark, sf_dir, "documents")
+    if not (base / "csv" / "_SUCCESS").exists():
+        (
+            docs.write.mode("overwrite")
+            .option("header", True)
+            .option("quoteAll", True)
+            .option("escape", '"')
+            .csv(str(base / "csv"))
+        )
+    if not (base / "jsonl" / "_SUCCESS").exists():
+        docs.write.mode("overwrite").json(str(base / "jsonl"))
+    return str(base)
+
+
+def source_text_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV and JSON-lines scans with explicit schemas, proven content-
+    exact against the parquet source of truth: per (format, lang) doc
+    counts, char totals, and an order-insensitive content hash (sum of
+    the first 8 md5 hex digits of each text) that any quoting/escaping
+    corruption in the roundtrip would break.
+
+    Explicit schemas keep both text scans single-pass (no inference
+    job) with full column pruning; the oracle reads the original
+    parquet, so a hash match proves the CSV quoting (quoteAll +
+    RFC-4180 '""' escaping) and JSON encoding round-trip every payload
+    byte-exactly. Scale: text sources are splittable line formats, so
+    the scan parallelizes like parquet minus the footer pruning.
+    """
+    from ..tables import SCHEMAS
+
+    base = _text_format_copies(spark, sf_dir)
+    csv = (
+        spark.read.schema(SCHEMAS["documents"])
+        .option("header", True)
+        .option("escape", '"')
+        .csv(f"{base}/csv")
+        .withColumn("fmt", F.lit("csv"))
+    )
+    jsonl = (
+        spark.read.schema(SCHEMAS["documents"])
+        .json(f"{base}/jsonl")
+        .withColumn("fmt", F.lit("jsonl"))
+    )
+    both = csv.unionByName(jsonl)
+    return both.groupBy("fmt", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(
+            F.conv(F.substring(F.md5(F.encode("text", "utf-8")), 1, 8), 16, 10).cast(
+                "long"
+            )
+        ).alias("content_hash"),
+    )
+
+
+SOURCE_TEXT_FORMATS_SQL = """
+WITH per_fmt AS (
+  SELECT 'csv' AS fmt, lang, text, n_chars FROM documents
+  UNION ALL
+  SELECT 'jsonl' AS fmt, lang, text, n_chars FROM documents
+)
+SELECT
+  fmt,
+  lang,
+  count(*) AS n_docs,
+  sum(n_chars) AS sum_chars,
+  sum(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)) AS content_hash
+FROM per_fmt
+GROUP BY 1, 2
+"""
+
+QUERIES["source_text_formats"] = source_text_formats
+ORACLES["source_text_formats"] = SOURCE_TEXT_FORMATS_SQL

@@ -768,3 +768,71 @@ FROM counts
 
 QUERIES["events_markov_transitions"] = events_markov_transitions
 ORACLES["events_markov_transitions"] = EVENTS_MARKOV_SQL
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern match (MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect consecutive view→click→purchase triples per user — the
+    restricted MATCH_RECOGNIZE shape (Flink/Trino CEP) Spark lacks,
+    expressed as a lead-chain over the per-user event order.
+
+    A row matches when it is a ``view`` whose next two events (by the
+    deterministic (ts, event_id) order) are ``click`` then ``purchase``
+    with no intervening event — strictly-consecutive semantics, the
+    ``PATTERN (A B C)`` case. Plan: ONE user-keyed shuffle; both leads
+    and the count ride the same window partitioning. Returns users with
+    at least one match and their match count plus the tightest
+    triple's span in seconds.
+
+    For patterns with gaps/quantifiers (``A X* B``) the same plan uses
+    a conditional running counter (`events_funnel` implements that
+    relaxed shape); for truly unbounded NFA patterns the scale path is
+    ``applyInPandasWithState`` over the user key.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        (
+            (F.unix_micros(F.lead("ts", 2).over(w)) - F.unix_micros("ts"))
+            / F.lit(1_000_000)
+        ).cast("long").alias("span_s"),
+    ).filter(
+        (F.col("event_type") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase")
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("span_s").alias("min_span_s"),
+    )
+
+
+EVENTS_PATTERN_MATCH_SQL = """
+WITH flagged AS (
+  SELECT
+    user_id,
+    event_type,
+    lead(event_type, 1) OVER w AS t1,
+    lead(event_type, 2) OVER w AS t2,
+    (epoch_us(lead(ts, 2) OVER w) - epoch_us(ts)) // 1000000 AS span_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, count(*) AS n_matches, min(span_s) AS min_span_s
+FROM flagged
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+GROUP BY user_id
+"""
+
+QUERIES["events_pattern_match"] = events_pattern_match
+ORACLES["events_pattern_match"] = EVENTS_PATTERN_MATCH_SQL

@@ -111,3 +111,68 @@ def test_corr_matrix_bounds_and_symmetry_vs_builtin(spark, queries):
             F.corr(fp[r["col_x"]], fp[r["col_y"]])
         ).collect()[0][0]
         assert abs(r["corr"] - builtin) < 1e-5
+
+
+def test_pattern_match_strict_consecutive(spark, queries):
+    """Every reported match must correspond to an actual consecutive
+    view→click→purchase triple in the user's (ts, event_id) order."""
+    from aind_hcr_data_transformation_spark.tables import load_table
+
+    rows = queries["events_pattern_match"](spark, SF_DIR).collect()
+    events = defaultdict(list)
+    for r in (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    ):
+        events[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    for seq in events.values():
+        seq.sort()
+    truth = {}
+    for uid, seq in events.items():
+        spans = [
+            int((seq[i + 2][0] - seq[i][0]).total_seconds())
+            for i in range(len(seq) - 2)
+            if [seq[i][2], seq[i + 1][2], seq[i + 2][2]]
+            == ["view", "click", "purchase"]
+        ]
+        if spans:
+            truth[uid] = (len(spans), min(spans))
+    got = {r["user_id"]: (r["n_matches"], r["min_span_s"]) for r in rows}
+    assert got == truth
+    assert truth, "fixture should contain at least one strict triple"
+
+
+def test_bitmap_distinct_equals_count_distinct(spark, queries):
+    """The bitmap popcount total must equal the exact distinct count."""
+    from aind_hcr_data_transformation_spark.tables import load_table
+
+    rows = queries["agg_bitmap_distinct"](spark, SF_DIR).collect()
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert {r["event_type"]: r["n_users"] for r in rows} == exact
+    for r in rows:
+        assert r["n_words"] <= r["n_users"]  # words pack at least 1 id
+
+
+def test_text_source_roundtrip_content_exact(spark, queries):
+    """CSV and JSONL scans must agree with each other (same counts and
+    content hashes per lang) — any quoting corruption breaks this."""
+    rows = queries["source_text_formats"](spark, SF_DIR).collect()
+    by_fmt = defaultdict(dict)
+    for r in rows:
+        by_fmt[r["fmt"]][r["lang"]] = (
+            r["n_docs"],
+            r["sum_chars"],
+            r["content_hash"],
+        )
+    assert by_fmt["csv"] == by_fmt["jsonl"]
+    from aind_hcr_data_transformation_spark.tables import load_table
+
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(v[0] for v in by_fmt["csv"].values()) == n_docs

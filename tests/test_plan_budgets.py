@@ -140,6 +140,14 @@ BUDGETS = {
     "join_bucketed_colocated": (1, 0),
     # ONE exact-moment aggregate reprinted under the 3 union branches
     "stats_corr_matrix": (3, 0),
+    # ONE user shuffle: both leads and the match count ride the same
+    # window partitioning
+    "events_pattern_match": (1, 0),
+    # word build + per-type popcount sum — no raw-id shuffle anywhere
+    "agg_bitmap_distinct": (2, 0),
+    # one aggregate over the unioned text scans (schema explicit, no
+    # inference job)
+    "source_text_formats": (1, 0),
     # NOTE: assoc_basket_rules / graph_triangle_count / rec_item_cosine /
     # graph_bfs_hops are audited in PLAN_AUDIT.json but not pinned here:
     # their nested persist_tracked chains make treeString reprint cached
