@@ -2759,3 +2759,106 @@ GROUP BY 1, 2
 
 QUERIES["source_text_formats"] = source_text_formats
 ORACLES["source_text_formats"] = SOURCE_TEXT_FORMATS_SQL
+
+
+def bitmap_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user set algebra across event types computed ON the
+    bitmap representation — the reason bitmap indexes exist: |A∩B|,
+    |A∪B|, |A\\B| fall out of word-level AND/OR/AND-NOT without ever
+    shuffling raw ids or re-scanning the fact table per set op.
+
+    Level 1 builds one bitmap word per (type, id-bucket) as in
+    ``agg_bitmap_distinct``; the viewer and purchaser words then join
+    on the bucket (full outer — a bucket may exist on one side only)
+    and every set cardinality is a popcount sum over ONE joined
+    relation. The oracle computes the same cardinalities with
+    INTERSECT/EXCEPT/UNION over raw id sets — the identity the bitmap
+    algebra must reproduce exactly.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    words = (
+        e.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy(
+            "event_type",
+            F.expr(f"user_id DIV {_BMP_BITS}").alias("bucket"),
+        )
+        .agg(
+            F.expr(
+                f"bit_or(shiftleft(1L, CAST(user_id % {_BMP_BITS} AS INT)))"
+            ).alias("word")
+        )
+    )
+    # two consumers (the view and purchase sides): materialize the words
+    # once instead of re-scanning events per side
+    from ..cache import persist_tracked
+
+    words = persist_tracked(words)
+    words.count()
+    v = words.filter(F.col("event_type") == "view").select(
+        "bucket", F.col("word").alias("vw")
+    )
+    p = words.filter(F.col("event_type") == "purchase").select(
+        "bucket", F.col("word").alias("pw")
+    )
+    joined = v.join(p, "bucket", "full_outer").select(
+        F.coalesce("vw", F.lit(0)).alias("vw"),
+        F.coalesce("pw", F.lit(0)).alias("pw"),
+    )
+    return joined.agg(
+        F.sum(F.bit_count(F.col("vw").bitwiseAND(F.col("pw")))).alias(
+            "n_both"
+        ),
+        F.sum(F.bit_count(F.col("vw").bitwiseOR(F.col("pw")))).alias(
+            "n_either"
+        ),
+        F.sum(F.expr("bit_count(vw & ~pw)")).alias("n_view_only"),
+        F.sum(F.expr("bit_count(pw & ~vw)")).alias("n_purchase_only"),
+    )
+
+
+BITMAP_SET_ALGEBRA_SQL = """
+WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+     p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT
+  (SELECT count(*) FROM (SELECT * FROM v INTERSECT SELECT * FROM p)) AS n_both,
+  (SELECT count(*) FROM (SELECT * FROM v UNION SELECT * FROM p)) AS n_either,
+  (SELECT count(*) FROM (SELECT * FROM v EXCEPT SELECT * FROM p)) AS n_view_only,
+  (SELECT count(*) FROM (SELECT * FROM p EXCEPT SELECT * FROM v)) AS n_purchase_only
+"""
+
+QUERIES["bitmap_set_algebra"] = bitmap_set_algebra
+ORACLES["bitmap_set_algebra"] = BITMAP_SET_ALGEBRA_SQL
+
+
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles (p50/p90 of event value per event
+    type) via Spark's sort-based ``percentile`` aggregate — the exact
+    twin of the ``agg_approx_quantiles`` sketch pair, for the regimes
+    where the group is small enough to sort (per-group data here is
+    |events|/|types|; the sketch twins cover the can't-sort regime).
+
+    Both engines define the statistic identically (linear interpolation
+    at rank h = (n-1)p over the sorted values); outputs route through
+    the decimal rounding convention to absorb last-ulp interpolation
+    differences.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return e.groupBy("event_type").agg(
+        dround(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        dround(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+AGG_EXACT_PERCENTILES_SQL = f"""
+SELECT
+  event_type,
+  {sql_round('quantile_cont(value, 0.5)', 6)} AS p50,
+  {sql_round('quantile_cont(value, 0.9)', 6)} AS p90,
+  count(*) AS n
+FROM events
+GROUP BY 1
+"""
+
+QUERIES["agg_exact_percentiles"] = agg_exact_percentiles
+ORACLES["agg_exact_percentiles"] = AGG_EXACT_PERCENTILES_SQL

@@ -766,3 +766,99 @@ SELECT doc_id, pix_sum, pix_md5 FROM ({MULTIMODAL_PNG_DECODE_SQL})
 
 QUERIES["stream_png_decode"] = stream_png_decode
 ORACLES["stream_png_decode"] = _stream_png_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming CEP: sequential pattern match with explicit state
+# ---------------------------------------------------------------------------
+
+
+def stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming complex-event-processing twin of the batch
+    ``events_pattern_match``: detect strict-consecutive
+    view→click→purchase triples per user with the 2-event pattern tail
+    carried in ``GroupState`` across micro-batches — the restricted
+    MATCH_RECOGNIZE/CEP operator Flink ships and Spark lacks.
+
+    State per user is O(pattern length): the last two event types plus
+    the candidate view's timestamp and the running (n_matches,
+    min_span) — not the event history. Rows inside a batch are sorted
+    by (ts, event_id) in the kernel; cross-batch order is the file
+    source's availableNow backfill order (in production, a watermark
+    buffer upstream reorders before the matcher — same contract as any
+    CEP engine). Single-batch bounded run ⇒ the final update equals the
+    batch lead-chain, so the state machine is DuckDB-oracle-checked
+    against the SAME SQL as the batch operator.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.windows import EVENTS_PATTERN_MATCH_SQL  # noqa: F401
+
+    events = streaming_events(spark, sf_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_matches", T.LongType()),
+            T.StructField("min_span_s", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("t1", T.StringType()),  # previous event type
+            T.StructField("t2", T.StringType()),  # one before that
+            T.StructField("view_ts_us", T.LongType()),  # ts of t2 if view
+            T.StructField("n", T.LongType()),
+            T.StructField("minspan", T.LongType()),
+        ]
+    )
+
+    def match(key, pdfs, state: GroupState):
+        t1, t2, view_ts_us, n, minspan = (
+            state.get if state.exists else (None, None, None, 0, None)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+            ts_us = (
+                (batch["ts"] - pd.Timestamp(0))
+                // pd.Timedelta(microseconds=1)
+            ).to_numpy()
+            types = batch["event_type"].to_numpy()
+            for i in range(len(batch)):
+                cur = types[i]
+                if cur == "purchase" and t1 == "click" and t2 == "view":
+                    span = (int(ts_us[i]) - int(view_ts_us)) // 1_000_000
+                    n += 1
+                    minspan = span if minspan is None else min(minspan, span)
+                t2, t1 = t1, cur
+                if cur == "view":
+                    view_ts_us = int(ts_us[i])
+            state.update((t1, t2, view_ts_us, n, minspan))
+        if n > 0:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_matches": [n],
+                    "min_span_s": [minspan],
+                }
+            )
+
+    matched = events.groupBy("user_id").applyInPandasWithState(
+        match,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory_sink(matched, "stream_cep", "update")
+
+
+def _stream_pattern_oracle() -> str:
+    from ..operators.windows import EVENTS_PATTERN_MATCH_SQL
+
+    return EVENTS_PATTERN_MATCH_SQL
+
+
+QUERIES["stream_pattern_match"] = stream_pattern_match
+ORACLES["stream_pattern_match"] = _stream_pattern_oracle()

@@ -176,3 +176,57 @@ def test_text_source_roundtrip_content_exact(spark, queries):
 
     n_docs = load_table(spark, SF_DIR, "documents").count()
     assert sum(v[0] for v in by_fmt["csv"].values()) == n_docs
+
+
+def test_bitmap_set_algebra_identities(spark, queries):
+    """Inclusion-exclusion must hold exactly, and cardinalities must
+    match raw distinct-set computation."""
+    from aind_hcr_data_transformation_spark.tables import load_table
+
+    r = queries["bitmap_set_algebra"](spark, SF_DIR).collect()[0]
+    assert r["n_both"] + r["n_view_only"] + r["n_purchase_only"] == r["n_either"]
+    e = load_table(spark, SF_DIR, "events")
+    v = {
+        x["user_id"]
+        for x in e.filter("event_type = 'view'").select("user_id").distinct().collect()
+    }
+    p = {
+        x["user_id"]
+        for x in e.filter("event_type = 'purchase'").select("user_id").distinct().collect()
+    }
+    assert r["n_both"] == len(v & p)
+    assert r["n_either"] == len(v | p)
+    assert r["n_view_only"] == len(v - p)
+    assert r["n_purchase_only"] == len(p - v)
+
+
+def test_stream_pattern_match_equals_batch(spark, queries):
+    """The stateful streaming CEP must emit exactly the batch
+    lead-chain's result on the bounded input."""
+    batch = {
+        (r["user_id"], r["n_matches"], r["min_span_s"])
+        for r in queries["events_pattern_match"](spark, SF_DIR).collect()
+    }
+    stream = {
+        (r["user_id"], r["n_matches"], r["min_span_s"])
+        for r in queries["stream_pattern_match"](spark, SF_DIR).collect()
+    }
+    assert stream == batch
+
+
+def test_exact_percentiles_bracket_order(spark, queries):
+    """p50 <= p90 per group, both within the group's min/max."""
+    from aind_hcr_data_transformation_spark.tables import load_table
+
+    rows = queries["agg_exact_percentiles"](spark, SF_DIR).collect()
+    bounds = {
+        r["event_type"]: (r["lo"], r["hi"])
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    assert len(rows) == len(bounds)
+    for r in rows:
+        lo, hi = bounds[r["event_type"]]
+        assert lo <= r["p50"] <= r["p90"] <= hi

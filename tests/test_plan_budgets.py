@@ -148,6 +148,8 @@ BUDGETS = {
     # one aggregate over the unioned text scans (schema explicit, no
     # inference job)
     "source_text_formats": (1, 0),
+    # exact percentile aggregate: one group shuffle, sort inside groups
+    "agg_exact_percentiles": (1, 0),
     # NOTE: assoc_basket_rules / graph_triangle_count / rec_item_cosine /
     # graph_bfs_hops are audited in PLAN_AUDIT.json but not pinned here:
     # their nested persist_tracked chains make treeString reprint cached
