@@ -2862,3 +2862,77 @@ GROUP BY 1
 
 QUERIES["agg_exact_percentiles"] = agg_exact_percentiles
 ORACLES["agg_exact_percentiles"] = AGG_EXACT_PERCENTILES_SQL
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning (partitioned-layout join)
+# ---------------------------------------------------------------------------
+
+
+def _partitioned_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize lineitem hive-partitioned by ship month, once per
+    (session, sf_dir) — the partitioned-table layout DPP needs."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = Path(tempfile.gettempdir()) / f"spark_graft_part_li_{tag}"
+    if not (path / "_SUCCESS").exists():
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .withColumn("ship_month", F.month("l_shipdate"))
+            .write.mode("overwrite")
+            .partitionBy("ship_month")
+            .parquet(str(path))
+        )
+    return str(path)
+
+
+def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: Q2-quarter revenue from the
+    month-partitioned lineitem layout, where the months come from a
+    CALENDAR DIMENSION filtered on its quarter attribute — the filter
+    reaches the fact scan as a ``dynamicpruningexpression`` in its
+    PartitionFilters (plan-asserted in ``tests/test_new_ops_r5b.py``),
+    so 9 of the 12 month partitions are never read.
+
+    This is the third join-performance pillar next to
+    ``join_broadcast_dim`` and ``join_bucketed_colocated``: broadcast
+    kills the shuffle, bucketing kills the exchange+sort, DPP kills the
+    SCAN. The canonical shape is fact ⋈ dim ON key WHERE dim.attr = …,
+    where only the dim carries the literal filter — exactly how a
+    100 TB date-partitioned fact is pruned through a date dimension.
+    The 12-row calendar dim is derived in-line (month → quarter); at
+    scale it is any real dimension table.
+    """
+    li = spark.read.parquet(_partitioned_lineitem(spark, sf_dir))
+    calendar = spark.range(1, 13).select(
+        F.col("id").cast("int").alias("m"),
+        ((F.col("id") - 1) / 3 + 1).cast("int").alias("quarter"),
+    )
+    q2 = calendar.filter(F.col("quarter") == 2)
+    return (
+        li.join(F.broadcast(q2), li.ship_month == q2.m)
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum_round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+JOIN_DPP_SQL = f"""
+SELECT
+  CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+  count(*) AS n_items,
+  {sql_sum_round('l_extendedprice * (1 - l_discount)', 2)} AS revenue
+FROM lineitem
+WHERE ((month(l_shipdate) - 1) // 3) + 1 = 2
+GROUP BY 1
+"""
+
+QUERIES["join_dpp_partition_pruned"] = join_dpp_partition_pruned
+ORACLES["join_dpp_partition_pruned"] = JOIN_DPP_SQL

@@ -682,3 +682,84 @@ GROUP BY 1, 2
 
 QUERIES["ts_rollup_cascade"] = ts_rollup_cascade
 ORACLES["ts_rollup_cascade"] = TS_ROLLUP_CASCADE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3  # flag |x - median| > K * MAD
+
+
+def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type: median absolute deviation
+    (the robust twin of ``ts_rolling_anomaly``'s z-score — MAD has a 50%
+    breakdown point, so the outliers themselves can't drag the
+    threshold the way they drag a mean/stddev).
+
+    Two exact sort-based median passes (value median, then deviation
+    median), each one group shuffle with the per-type medians broadcast
+    back onto the stream; the flag comparison happens on BOTH engines
+    after routing deviation and threshold through the decimal rounding
+    convention, so a last-ulp interpolation difference can't flip a
+    boundary row. Returns per-type medians, MAD, and outlier counts.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+        F.first("med").alias("med"),
+    )
+    flagged = dev.select("event_type", "adev").join(
+        F.broadcast(mad), "event_type"
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    dround(F.col("adev"), 6)
+                    > dround(F.col("mad") * _MAD_K, 6),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            dround(F.first("med"), 6).alias("med"),
+            dround(F.first("mad"), 6).alias("mad"),
+        )
+    )
+
+
+TS_MAD_OUTLIERS_SQL = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad, any_value(med) AS med
+  FROM dev GROUP BY 1
+)
+SELECT
+  d.event_type,
+  count(*) AS n,
+  sum(CASE WHEN {sql_round('d.adev', 6)} > {sql_round(f'm.mad * {_MAD_K}', 6)}
+           THEN 1 ELSE 0 END) AS n_outliers,
+  {sql_round('any_value(m.med)', 6)} AS med,
+  {sql_round('any_value(m.mad)', 6)} AS mad
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY 1
+"""
+
+QUERIES["ts_mad_outliers"] = ts_mad_outliers
+ORACLES["ts_mad_outliers"] = TS_MAD_OUTLIERS_SQL

@@ -230,3 +230,40 @@ def test_exact_percentiles_bracket_order(spark, queries):
     for r in rows:
         lo, hi = bounds[r["event_type"]]
         assert lo <= r["p50"] <= r["p90"] <= hi
+
+
+def test_dpp_injects_dynamic_pruning(spark, queries):
+    """The partitioned fact scan must carry a dynamicpruningexpression
+    in its PartitionFilters — the literal proof the 9 non-Q2 partitions
+    are skipped at runtime."""
+    df = queries["join_dpp_partition_pruned"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    rows = df.collect()
+    assert sorted(r["ship_month"] for r in rows) == [4, 5, 6]
+
+
+def test_mad_outliers_robustness(spark, queries):
+    """MAD census invariants: outliers are a strict minority per group
+    and the threshold matches a pandas recomputation."""
+    import numpy as np
+
+    from aind_hcr_data_transformation_spark.tables import load_table
+
+    rows = queries["ts_mad_outliers"](spark, SF_DIR).collect()
+    vals = defaultdict(list)
+    for r in (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "value")
+        .collect()
+    ):
+        vals[r["event_type"]].append(r["value"])
+    for r in rows:
+        v = np.array(vals[r["event_type"]])
+        med = np.percentile(v, 50, method="linear")
+        mad = np.percentile(np.abs(v - med), 50, method="linear")
+        assert abs(r["med"] - med) < 1e-5
+        assert abs(r["mad"] - mad) < 1e-5
+        n_out = int((np.round(np.abs(v - med), 6) > round(3 * mad, 6)).sum())
+        assert abs(r["n_outliers"] - n_out) <= 1  # boundary-rounding slack
+        assert r["n_outliers"] < r["n"] / 2  # 50% breakdown point

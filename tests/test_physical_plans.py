@@ -99,6 +99,9 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
     # vectors (the canonical k-means assignment join; k is a parameter,
     # not data-sized).
     allowed_bnlj = {
+        # one-row mean-edge-weight and one-row seed broadcasts onto the
+        # 25-row nation frame (bounded scalar crossJoins, never facts)
+        "graph_bfs_hops",
         "sim_cosine_topk",
         # built on sim_cosine_topk's broadcast-queries scorer
         "rag_retrieve_assemble",

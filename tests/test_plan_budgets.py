@@ -150,6 +150,12 @@ BUDGETS = {
     "source_text_formats": (1, 0),
     # exact percentile aggregate: one group shuffle, sort inside groups
     "agg_exact_percentiles": (1, 0),
+    # two median passes + final census; both per-type median frames
+    # must broadcast back onto the stream
+    "ts_mad_outliers": (4, 3),
+    # ONE agg shuffle; the filtered calendar dim must broadcast (and
+    # its dynamicpruningexpression reaches the partitioned scan)
+    "join_dpp_partition_pruned": (1, 1),
     # NOTE: assoc_basket_rules / graph_triangle_count / rec_item_cosine /
     # graph_bfs_hops are audited in PLAN_AUDIT.json but not pinned here:
     # their nested persist_tracked chains make treeString reprint cached
