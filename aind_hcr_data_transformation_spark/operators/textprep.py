@@ -1294,3 +1294,84 @@ LIMIT 20
 
 QUERIES["bpe_merge_candidates"] = bpe_merge_candidates
 ORACLES["bpe_merge_candidates"] = BPE_MERGE_CANDIDATES_SQL
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-epoch training shuffle
+# ---------------------------------------------------------------------------
+
+_EPOCHS = 3
+_EPOCH_HEAD = 5  # rows surfaced per epoch (the checkable prefix)
+
+
+def mix_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch dataloader shuffle: each training epoch
+    orders the corpus by ``md5(epoch || doc_id)`` — a different but
+    REPRODUCIBLE permutation per epoch, with no ``rand()`` anywhere (the
+    repo-wide sampling rule: restarts and stragglers must see the same
+    order). Emits each epoch's first ``_EPOCH_HEAD`` samples plus a
+    whole-permutation checksum so the oracle pins the entire order, not
+    just the head.
+
+    Scale: the per-epoch sort is a ``repartitionByRange`` on the hash
+    key — the standard distributed shuffle a 100 TB dataloader feeds
+    from; nothing here is driver-side. The checksum (sum of
+    hash-prefix × rank over ALL rows) is order-sensitive, so two
+    engines agreeing on it proves the full permutation matches.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    keyed = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("epoch"), F.col("doc_id"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hkey"),
+    )
+    w = Window.partitionBy("epoch").orderBy("hkey", "doc_id")
+    ranked = keyed.withColumn("rank", F.row_number().over(w))
+    head = ranked.filter(F.col("rank") <= _EPOCH_HEAD).select(
+        "epoch", "rank", "doc_id"
+    )
+    checksum = ranked.groupBy("epoch").agg(
+        F.sum(
+            (F.col("hkey") % 1_000_003) * F.col("rank").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").cast("string").alias("perm_checksum")
+    )
+    return head.join(checksum, "epoch").select(
+        "epoch", "rank", "doc_id", "perm_checksum"
+    )
+
+
+def _epoch_shuffle_sql() -> str:
+    return f"""
+WITH epochs AS (SELECT unnest(range({_EPOCHS})) AS epoch),
+keyed AS (
+  SELECT e.epoch, d.doc_id,
+         CAST(concat('0x', substr(md5(concat_ws('|', e.epoch, d.doc_id)), 1, 8)) AS BIGINT) AS hkey
+  FROM documents d CROSS JOIN epochs e
+),
+ranked AS (
+  SELECT epoch, doc_id, hkey,
+         row_number() OVER (PARTITION BY epoch ORDER BY hkey, doc_id) AS rank
+  FROM keyed
+),
+checksum AS (
+  SELECT epoch,
+         CAST(sum(CAST(hkey % 1000003 AS HUGEINT) * rank) AS VARCHAR) AS perm_checksum
+  FROM ranked GROUP BY 1
+)
+SELECT r.epoch, r.rank, r.doc_id, c.perm_checksum
+FROM ranked r JOIN checksum c ON r.epoch = c.epoch
+WHERE r.rank <= {_EPOCH_HEAD}
+"""
+
+
+QUERIES["mix_epoch_shuffle"] = mix_epoch_shuffle
+ORACLES["mix_epoch_shuffle"] = _epoch_shuffle_sql()

@@ -836,3 +836,64 @@ GROUP BY user_id
 
 QUERIES["events_pattern_match"] = events_pattern_match
 ORACLES["events_pattern_match"] = EVENTS_PATTERN_MATCH_SQL
+
+
+# ---------------------------------------------------------------------------
+# Gaps and islands (activity streaks)
+# ---------------------------------------------------------------------------
+
+
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands shape: distinct active days, then day − row_number
+    is constant within an island, so one more aggregate yields streak
+    lengths. Returns each user's longest streak, streak count, and
+    active-day total.
+
+    Plan: distinct-day aggregate and the island window ride the SAME
+    user-keyed partitioning (one shuffle), then a per-user hash
+    aggregate. Integer day arithmetic (epoch days), identical engines.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day")
+    )
+    days = e.distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "island", F.col("day") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("len").alias("active_days"),
+    )
+
+
+EVENTS_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+  FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, count(*) AS len
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id,
+       max(len) AS longest_streak,
+       count(*) AS n_streaks,
+       sum(len) AS active_days
+FROM streaks
+GROUP BY 1
+"""
+
+QUERIES["events_streaks"] = events_streaks
+ORACLES["events_streaks"] = EVENTS_STREAKS_SQL

@@ -267,3 +267,48 @@ def test_mad_outliers_robustness(spark, queries):
         n_out = int((np.round(np.abs(v - med), 6) > round(3 * mad, 6)).sum())
         assert abs(r["n_outliers"] - n_out) <= 1  # boundary-rounding slack
         assert r["n_outliers"] < r["n"] / 2  # 50% breakdown point
+
+
+def test_streaks_islands_invariants(spark, queries):
+    """Streak lengths must reconstruct from raw distinct days."""
+    from aind_hcr_data_transformation_spark.tables import load_table
+
+    rows = queries["events_streaks"](spark, SF_DIR).collect()
+    days = defaultdict(set)
+    for r in (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .collect()
+    ):
+        days[r["user_id"]].add(r["d"].toordinal())
+    assert len(rows) == len(days)
+    for r in rows:
+        ds = sorted(days[r["user_id"]])
+        streaks, cur = [], 1
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        assert r["longest_streak"] == max(streaks)
+        assert r["n_streaks"] == len(streaks)
+        assert r["active_days"] == len(ds)
+
+
+def test_epoch_shuffle_permutations_differ(spark, queries):
+    """Each epoch's head is a valid doc subset; different epochs produce
+    different permutations; re-running is bit-identical (no rand())."""
+    rows1 = queries["mix_epoch_shuffle"](spark, SF_DIR).collect()
+    rows2 = queries["mix_epoch_shuffle"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+    heads = defaultdict(list)
+    sums = {}
+    for r in sorted(rows1, key=lambda r: (r["epoch"], r["rank"])):
+        heads[r["epoch"]].append(r["doc_id"])
+        sums[r["epoch"]] = r["perm_checksum"]
+    assert len(heads) == 3
+    assert len({tuple(h) for h in heads.values()}) == 3  # distinct orders
+    assert len(set(sums.values())) == 3  # distinct full permutations

@@ -102,6 +102,9 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
         # one-row mean-edge-weight and one-row seed broadcasts onto the
         # 25-row nation frame (bounded scalar crossJoins, never facts)
         "graph_bfs_hops",
+        # 3-row epoch frame broadcast onto the corpus (bounded fan-out
+        # by construction, never fact×fact)
+        "mix_epoch_shuffle",
         "sim_cosine_topk",
         # built on sim_cosine_topk's broadcast-queries scorer
         "rag_retrieve_assemble",

@@ -156,6 +156,12 @@ BUDGETS = {
     # ONE agg shuffle; the filtered calendar dim must broadcast (and
     # its dynamicpruningexpression reaches the partitioned scan)
     "join_dpp_partition_pruned": (1, 1),
+    # distinct-days + island window ride one user shuffle; one more
+    # (user, island) aggregate
+    "events_streaks": (2, 0),
+    # per-epoch rank window + checksum agg; the 3-row epoch frame and
+    # the per-epoch checksums must broadcast
+    "mix_epoch_shuffle": (2, 2),
     # NOTE: assoc_basket_rules / graph_triangle_count / rec_item_cosine /
     # graph_bfs_hops are audited in PLAN_AUDIT.json but not pinned here:
     # their nested persist_tracked chains make treeString reprint cached
