@@ -670,3 +670,137 @@ PQ_ADC_SQL = _adc_oracle()
 
 QUERIES["pq_adc_topk"] = pq_adc_topk
 ORACLES["pq_adc_topk"] = PQ_ADC_SQL
+
+
+# ---------------------------------------------------------------------------
+# Power iteration (top principal direction)
+# ---------------------------------------------------------------------------
+
+_PI_ITERS = 3
+_PI_SCALE = 10_000  # fixed-point 1e4 for both the data and the vector
+
+
+def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding matrix by power
+    iteration — v ← Xᵀ(Xv), renormalized each round — expressed as two
+    hash aggregates per iteration over the exploded (vec_id, dim,
+    value) long format. The PCA/spectral shape MLlib computes with RSVD,
+    here as pure declarative plans: matvec = broadcast-join + aggregate,
+    so a billion-row X runs the exact plan this fixture runs.
+
+    Determinism: the data quantizes once to 1e4 fixed point
+    (floor-of-decimal — identical engines), every matvec accumulates
+    exact DECIMAL(38)/HUGEINT products, and each round renormalizes by
+    the max |component| using sign·(|w|·1e4 DIV max) — magnitude floor
+    division, avoiding the truncate-vs-floor divergence on negatives.
+    Both engines therefore iterate over identical integer states. The
+    fixture embeddings are near-isotropic (eigengap ≈ 0.95), so 3
+    rounds don't CONVERGE here — the unit test pins exact agreement
+    with a float reference of the same 3 rounds, and on any spectrum
+    with a real gap (the production case for PCA) the identical plan
+    converges geometrically.
+
+    Returns (dim, v_e4): the iterate in 1e4 fixed point.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    )
+    x = persist_tracked(
+        emb.select(
+            "vec_id",
+            "dim",
+            # float32 → DOUBLE first: Spark's float→decimal cast goes
+            # through the float's SHORTEST repr while DuckDB rounds the
+            # binary value — through double, both land on the same
+            # decimal (the dround convention), so the floor agrees
+            F.expr(
+                f"CAST(FLOOR(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,10))"
+                f" * {_PI_SCALE}) AS BIGINT)"
+            ).alias("xq"),
+        )
+    )
+    x.count()  # consumed by two matvecs per iteration
+
+    v = (
+        x.select("dim")
+        .distinct()
+        .select("dim", F.lit(_PI_SCALE).cast("long").alias("v"))
+    )
+    for _ in range(_PI_ITERS):
+        dots = (
+            x.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(
+                F.sum((F.col("xq") * F.col("v")).cast("decimal(38,0)")).alias(
+                    "dot"
+                )
+            )
+        )
+        w = (
+            x.join(F.broadcast(dots), "vec_id")
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    (F.col("xq").cast("decimal(19,0)") * F.col("dot")).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("w")
+            )
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                "dim",
+                (
+                    F.signum(F.col("w")).cast("long")
+                    * F.expr(
+                        f"CAST(CAST(abs(w) AS DECIMAL(38,0)) * {_PI_SCALE} DIV CAST(m AS DECIMAL(38,0)) AS BIGINT)"
+                    )
+                ).alias("v"),
+            )
+        )
+    return v.select("dim", F.col("v").alias("v_e4"))
+
+
+def _power_iteration_sql() -> str:
+    sql = f"""
+WITH dims AS (SELECT unnest(range({EMB_DIM})) AS dim),
+x AS MATERIALIZED (
+  SELECT e.vec_id, d.dim,
+         CAST(FLOOR(CAST(CAST(e.embedding[d.dim + 1] AS DOUBLE) AS DECIMAL(30,10)) * {_PI_SCALE}) AS BIGINT) AS xq
+  FROM embeddings e CROSS JOIN dims d
+),
+v0 AS (
+  SELECT DISTINCT dim, CAST({_PI_SCALE} AS BIGINT) AS v FROM x
+)"""
+    prev = "v0"
+    for i in range(1, _PI_ITERS + 1):
+        sql += f""",
+d{i} AS MATERIALIZED (
+  SELECT x.vec_id, sum(CAST(x.xq AS HUGEINT) * {prev}.v) AS dot
+  FROM x JOIN {prev} ON x.dim = {prev}.dim
+  GROUP BY 1
+),
+w{i} AS MATERIALIZED (
+  SELECT x.dim, sum(CAST(x.xq AS HUGEINT) * d{i}.dot) AS w
+  FROM x JOIN d{i} ON x.vec_id = d{i}.vec_id
+  GROUP BY 1
+),
+m{i} AS (SELECT max(abs(w)) AS m FROM w{i}),
+v{i} AS (
+  SELECT dim,
+         CAST(sign(w) AS BIGINT) * CAST((abs(w) * {_PI_SCALE}) // m.m AS BIGINT) AS v
+  FROM w{i} CROSS JOIN m{i} m
+)"""
+        prev = f"v{i}"
+    sql += f"""
+SELECT dim, v AS v_e4 FROM {prev}
+"""
+    return sql
+
+
+EMBED_POWER_ITERATION_SQL = _power_iteration_sql()
+
+QUERIES["embed_power_iteration"] = embed_power_iteration
+ORACLES["embed_power_iteration"] = EMBED_POWER_ITERATION_SQL
