@@ -163,10 +163,11 @@ BUDGETS = {
     # the per-epoch checksums must broadcast
     "mix_epoch_shuffle": (2, 2),
     # NOTE: assoc_basket_rules / graph_triangle_count / rec_item_cosine /
-    # graph_bfs_hops are audited in PLAN_AUDIT.json but not pinned here:
-    # their nested persist_tracked chains make treeString reprint cached
-    # build plans per consumer, so the census number is a print artifact,
-    # not a stage count (runtime shuffles ≈ 4 / 7 / 4 / 8).
+    # graph_bfs_hops / embed_power_iteration are audited in
+    # PLAN_AUDIT.json but not pinned here: their nested persist_tracked
+    # chains make treeString reprint cached build plans per consumer, so
+    # the census number is a print artifact, not a stage count (runtime
+    # shuffles ≈ 4 / 7 / 4 / 8 / 13).
 }
 
 
