@@ -405,8 +405,13 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bfs_sql() -> str:
+    # every CTE referenced more than once is MATERIALIZED: DuckDB
+    # re-inlines plain CTEs per consumer (weights feeds the mean, the
+    # seed, and the edge filter; each d_i feeds the next round twice),
+    # which overran the oracle harness's memory budget at sf0.1 — the
+    # same fix DEDUP_COMPONENTS_SQL documents
     sql = f"""
-WITH weights AS (
+WITH weights AS MATERIALIZED (
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
   FROM lineitem l
   JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -415,7 +420,7 @@ WITH weights AS (
   GROUP BY 1, 2
   HAVING c.c_nationkey <> s.s_nationkey
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT src, dst FROM weights
   WHERE w >= (SELECT sum(w) / count(*) FROM weights)
 ),
@@ -431,7 +436,7 @@ d0 AS (
     prev = "d0"
     for i in range(1, _BFS_ITERS + 1):
         sql += f""",
-d{i} AS (
+d{i} AS MATERIALIZED (
   SELECT node, min(d) AS d FROM (
     SELECT node, d FROM {prev}
     UNION ALL
