@@ -1555,3 +1555,124 @@ GROUP BY component
 
 QUERIES["dedup_canonical_pick"] = dedup_canonical_pick
 ORACLES["dedup_canonical_pick"] = DEDUP_CANONICAL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup (doc-inside-doc)
+# ---------------------------------------------------------------------------
+
+#: report (inner, outer) when |inner ∩ outer| / |inner| clears this bar
+_CONTAINMENT_THRESHOLD = 0.8
+#: inner docs need at least this many capped shingles to be meaningful
+_CONTAINMENT_MIN_SHINGLES = 5
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment — the doc-inside-doc near-dup case
+    symmetric Jaccard misses: a short document quoted verbatim inside a
+    long one has Jaccard |A∩B|/|A∪B| ≈ |A|/|B| (tiny), but containment
+    |A∩B|/|A| ≈ 1.  Standard alongside Jaccard in crawl dedup (Broder's
+    original resemblance/containment pair).
+
+    Same inverted-index blocking and df cap as
+    :func:`dedup_ngram_jaccard` (a shared shingle is the only way a pair
+    is ever materialized; the corpus-derived cap bounds every posting
+    list's df² fan-out).  The unordered intersection is computed ONCE
+    per pair, then scored in both directions — containment of doc1 in
+    doc2 uses |doc1|, of doc2 in doc1 uses |doc2| — so the pair join
+    does not double.  Inner docs below ``_CONTAINMENT_MIN_SHINGLES``
+    capped shingles are suppressed (a 1-shingle doc is "contained" in
+    anything that shares that shingle).
+
+    Output: (inner_id, outer_id, containment) for every direction that
+    clears the threshold — the planted suffix mutants (first two tokens
+    dropped) are near-fully contained in their originals even when the
+    symmetric Jaccard is diluted by the originals' extra shingles.
+    """
+    corpus = _corpus_with_mutants(spark, sf_dir)
+    df_cap = _ngram_df_cap(table_count(spark, sf_dir, "documents"))
+    sh = persist_tracked(
+        _shingles(corpus)
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sid")))
+        .filter(F.col("df") <= F.lit(df_cap))
+        .drop("df")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    s1 = sh.select(F.col("doc_id").alias("doc1"), "sid")
+    s2 = sh.select(F.col("doc_id").alias("doc2"), "sid")
+    common = (
+        s1.join(s2, "sid")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = common.join(
+        sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed(
+            "n_shingles", "n1"
+        ),
+        "doc1",
+    ).join(
+        sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed(
+            "n_shingles", "n2"
+        ),
+        "doc2",
+    )
+    fwd = scored.select(
+        F.col("doc1").alias("inner_id"),
+        F.col("doc2").alias("outer_id"),
+        F.col("n_common"),
+        F.col("n1").alias("n_inner"),
+    )
+    rev = scored.select(
+        F.col("doc2").alias("inner_id"),
+        F.col("doc1").alias("outer_id"),
+        F.col("n_common"),
+        F.col("n2").alias("n_inner"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("n_inner") >= _CONTAINMENT_MIN_SHINGLES)
+        .select(
+            "inner_id",
+            "outer_id",
+            dround(F.col("n_common") / F.col("n_inner"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= _CONTAINMENT_THRESHOLD)
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH sh_all AS MATERIALIZED ({_SHINGLES_SQL}),
+rare AS (
+  SELECT sid FROM sh_all GROUP BY sid HAVING count(*) <= {_NGRAM_DF_CAP_SQL}
+),
+sh AS MATERIALIZED (SELECT sh_all.* FROM sh_all JOIN rare USING (sid)),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+common AS (
+  SELECT s1.doc_id AS doc1, s2.doc_id AS doc2, count(*) AS n_common
+  FROM sh s1 JOIN sh s2 ON s1.sid = s2.sid AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc1, doc2, n_common, z1.n_shingles AS n1, z2.n_shingles AS n2
+  FROM common
+  JOIN sizes z1 ON z1.doc_id = doc1
+  JOIN sizes z2 ON z2.doc_id = doc2
+),
+directed AS (
+  SELECT doc1 AS inner_id, doc2 AS outer_id, n_common, n1 AS n_inner FROM scored
+  UNION ALL
+  SELECT doc2 AS inner_id, doc1 AS outer_id, n_common, n2 AS n_inner FROM scored
+)
+SELECT inner_id, outer_id, containment FROM (
+  SELECT inner_id, outer_id,
+    CAST(round(CAST((CAST(n_common AS DOUBLE) / n_inner) AS DECIMAL(30,10)), 6) AS DOUBLE)
+      AS containment
+  FROM directed
+  WHERE n_inner >= {_CONTAINMENT_MIN_SHINGLES}
+)
+WHERE containment >= {_CONTAINMENT_THRESHOLD}
+"""
+
+QUERIES["dedup_containment"] = dedup_containment
+ORACLES["dedup_containment"] = DEDUP_CONTAINMENT_SQL

@@ -2936,3 +2936,81 @@ GROUP BY 1
 
 QUERIES["join_dpp_partition_pruned"] = join_dpp_partition_pruned
 ORACLES["join_dpp_partition_pruned"] = JOIN_DPP_SQL
+
+
+# ---------------------------------------------------------------------------
+# as-of join with a staleness tolerance (SURVEY §2.4 as-of row, bounded)
+# ---------------------------------------------------------------------------
+
+_ASOF_TOLERANCE_US = 3_600 * 1_000_000  # 1 hour, integer microseconds
+
+
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness bound: each event sees the same
+    user's most recent 'purchase' value only if that purchase is within
+    one hour — older matches become NULL instead of carrying forward
+    indefinitely.  This is pandas ``merge_asof(tolerance=...)`` /
+    kdb ``wj`` semantics, and the exact contract a watermarked
+    stream-stream join enforces at scale (state older than the bound is
+    droppable — the tolerance IS the state-retention bound).
+
+    Same single-shuffle shape as :func:`join_asof` (union the sides,
+    one window per user, ``last(..., ignorenulls=True)``), plus a
+    carried last-purchase timestamp; the staleness test is exact
+    integer microseconds — no float time arithmetic.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(is_p, F.col("value")).alias("pv"),
+        F.when(is_p, F.unix_micros(F.col("ts"))).alias("pts"),
+        F.when(is_p, F.lit(0)).otherwise(F.lit(1)).alias("pri"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "pri", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lv = F.last("pv", ignorenulls=True).over(w)
+    lts = F.last("pts", ignorenulls=True).over(w)
+    fresh = (F.unix_micros(F.col("ts")) - lts) <= F.lit(_ASOF_TOLERANCE_US)
+    return marked.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        dround(F.when(fresh, lv), 2).alias("recent_purchase_value"),
+    )
+
+
+JOIN_ASOF_TOLERANCE_SQL = f"""
+SELECT
+  event_id,
+  user_id,
+  event_type,
+  CAST(round(CAST((CASE
+    WHEN epoch_us(ts) - last_value(pts IGNORE NULLS) OVER w <= {_ASOF_TOLERANCE_US}
+    THEN last_value(pv IGNORE NULLS) OVER w
+  END) AS DECIMAL(30,10)), 2) AS DOUBLE) AS recent_purchase_value
+FROM (
+  SELECT
+    event_id, user_id, ts, event_type,
+    CASE WHEN event_type = 'purchase' THEN value END AS pv,
+    CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS pts,
+    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS pri
+  FROM events
+)
+WINDOW w AS (
+  PARTITION BY user_id
+  ORDER BY ts, pri, event_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+)
+"""
+
+QUERIES["join_asof_tolerance"] = join_asof_tolerance
+ORACLES["join_asof_tolerance"] = JOIN_ASOF_TOLERANCE_SQL

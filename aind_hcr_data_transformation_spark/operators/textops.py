@@ -1060,3 +1060,90 @@ TEXT_HEAVY_HITTERS_CMS_SQL = _cms_sql()
 
 QUERIES["text_heavy_hitters_cms"] = text_heavy_hitters_cms
 ORACLES["text_heavy_hitters_cms"] = TEXT_HEAVY_HITTERS_CMS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Lexical rarity score (unigram-LM quality proxy, exact arithmetic)
+# ---------------------------------------------------------------------------
+
+# "rare" = corpus term frequency at or below this cap, DERIVED from the
+# corpus row count so the definition scales with the data instead of
+# freezing a fixture-scale constant: cap = clamp(n_docs / 250, 2, 100).
+# 500 docs (sf0.01) -> 2; 5 000 docs (sf0.1) -> 20 — the derived value
+# provably differs between the two oracle scale factors.
+_RARITY_LO, _RARITY_HI, _RARITY_DIV = 2, 100, 250
+
+
+def _rarity_cap(n_docs: int) -> int:
+    return min(_RARITY_HI, max(_RARITY_LO, n_docs // _RARITY_DIV))
+
+
+_RARITY_CAP_SQL = (
+    f"(SELECT least({_RARITY_HI}, greatest({_RARITY_LO}, "
+    f"count(*) // {_RARITY_DIV})) FROM documents)"
+)
+
+
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical rarity — the no-log unigram-LM quality
+    proxy: a real LM filter (CCNet's KenLM pass) scores documents by
+    mean token log-probability; the rank-equivalent signal that stays
+    EXACT cross-engine is the mean corpus term frequency of a doc's
+    tokens (integer sums, one IEEE division — the same no-``ln``
+    discipline as ``text_tfidf_topk``) plus the fraction of tokens
+    whose corpus frequency is at or below a corpus-derived rarity cap.
+    Low mean_ctf / high rare_frac ⇒ unusual vocabulary (OCR noise,
+    boilerplate hashes, genuinely novel text) — the triage signal the
+    LM filter buys, without the model.
+
+    Shape: explode → corpus term-frequency aggregate (shuffle on token;
+    zipf head skew is AQE-handled) → join counts back to occurrences →
+    per-doc integer aggregate. The ctf join keys on the token itself;
+    both sides are the same exploded frame, so the shuffle partitioning
+    is reused across the aggregate and the join.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    cap = _rarity_cap(docs.count())
+    toks = persist_tracked(
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+        )
+    )
+    ctf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("ctf"))
+    return (
+        toks.join(ctf, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("ctf").alias("sum_ctf"),
+            F.sum(
+                F.when(F.col("ctf") <= F.lit(cap), 1).otherwise(0)
+            ).alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            dround(F.col("sum_ctf") / F.col("n_tokens"), 6).alias("mean_ctf"),
+            dround(F.col("n_rare") / F.col("n_tokens"), 6).alias("rare_frac"),
+        )
+    )
+
+
+TEXT_RARITY_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+ctf AS (SELECT token, count(*) AS ctf FROM toks GROUP BY token)
+SELECT
+  doc_id,
+  count(*) AS n_tokens,
+  {sql_round('CAST(sum(ctf) AS DOUBLE) / count(*)', 6)} AS mean_ctf,
+  {sql_round("CAST(sum(CASE WHEN ctf <= " + _RARITY_CAP_SQL + " THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS rare_frac
+FROM toks JOIN ctf USING (token)
+GROUP BY doc_id
+"""
+
+QUERIES["text_rarity_score"] = text_rarity_score
+ORACLES["text_rarity_score"] = TEXT_RARITY_SQL

@@ -1375,3 +1375,87 @@ WHERE r.rank <= {_EPOCH_HEAD}
 
 QUERIES["mix_epoch_shuffle"] = mix_epoch_shuffle
 ORACLES["mix_epoch_shuffle"] = _epoch_shuffle_sql()
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixing weights (multilingual / multi-domain sampling)
+# ---------------------------------------------------------------------------
+
+_MIX_TEMP_BUDGET = 10_000_000  # tokens in the resampled corpus
+
+
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain sampling weights — the multilingual /
+    multi-domain rebalancing rule (mBERT/XLM-R's exponent-smoothed
+    sampling, τ = 0.5): source s is drawn with probability
+    ``n_s^τ / Σ n_j^τ``, flattening the head domains and boosting the
+    tail relative to proportional sampling, without ever inverting the
+    order.
+
+    Float discipline: τ = 0.5 means ``n^τ = sqrt(n)``, and IEEE-754
+    requires sqrt to be CORRECTLY ROUNDED — the one transcendental-ish
+    kernel both engines compute bit-identically (unlike ``ln``/``pow``,
+    which differ in the last ulp between libm and the JVM; see
+    ``text_tfidf_topk``).  Each sqrt is then pinned to DECIMAL(30,10)
+    (the ``dround`` cast, deterministic in both engines), the sum runs
+    in exact decimal arithmetic — immune to summation order — and the
+    share is ONE double division of the two pinned values.
+
+    Scale shape: one per-source aggregate (map-side combine, k rows) →
+    a k-row total broadcast back over the k-row frame.  The share table
+    is the input to a mixer like ``mix_token_budget``; the token budget
+    column shows the materialized allocation (floor, exact).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(F.split(F.col("text"), " ")).cast("long").alias("toks")
+    )
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+    )
+    w = per_src.withColumn(
+        "w", F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(30,10)")
+    )
+    tot = w.agg(F.sum("w").cast("decimal(30,10)").alias("w_total"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            dround(
+                F.col("w").cast("double") / F.col("w_total").cast("double"), 6
+            ).alias("share"),
+            F.floor(
+                (
+                    F.col("w").cast("double") / F.col("w_total").cast("double")
+                ) * F.lit(float(_MIX_TEMP_BUDGET))
+            ).cast("long")
+            .alias("token_budget"),
+        )
+    )
+
+
+MIX_TEMPERATURE_SQL = f"""
+WITH per_src AS (
+  SELECT source,
+         count(*) AS n_docs,
+         sum(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(30,10)) AS w
+  FROM per_src
+),
+tot AS (SELECT CAST(sum(w) AS DECIMAL(30,10)) AS w_total FROM w)
+SELECT
+  source,
+  n_docs,
+  n_tokens,
+  {sql_round('CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE)', 6)} AS share,
+  CAST(floor((CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE)) * {float(_MIX_TEMP_BUDGET)}) AS BIGINT) AS token_budget
+FROM w, tot
+"""
+
+QUERIES["mix_temperature_weights"] = mix_temperature_weights
+ORACLES["mix_temperature_weights"] = MIX_TEMPERATURE_SQL

@@ -897,3 +897,66 @@ GROUP BY 1
 
 QUERIES["events_streaks"] = events_streaks
 ORACLES["events_streaks"] = EVENTS_STREAKS_SQL
+
+
+# ---------------------------------------------------------------------------
+# ntile bucketing (quartile assignment + per-bucket profile)
+# ---------------------------------------------------------------------------
+
+
+def win_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ntile(4)`` quartile assignment over order value, per priority
+    class, rolled up to a per-(priority, quartile) profile — the score
+    bucketing step of a ranking/segmentation pipeline (e.g. quality-
+    score quartiles feeding a curriculum mixer).
+
+    The ntile window is PARTITIONED (by ``o_orderpriority``), never
+    global: each class buckets independently and in parallel.  A global
+    ntile would funnel every row through one task — that shape belongs
+    to the two-phase distributed rank helper
+    (``plans/partitioning.grouped_row_number``), not a window.  The
+    orderBy carries ``o_orderkey`` as a unique tiebreak, so bucket
+    boundaries are deterministic under ties.
+
+    ntile semantics (SQL standard, identical in both engines): bucket
+    sizes differ by at most one, earlier buckets take the extras.
+    """
+    from ..functions.compat import dsum_round, sql_round as _sr  # noqa: F401
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    bucketed = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return bucketed.groupBy("o_orderpriority", "quartile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dround(F.min("o_totalprice"), 2).alias("lo"),
+        dround(F.max("o_totalprice"), 2).alias("hi"),
+        dsum_round("o_totalprice", 2).alias("bucket_value"),
+    )
+
+
+WIN_NTILE_SQL = """
+SELECT
+  o_orderpriority,
+  quartile,
+  count(*) AS n_orders,
+  CAST(round(CAST(min(o_totalprice) AS DECIMAL(30,10)), 2) AS DOUBLE) AS lo,
+  CAST(round(CAST(max(o_totalprice) AS DECIMAL(30,10)), 2) AS DOUBLE) AS hi,
+  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS bucket_value
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(4) OVER (
+           PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+         ) AS quartile
+  FROM orders
+)
+GROUP BY o_orderpriority, quartile
+"""
+
+QUERIES["win_ntile_buckets"] = win_ntile_buckets
+ORACLES["win_ntile_buckets"] = WIN_NTILE_SQL

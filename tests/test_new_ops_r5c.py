@@ -1,0 +1,152 @@
+"""Semantic invariants for the third round-5 operator batch
+(containment dedup, lexical rarity, temperature mixing, ntile buckets,
+tolerance as-of) — properties the differential oracle can't express."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_containment_catches_planted_suffix_mutants(spark, queries):
+    """Every planted mutant (doc_id + 1e6, first two tokens dropped) with
+    enough shingles must appear as an inner doc contained in its
+    original, with containment ≈ 1 — the asymmetric case Jaccard can
+    dilute.  And containment must stay within (0, 1]."""
+    from aind_hcr_data_transformation_spark.operators.dedup import (
+        _CONTAINMENT_MIN_SHINGLES,
+        _MUT_OFFSET,
+    )
+    from aind_hcr_data_transformation_spark.tables import load_table
+
+    rows = queries["dedup_containment"](spark, SF_DIR).collect()
+    assert rows, "no containment pairs found"
+    pairs = {(r["inner_id"], r["outer_id"]): r["containment"] for r in rows}
+    for c in pairs.values():
+        assert 0.0 < c <= 1.0
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    planted = 0
+    for r in docs:
+        if r["doc_id"] % 20 != 0:
+            continue
+        toks = r["text"].split(" ")[2:]
+        n_shingles = len({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
+        if n_shingles < _CONTAINMENT_MIN_SHINGLES:
+            continue
+        planted += 1
+        key = (r["doc_id"] + _MUT_OFFSET, r["doc_id"])
+        assert key in pairs, f"mutant {key} not reported as contained"
+        assert pairs[key] == 1.0
+    assert planted > 0
+
+
+def test_rarity_score_matches_local_recount(spark, queries):
+    """mean_ctf and rare_frac must equal a driver-side recount of corpus
+    term frequencies on the same tokenization."""
+    from aind_hcr_data_transformation_spark.operators.textops import _rarity_cap
+    from aind_hcr_data_transformation_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    cap = _rarity_cap(len(docs))
+    ctf: dict[str, int] = defaultdict(int)
+    toks_by_doc = {}
+    for r in docs:
+        toks = r["text"].lower().split(" ")
+        toks_by_doc[r["doc_id"]] = toks
+        for t in toks:
+            ctf[t] += 1
+
+    rows = queries["text_rarity_score"](spark, SF_DIR).collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        toks = toks_by_doc[r["doc_id"]]
+        assert r["n_tokens"] == len(toks)
+        mean = sum(ctf[t] for t in toks) / len(toks)
+        rare = sum(1 for t in toks if ctf[t] <= cap) / len(toks)
+        assert abs(r["mean_ctf"] - mean) < 1e-5
+        assert abs(r["rare_frac"] - rare) < 1e-6
+
+
+def test_temperature_weights_flatten_toward_tail(spark, queries):
+    """Shares sum to 1, follow sqrt proportionality, and are strictly
+    flatter than proportional sampling: the biggest source's share
+    shrinks vs its token share, the smallest source's share grows."""
+    rows = queries["mix_temperature_weights"](spark, SF_DIR).collect()
+    assert len(rows) > 1
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    tot_w = sum(math.sqrt(r["n_tokens"]) for r in rows)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r["share"] - math.sqrt(r["n_tokens"]) / tot_w) < 1e-5
+        # budget floors the UNROUNDED ratio; allow ±1 for summation-order ulps
+        expect = math.floor(math.sqrt(r["n_tokens"]) / tot_w * 10_000_000)
+        assert abs(r["token_budget"] - expect) <= 1
+    big = max(rows, key=lambda r: r["n_tokens"])
+    small = min(rows, key=lambda r: r["n_tokens"])
+    if big["n_tokens"] > small["n_tokens"]:
+        assert big["share"] < big["n_tokens"] / total_tokens
+        assert small["share"] > small["n_tokens"] / total_tokens
+
+
+def test_ntile_buckets_balanced_and_ordered(spark, queries):
+    """Within each priority: four buckets, sizes differ by ≤ 1 with
+    earlier buckets taking the extras, and value ranges are disjoint
+    and increasing (lo/hi of quartile q sit below quartile q+1)."""
+    rows = queries["win_ntile_buckets"](spark, SF_DIR).collect()
+    by_prio = defaultdict(dict)
+    for r in rows:
+        by_prio[r["o_orderpriority"]][r["quartile"]] = r
+    for prio, buckets in by_prio.items():
+        assert sorted(buckets) == [1, 2, 3, 4]
+        sizes = [buckets[q]["n_orders"] for q in (1, 2, 3, 4)]
+        assert max(sizes) - min(sizes) <= 1
+        assert sizes == sorted(sizes, reverse=True)
+        for q in (1, 2, 3):
+            assert buckets[q]["hi"] <= buckets[q + 1]["lo"]
+        for q in (1, 2, 3, 4):
+            assert buckets[q]["lo"] <= buckets[q]["hi"]
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, queries):
+    """Wherever the unbounded as-of reports a match, the tolerance
+    variant must agree iff the matching purchase is within one hour —
+    verified against a driver-side replay on a sample of users."""
+    from aind_hcr_data_transformation_spark.tables import load_table
+
+    tol = queries["join_asof_tolerance"](spark, SF_DIR)
+    got = {r["event_id"]: r["recent_purchase_value"] for r in tol.collect()}
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        pri = 0 if r["event_type"] == "purchase" else 1
+        by_user[r["user_id"]].append((r["ts"], pri, r["event_id"], r))
+    n_stale = n_fresh = 0
+    for user, items in by_user.items():
+        items.sort(key=lambda t: (t[0], t[1], t[2]))
+        last = None  # (ts, value)
+        for ts, pri, eid, r in items:
+            if pri == 0:
+                last = (r["ts"], r["value"])
+            expect = None
+            if last is not None and (ts - last[0]).total_seconds() <= 3600:
+                expect = round(last[1], 2)
+                n_fresh += 1
+            elif last is not None:
+                n_stale += 1
+            have = got[eid]
+            if expect is None:
+                assert have is None
+            else:
+                assert have is not None and abs(have - expect) < 1e-9
+    # the fixture must actually exercise both branches
+    assert n_fresh > 0 and n_stale > 0
