@@ -3014,3 +3014,70 @@ WINDOW w AS (
 
 QUERIES["join_asof_tolerance"] = join_asof_tolerance
 ORACLES["join_asof_tolerance"] = JOIN_ASOF_TOLERANCE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equi join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash join on NULL-SAFE equality (``<=>``): NULL keys match each
+    other instead of vanishing — the semantics a dimension lookup needs
+    when "unknown" is itself a dimension member (the classic slowly-
+    changing-dim 'N/A' row).
+
+    Keys: order priority with the middle class nulled out
+    (``nullif(o_orderpriority, '3-MEDIUM')``) against a 6-row label dim
+    that carries an explicit NULL member.  Spark plans ``eqNullSafe``
+    as an ordinary broadcast-hash equi join (EqualNullSafe is a
+    supported hash key — NOT a nested loop; asserted in
+    ``tests/test_physical_plans.py``), so the NULL bucket hashes like
+    any other value.  With a plain ``=`` the NULLed rows would drop;
+    the oracle's ``IS NOT DISTINCT FROM`` states the same contract.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("prio_key"),
+    )
+    dim = spark.createDataFrame(
+        [
+            ("1-URGENT", "expedite"),
+            ("2-HIGH", "expedite"),
+            (None, "unclassified"),
+            ("4-NOT SPECIFIED", "bulk"),
+            ("5-LOW", "bulk"),
+        ],
+        "prio_key string, tier string",
+    )
+    return (
+        o.join(F.broadcast(dim), o.prio_key.eqNullSafe(dim.prio_key))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum_round("o_totalprice", 2).alias("tier_value"),
+        )
+    )
+
+
+JOIN_NULL_SAFE_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_totalprice,
+         nullif(o_orderpriority, '3-MEDIUM') AS prio_key
+  FROM orders
+),
+dim(prio_key, tier) AS (
+  VALUES ('1-URGENT', 'expedite'), ('2-HIGH', 'expedite'),
+         (NULL, 'unclassified'),
+         ('4-NOT SPECIFIED', 'bulk'), ('5-LOW', 'bulk')
+)
+SELECT tier,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS tier_value
+FROM o JOIN dim ON o.prio_key IS NOT DISTINCT FROM dim.prio_key
+GROUP BY tier
+"""
+
+QUERIES["join_null_safe"] = join_null_safe
+ORACLES["join_null_safe"] = JOIN_NULL_SAFE_SQL

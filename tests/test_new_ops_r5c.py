@@ -150,3 +150,17 @@ def test_asof_tolerance_nulls_stale_matches(spark, queries):
                 assert have is not None and abs(have - expect) < 1e-9
     # the fixture must actually exercise both branches
     assert n_fresh > 0 and n_stale > 0
+
+
+def test_null_safe_join_partitions_all_orders(spark, queries):
+    """The NULL member must capture exactly the nulled-out key rows —
+    every order lands in exactly one tier (a plain = join would drop
+    the '3-MEDIUM' rows entirely)."""
+    from aind_hcr_data_transformation_spark.tables import load_table
+
+    rows = {r["tier"]: r["n_orders"] for r in queries["join_null_safe"](spark, SF_DIR).collect()}
+    o = load_table(spark, SF_DIR, "orders")
+    assert sum(rows.values()) == o.count()
+    assert rows["unclassified"] == o.filter(
+        F.col("o_orderpriority") == "3-MEDIUM"
+    ).count()

@@ -167,3 +167,12 @@ def test_ngram_jaccard_df_cap_below_join(spark, queries):
     plan = plan_of(queries["dedup_ngram_jaccard"](spark, SF), "simple")
     assert f"<= {cap}" in plan  # the df HAVING survives into physical
     assert "CartesianProduct" not in plan
+
+
+def test_null_safe_join_is_hash_not_bnlj(spark, queries):
+    """eqNullSafe must plan as a broadcast HASH join (EqualNullSafe is a
+    supported hash key) — never BroadcastNestedLoopJoin or cartesian."""
+    plan = plan_of(queries["join_null_safe"](spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
