@@ -862,3 +862,113 @@ def _stream_pattern_oracle() -> str:
 
 QUERIES["stream_pattern_match"] = stream_pattern_match
 ORACLES["stream_pattern_match"] = _stream_pattern_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming as-of enrichment (stateful temporal join, bounded staleness)
+# ---------------------------------------------------------------------------
+
+
+def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of :func:`~..operators.relational.join_asof_tolerance`
+    — THE production temporal-enrichment operator: every event is tagged
+    with the same user's most recent purchase value, but only while it
+    is at most one hour stale.  State per user is O(1) — exactly the
+    (last_purchase_ts, value) pair — and the 1-hour tolerance IS the
+    state-retention bound a watermark would enforce on an unbounded run:
+    state older than the bound can never produce a non-NULL tag again.
+
+    Kernel rows are sorted (ts, purchase-first, event_id) inside the
+    batch so an event at the same microsecond as a purchase sees it
+    (>= semantics, identical to the batch window's ``pri`` tiebreak);
+    cross-batch order is the availableNow backfill order, as in
+    ``stream_pattern_match``.  The purchase value passes through
+    UNCHANGED (no arithmetic), so the oracle comparison is bit-exact
+    double passthrough.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = streaming_events(spark, sf_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("recent_purchase_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("pts_us", T.LongType()),
+            T.StructField("pval", T.DoubleType()),
+        ]
+    )
+    tol_us = 3_600 * 1_000_000
+
+    def enrich(key, pdfs, state: GroupState):
+        pts_us, pval = state.get if state.exists else (None, None)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        batch["_pri"] = (batch["event_type"] != "purchase").astype("int64")
+        batch = batch.sort_values(["ts", "_pri", "event_id"], kind="mergesort")
+        ts_us = (
+            (batch["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+        ).to_numpy()
+        types = batch["event_type"].to_numpy()
+        values = batch["value"].to_numpy()
+        out_vals = []
+        for i in range(len(batch)):
+            if types[i] == "purchase":
+                pts_us, pval = int(ts_us[i]), float(values[i])
+            fresh = pts_us is not None and int(ts_us[i]) - pts_us <= tol_us
+            out_vals.append(pval if fresh else None)
+        state.update((pts_us, pval))
+        yield pd.DataFrame(
+            {
+                "event_id": batch["event_id"].to_numpy(),
+                "user_id": batch["user_id"].to_numpy(),
+                "event_type": types,
+                "recent_purchase_value": pd.array(out_vals, dtype="float64"),
+            }
+        )
+
+    enriched = events.groupBy("user_id").applyInPandasWithState(
+        enrich,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory_sink(enriched, "stream_asof", "append")
+
+
+# bit-exact passthrough oracle: same window algebra as the batch
+# tolerance as-of, WITHOUT the dround (no arithmetic touches the value)
+STREAM_ASOF_SQL = """
+SELECT
+  event_id,
+  user_id,
+  event_type,
+  CASE
+    WHEN epoch_us(ts) - last_value(pts IGNORE NULLS) OVER w <= 3600000000
+    THEN last_value(pv IGNORE NULLS) OVER w
+  END AS recent_purchase_value
+FROM (
+  SELECT
+    event_id, user_id, ts, event_type,
+    CASE WHEN event_type = 'purchase' THEN value END AS pv,
+    CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS pts,
+    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS pri
+  FROM events
+)
+WINDOW w AS (
+  PARTITION BY user_id
+  ORDER BY ts, pri, event_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+)
+"""
+
+QUERIES["stream_asof_enrich"] = stream_asof_enrich
+ORACLES["stream_asof_enrich"] = STREAM_ASOF_SQL

@@ -164,3 +164,24 @@ def test_null_safe_join_partitions_all_orders(spark, queries):
     assert rows["unclassified"] == o.filter(
         F.col("o_orderpriority") == "3-MEDIUM"
     ).count()
+
+
+def test_stream_asof_equals_batch_tolerance(spark, queries):
+    """The stateful streaming as-of must agree with the batch window
+    implementation row-for-row (modulo the batch side's display
+    rounding)."""
+    batch = {
+        r["event_id"]: r["recent_purchase_value"]
+        for r in queries["join_asof_tolerance"](spark, SF_DIR).collect()
+    }
+    stream = {
+        r["event_id"]: r["recent_purchase_value"]
+        for r in queries["stream_asof_enrich"](spark, SF_DIR).collect()
+    }
+    assert set(batch) == set(stream)
+    for eid, bv in batch.items():
+        sv = stream[eid]
+        if bv is None:
+            assert sv is None
+        else:
+            assert sv is not None and abs(round(sv, 2) - bv) < 1e-9
