@@ -960,3 +960,96 @@ GROUP BY o_orderpriority, quartile
 
 QUERIES["win_ntile_buckets"] = win_ntile_buckets
 ORACLES["win_ntile_buckets"] = WIN_NTILE_SQL
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (global quintiles via two-phase distributed rank)
+# ---------------------------------------------------------------------------
+
+
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quintiles over ALL users, the classic warehouse scoring query.
+
+    The quintiles are GLOBAL, which is exactly the shape a naive
+    ``ntile(5) over (order by metric)`` funnels through one task.  Here
+    each metric is ranked with the two-phase distributed rank
+    (``plans/partitioning.grouped_row_number`` under a constant group):
+    range-shuffle parallel sort → per-partition local ranks → tiny
+    census prefix-summed into offsets, broadcast back.  The quintile is
+    then pure integer arithmetic ``((rank-1)·5) div n + 1`` — NOT the
+    ntile split (sizes differ by at most one either way; the formula is
+    stated identically in both engines, so the oracle is exact).
+
+    Rank keys carry ``user_id`` as a unique tiebreak (struct order), so
+    every rank — hence every segment — is deterministic.  Monetary sums
+    in exact DECIMAL, recency in integer microseconds: no float
+    anywhere near an ordering.
+    """
+    from ..plans.partitioning import grouped_row_number
+
+    ev = load_table(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros(F.col("ts"))).alias("last_ts_us"),
+        F.sum(F.when(is_p, 1).otherwise(0)).alias("freq"),
+        F.coalesce(
+            F.sum(F.when(is_p, F.col("value").cast("decimal(30,10)"))),
+            F.lit(0).cast("decimal(30,10)"),
+        ).alias("mon"),
+    )
+    pu = per_user.withColumn("_g", F.lit(1))
+    pu = pu.withColumn("_ro_r", F.struct("last_ts_us", "user_id"))
+    pu = grouped_row_number(pu, "_g", "_ro_r", "r_rank")
+    pu = pu.withColumn("_ro_f", F.struct("freq", "user_id"))
+    pu = grouped_row_number(pu, "_g", "_ro_f", "f_rank")
+    pu = pu.withColumn("_ro_m", F.struct("mon", "user_id"))
+    pu = grouped_row_number(pu, "_g", "_ro_m", "m_rank")
+    n = per_user.agg(F.count(F.lit(1)).alias("n_users"))
+    q = lambda rank: F.expr(f"(({rank} - 1) * 5) div n_users + 1")  # noqa: E731
+    return (
+        pu.crossJoin(F.broadcast(n))
+        .select(
+            "user_id",
+            q("r_rank").cast("int").alias("r_q"),
+            q("f_rank").cast("int").alias("f_q"),
+            q("m_rank").cast("int").alias("m_q"),
+        )
+        .withColumn(
+            "segment",
+            (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).cast("int"),
+        )
+    )
+
+
+EVENTS_RFM_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         max(epoch_us(ts)) AS last_ts_us,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS freq,
+         coalesce(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(30,10)) END),
+                  CAST(0 AS DECIMAL(30,10))) AS mon
+  FROM events GROUP BY user_id
+),
+n AS (SELECT count(*) AS n_users FROM per_user),
+ranked AS (
+  SELECT user_id,
+    row_number() OVER (ORDER BY last_ts_us, user_id) AS r_rank,
+    row_number() OVER (ORDER BY freq, user_id)       AS f_rank,
+    row_number() OVER (ORDER BY mon, user_id)        AS m_rank
+  FROM per_user
+)
+SELECT user_id, r_q, f_q, m_q,
+       CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS segment
+FROM (
+  SELECT user_id,
+    CAST(((r_rank - 1) * 5) // n_users + 1 AS INT) AS r_q,
+    CAST(((f_rank - 1) * 5) // n_users + 1 AS INT) AS f_q,
+    CAST(((m_rank - 1) * 5) // n_users + 1 AS INT) AS m_q
+  FROM ranked, n
+)
+"""
+
+QUERIES["events_rfm_segments"] = events_rfm_segments
+ORACLES["events_rfm_segments"] = EVENTS_RFM_SQL

@@ -185,3 +185,29 @@ def test_stream_asof_equals_batch_tolerance(spark, queries):
             assert sv is None
         else:
             assert sv is not None and abs(round(sv, 2) - bv) < 1e-9
+
+
+def test_rfm_quintiles_balanced_and_ordered(spark, queries):
+    """Each metric's quintiles partition users near-evenly (formula
+    split: sizes differ by ≤1), and the monetary quintile respects the
+    actual purchase-sum ordering."""
+    rows = queries["events_rfm_segments"](spark, SF_DIR).collect()
+    n = len(rows)
+    assert n > 0
+    from aind_hcr_data_transformation_spark.tables import load_table
+
+    for col in ("r_q", "f_q", "m_q"):
+        sizes = defaultdict(int)
+        for r in rows:
+            assert 1 <= r[col] <= 5
+            sizes[r[col]] += 1
+        assert sum(sizes.values()) == n
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+    ev = load_table(spark, SF_DIR, "events").collect()
+    mon = defaultdict(float)
+    for e in ev:
+        if e["event_type"] == "purchase":
+            mon[e["user_id"]] += e["value"]
+    top = [r["user_id"] for r in rows if r["m_q"] == 5]
+    bot = [r["user_id"] for r in rows if r["m_q"] == 1]
+    assert min(mon.get(u, 0.0) for u in top) >= max(mon.get(u, 0.0) for u in bot)
