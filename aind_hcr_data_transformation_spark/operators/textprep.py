@@ -1413,8 +1413,12 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("toks").alias("n_tokens"),
     )
-    w = per_src.withColumn(
-        "w", F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(30,10)")
+    # two consumers (the share rows and the total) — persist the k-row
+    # aggregate so the corpus scan runs ONCE, not once per branch
+    w = persist_tracked(
+        per_src.withColumn(
+            "w", F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(30,10)")
+        )
     )
     tot = w.agg(F.sum("w").cast("decimal(30,10)").alias("w_total"))
     return (

@@ -162,8 +162,19 @@ BUDGETS = {
     # per-epoch rank window + checksum agg; the 3-row epoch frame and
     # the per-epoch checksums must broadcast
     "mix_epoch_shuffle": (2, 2),
+    # one agg shuffle; the tolerance window rides the same user shuffle
+    "join_asof_tolerance": (1, 0),
+    # NULL bucket hashes like any value: dim broadcast, one agg shuffle
+    "join_null_safe": (1, 1),
+    # per-priority ntile + rollup ride ONE shuffle
+    "win_ntile_buckets": (1, 0),
+    # spread + ctf agg + token join + doc agg; corpus count broadcast-free
+    "text_rarity_score": (4, 0),
+    # k-row persisted aggregate + single-partition total; total broadcasts
+    "mix_temperature_weights": (3, 1),
     # NOTE: assoc_basket_rules / graph_triangle_count / rec_item_cosine /
-    # graph_bfs_hops / embed_power_iteration are audited in
+    # graph_bfs_hops / embed_power_iteration / dedup_containment /
+    # events_rfm_segments are audited in
     # PLAN_AUDIT.json but not pinned here: their nested persist_tracked
     # chains make treeString reprint cached build plans per consumer, so
     # the census number is a print artifact, not a stage count (runtime
