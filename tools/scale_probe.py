@@ -1,0 +1,212 @@
+"""Measured scale-up evidence: per-query shuffle-byte growth between two
+scale factors.
+
+The design claims ("df caps bound the pair join", "banding beats
+all-pairs", "one shuffle per logical step") predict that shuffle volume
+grows roughly LINEARLY with input size.  This tool turns that prediction
+into a recorded number: every probed query runs at two scale factors
+(default sf0.01 and sf0.1, a 10x data growth) inside a session with the
+standard Spark event log enabled; the log's public JSON schema
+(SparkListenerJobStart's job-group property + SparkListenerTaskEnd's
+Task Metrics) attributes shuffle-write / shuffle-read / input bytes to
+each query, and the growth ratio is classified:
+
+- ``sublinear``    ratio <  0.7 x data growth
+- ``linear``       ratio <= 1.5 x data growth
+- ``superlinear``  anything above — the would-not-survive-100x flag
+
+Candidate-pair generators (Jaccard, containment) are EXPECTED to sit
+above 1x-linear in THIS measurement window: their df cut is
+``clamp(n/25, 20, 10k)``, and between the clamp's floor and ceiling the
+cap grows ∝ n, so head-shingle pair fan-out grows ∝ n² — measured
+exponent ≈ 1.2–1.3 at sf0.01→sf0.1 (see SCALE_PROBE.json).  Once the
+corpus passes ~250k docs the 10k ceiling binds, per-shingle fan-out is
+a constant bound again, and growth returns to linear — the clamp's
+whole purpose.  The ``superlinear`` flag therefore reads as "check the
+clamp regime", not "quadratic blowup" (a true all-pairs join would show
+~100x here, not ~2x over linear).
+
+Usage::
+
+    python tools/scale_probe.py [--json SCALE_PROBE.json] [query ...]
+
+Writes one JSON object keyed by query name with bytes at each SF, the
+growth ratios, and the classification.  No Spark UI, no REST — only the
+event log, which works headless.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from collections import defaultdict
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_SMALL = "/root/testdata/sf0.01"
+SF_BIG = "/root/testdata/sf0.1"
+DATA_GROWTH = 10.0
+
+#: headline scale-sensitive queries: every candidate-pair generator, the
+#: iterative ops, one rep per join/agg/window family
+DEFAULT_QUERIES = [
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_minhash_lsh",
+    "dedup_minhash_fast",
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "ivf_kmeans_ann",
+    "sim_ann_signlsh",
+    "text_rarity_score",
+    "text_tfidf_topk",
+    "q3_shipping_priority",
+    "q9_product_profit",
+    "join_shuffle_equi",
+    "join_asof",
+    "agg_approx_quantiles",
+    "events_rfm_segments",
+    "evw_session",
+]
+
+
+def parse_event_log(log_dir: Path) -> dict[str, dict[str, int]]:
+    """Sum task metrics per job group across every app log in the dir."""
+    stage_group: dict[int, str] = {}
+    agg: dict[str, dict[str, int]] = defaultdict(
+        lambda: {"shuffle_write": 0, "shuffle_read": 0, "input": 0}
+    )
+    # Spark 4 rolling logs: eventlog_v2_<app>/ dirs holding events_* files
+    logs = [
+        p
+        for p in sorted(log_dir.rglob("*"))
+        if p.is_file() and not p.name.startswith((".", "appstatus"))
+    ]
+    for log in logs:
+        with open(log, encoding="utf-8") as fh:
+            for line in fh:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:  # partial final line
+                    continue
+                kind = ev.get("Event")
+                if kind == "SparkListenerJobStart":
+                    group = (ev.get("Properties") or {}).get(
+                        "spark.jobGroup.id"
+                    )
+                    if group:
+                        for sid in ev.get("Stage IDs", []):
+                            stage_group[sid] = group
+                elif kind == "SparkListenerTaskEnd":
+                    group = stage_group.get(ev.get("Stage ID"))
+                    if not group:
+                        continue
+                    m = ev.get("Task Metrics") or {}
+                    sw = m.get("Shuffle Write Metrics") or {}
+                    sr = m.get("Shuffle Read Metrics") or {}
+                    im = m.get("Input Metrics") or {}
+                    a = agg[group]
+                    a["shuffle_write"] += sw.get("Shuffle Bytes Written", 0)
+                    a["shuffle_read"] += sr.get("Remote Bytes Read", 0) + sr.get(
+                        "Local Bytes Read", 0
+                    )
+                    a["input"] += im.get("Bytes Read", 0)
+    return agg
+
+
+def classify(ratio: float) -> str:
+    if ratio < 0.7 * DATA_GROWTH:
+        return "sublinear"
+    if ratio <= 1.5 * DATA_GROWTH:
+        return "linear"
+    return "superlinear"
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    json_out = "SCALE_PROBE.json"
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    names = argv or DEFAULT_QUERIES
+
+    log_dir = Path(tempfile.mkdtemp(prefix="spark_scale_probe_"))
+
+    import __spark_entry__ as entrymod
+
+    from aind_hcr_data_transformation_spark.cache import release_persists
+    from aind_hcr_data_transformation_spark.session import get_spark
+
+    spark = get_spark(
+        "scale-probe",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": log_dir.as_uri(),
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        print(f"unknown query names: {unknown}")
+        return 2
+
+    walls: dict[str, float] = {}
+    for sf_dir, tag in [(SF_SMALL, "small"), (SF_BIG, "big")]:
+        for name in names:
+            group = f"{tag}:{name}"
+            spark.sparkContext.setJobGroup(group, group)
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            walls[group] = round(time.perf_counter() - t0, 3)
+            release_persists()
+            spark.sparkContext.setJobGroup("", "")
+            print(f"ran {group}: {walls[group]} s", flush=True)
+    spark.stop()  # flush the event log
+
+    agg = parse_event_log(log_dir)
+    out = {}
+    flagged = []
+    for name in names:
+        small = agg.get(f"small:{name}", {})
+        big = agg.get(f"big:{name}", {})
+        sw_s, sw_b = small.get("shuffle_write", 0), big.get("shuffle_write", 0)
+        ratio = (sw_b / sw_s) if sw_s else None
+        cls = classify(ratio) if ratio is not None else "no_shuffle"
+        if cls == "superlinear":
+            flagged.append(name)
+        out[name] = {
+            "shuffle_write_small": sw_s,
+            "shuffle_write_big": sw_b,
+            "shuffle_read_small": small.get("shuffle_read", 0),
+            "shuffle_read_big": big.get("shuffle_read", 0),
+            "input_small": small.get("input", 0),
+            "input_big": big.get("input", 0),
+            "shuffle_growth": round(ratio, 2) if ratio is not None else None,
+            "wall_small_s": walls.get(f"small:{name}"),
+            "wall_big_s": walls.get(f"big:{name}"),
+            "class": cls,
+        }
+    doc = {
+        "data_growth": DATA_GROWTH,
+        "sf_small": SF_SMALL,
+        "sf_big": SF_BIG,
+        "queries": out,
+        "superlinear": flagged,
+    }
+    Path(json_out).write_text(json.dumps(doc, indent=1))
+    print(f"wrote {json_out}; superlinear: {flagged or 'none'}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
