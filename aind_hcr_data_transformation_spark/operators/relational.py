@@ -3081,3 +3081,63 @@ GROUP BY tier
 
 QUERIES["join_null_safe"] = join_null_safe
 ORACLES["join_null_safe"] = JOIN_NULL_SAFE_SQL
+
+
+# ---------------------------------------------------------------------------
+# URL scalar family (parse_url)
+# ---------------------------------------------------------------------------
+
+
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's ``parse_url`` scalar family — host / path / query /
+    named-parameter extraction, the per-record kernel of crawl
+    pipelines (domain-level dedup, per-site quality rollups).
+
+    URLs are synthesized deterministically from document attributes, so
+    the oracle derives every component with independent string algebra
+    (DuckDB has no parse_url) — a true differential check of the
+    extraction, not of the synthesis.  Per-domain rollup keeps the
+    output compact and adds the group-by-host shape domain analyses use.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    parsed = docs.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+    return parsed.groupBy("host", "lang_param").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("path").alias("first_path"),
+        F.max("query").alias("last_query"),
+    )
+
+
+SCALAR_URL_SQL = """
+WITH parsed AS (
+  SELECT
+    source || '.example.com' AS host,
+    '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+    'lang=' || lang || '&v=2' AS query,
+    lang AS lang_param
+  FROM documents
+)
+SELECT host, lang_param,
+       count(*) AS n_docs,
+       min(path) AS first_path,
+       max(query) AS last_query
+FROM parsed
+GROUP BY host, lang_param
+"""
+
+QUERIES["scalar_url_parse"] = scalar_url_parse
+ORACLES["scalar_url_parse"] = SCALAR_URL_SQL

@@ -1053,3 +1053,46 @@ FROM (
 
 QUERIES["events_rfm_segments"] = events_rfm_segments
 ORACLES["events_rfm_segments"] = EVENTS_RFM_SQL
+
+
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nth_value`` over the full frame — the "second touch" /
+    "third purchase" attribution primitive ``first/last`` can't express.
+    One shuffle on user_id; exact integer microseconds for the
+    second-to-first gap."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    per_event = ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+        F.nth_value("event_type", 3).over(w).alias("third_type"),
+        (
+            F.unix_micros(F.nth_value("ts", 2).over(w))
+            - F.unix_micros(F.first("ts").over(w))
+        ).alias("first_to_second_us"),
+    )
+    return per_event.distinct()
+
+
+WIN_NTH_VALUE_SQL = """
+SELECT DISTINCT
+  user_id,
+  first_value(event_type) OVER w AS first_type,
+  nth_value(event_type, 2) OVER w AS second_type,
+  nth_value(event_type, 3) OVER w AS third_type,
+  epoch_us(nth_value(ts, 2) OVER w) - epoch_us(first_value(ts) OVER w)
+    AS first_to_second_us
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+"""
+
+QUERIES["win_nth_value"] = win_nth_value
+ORACLES["win_nth_value"] = WIN_NTH_VALUE_SQL

@@ -142,6 +142,11 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
         "graph_triangle_count",
         # one-row (min, max) range broadcast for integer bucket math
         "agg_histogram",
+        # one-row n_users broadcast (the N in the quintile formula),
+        # same pattern as text_tfidf_topk
+        "events_rfm_segments",
+        # one-row sqrt-weight total broadcast (the Σ n^τ denominator)
+        "mix_temperature_weights",
     }
     for name, fn in queries.items():
         if name.startswith("stream_"):
