@@ -3141,3 +3141,69 @@ GROUP BY host, lang_param
 
 QUERIES["scalar_url_parse"] = scalar_url_parse
 ORACLES["scalar_url_parse"] = SCALAR_URL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (LISTAGG / string_agg)
+# ---------------------------------------------------------------------------
+
+
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG — the report-building aggregate every warehouse
+    ships (``string_agg``/``listagg``): per region, the alphabetized
+    nation roster and a parallel per-nation customer-count roster,
+    proving element order AND pairing survive the aggregation.
+
+    Spark form: ``sort_array(collect_list(struct(...)))`` then
+    ``concat_ws`` over the transformed array — collect_list is
+    order-nondeterministic across partitions, so the sort on the struct
+    key is what makes the result well-defined (the same reason the SQL
+    states ``ORDER BY``).  The rosters are per-region (25 nations) —
+    collect stays KB-bounded; this is the bounded-group pattern, not a
+    whole-table collect.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust = load_table(spark, sf_dir, "customer")
+    per_nation = (
+        cust.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    rows = per_nation.groupBy("r_name").agg(
+        F.concat_ws(
+            ",", F.sort_array(F.collect_list(F.col("n_name")))
+        ).alias("nations"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("n_name"), F.col("n_cust"))
+                    )
+                ),
+                lambda s: F.concat_ws(":", s["n_name"], s["n_cust"].cast("string")),
+            ),
+        ).alias("cust_roster"),
+    )
+    return rows
+
+
+AGG_STRING_CONCAT_SQL = """
+WITH per_nation AS (
+  SELECT r.r_name, n.n_name, count(*) AS n_cust
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       string_agg(n_name || ':' || CAST(n_cust AS VARCHAR), ',' ORDER BY n_name) AS cust_roster
+FROM per_nation
+GROUP BY r_name
+"""
+
+QUERIES["agg_string_concat"] = agg_string_concat
+ORACLES["agg_string_concat"] = AGG_STRING_CONCAT_SQL
