@@ -172,6 +172,11 @@ BUDGETS = {
     "text_rarity_score": (4, 0),
     # k-row persisted aggregate + single-partition total; total broadcasts
     "mix_temperature_weights": (3, 1),
+    # one agg shuffle each; URL parse and nth_value ride single exchanges
+    "scalar_url_parse": (1, 0),
+    "win_nth_value": (2, 0),
+    # per-nation agg + region roster agg; region dim must broadcast
+    "agg_string_concat": (2, 1),
     # NOTE: assoc_basket_rules / graph_triangle_count / rec_item_cosine /
     # graph_bfs_hops / embed_power_iteration / dedup_containment /
     # events_rfm_segments are audited in
