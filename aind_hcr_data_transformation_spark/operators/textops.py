@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.compat import dround, sql_round
 from ..cache import persist_tracked
-from ..tables import load_table
+from ..tables import load_table, table_count
 
 # tiny per-language stopword lexicons (language ID by stopword voting)
 _LEXICON: dict[str, tuple[str, ...]] = {
@@ -1103,7 +1103,7 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     is reused across the aggregate and the join.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    cap = _rarity_cap(docs.count())
+    cap = _rarity_cap(table_count(spark, sf_dir, "documents"))
     toks = persist_tracked(
         docs.select(
             "doc_id",
