@@ -171,3 +171,32 @@ def test_zstd_chunks_are_standard_frames(tmp_path):
     np.testing.assert_array_equal(
         np.frombuffer(raw, np.uint16).reshape(4, 4), data
     )
+
+
+def test_region_rewrite_is_idempotent(tmp_path):
+    """Speculative execution / task retry safety: re-writing the SAME
+    region must be byte-identical on disk and voxel-exact on read — a
+    replayed Spark task may overwrite a chunk another attempt already
+    committed."""
+    import hashlib
+    import pathlib
+
+    p = str(tmp_path / "a")
+    init_array(p, (8, 8), (4, 4), "uint16", compressor="zstd")
+    rng = np.arange(32, dtype=np.uint16).reshape(4, 8)
+    write_region(p, (0, 0), rng)
+    write_region(p, (4, 0), rng * 3)
+
+    def chunk_digest():
+        return {
+            f.name: hashlib.md5(f.read_bytes()).hexdigest()
+            for f in sorted(pathlib.Path(p).rglob("*"))
+            if f.is_file() and not f.name.startswith(".")
+        }
+
+    before = chunk_digest()
+    write_region(p, (0, 0), rng)  # the retry
+    assert chunk_digest() == before
+    out = read_array(p)
+    np.testing.assert_array_equal(out[:4], rng)
+    np.testing.assert_array_equal(out[4:], rng * 3)
