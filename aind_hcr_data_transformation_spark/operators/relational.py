@@ -2541,22 +2541,33 @@ _BUCKETS = 16
 
 
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Materialize lineitem/orders bucketed+sorted by order key, once
-    per (session, sf_dir); later calls reuse the layout.
+    """Materialize lineitem/orders bucketed+sorted by order key, ONCE
+    per fixture generation; every later session re-attaches the layout.
 
     Bucketing is a layout INVESTMENT: one write-side shuffle buys every
     subsequent equi-join on the bucket key a plan with no exchange and
     no sort on either side — at 100 TB this converts the recurring
     orders⋈lineitem shuffle (the largest exchange in most TPC-H shapes)
-    into a local per-bucket merge. The write is the amortized cost, so
-    it is cached exactly the way ``ivf.py`` caches its trained codebook
-    (train-once / search-many).
+    into a local per-bucket merge. In production the bucket spec lives
+    in the metastore and SURVIVES job restarts; the in-memory catalog
+    here forgets it per session, so a completed on-disk layout is
+    re-attached with external-table DDL (``CREATE TABLE … CLUSTERED BY
+    … LOCATION``) instead of being rewritten — the write cost is paid
+    once per fixture, exactly like ``ivf.py``'s persisted codebook
+    (train-once / search-many).  The cache tag includes the source
+    parquet's mtime, so a regenerated fixture invalidates the layout
+    instead of silently serving stale rows.
     """
     import hashlib
+    import os
     import tempfile
     from pathlib import Path
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    mtimes = "|".join(
+        str(os.path.getmtime(f"{sf_dir}/{t}.parquet"))
+        for t in ("lineitem", "orders")
+    )
+    tag = hashlib.md5(f"{sf_dir}|{mtimes}".encode()).hexdigest()[:8]
     li_name, ord_name = f"li_bkt_{tag}", f"ord_bkt_{tag}"
     base = Path(tempfile.gettempdir()) / f"spark_graft_bucketed_{tag}"
     for name, table, key, sort_extra in (
@@ -2567,9 +2578,20 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         if spark.catalog.tableExists(name) and (path / "_SUCCESS").exists():
             continue
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+        src = load_table(spark, sf_dir, table)
+        if (path / "_SUCCESS").exists():
+            # layout already on disk from a prior session: re-attach it
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in src.schema
+            )
+            spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}, {sort_extra}) "
+                f"INTO {_BUCKETS} BUCKETS LOCATION '{path}'"
+            )
+            continue
         (
-            load_table(spark, sf_dir, table)
-            .write.bucketBy(_BUCKETS, key)
+            src.write.bucketBy(_BUCKETS, key)
             .sortBy(key, sort_extra)
             .format("parquet")
             .option("path", str(path))

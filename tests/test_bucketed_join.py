@@ -102,3 +102,39 @@ def test_bucketed_join_matches_shuffled_join(spark, bucketed):
         .collect()[0]
     )
     assert bucketed_rows == plain
+
+
+def test_bucketed_layout_reattaches_without_rewrite(spark):
+    """A fresh session (emulated by dropping the catalog entries) must
+    re-attach the completed on-disk layout via external-table DDL — not
+    rewrite it — and serve identical rows."""
+    import os
+    import tempfile
+    from pathlib import Path
+
+    from aind_hcr_data_transformation_spark.operators.relational import (
+        _bucketed_tables,
+        join_bucketed_colocated,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    first = {
+        tuple(r)
+        for r in join_bucketed_colocated(spark, sf).collect()
+    }
+    li, od = _bucketed_tables(spark, sf)
+    tag = li.rsplit("_", 1)[1]
+    base = Path(tempfile.gettempdir()) / f"spark_graft_bucketed_{tag}"
+    stamps = {
+        n: os.path.getmtime(base / n / "_SUCCESS") for n in (li, od)
+    }
+    spark.sql(f"DROP TABLE {li}")
+    spark.sql(f"DROP TABLE {od}")
+
+    again = {
+        tuple(r)
+        for r in join_bucketed_colocated(spark, sf).collect()
+    }
+    assert again == first
+    for n in (li, od):  # _SUCCESS untouched -> no rewrite happened
+        assert os.path.getmtime(base / n / "_SUCCESS") == stamps[n]
