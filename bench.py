@@ -237,6 +237,14 @@ def main() -> None:
     entrymod.queries()["q1_pricing_summary"](spark, sf_dir).write.format(
         "noop"
     ).mode("overwrite").save()
+    # ...and the Python-worker path: the pyspark worker daemon + Arrow
+    # serializer cold-start costs ~7 s and lands on whichever
+    # mapInPandas query happens to run first, inflating THAT query's
+    # recorded time (and its sticky prior). Same session-bring-up class
+    # as the JVM warm-up above.
+    spark.range(1000).mapInPandas(
+        lambda it: (b for b in it), "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     # host-calibration floor: a fixed trivial shuffle, timed warm. Query
     # wall-clocks include the host's per-job scheduling latency, which has
