@@ -2567,7 +2567,11 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         str(os.path.getmtime(f"{sf_dir}/{t}.parquet"))
         for t in ("lineitem", "orders")
     )
-    tag = hashlib.md5(f"{sf_dir}|{mtimes}".encode()).hexdigest()[:8]
+    # the tag must encode EVERYTHING the layout depends on: source data
+    # (mtime) AND the bucket spec — re-attaching 16-bucket files under an
+    # 8-bucket declaration would silently mis-join
+    spec = f"{_BUCKETS}|l_orderkey,l_linenumber|o_orderkey,o_custkey"
+    tag = hashlib.md5(f"{sf_dir}|{mtimes}|{spec}".encode()).hexdigest()[:8]
     li_name, ord_name = f"li_bkt_{tag}", f"ord_bkt_{tag}"
     base = Path(tempfile.gettempdir()) / f"spark_graft_bucketed_{tag}"
     for name, table, key, sort_extra in (
@@ -2700,13 +2704,18 @@ ORACLES["agg_bitmap_distinct"] = AGG_BITMAP_DISTINCT_SQL
 
 def _text_format_copies(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the documents table as CSV and JSON-lines once per
-    (session, sf_dir); returns the base dir. The parquet fixture is the
-    source of truth — the copies exist to exercise the text scan paths."""
+    fixture generation; returns the base dir. The parquet fixture is the
+    source of truth — the copies exist to exercise the text scan paths.
+    The cache tag includes the source parquet's mtime (same rule as
+    ``_bucketed_tables``): a regenerated fixture invalidates the copies
+    instead of silently serving stale rows across sessions."""
     import hashlib
+    import os
     import tempfile
     from pathlib import Path
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
+    tag = hashlib.md5(f"{sf_dir}|{mtime}".encode()).hexdigest()[:8]
     base = Path(tempfile.gettempdir()) / f"spark_graft_textsrc_{tag}"
     docs = load_table(spark, sf_dir, "documents")
     if not (base / "csv" / "_SUCCESS").exists():
@@ -3010,15 +3019,17 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_TOL_CASE = (
+    "CASE WHEN epoch_us(ts) - last_value(pts IGNORE NULLS) OVER w <= "
+    f"{_ASOF_TOLERANCE_US} THEN last_value(pv IGNORE NULLS) OVER w END"
+)
+
 JOIN_ASOF_TOLERANCE_SQL = f"""
 SELECT
   event_id,
   user_id,
   event_type,
-  CAST(round(CAST((CASE
-    WHEN epoch_us(ts) - last_value(pts IGNORE NULLS) OVER w <= {_ASOF_TOLERANCE_US}
-    THEN last_value(pv IGNORE NULLS) OVER w
-  END) AS DECIMAL(30,10)), 2) AS DOUBLE) AS recent_purchase_value
+  {sql_round(_ASOF_TOL_CASE, 2)} AS recent_purchase_value
 FROM (
   SELECT
     event_id, user_id, ts, event_type,
@@ -3083,7 +3094,7 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-JOIN_NULL_SAFE_SQL = """
+JOIN_NULL_SAFE_SQL = f"""
 WITH o AS (
   SELECT o_orderkey, o_totalprice,
          nullif(o_orderpriority, '3-MEDIUM') AS prio_key
@@ -3096,7 +3107,7 @@ dim(prio_key, tier) AS (
 )
 SELECT tier,
        count(*) AS n_orders,
-       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS tier_value
+       {sql_sum_round('o_totalprice', 2)} AS tier_value
 FROM o JOIN dim ON o.prio_key IS NOT DISTINCT FROM dim.prio_key
 GROUP BY tier
 """

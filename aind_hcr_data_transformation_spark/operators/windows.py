@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.compat import dround
+from ..functions.compat import dround, dsum_round
 from ..tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -921,8 +921,6 @@ def win_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile semantics (SQL standard, identical in both engines): bucket
     sizes differ by at most one, earlier buckets take the extras.
     """
-    from ..functions.compat import dsum_round, sql_round as _sr  # noqa: F401
-
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
         "o_totalprice", "o_orderkey"
@@ -1005,7 +1003,9 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     pu = grouped_row_number(pu, "_g", "_ro_f", "f_rank")
     pu = pu.withColumn("_ro_m", F.struct("mon", "user_id"))
     pu = grouped_row_number(pu, "_g", "_ro_m", "m_rank")
-    n = per_user.agg(F.count(F.lit(1)).alias("n_users"))
+    # n_users = the top rank of the already-computed (persisted) rank
+    # chain — NOT a second scan+aggregate of the events table
+    n = pu.agg(F.max("r_rank").alias("n_users"))
     q = lambda rank: F.expr(f"(({rank} - 1) * 5) div n_users + 1")  # noqa: E731
     return (
         pu.crossJoin(F.broadcast(n))

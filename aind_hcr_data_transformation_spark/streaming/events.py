@@ -904,7 +904,7 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("pval", T.DoubleType()),
         ]
     )
-    tol_us = 3_600 * 1_000_000
+    from ..operators.relational import _ASOF_TOLERANCE_US as tol_us
 
     def enrich(key, pdfs, state: GroupState):
         pts_us, pval = state.get if state.exists else (None, None)
@@ -946,13 +946,15 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # bit-exact passthrough oracle: same window algebra as the batch
 # tolerance as-of, WITHOUT the dround (no arithmetic touches the value)
-STREAM_ASOF_SQL = """
+from ..operators.relational import _ASOF_TOLERANCE_US
+
+STREAM_ASOF_SQL = f"""
 SELECT
   event_id,
   user_id,
   event_type,
   CASE
-    WHEN epoch_us(ts) - last_value(pts IGNORE NULLS) OVER w <= 3600000000
+    WHEN epoch_us(ts) - last_value(pts IGNORE NULLS) OVER w <= {_ASOF_TOLERANCE_US}
     THEN last_value(pv IGNORE NULLS) OVER w
   END AS recent_purchase_value
 FROM (

@@ -57,7 +57,9 @@ def test_stream_restart_is_exactly_once(spark, tmp_path):
         .writeStream.format("parquet")
         .option("path", str(out))
         .option("checkpointLocation", str(ck))
-        .trigger(processingTime="30 seconds")  # batch 2 can't fire before stop
+        # batch 2 can't fire before the stop below even if batch 1 is
+        # slow on a loaded host — 500 fixture rows never take 2 minutes
+        .trigger(processingTime="120 seconds")
         .start()
     )
     try:

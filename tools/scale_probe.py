@@ -76,7 +76,6 @@ DEFAULT_QUERIES = [
 
 def parse_event_log(log_dir: Path) -> dict[str, dict[str, int]]:
     """Sum task metrics per job group across every app log in the dir."""
-    stage_group: dict[int, str] = {}
     agg: dict[str, dict[str, int]] = defaultdict(
         lambda: {"shuffle_write": 0, "shuffle_read": 0, "input": 0}
     )
@@ -86,36 +85,54 @@ def parse_event_log(log_dir: Path) -> dict[str, dict[str, int]]:
         for p in sorted(log_dir.rglob("*"))
         if p.is_file() and not p.name.startswith((".", "appstatus"))
     ]
+    # stage IDs restart per APPLICATION: group files by app (the
+    # eventlog_v2_<app> dir for rolling logs, the file itself otherwise)
+    # so app B's stage 1 never inherits app A's job group
+    by_app: dict = defaultdict(list)
     for log in logs:
-        with open(log, encoding="utf-8") as fh:
-            for line in fh:
-                try:
-                    ev = json.loads(line)
-                except json.JSONDecodeError:  # partial final line
-                    continue
-                kind = ev.get("Event")
-                if kind == "SparkListenerJobStart":
-                    group = (ev.get("Properties") or {}).get(
-                        "spark.jobGroup.id"
-                    )
-                    if group:
-                        for sid in ev.get("Stage IDs", []):
-                            stage_group[sid] = group
-                elif kind == "SparkListenerTaskEnd":
-                    group = stage_group.get(ev.get("Stage ID"))
-                    if not group:
-                        continue
-                    m = ev.get("Task Metrics") or {}
-                    sw = m.get("Shuffle Write Metrics") or {}
-                    sr = m.get("Shuffle Read Metrics") or {}
-                    im = m.get("Input Metrics") or {}
-                    a = agg[group]
-                    a["shuffle_write"] += sw.get("Shuffle Bytes Written", 0)
-                    a["shuffle_read"] += sr.get("Remote Bytes Read", 0) + sr.get(
-                        "Local Bytes Read", 0
-                    )
-                    a["input"] += im.get("Bytes Read", 0)
+        app = (
+            log.parent
+            if log.parent.name.startswith("eventlog_v2")
+            else log
+        )
+        by_app[app].append(log)
+    for app_logs in by_app.values():
+        stage_group: dict[int, str] = {}
+        for log in app_logs:
+            _parse_one(log, stage_group, agg)
     return agg
+
+
+def _parse_one(log: Path, stage_group: dict, agg: dict) -> None:
+    """Fold one event-log file into ``agg`` using the app's stage map."""
+    with open(log, encoding="utf-8") as fh:
+        for line in fh:
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:  # partial final line
+                continue
+            kind = ev.get("Event")
+            if kind == "SparkListenerJobStart":
+                group = (ev.get("Properties") or {}).get(
+                    "spark.jobGroup.id"
+                )
+                if group:
+                    for sid in ev.get("Stage IDs", []):
+                        stage_group[sid] = group
+            elif kind == "SparkListenerTaskEnd":
+                group = stage_group.get(ev.get("Stage ID"))
+                if not group:
+                    continue
+                m = ev.get("Task Metrics") or {}
+                sw = m.get("Shuffle Write Metrics") or {}
+                sr = m.get("Shuffle Read Metrics") or {}
+                im = m.get("Input Metrics") or {}
+                a = agg[group]
+                a["shuffle_write"] += sw.get("Shuffle Bytes Written", 0)
+                a["shuffle_read"] += sr.get("Remote Bytes Read", 0) + sr.get(
+                    "Local Bytes Read", 0
+                )
+                a["input"] += im.get("Bytes Read", 0)
 
 
 def classify(ratio: float) -> str:
@@ -181,7 +198,15 @@ def main() -> int:
         big = agg.get(f"big:{name}", {})
         sw_s, sw_b = small.get("shuffle_write", 0), big.get("shuffle_write", 0)
         ratio = (sw_b / sw_s) if sw_s else None
-        cls = classify(ratio) if ratio is not None else "no_shuffle"
+        if sw_s:
+            cls = classify(ratio)
+        elif sw_b:
+            # 0 -> N: a broadcast/local plan at the small SF fell back to
+            # a real shuffle at the big SF — the worst scaling shape, not
+            # a shuffle-free one
+            cls = "superlinear"
+        else:
+            cls = "no_shuffle"
         if cls == "superlinear":
             flagged.append(name)
         out[name] = {
