@@ -3285,3 +3285,83 @@ GROUP BY event_type
 
 QUERIES["agg_multi_distinct"] = agg_multi_distinct
 ORACLES["agg_multi_distinct"] = AGG_MULTI_DISTINCT_SQL
+
+
+def agg_hll_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-AGGREGATABLE distinct counting — the property that makes
+    incremental rollups possible at 100 TB: per-(event_type, day) HLL
+    sketches built once (the materialized hourly/daily layer), then
+    MERGED up to per-type totals with ``hll_union_agg`` — no second
+    pass over raw data, no distinct expansion.  This is the Datasketches
+    pattern every lakehouse rollup cascade relies on: sketches are the
+    only distinct-count representation whose union is exact over the
+    sketch algebra (unlike a count, which cannot be re-aggregated).
+
+    Sketch bytes are engine-specific, so (like :func:`agg_hll_only`)
+    there is no SQL oracle — the rows+schema check runs here, and
+    ``tests/test_new_ops_r5c.py`` pins the merged estimate against the
+    exact distinct within the sketch's error bound, plus the invariant
+    that merging the daily layer equals sketching the raw data.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk")
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["agg_hll_merge_shards"] = agg_hll_merge_shards
+# no ORACLES entry: sketch estimates are engine-specific (rows-only check)
+
+
+# ---------------------------------------------------------------------------
+# Error-safe scalar family (try_cast / try_divide / try_element_at)
+# ---------------------------------------------------------------------------
+
+
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe scalars: ``try_cast`` (malformed input →
+    NULL, not a crashed 100 TB job), ``try_divide`` (÷0 → NULL), and
+    ``try_element_at`` (out-of-bounds → NULL) — the family that makes a
+    pipeline total instead of partial-failure-prone under dirty data.
+
+    The oracle states the identical semantics with TRY_CAST and
+    explicit guards (DuckDB's division and list indexing are already
+    NULL-safe in exactly the try_* sense).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    words = F.split(F.col("o_orderpriority"), "-")
+    return o.select(
+        "o_orderkey",
+        # '1-URGENT' -> 1; '4-NOT SPECIFIED' -> 4 ... always parses;
+        # the SECOND word never does — both branches exercised
+        F.expr("try_cast(element_at(split(o_orderpriority, '-'), 1) AS int)").alias("prio_num"),
+        F.expr("try_cast(element_at(split(o_orderpriority, '-'), 2) AS int)").alias("prio_word_num"),
+        F.try_divide(F.col("o_totalprice"), (F.col("o_orderkey") % 7)).alias(
+            "per_bucket"
+        ),
+        F.try_element_at(words, F.lit(3)).alias("third_word"),
+    ).withColumn("per_bucket", dround("per_bucket", 4))
+
+
+SCALAR_TRY_SQL = """
+SELECT
+  o_orderkey,
+  TRY_CAST(string_split(o_orderpriority, '-')[1] AS INT) AS prio_num,
+  TRY_CAST(string_split(o_orderpriority, '-')[2] AS INT) AS prio_word_num,
+  CAST(round(CAST((CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        ELSE o_totalprice / (o_orderkey % 7) END) AS DECIMAL(30,10)), 4) AS DOUBLE)
+    AS per_bucket,
+  string_split(o_orderpriority, '-')[3] AS third_word
+FROM orders
+"""
+
+QUERIES["scalar_try_funcs"] = scalar_try_funcs
+ORACLES["scalar_try_funcs"] = SCALAR_TRY_SQL

@@ -234,3 +234,31 @@ def test_rfm_quintiles_balanced_and_ordered(spark, queries):
     top = [r["user_id"] for r in rows if r["m_q"] == 5]
     bot = [r["user_id"] for r in rows if r["m_q"] == 1]
     assert min(mon.get(u, 0.0) for u in top) >= max(mon.get(u, 0.0) for u in bot)
+
+
+def test_hll_merge_equals_direct_sketch_and_tracks_exact(spark, queries):
+    """Merging the daily sketch layer must equal sketching the raw data
+    (the re-aggregation property), and the estimate must sit within the
+    lgK=14 error bound of the exact distinct."""
+    from aind_hcr_data_transformation_spark.tables import load_table
+
+    merged = {
+        r["event_type"]: r["approx_users"]
+        for r in queries["agg_hll_merge_shards"](spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    direct = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias("est"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert merged == direct  # union of the daily layer == one-pass sketch
+    for t, est in merged.items():
+        assert abs(est - exact[t]) <= max(3, 0.05 * exact[t])
