@@ -11,6 +11,10 @@ Usage::
           .option("block_z", 16).option("block_y", 16).option("block_x", 16)
           .load())
 
+    # incremental ingestion of the same tile list (see
+    # StackBlockStreamReader): micro-batches of stream_batch_tiles tiles
+    spark.readStream.format("stack_blocks").option(...).load()
+
 Each input partition is one (stack, z0, y0, x0) tile — Spark schedules
 tiles exactly like parquet splits, and the reader streams Arrow-friendly
 rows. ``reader="synthetic"`` emits the deterministic ramp;
@@ -25,7 +29,12 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from .czi import BLOCK_SCHEMA, synthetic_ramp_block
 
@@ -54,6 +63,9 @@ class StackBlockDataSource(DataSource):
 
     def reader(self, schema) -> "StackBlockReader":
         return StackBlockReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "StackBlockStreamReader":
+        return StackBlockStreamReader(self.options)
 
 
 class StackBlockReader(DataSourceReader):
@@ -159,3 +171,44 @@ class StackBlockReader(DataSourceReader):
             str(arr.dtype),
             arr.tobytes(),
         )
+
+
+class StackBlockStreamReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format("stack_blocks")`` — the acquisition
+    arrives incrementally: each micro-batch serves the next
+    ``stream_batch_tiles`` tiles of the SAME deterministic tile list the
+    batch reader schedules (so a streaming conversion and a batch
+    conversion read identical blocks in identical order).
+
+    The offset is simply ``{"i": <tiles served>}``: monotonic, exactly
+    replayable — ``readBetweenOffsets(start, end)`` re-decodes tiles
+    [start.i, end.i) for recovery, so the source composes with
+    checkpointed, exactly-once sinks (the zarr sink's chunk-aligned
+    region writes are idempotent, making the whole streaming conversion
+    restartable end-to-end).  In production the bounded tile list
+    becomes a growing one (new stacks appended as the microscope
+    finishes them); the offset contract is unchanged.
+    """
+
+    def __init__(self, options) -> None:
+        self._batch = StackBlockReader(options)
+        self._tiles = self._batch.partitions()
+        self._per_batch = int(options.get("stream_batch_tiles", 4))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        i = int(start["i"])
+        end = min(i + self._per_batch, len(self._tiles))
+        rows = self._rows(i, end)
+        return rows, {"i": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["i"]), int(end["i"]))
+
+    def _rows(self, i: int, end: int):
+        out = []
+        for t in self._tiles[i:end]:
+            out.extend(self._batch.read(t))
+        return iter(out)

@@ -85,3 +85,61 @@ def test_datasource_czi_backend(spark, tmp_path):
         assert (r.y0, r.y1, r.x0, r.x1) == (0, y, 0, x)
         got[r.z0 : r.z1] = arr
     np.testing.assert_array_equal(got, synthetic_ramp_block(0, nz, 0, y, 0, x))
+
+
+def test_datasource_stream_matches_batch(spark, tmp_path):
+    """readStream over the data source must deliver EXACTLY the batch
+    reader's tile rows, across multiple micro-batches, voxel-exact."""
+    import hashlib
+
+    spark.dataSource.register(StackBlockDataSource)
+    opts = {
+        "stacks": "a,b",
+        "z": 40,
+        "y": 32,
+        "x": 32,
+        "block_z": 16,
+        "block_y": 16,
+        "block_x": 16,
+        "stream_batch_tiles": 5,
+    }
+
+    def keyed(rows):
+        return {
+            (r.stack_name, r.z0, r.y0, r.x0): hashlib.md5(bytes(r.block)).hexdigest()
+            for r in rows
+        }
+
+    batch_reader = spark.read.format("stack_blocks")
+    for k, v in opts.items():
+        batch_reader = batch_reader.option(k, v)
+    expected = keyed(batch_reader.load().collect())
+
+    stream_reader = spark.readStream.format("stack_blocks")
+    for k, v in opts.items():
+        stream_reader = stream_reader.option(k, v)
+    # default trigger (back-to-back micro-batches): a Simple stream
+    # reader has no end-of-data marker, so poll until every tile arrived
+    q = (
+        stream_reader.load()
+        .writeStream.format("memory")
+        .queryName("stack_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    import time
+
+    try:
+        deadline = time.time() + 120
+        while (
+            spark.table("stack_stream").count() < len(expected)
+            and time.time() < deadline
+        ):
+            time.sleep(0.3)
+        got = keyed(spark.table("stack_stream").collect())
+    finally:
+        q.stop()
+    assert got == expected
+    # 24 tiles at 5/micro-batch -> multiple batches actually happened
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"]])
+    assert n_batches >= 2
