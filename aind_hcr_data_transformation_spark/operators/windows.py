@@ -1096,3 +1096,43 @@ WINDOW w AS (
 
 QUERIES["win_nth_value"] = win_nth_value
 ORACLES["win_nth_value"] = WIN_NTH_VALUE_SQL
+
+
+def evw_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window DISTINCT cardinality — active users per
+    30-minute window sliding every 10 minutes, the DAU/WAU-style
+    overlap metric a plain count can't give (each event votes in 3
+    windows, but a user active twice in one window counts once).
+
+    COUNT(DISTINCT) under ``window()`` is the distinct-expansion shape
+    the Expand rewrite handles (see ``agg_multi_distinct``); the oracle
+    states the same window algebra with an explicit slide-offset
+    cross join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_active_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_active_users",
+            "n_events",
+        )
+    )
+
+
+EVW_SLIDING_DISTINCT_SQL = """
+SELECT
+  time_bucket(INTERVAL '10 minutes', ts) - k.k * INTERVAL '10 minutes' AS window_start,
+  count(DISTINCT user_id) AS n_active_users,
+  count(*) AS n_events
+FROM events
+CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
+GROUP BY 1
+"""
+
+QUERIES["evw_sliding_distinct"] = evw_sliding_distinct
+ORACLES["evw_sliding_distinct"] = EVW_SLIDING_DISTINCT_SQL
