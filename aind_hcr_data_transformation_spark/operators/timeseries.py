@@ -763,3 +763,62 @@ GROUP BY 1
 
 QUERIES["ts_mad_outliers"] = ts_mad_outliers
 ORACLES["ts_mad_outliers"] = TS_MAD_OUTLIERS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Seasonal profile (hour-of-day) + per-event seasonal deviation
+# ---------------------------------------------------------------------------
+
+
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal decomposition, the additive-profile form: a
+    per-(event_type, hour) mean over the whole history (the seasonal
+    component), then each event's deviation from its slot's mean (the
+    de-seasonalized residual a downstream anomaly detector consumes).
+
+    Float discipline: slot means are exact-decimal sums over a count
+    (one IEEE division per slot), residual = value − mean is one IEEE
+    subtraction of two identical-in-both-engines doubles.  The profile
+    join broadcasts (≤ |types| × 24 rows), so the second pass adds no
+    shuffle — the standard profile-then-score two-pass shape.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hod", F.hour("ts")
+    )
+    prof = ev.groupBy("event_type", "hod").agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("slot_mean"),
+        F.count(F.lit(1)).alias("slot_n"),
+    )
+    return (
+        ev.join(F.broadcast(prof), ["event_type", "hod"])
+        .select(
+            "event_id",
+            "event_type",
+            "hod",
+            dround(F.col("slot_mean"), 4).alias("slot_mean"),
+            dround(F.col("value") - F.col("slot_mean"), 4).alias("residual"),
+        )
+    )
+
+
+TS_SEASONAL_SQL = """
+WITH ev AS (SELECT *, EXTRACT(hour FROM ts) AS hod FROM events),
+prof AS (
+  SELECT event_type, hod,
+         CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS slot_mean
+  FROM ev GROUP BY event_type, hod
+)
+SELECT
+  event_id,
+  ev.event_type,
+  ev.hod,
+  CAST(round(CAST((slot_mean) AS DECIMAL(30,10)), 4) AS DOUBLE) AS slot_mean,
+  CAST(round(CAST((value - slot_mean) AS DECIMAL(30,10)), 4) AS DOUBLE) AS residual
+FROM ev JOIN prof ON ev.event_type = prof.event_type AND ev.hod = prof.hod
+"""
+
+QUERIES["ts_seasonal_profile"] = ts_seasonal_profile
+ORACLES["ts_seasonal_profile"] = TS_SEASONAL_SQL
