@@ -283,3 +283,41 @@ def test_grouped_row_number_decimal_group(spark):
         for r in grouped_row_number(df, "g", "v").collect()
     }
     assert got == {("1.50", 1, 3), ("1.50", 2, 7), ("2.25", 1, 5)}
+
+
+def test_grouped_row_number_struct_order_key(spark):
+    """The two-phase distributed rank must accept a STRUCT order column
+    (the RFM usage: (metric, unique_tiebreak)) and produce, per group, a
+    permutation 1..n ordered exactly by the struct's lexicographic
+    order — including under a constant group (global rank) and NULL
+    group values."""
+    from pyspark.sql import functions as F
+
+    from aind_hcr_data_transformation_spark.plans.partitioning import (
+        grouped_row_number,
+    )
+
+    rows = [
+        # (group, metric, id) with metric ties broken by id
+        ("a", 5, 1), ("a", 5, 2), ("a", 1, 3), ("a", 9, 4),
+        ("b", 2, 5), ("b", 2, 6), ("b", 0, 7),
+        (None, 7, 8), (None, 3, 9),
+    ]
+    df = spark.createDataFrame(rows, "g string, m int, id int").withColumn(
+        "_k", F.struct("m", "id")
+    )
+    out = grouped_row_number(df, "g", "_k", "rn").collect()
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault(r["g"], []).append((r["m"], r["id"], r["rn"]))
+    for g, items in by_group.items():
+        items.sort(key=lambda t: (t[0], t[1]))
+        assert [t[2] for t in items] == list(range(1, len(items) + 1)), g
+
+    # constant group == global rank over the struct key
+    glob = df.withColumn("_one", F.lit(1))
+    out2 = sorted(
+        (r["m"], r["id"], r["rn"])
+        for r in grouped_row_number(glob, "_one", "_k", "rn").collect()
+    )
+    assert [t[2] for t in out2] == list(range(1, len(rows) + 1))
