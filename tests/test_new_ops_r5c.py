@@ -262,3 +262,24 @@ def test_hll_merge_equals_direct_sketch_and_tracks_exact(spark, queries):
     assert merged == direct  # union of the daily layer == one-pass sketch
     for t, est in merged.items():
         assert abs(est - exact[t]) <= max(3, 0.05 * exact[t])
+
+
+def test_containment_dominates_jaccard_on_shared_pairs(spark, queries):
+    """Over the same capped shingle universe, containment |A∩B|/|A| can
+    never be below Jaccard |A∩B|/|A∪B| — a cross-operator consistency
+    check tying the two pair scorers to one universe."""
+    jac = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in queries["dedup_ngram_jaccard"](spark, SF_DIR).collect()
+    }
+    cont = {
+        (r["inner_id"], r["outer_id"]): r["containment"]
+        for r in queries["dedup_containment"](spark, SF_DIR).collect()
+    }
+    shared = 0
+    for (d1, d2), j in jac.items():
+        for key in ((d1, d2), (d2, d1)):
+            if key in cont:
+                shared += 1
+                assert cont[key] >= j - 1e-6, (key, cont[key], j)
+    assert shared > 0
