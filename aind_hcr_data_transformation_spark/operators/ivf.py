@@ -60,7 +60,15 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     (the ``x·x`` term is constant within a vec_id partition) at half the
     expression size of the subtract-square fold — these 64-term folds
     are codegen-compile-bound, not data-bound, at fixture scale.  The
-    oracle computes the same score with the same fold order."""
+    oracle computes the same score with the same fold order.
+
+    The argmin is a hash aggregate ``min(struct(score, cluster, …))``,
+    NOT a rank-1 window: all k candidate rows for a vector are generated
+    map-side from one input row (broadcast join), so partial aggregation
+    collapses them before the exchange — the shuffle carries n rows
+    instead of n·k and needs no sort.  (score, cluster) pairs are unique
+    within a vector, so the struct min is exactly the window's
+    (score, cluster) tie-break."""
     cents = centroids.select(
         "cluster",
         "cemb",
@@ -75,11 +83,14 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
             - F.lit(2) * spark_dot(F.col("embedding"), F.col("cemb"))
         ).alias("score"),
     )
-    w = Window.partitionBy("vec_id").orderBy("score", "cluster")
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cluster")
+        pairs.groupBy("vec_id")
+        .agg(F.min(F.struct("score", "cluster", "embedding")).alias("sc"))
+        .select(
+            "vec_id",
+            F.col("sc.embedding").alias("embedding"),
+            F.col("sc.cluster").alias("cluster"),
+        )
     )
 
 

@@ -352,11 +352,18 @@ def _pq_train(spark: SparkSession, sf_dir: str):
                 F.col("c2") - F.lit(2) * spark_dot(F.col("semb"), F.col("cemb"))
             ).alias("score"),
         )
-        w = Window.partitionBy("vec_id", "m").orderBy("score", "cluster")
+        # hash-agg argmin, not a rank-1 window: candidates for a
+        # (vec_id, m) key are map-side colocated (broadcast join), so
+        # partial min collapses them pre-shuffle (see ivf._assign)
         return (
-            pairs.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "m", "semb", "cluster")
+            pairs.groupBy("vec_id", "m")
+            .agg(F.min(F.struct("score", "cluster", "semb")).alias("sc"))
+            .select(
+                "vec_id",
+                "m",
+                F.col("sc.semb").alias("semb"),
+                F.col("sc.cluster").alias("cluster"),
+            )
         )
 
     def update(assigned: DataFrame) -> DataFrame:
@@ -387,9 +394,9 @@ def _pq_train(spark: SparkSession, sf_dir: str):
 
     for _ in range(_PQ_ITERS):
         cb = persist_tracked(update(assign(cb)))
-    # final assignment carries the winning centroid through the window
-    # (rn = 1 keeps exactly the argmin row), so the reconstruction error
-    # needs no extra join against the codebook
+    # final assignment carries the winning centroid inside the argmin
+    # struct, so the reconstruction error needs no extra join against
+    # the codebook
     cents = cb.select(
         "m",
         "cluster",
@@ -406,15 +413,14 @@ def _pq_train(spark: SparkSession, sf_dir: str):
             F.col("c2") - F.lit(2) * spark_dot(F.col("semb"), F.col("cemb"))
         ).alias("score"),
     )
-    fw = Window.partitionBy("vec_id", "m").orderBy("score", "cluster")
     final = (
-        fpairs.withColumn("rn", F.row_number().over(fw))
-        .filter(F.col("rn") == 1)
+        fpairs.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("score", "cluster", "semb", "cemb")).alias("sc"))
         .select(
             "vec_id",
             "m",
-            "cluster",
-            _sq_l2(F.col("semb"), F.col("cemb")).alias("err"),
+            F.col("sc.cluster").alias("cluster"),
+            _sq_l2(F.col("sc.semb"), F.col("sc.cemb")).alias("err"),
         )
     )
     return cb, final
