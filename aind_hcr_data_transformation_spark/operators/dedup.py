@@ -1488,9 +1488,11 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape on top of :func:`dedup_components`: one equi-join of the
     component labels against the per-doc score (both keyed by doc_id) and
-    ONE window shuffle on the component key for the argmax — the keeper
-    choice adds a single extra stage to the CC resolution, and per-group
-    state is one row. At 100 TB the quality score would come precomputed
+    ONE hash aggregate on the component key — the argmax is
+    ``max(struct(score, -doc_id))`` (score desc, doc_id asc), which
+    partial-aggregates map-side, so the exchange carries one row per
+    (component, map partition) instead of every member row through a
+    window sort. At 100 TB the quality score would come precomputed
     from the scoring stage; the selection plan is unchanged."""
     labels = dedup_components(spark, sf_dir)
     corpus = _corpus_with_mutants(spark, sf_dir)
@@ -1503,14 +1505,19 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
     )
     members = labels.join(qual, "doc_id")
-    w = Window.partitionBy("component").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        members.withColumn("rn", F.row_number().over(w))
-        .groupBy("component")
+        members.groupBy("component")
         .agg(
-            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper"),
-            F.max(F.when(F.col("rn") == 1, F.col("score"))).alias("keeper_score"),
+            F.max(F.struct(F.col("score"), (-F.col("doc_id")).alias("nid"))).alias(
+                "best"
+            ),
             F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "component",
+            (-F.col("best.nid")).alias("keeper"),
+            F.col("best.score").alias("keeper_score"),
+            "n_members",
         )
     )
 

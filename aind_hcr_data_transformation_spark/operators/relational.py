@@ -1128,11 +1128,17 @@ def upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    w = Window.partitionBy("key").orderBy(F.desc("tsu"), F.desc("event_id"))
+    # latest-wins as one hash aggregate: (tsu, event_id) is unique per
+    # row, so max(struct(tsu, event_id, payload...)) IS the (ts desc,
+    # event_id desc) argmax — partial-combined map-side, no window sort
     latest = (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("key", "event_type", "value")
+        ev.groupBy("key")
+        .agg(F.max(F.struct("tsu", "event_id", "event_type", "value")).alias("last"))
+        .select(
+            "key",
+            F.col("last.event_type").alias("event_type"),
+            F.col("last.value").alias("value"),
+        )
     )
     merged = cust.join(
         latest, cust.c_custkey == latest.key, "full_outer"
@@ -1971,11 +1977,16 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
         "value",
     )
-    w = Window.partitionBy("key").orderBy(F.desc("tsu"), F.desc("event_id"))
+    # latest-wins hash aggregate (see upsert_scd1): map-side combine
+    # replaces the per-key window sort
     latest = (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("key", "op", "value")
+        ev.groupBy("key")
+        .agg(F.max(F.struct("tsu", "event_id", "op", "value")).alias("last"))
+        .select(
+            "key",
+            F.col("last.op").alias("op"),
+            F.col("last.value").alias("value"),
+        )
     )
     merged = cust.join(latest, cust.c_custkey == latest.key, "full_outer")
     return (

@@ -428,10 +428,19 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pool = cands.select("qid", "vec_id", "rel")
 
-    selected = pool.filter(F.col("rel").isNotNull()).withColumn(
-        "rn", F.row_number().over(Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("vec_id")))
-    ).filter(F.col("rn") == 1).select(
-        "qid", "vec_id", F.lit(1).alias("sel_rank"), F.col("rel").alias("mmr_score")
+    # per-query argmax as a hash aggregate (max over (rel, -vec_id) =
+    # rel desc, vec_id asc) — one partial-combined agg per greedy step
+    # instead of a window sort exchange
+    selected = (
+        pool.filter(F.col("rel").isNotNull())
+        .groupBy("qid")
+        .agg(F.max(F.struct(F.col("rel"), (-F.col("vec_id")).alias("nv"))).alias("sc"))
+        .select(
+            "qid",
+            (-F.col("sc.nv")).alias("vec_id"),
+            F.lit(1).alias("sel_rank"),
+            F.col("sc.rel").alias("mmr_score"),
+        )
     )
     for step in range(2, _MMR_K + 1):
         sel_keys = selected.select("qid", F.col("vec_id").alias("vid_b"))
@@ -453,16 +462,18 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mmr_score"),
         )
         pick = (
-            scored.withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("qid").orderBy(
-                        F.desc("mmr_score"), F.asc("vec_id")
-                    )
-                ),
+            scored.groupBy("qid")
+            .agg(
+                F.max(
+                    F.struct(F.col("mmr_score"), (-F.col("vec_id")).alias("nv"))
+                ).alias("sc")
             )
-            .filter(F.col("rn") == 1)
-            .select("qid", "vec_id", F.lit(step).alias("sel_rank"), "mmr_score")
+            .select(
+                "qid",
+                (-F.col("sc.nv")).alias("vec_id"),
+                F.lit(step).alias("sel_rank"),
+                F.col("sc.mmr_score").alias("mmr_score"),
+            )
         )
         selected = selected.unionByName(pick)
     return selected

@@ -50,11 +50,21 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "cand_lang")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("cand_lang"))
+    # argmax as a hash aggregate (min over (-hits, lang) = hits desc,
+    # lang asc): partial-aggregates map-side instead of sorting every
+    # (doc, lang) vote row through a window exchange
     best = (
-        votes.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "n_hits")
+        votes.groupBy("doc_id")
+        .agg(
+            F.min(F.struct((-F.col("n_hits")).alias("nh"), F.col("cand_lang"))).alias(
+                "sc"
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("sc.cand_lang").alias("pred_lang"),
+            (-F.col("sc.nh")).alias("n_hits"),
+        )
     )
     return (
         docs.select("doc_id", "lang")
