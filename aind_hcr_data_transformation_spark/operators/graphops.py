@@ -456,3 +456,134 @@ GRAPH_BFS_HOPS_SQL = _bfs_sql()
 
 QUERIES["graph_bfs_hops"] = graph_bfs_hops
 ORACLES["graph_bfs_hops"] = GRAPH_BFS_HOPS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (synchronous LPA)
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 2
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the undirected nation trade graph: every node
+    starts labeled with itself; each round it adopts the label carrying
+    the highest total edge weight among its neighbors (ties → smallest
+    label), ``_LPA_ITERS`` synchronous rounds. The modularity-free,
+    O(|E|)-per-round community algorithm production graph stacks run
+    first — and the third member of this module's Pregel family
+    (sum-times = PageRank, min-plus = BFS, argmax-mode = LPA).
+
+    Plan per round: one equi-join (label vector broadcast, |V|-sized) +
+    one weighted tally aggregate + one argmax — the argmax is the
+    ``max(struct(sw, -lab))`` hash-aggregate kernel pinned by
+    ``tests/test_argmax_agg.py``, never a window. All weights are
+    bigint counts, so both engines agree exactly.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    weights = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    und = persist_tracked(
+        weights.unionAll(
+            weights.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    und.count()  # consumed once per LPA round
+
+    labels = n.select(
+        F.col("n_nationkey").alias("node"), F.col("n_nationkey").alias("lab")
+    )
+    for _ in range(_LPA_ITERS):
+        tally = (
+            und.join(F.broadcast(labels), und.src == F.col("node"))
+            .groupBy(F.col("dst"), F.col("lab"))
+            .agg(F.sum("w").alias("sw"))
+        )
+        winner = (
+            tally.groupBy("dst")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("sw").alias("k1"),
+                        (-F.col("lab")).alias("k2"),
+                        F.col("lab").alias("lab"),
+                    )
+                ).alias("b")
+            )
+            .select(F.col("dst").alias("node"), F.col("b.lab").alias("nlab"))
+        )
+        labels = (
+            labels.join(winner, "node", "left")
+            .select("node", F.coalesce("nlab", "lab").alias("lab"))
+        )
+    return n.join(labels, n.n_nationkey == labels.node).select(
+        F.col("n_name").alias("nation"), F.col("lab").alias("community")
+    )
+
+
+def _lpa_sql() -> str:
+    sql = """
+WITH weights AS MATERIALIZED (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey  = c.c_custkey
+  JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+  GROUP BY 1, 2
+  HAVING c.c_nationkey <> s.s_nationkey
+),
+und AS MATERIALIZED (
+  SELECT src, dst, sum(w) AS w FROM (
+    SELECT src, dst, w FROM weights
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM weights
+  ) GROUP BY 1, 2
+),
+l0 AS (SELECT n_nationkey AS node, n_nationkey AS lab FROM nation)"""
+    prev = "l0"
+    for i in range(1, _LPA_ITERS + 1):
+        sql += f""",
+l{i} AS MATERIALIZED (
+  SELECT p.node, COALESCE(w.nlab, p.lab) AS lab
+  FROM {prev} p LEFT JOIN (
+    SELECT dst AS node, lab AS nlab FROM (
+      SELECT dst, lab,
+             row_number() OVER (PARTITION BY dst ORDER BY sw DESC, lab) AS rn
+      FROM (
+        SELECT u.dst, l.lab, sum(u.w) AS sw
+        FROM und u JOIN {prev} l ON u.src = l.node
+        GROUP BY 1, 2
+      )
+    ) WHERE rn = 1
+  ) w ON p.node = w.node
+)"""
+        prev = f"l{i}"
+    sql += f"""
+SELECT n.n_name AS nation, {prev}.lab AS community
+FROM nation n JOIN {prev} ON n.n_nationkey = {prev}.node
+"""
+    return sql
+
+
+GRAPH_LPA_SQL = _lpa_sql()
+
+QUERIES["graph_label_propagation"] = graph_label_propagation
+ORACLES["graph_label_propagation"] = GRAPH_LPA_SQL

@@ -3376,3 +3376,118 @@ FROM orders
 
 QUERIES["scalar_try_funcs"] = scalar_try_funcs
 ORACLES["scalar_try_funcs"] = SCALAR_TRY_SQL
+
+
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction: each event sees the same user's
+    closest 'purchase' value in time, looking BOTH ways (pandas
+    ``merge_asof(direction='nearest')`` / kdb ``aj`` with bidirectional
+    window) — the sensor-fusion variant of :func:`join_asof`, for feeds
+    where the enriching reading may arrive slightly after the fact.
+    Distance ties break backward (the earlier purchase), and a row that
+    is itself a purchase matches itself at distance 0.
+
+    Scale shape: still ONE shuffle on user_id — both directions are two
+    frames over the same window sort (``last ignorenulls`` over the
+    trailing frame, ``first ignorenulls`` over the leading frame), so
+    Spark plans a single Exchange + Sort + Window; no range join, no
+    self-join. Distances compare in exact integer microseconds.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pv"),
+        F.unix_micros("ts").alias("us"),
+    ).withColumn(
+        "pus", F.when(F.col("pv").isNotNull(), F.col("us"))
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    sided = marked.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "us",
+        F.last("pv", ignorenulls=True).over(wb).alias("bv"),
+        F.last("pus", ignorenulls=True).over(wb).alias("bus"),
+        F.first("pv", ignorenulls=True).over(wf).alias("fv"),
+        F.first("pus", ignorenulls=True).over(wf).alias("fus"),
+    )
+    db = F.col("us") - F.col("bus")
+    df_ = F.col("fus") - F.col("us")
+    pick_b = F.col("bus").isNotNull() & (
+        F.col("fus").isNull() | (db <= df_)
+    )
+    pick_f = F.col("fus").isNotNull() & (
+        F.col("bus").isNull() | (df_ < db)
+    )
+    return sided.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        dround(
+            F.when(pick_b, F.col("bv")).when(pick_f, F.col("fv")), 2
+        ).alias("nearest_purchase_value"),
+        F.when(pick_b, F.lit("backward"))
+        .when(pick_f, F.lit("forward"))
+        .alias("np_dir"),
+        F.when(pick_b, db).when(pick_f, df_).alias("np_dist_us"),
+    )
+
+
+JOIN_ASOF_NEAREST_SQL = """
+WITH marked AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN event_type = 'purchase' THEN value END AS pv,
+         epoch_us(ts) AS us,
+         CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS pus
+  FROM events
+),
+sided AS (
+  SELECT event_id, user_id, event_type, us,
+         last_value(pv IGNORE NULLS) OVER wb AS bv,
+         last_value(pus IGNORE NULLS) OVER wb AS bus,
+         first_value(pv IGNORE NULLS) OVER wf AS fv,
+         first_value(pus IGNORE NULLS) OVER wf AS fus
+  FROM marked
+  WINDOW
+    wb AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id, event_type,
+  CAST(round(CAST((CASE
+    WHEN bus IS NOT NULL AND (fus IS NULL OR us - bus <= fus - us) THEN bv
+    WHEN fus IS NOT NULL AND (bus IS NULL OR fus - us <  us - bus) THEN fv
+  END) AS DECIMAL(30,10)), 2) AS DOUBLE) AS nearest_purchase_value,
+  CASE
+    WHEN bus IS NOT NULL AND (fus IS NULL OR us - bus <= fus - us)
+      THEN 'backward'
+    WHEN fus IS NOT NULL AND (bus IS NULL OR fus - us < us - bus)
+      THEN 'forward'
+  END AS np_dir,
+  CASE
+    WHEN bus IS NOT NULL AND (fus IS NULL OR us - bus <= fus - us)
+      THEN us - bus
+    WHEN fus IS NOT NULL AND (bus IS NULL OR fus - us < us - bus)
+      THEN fus - us
+  END AS np_dist_us
+FROM sided
+"""
+
+QUERIES["join_asof_nearest"] = join_asof_nearest
+ORACLES["join_asof_nearest"] = JOIN_ASOF_NEAREST_SQL

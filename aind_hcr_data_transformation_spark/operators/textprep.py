@@ -1463,3 +1463,227 @@ FROM w, tot
 
 QUERIES["mix_temperature_weights"] = mix_temperature_weights
 ORACLES["mix_temperature_weights"] = MIX_TEMPERATURE_SQL
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training loop: learn R merges (count -> argmax -> apply)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE training LOOP (Sennrich et al. 2016), not just its
+    first statistic (:func:`bpe_merge_candidates`): ``_BPE_ROUNDS``
+    rounds of count-pairs → pick the argmax pair → APPLY the merge to
+    every word's symbol sequence → recount. Returns the learned merge
+    table (rank, left_sym, right_sym, n_pairs) — rounds 2 and 3 are
+    only correct if round 1's merge was applied with exactly the right
+    semantics, so the oracle match proves the application step, the
+    hard part.
+
+    Merge application is greedy left-to-right non-overlapping (the BPE
+    contract: ``aaaa`` + merge ``a+a`` → ``aa aa``, ``aaa`` → ``aa a``),
+    expressed relationally: match positions → consecutive-run islands
+    (``i − row_number()``, the gaps-and-islands idiom of
+    ``dedup_exact_substring``) → keep every odd rank within a run →
+    drop each selected position's right neighbor and substitute the
+    merged symbol. No UDF anywhere; ties in the argmax break
+    (count desc, left asc, right asc) via ``min(struct(-cnt, a, b))`` —
+    a single-row global aggregate that is BROADCAST back, never
+    collected to the driver.
+
+    Scale shape: every stage runs on the DISTINCT-word frequency table
+    (vocabulary-sized, orders of magnitude below corpus tokens — the
+    same pre-aggregate that makes production BPE trainers tractable),
+    so the per-round explodes are Σ|word| over the vocabulary. At
+    100 TB the word string key becomes an xxhash64 id (the
+    ``dedup_minhash_fast`` trick) and each round stays one pair
+    aggregate + two vocabulary-partitioned windows + one reassembly
+    aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = persist_tracked(
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+        .select(
+            "w",
+            "wn",
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("s"),
+        )
+    )
+    words.count()
+
+    wisl = Window.partitionBy("w").orderBy("i")
+    wrun = Window.partitionBy("w", "g").orderBy("i")
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            words.select(
+                "wn",
+                F.explode(
+                    # guard: sequence(1, 0) would DESCEND ([1, 0]) for
+                    # single-symbol words (possible after a merge)
+                    F.expr(
+                        "CASE WHEN size(s) < 2 THEN array() ELSE "
+                        "transform(sequence(1, size(s) - 1), i -> "
+                        "struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))"
+                        " END"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wn").alias("cnt"))
+        )
+        merge = persist_tracked(
+            pairs.agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("a"), F.col("b")
+                    )
+                ).alias("m")
+            ).select(
+                F.col("m.a").alias("a"),
+                F.col("m.b").alias("b"),
+                (-F.col("m.nc")).alias("cnt"),
+            )
+        )
+        merge.count()
+        merges.append(
+            merge.select(
+                F.lit(r).alias("rank"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.col("cnt").alias("n_pairs"),
+            )
+        )
+        if r == _BPE_ROUNDS:
+            break
+
+        rows = words.crossJoin(F.broadcast(merge.select("a", "b"))).select(
+            "w",
+            "wn",
+            "a",
+            "b",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s)), i -> struct("
+                    "i AS i, element_at(s, i) AS sym, "
+                    # try_element_at: ANSI AND does not short-circuit, so
+                    # the i = size(s) row would error on plain element_at
+                    "CASE WHEN i < size(s) AND element_at(s, i) = a "
+                    "AND try_element_at(s, i + 1) = b THEN 1 ELSE 0 END AS mt))"
+                )
+            ).alias("r"),
+        ).select("w", "wn", "a", "b", "r.i", "r.sym", "r.mt")
+        sel = (
+            rows.filter(F.col("mt") == 1)
+            .withColumn("g", F.col("i") - F.row_number().over(wisl))
+            .withColumn("rn", F.row_number().over(wrun))
+            .filter(F.col("rn") % 2 == 1)
+            .select("w", "i")
+        )
+        dropped = sel.select("w", (F.col("i") + 1).alias("i"))
+        rebuilt = (
+            rows.join(dropped, ["w", "i"], "left_anti")
+            .join(sel.withColumn("hit", F.lit(1)), ["w", "i"], "left")
+            .select(
+                "w",
+                "wn",
+                "i",
+                F.when(
+                    F.col("hit") == 1, F.concat(F.col("a"), F.col("b"))
+                )
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+        )
+        words = persist_tracked(
+            rebuilt.groupBy("w", "wn").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "sym"))),
+                    lambda st: st["sym"],
+                ).alias("s")
+            )
+        )
+        words.count()
+
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def _bpe_learn_sql() -> str:
+    sql = """
+WITH words0 AS MATERIALIZED (
+  SELECT w, count(*) AS wn,
+         list_transform(range(1, length(w) + 1),
+                        i -> substr(w, CAST(i AS INT), 1)) AS s
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE length(w) >= 2
+  GROUP BY w
+)"""
+    for r in range(1, _BPE_ROUNDS + 1):
+        prev = f"words{r - 1}"
+        sql += f""",
+pairs{r} AS (
+  SELECT s[CAST(u.i AS INT)] AS a, s[CAST(u.i AS INT) + 1] AS b,
+         sum(wn) AS cnt
+  FROM {prev}, unnest(range(1, len(s))) u(i)
+  GROUP BY 1, 2
+),
+merge{r} AS MATERIALIZED (
+  SELECT a, b, cnt FROM pairs{r} ORDER BY cnt DESC, a, b LIMIT 1
+)"""
+        if r == _BPE_ROUNDS:
+            break
+        sql += f""",
+rows{r} AS MATERIALIZED (
+  SELECT w, wn, CAST(u.i AS INT) AS i, s[CAST(u.i AS INT)] AS sym,
+         CASE WHEN u.i < len(s)
+                   AND s[CAST(u.i AS INT)] = m.a
+                   AND s[CAST(u.i AS INT) + 1] = m.b
+              THEN 1 ELSE 0 END AS mt
+  FROM {prev}, merge{r} m, unnest(range(1, len(s) + 1)) u(i)
+),
+sel{r} AS MATERIALIZED (
+  SELECT w, i FROM (
+    SELECT w, i, row_number() OVER (PARTITION BY w, g ORDER BY i) AS rn
+    FROM (
+      SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS g
+      FROM rows{r} WHERE mt = 1
+    )
+  ) WHERE rn % 2 = 1
+),
+words{r} AS MATERIALIZED (
+  SELECT k.w, any_value(k.wn) AS wn,
+         list(CASE WHEN s.i IS NOT NULL THEN m.a || m.b ELSE k.sym END
+              ORDER BY k.i) AS s
+  FROM (
+    SELECT r.w, r.wn, r.i, r.sym
+    FROM rows{r} r
+    ANTI JOIN (SELECT w, i + 1 AS i FROM sel{r}) d
+      ON r.w = d.w AND r.i = d.i
+  ) k
+  LEFT JOIN sel{r} s ON k.w = s.w AND k.i = s.i
+  CROSS JOIN merge{r} m
+  GROUP BY k.w
+)"""
+    parts = [
+        f"SELECT {r} AS rank, a AS left_sym, b AS right_sym, cnt AS n_pairs "
+        f"FROM merge{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    ]
+    sql += "\n" + "\nUNION ALL\n".join(parts)
+    return sql
+
+
+BPE_LEARN_SQL = _bpe_learn_sql()
+
+QUERIES["bpe_learn_merges"] = bpe_learn_merges
+ORACLES["bpe_learn_merges"] = BPE_LEARN_SQL

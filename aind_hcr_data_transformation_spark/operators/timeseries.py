@@ -822,3 +822,110 @@ FROM ev JOIN prof ON ev.event_type = prof.event_type AND ev.hod = prof.hod
 
 QUERIES["ts_seasonal_profile"] = ts_seasonal_profile
 ORACLES["ts_seasonal_profile"] = TS_SEASONAL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Offline changepoint detection (CUSUM)
+# ---------------------------------------------------------------------------
+
+
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint estimate per user series (Page 1954,
+    the textbook single-changepoint locator): with S_i = Σ_{j≤i}(v_j −
+    mean), the changepoint is argmax_i |S_i| — where the cumulative
+    deviation from the global mean peaks before reverting. This is the
+    OFFLINE complement of ``ts_rolling_anomaly``/``ts_mad_outliers``
+    (which flag individual points): it locates WHERE a series' level
+    shifted, the drift question a training-data freshness monitor asks.
+
+    Division-free exactness: |S_i| = |P_i − i·T/n| is compared via the
+    n-scaled integerized form |n·P_i − i·T| (P_i = exact decimal prefix
+    sum, T/n = per-user total/count), so the argmax — the answer — is
+    decided in EXACT decimal arithmetic on both engines; the single IEEE
+    division happens only when formatting the reported magnitude
+    (|n·S|/n, the same cast-then-divide convention as
+    ``ts_seasonal_profile``). Ties break to the earliest position.
+
+    One shuffle on user_id; the prefix sum, the per-user total, and the
+    row number all run inside the same per-user sort, and the argmax is
+    the ``max(struct(...))`` hash-aggregate kernel (map-side combine, no
+    second window) pinned by ``tests/test_argmax_agg.py``.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    vdec = F.col("value").cast("decimal(30,10)")
+    pref = ev.select(
+        "user_id",
+        "ts",
+        F.row_number().over(wseq).alias("i"),
+        F.sum(vdec).over(wseq).cast("decimal(25,10)").alias("p"),
+        F.sum(vdec).over(wall).cast("decimal(25,10)").alias("t"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    ndec = F.col("n").cast("decimal(12,0)")
+    idec = F.col("i").cast("decimal(12,0)")
+    scored = pref.select(
+        "user_id",
+        "i",
+        "ts",
+        "n",
+        F.abs(F.col("p") * ndec - F.col("t") * idec).alias("ns_abs"),
+    )
+    best = scored.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                F.col("ns_abs").alias("k1"),
+                (-F.col("i")).alias("k2"),
+                F.col("i").alias("cp_pos"),
+                F.col("ts").alias("cp_ts"),
+                F.col("n").alias("nn"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "user_id",
+        F.col("b.nn").alias("n_events"),
+        F.col("b.cp_pos").alias("cp_pos"),
+        F.col("b.cp_ts").alias("cp_ts"),
+        dround(
+            F.col("b.k1").cast("double") / F.col("b.nn"), 4
+        ).alias("cusum_mag"),
+    )
+
+
+TS_CHANGEPOINT_SQL = f"""
+WITH pref AS (
+  SELECT user_id, ts,
+         row_number() OVER w AS i,
+         CAST(sum(CAST(value AS DECIMAL(30,10))) OVER
+              (w ROWS UNBOUNDED PRECEDING) AS DECIMAL(25,10)) AS p,
+         CAST(sum(CAST(value AS DECIMAL(30,10))) OVER
+              (PARTITION BY user_id) AS DECIMAL(25,10)) AS t,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+scored AS (
+  SELECT user_id, i, ts, n,
+         abs(p * CAST(n AS DECIMAL(12,0))
+             - t * CAST(i AS DECIMAL(12,0))) AS ns_abs
+  FROM pref
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ns_abs DESC, i) AS rn
+  FROM scored
+)
+SELECT user_id,
+       n AS n_events,
+       i AS cp_pos,
+       ts AS cp_ts,
+       {sql_round('CAST(ns_abs AS DOUBLE) / n', 4)} AS cusum_mag
+FROM best WHERE rn = 1
+"""
+
+QUERIES["ts_changepoint_cusum"] = ts_changepoint_cusum
+ORACLES["ts_changepoint_cusum"] = TS_CHANGEPOINT_SQL
