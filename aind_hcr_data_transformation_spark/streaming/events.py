@@ -974,3 +974,189 @@ WINDOW w AS (
 
 QUERIES["stream_asof_enrich"] = stream_asof_enrich
 ORACLES["stream_asof_enrich"] = STREAM_ASOF_SQL
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift detector: online CUSUM against a static profile
+# ---------------------------------------------------------------------------
+
+
+def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online CUSUM drift monitor (Page 1954, one-sided upper form) as a
+    custom stateful streaming operator: each user's event stream is
+    checked against that user's STATIC profile mean (stream-static join,
+    the fleet-baseline shape), and per-user GroupState tracks the CUSUM
+    statistic S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (vᵢ − μ₀)) across micro-batches,
+    reporting where it peaked — the streaming complement of the offline
+    :func:`~..operators.timeseries.ts_changepoint_cusum` locator.
+
+    Exactness across engines AND across restarts: values quantize to
+    integer units of 1e-10 (the ``stream_user_totals`` conversion), the
+    profile mean is computed by one IEEE division then frozen at 6 dp
+    and scaled to the same integer units inside Spark DECIMAL arithmetic
+    — so the state is pure int64 and the peak/argmax decision never
+    touches a float. The oracle states the same statistic through the
+    prefix-sum identity S⁺ᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ) (P = prefix sum
+    of deviations), two window functions over the batch table — the
+    recurrence and the identity agree exactly in integer arithmetic.
+
+    Ties in the peak break to the earliest position (strict ``>`` in the
+    state update; ``ORDER BY s DESC, i`` in the oracle). Scale: state is
+    six int64s per user; the stream-static join broadcasts the profile;
+    at 100 TB the profile lives in the state store via initialState.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..tables import load_table
+
+    events = streaming_events(spark, sf_dir)
+    prof = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                # decimal-routed round (the dround convention): Spark
+                # rounds doubles on shortest-decimal repr, DuckDB on the
+                # binary value — the decimal cast makes them agree
+                F.round(
+                    (
+                        F.sum(F.col("value").cast("decimal(30,10)"))
+                        .cast("double")
+                        / F.count(F.lit(1))
+                    ).cast("decimal(30,10)"),
+                    6,
+                )
+                * F.lit(10_000_000_000).cast("decimal(12,0)")
+            )
+            .cast("long")
+            .alias("mu_units")
+        )
+    )
+    enriched = events.join(prof, "user_id").select(
+        "user_id", "ts", "event_id", "value", "mu_units"
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("peak_pos", T.LongType()),
+            T.StructField("peak_ts", T.TimestampType()),
+            T.StructField("peak_drift", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("i", T.LongType()),       # rows seen
+            T.StructField("s", T.LongType()),       # current S+ (1e-10 units)
+            T.StructField("best", T.LongType()),    # max S+ so far
+            T.StructField("besti", T.LongType()),   # earliest argmax position
+            T.StructField("bestts", T.LongType()),  # its event time (µs)
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+
+        i, s, best, besti, bestts = (
+            state.get if state.exists else (0, 0, 0, 1, 0)
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # event-time order within the batch (the source replays in order
+        # across batches; see stream_user_totals on the bounded-run shape)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        scaled = pdf["value"].to_numpy(dtype=np.float64) * 1e10
+        near = np.abs(scaled - np.rint(scaled)) < 0.01
+        units = np.rint(scaled).astype(np.int64)
+        if not near.all():  # exact Decimal fallback, same as user_totals
+            vals = pdf["value"].to_numpy()
+            for j in np.flatnonzero(~near):
+                units[j] = int(
+                    Decimal(repr(float(vals[j])))
+                    .quantize(Decimal("1e-10"), rounding=ROUND_HALF_UP)
+                    .scaleb(10)
+                )
+        mu = int(pdf["mu_units"].iloc[0])
+        ts_us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        for j in range(len(pdf)):
+            i += 1
+            s = s + int(units[j]) - mu
+            if s < 0:
+                s = 0
+            # first row seeds the peak (covers the all-zero-drift series:
+            # the oracle's ORDER BY s DESC, i picks i=1 there); after
+            # that, strict > keeps the EARLIEST position on ties
+            if i == 1 or s > best:
+                best, besti, bestts = s, i, int(ts_us[j])
+        state.update((i, s, best, besti, bestts))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [i],
+                "peak_pos": [besti],
+                "peak_ts": [pd.Timestamp(bestts, unit="us")],
+                "peak_drift": [
+                    float(
+                        Decimal(best)
+                        .scaleb(-10)
+                        .quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+                    )
+                ],
+            }
+        )
+
+    drift = enriched.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory_sink(drift, "stream_cusum", "update").select(
+        "user_id", "n_events", "peak_pos", "peak_ts", "peak_drift"
+    )
+
+
+STREAM_CUSUM_DRIFT_SQL = """
+WITH prof AS (
+  SELECT user_id,
+         round(CAST(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                    / count(*) AS DECIMAL(30,10)), 6) AS mu
+  FROM events GROUP BY user_id
+),
+dev AS (
+  SELECT e.user_id, e.ts, e.event_id,
+         CAST(e.value AS DECIMAL(30,10)) - p.mu AS d
+  FROM events e JOIN prof p USING (user_id)
+),
+pref AS (
+  SELECT user_id, ts,
+         row_number() OVER w AS i,
+         sum(d) OVER (w ROWS UNBOUNDED PRECEDING) AS pp
+  FROM dev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+stat AS (
+  SELECT user_id, ts, i,
+         pp - least(min(pp) OVER (PARTITION BY user_id ORDER BY i
+                                  ROWS UNBOUNDED PRECEDING), 0) AS s
+  FROM pref
+),
+best AS (
+  SELECT user_id, ts, i, s,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         row_number() OVER (PARTITION BY user_id ORDER BY s DESC, i) AS rn
+  FROM stat
+)
+SELECT user_id,
+       n AS n_events,
+       i AS peak_pos,
+       ts AS peak_ts,
+       CAST(round(CAST(s AS DECIMAL(30,10)), 4) AS DOUBLE) AS peak_drift
+FROM best WHERE rn = 1
+"""
+
+QUERIES["stream_cusum_drift"] = stream_cusum_drift
+ORACLES["stream_cusum_drift"] = STREAM_CUSUM_DRIFT_SQL
