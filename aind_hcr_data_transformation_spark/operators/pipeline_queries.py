@@ -589,3 +589,147 @@ FROM shapes
 
 QUERIES["pipe_pad_squeeze"] = pipe_pad_squeeze
 ORACLES["pipe_pad_squeeze"] = PIPE_PAD_SQUEEZE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Rechunk plan: shuffle-minimal source->target chunk mapping
+# ---------------------------------------------------------------------------
+
+
+def pipe_rechunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed zarr RECHUNK plan — which target chunks each
+    source chunk feeds, with the exact voxel overlap — for re-tiling the
+    per-nation synthetic stacks from the write-optimized 16×32×32 grid
+    (``pipe_block_grid_3d``) to a read-optimized 32×16×64 grid. This is
+    the planning half of the rechunker problem (zarr's `rechunker`
+    package / Dask rechunk): at 100 TB the data movement dominates, so
+    the plan must be derivable WITHOUT a join — and it is: each source
+    chunk computes its intersecting target index range per axis
+    arithmetically (``floor(start/t) .. floor((end-1)/t)``) and expands
+    by ``sequence``, so the mapping stage is embarrassingly parallel
+    map-side work; the only shuffle in a real rechunk is then the
+    groupBy on destination chunk that assembles each target block —
+    one exchange, keyed exactly like ``sinks/zarr_sink``'s region
+    writes. Overlap voxels are emitted so the executor memory per
+    destination group is known AT PLAN TIME (admission control for the
+    assembly stage).
+
+    Reference analog: the reference rewrites chunk grids implicitly by
+    re-running the whole conversion (``czi_to_zarr.py``); a plan-level
+    rechunk is what production arrays do instead of re-converting.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    bz, by, bx = 16, 32, 32   # source grid (pipe_block_grid_3d's)
+    tz, ty, tx = 32, 16, 64   # target grid
+    shaped = nation.select(
+        "n_nationkey",
+        (F.lit(40) + F.col("n_nationkey")).alias("sz"),
+        F.lit(64).alias("sy"),
+        (F.lit(64) + (F.col("n_nationkey") % 3)).alias("sx"),
+    )
+    src = (
+        shaped.select(
+            "n_nationkey", "sz", "sy", "sx",
+            F.explode(F.sequence(F.lit(0), F.col("sz") - 1, F.lit(bz))).alias("z0"),
+        )
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.col("sy") - 1, F.lit(by))).alias("y0"),
+        )
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.col("sx") - 1, F.lit(bx))).alias("x0"),
+        )
+        .select(
+            "n_nationkey", "sz", "sy", "sx", "z0", "y0", "x0",
+            F.least(F.col("z0") + bz, F.col("sz")).alias("z1"),
+            F.least(F.col("y0") + by, F.col("sy")).alias("y1"),
+            F.least(F.col("x0") + bx, F.col("sx")).alias("x1"),
+        )
+    )
+    # per axis: the target indices this source chunk intersects, derived
+    # arithmetically (no join) and expanded
+    fan = (
+        src.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("z0") / tz), F.floor((F.col("z1") - 1) / tz)
+                )
+            ).alias("zj"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("y0") / ty), F.floor((F.col("y1") - 1) / ty)
+                )
+            ).alias("yj"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("x0") / tx), F.floor((F.col("x1") - 1) / tx)
+                )
+            ).alias("xj"),
+        )
+    )
+    ovz = F.least(F.col("z1"), (F.col("zj") + 1) * tz) - F.greatest(
+        F.col("z0"), F.col("zj") * tz
+    )
+    ovy = F.least(F.col("y1"), (F.col("yj") + 1) * ty) - F.greatest(
+        F.col("y0"), F.col("yj") * ty
+    )
+    ovx = F.least(F.col("x1"), (F.col("xj") + 1) * tx) - F.greatest(
+        F.col("x0"), F.col("xj") * tx
+    )
+    return fan.select(
+        "n_nationkey",
+        "z0", "y0", "x0",
+        (F.col("zj") * tz).alias("dz0"),
+        (F.col("yj") * ty).alias("dy0"),
+        (F.col("xj") * tx).alias("dx0"),
+        (ovz * ovy * ovx).alias("overlap_voxels"),
+    )
+
+
+PIPE_RECHUNK_PLAN_SQL = """
+WITH shaped AS (
+  SELECT n_nationkey,
+         40 + n_nationkey       AS sz,
+         64                     AS sy,
+         64 + n_nationkey % 3   AS sx
+  FROM nation
+),
+src AS (
+  SELECT n_nationkey, sz, sy, sx,
+         CAST(z0 AS BIGINT) AS z0, CAST(y0 AS BIGINT) AS y0,
+         CAST(x0 AS BIGINT) AS x0,
+         least(z0 + 16, sz) AS z1,
+         least(y0 + 32, sy) AS y1,
+         least(x0 + 32, sx) AS x1
+  FROM shaped,
+       unnest(range(0, sz, 16)) uz(z0),
+       unnest(range(0, sy, 32)) uy(y0),
+       unnest(range(0, sx, 32)) ux(x0)
+),
+fan AS (
+  SELECT s.*, zj, yj, xj
+  FROM src s,
+       unnest(range(z0 // 32, (z1 - 1) // 32 + 1)) fz(zj),
+       unnest(range(y0 // 16, (y1 - 1) // 16 + 1)) fy(yj),
+       unnest(range(x0 // 64, (x1 - 1) // 64 + 1)) fx(xj)
+)
+SELECT n_nationkey, z0, y0, x0,
+       zj * 32 AS dz0,
+       yj * 16 AS dy0,
+       xj * 64 AS dx0,
+       (least(z1, (zj + 1) * 32) - greatest(z0, zj * 32))
+     * (least(y1, (yj + 1) * 16) - greatest(y0, yj * 16))
+     * (least(x1, (xj + 1) * 64) - greatest(x0, xj * 64)) AS overlap_voxels
+FROM fan
+"""
+
+QUERIES["pipe_rechunk_plan"] = pipe_rechunk_plan
+ORACLES["pipe_rechunk_plan"] = PIPE_RECHUNK_PLAN_SQL

@@ -810,3 +810,161 @@ EMBED_POWER_ITERATION_SQL = _power_iteration_sql()
 
 QUERIES["embed_power_iteration"] = embed_power_iteration
 ORACLES["embed_power_iteration"] = EMBED_POWER_ITERATION_SQL
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall (MRL dimensionality-cost analytics)
+# ---------------------------------------------------------------------------
+
+_MRL_DIM = 16   # truncated prefix (Matryoshka Representation Learning)
+_MRL_NQ = 5     # query vectors: vec_id < _MRL_NQ
+_MRL_K = 10     # recall@K
+
+
+def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PREFIX-TRUNCATED embeddings against the full-dim
+    exact ranking — the evaluation a team runs before adopting
+    Matryoshka-style (Kusupati et al. 2022) dimension reduction for a
+    vector index: rank the corpus for each query by cosine on the first
+    ``_MRL_DIM`` of ``EMB_DIM`` dims, and count how much of the full-dim
+    top-10 survives. Cosine on a prefix needs no re-embedding and no
+    renormalization beyond the prefix norms — exactly why MRL truncation
+    is operationally free to try.
+
+    Both rankings run the engine-deterministic fold (explicit IEEE op
+    order, 6-dp decimal-routed rounding, vec_id tie-break), so the
+    overlap COUNT — an integer — is oracle-exact. Plan: one broadcast
+    of the 5 queries, two window top-10s over the same scored scan, one
+    self-join on (qid, vec_id) to intersect; corpus scanned once
+    (persisted), never all-pairs.
+    """
+    emb = persist_tracked(
+        load_table(spark, sf_dir, "embeddings", spread=True).select(
+            "vec_id",
+            "embedding",
+            F.slice("embedding", 1, _MRL_DIM).alias("temb"),
+        ).withColumn("n2", spark_dot(F.col("embedding"), F.col("embedding")))
+        .withColumn("t2", spark_dot(F.col("temb"), F.col("temb")))
+    )
+    emb.count()
+    queries = emb.filter(F.col("vec_id") < _MRL_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("temb").alias("qt"),
+        F.col("n2").alias("qn2"),
+        F.col("t2").alias("qt2"),
+    )
+    from ..functions.vectors import spark_cosine_prenorm
+
+    scored = emb.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        "vec_id",
+        dround(
+            spark_cosine_prenorm(
+                spark_dot(F.col("qe"), F.col("embedding")),
+                F.col("qn2"),
+                F.col("n2"),
+            ),
+            6,
+        ).alias("fcos"),
+        dround(
+            spark_cosine_prenorm(
+                spark_dot(F.col("qt"), F.col("temb")),
+                F.col("qt2"),
+                F.col("t2"),
+            ),
+            6,
+        ).alias("tcos"),
+    )
+    scored = persist_tracked(scored)
+    scored.count()
+    wf = Window.partitionBy("qid").orderBy(F.desc("fcos"), F.asc("vec_id"))
+    wt = Window.partitionBy("qid").orderBy(F.desc("tcos"), F.asc("vec_id"))
+    full_k = (
+        scored.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= _MRL_K)
+        .select("qid", "vec_id")
+    )
+    trunc_k = (
+        scored.withColumn("rank", F.row_number().over(wt))
+        .filter(F.col("rank") <= _MRL_K)
+        .select("qid", "vec_id")
+    )
+    kept = (
+        full_k.join(trunc_k, ["qid", "vec_id"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    # report zero-recall queries too: an eval metric that silently drops
+    # its worst rows is lying
+    return (
+        queries.select("qid")
+        .join(kept, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            dround(
+                F.coalesce("n_kept", F.lit(0).cast("long")) / F.lit(_MRL_K), 4
+            ).alias("recall_at_10"),
+        )
+    )
+
+
+def _matryoshka_sql() -> str:
+    from ..functions.vectors import sql_dot
+
+    def cos_prenorm(dotq, n2q, n2e):
+        return f"(({dotq}) / (sqrt({n2q}) * sqrt({n2e})))"
+
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id, embedding, embedding[1:{_MRL_DIM}] AS temb,
+         {sql_dot('embedding', 'embedding')} AS n2,
+         {sql_dot('embedding[1:' + str(_MRL_DIM) + ']', 'embedding[1:' + str(_MRL_DIM) + ']', _MRL_DIM)} AS t2
+  FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS qid, embedding AS qe, temb AS qt, n2 AS qn2, t2 AS qt2
+  FROM base WHERE vec_id < {_MRL_NQ}
+),
+scored AS MATERIALIZED (
+  SELECT q.qid, e.vec_id,
+    CAST(round(CAST(({cos_prenorm(sql_dot('q.qe', 'e.embedding'), 'q.qn2', 'e.n2')})
+      AS DECIMAL(30,10)), 6) AS DOUBLE) AS fcos,
+    CAST(round(CAST(({cos_prenorm(sql_dot('q.qt', 'e.temb', _MRL_DIM), 'q.qt2', 'e.t2')})
+      AS DECIMAL(30,10)), 6) AS DOUBLE) AS tcos
+  FROM base e JOIN queries q ON e.vec_id <> q.qid
+),
+full_k AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY fcos DESC, vec_id) AS r
+    FROM scored
+  ) WHERE r <= {_MRL_K}
+),
+trunc_k AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY tcos DESC, vec_id) AS r
+    FROM scored
+  ) WHERE r <= {_MRL_K}
+),
+kept AS (
+  SELECT f.qid, count(*) AS n_kept
+  FROM full_k f SEMI JOIN trunc_k t ON f.qid = t.qid AND f.vec_id = t.vec_id
+  GROUP BY f.qid
+)
+SELECT q.qid,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       CAST(round(CAST((COALESCE(k.n_kept, 0) / {_MRL_K}.0) AS DECIMAL(30,10)),
+                  4) AS DOUBLE) AS recall_at_10
+FROM queries q LEFT JOIN kept k ON q.qid = k.qid
+"""
+
+
+EMBED_MATRYOSHKA_SQL = _matryoshka_sql()
+
+QUERIES["embed_matryoshka_recall"] = embed_matryoshka_recall
+ORACLES["embed_matryoshka_recall"] = EMBED_MATRYOSHKA_SQL
