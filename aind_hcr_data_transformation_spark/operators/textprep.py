@@ -1551,8 +1551,8 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("m.b").alias("b"),
                 (-F.col("m.nc")).alias("cnt"),
             )
-        )
-        merge.count()
+        )  # cached on first consuming action (no eager count: one fewer
+        #    scheduler round-trip per merge round)
         merges.append(
             merge.select(
                 F.lit(r).alias("rank"),
@@ -1564,7 +1564,21 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         if r == _BPE_ROUNDS:
             break
 
-        rows = words.crossJoin(F.broadcast(merge.select("a", "b"))).select(
+        # rebuild ONLY words containing the pair (an array-expression
+        # pre-filter in codegen); the untouched majority passes through
+        # without explode/window/reassembly — at web scale almost every
+        # word is untouched by any single merge
+        wm = words.crossJoin(F.broadcast(merge.select("a", "b")))
+        has_pair = F.expr(
+            # the size guard lives INSIDE the CASE: sequence(1, 0)
+            # descends for single-symbol words and ANSI AND would still
+            # evaluate the element_at(s, 0) branch
+            "CASE WHEN size(s) < 2 THEN false ELSE "
+            "exists(sequence(1, size(s) - 1), i -> "
+            "element_at(s, i) = a AND element_at(s, i + 1) = b) END"
+        )
+        unmatched = wm.filter(~has_pair).select("w", "wn", "s")
+        rows = wm.filter(has_pair).select(
             "w",
             "wn",
             "a",
@@ -1603,14 +1617,15 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         words = persist_tracked(
-            rebuilt.groupBy("w", "wn").agg(
+            rebuilt.groupBy("w", "wn")
+            .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("i", "sym"))),
                     lambda st: st["sym"],
                 ).alias("s")
             )
+            .unionByName(unmatched)
         )
-        words.count()
 
     out = merges[0]
     for m in merges[1:]:
