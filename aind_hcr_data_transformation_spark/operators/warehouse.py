@@ -641,3 +641,182 @@ STATS_CORR_MATRIX_SQL = _corr_matrix_sql()
 
 QUERIES["stats_corr_matrix"] = stats_corr_matrix
 ORACLES["stats_corr_matrix"] = STATS_CORR_MATRIX_SQL
+
+
+# ---------------------------------------------------------------------------
+# Data-quality verification suite (Deequ-style constraint checks)
+# ---------------------------------------------------------------------------
+
+
+def dq_verification_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality verification — the Deequ / dbt-test /
+    Great-Expectations stage every production warehouse runs before
+    publishing a table: each constraint computes ONE metric over the
+    data and compares it to its expectation, and the suite returns one
+    row per check with the metric and pass/fail. Checks span the five
+    canonical families: completeness (null fraction), uniqueness
+    (pk distinctness), referential integrity (FK anti-join violations),
+    range conformance, and accepted-values conformance.
+
+    Scale shape: every metric is a single aggregate over one scan
+    (map-side combined; the two scans here — lineitem and orders — are
+    shared across their checks via one pass each), and the FK check is
+    a broadcast anti-join against the distinct key set, never a
+    row-level cross-check. Metrics are exact counts and count-ratios
+    (dround'd once at the end), so pass/fail can never flap between
+    engines.
+
+    Reference analog: the reference's only validation is the pydantic
+    settings gate and the slice-bounds assert (``utils.py:208-228``,
+    SURVEY S7); this is the same fail-loud contract applied to DATA
+    instead of config.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    li_m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0)).alias(
+            "ship_nulls"
+        ),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50), 0
+            ).otherwise(1)
+        ).alias("qty_oob"),
+        F.sum(
+            F.when(F.col("l_discount").between(0.0, 0.1), 0).otherwise(1)
+        ).alias("disc_oob"),
+    )
+    o_m = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("pk_distinct"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isin("F", "O", "P"), 0).otherwise(1)
+        ).alias("status_bad"),
+    )
+    fk_viol = (
+        li.select("l_orderkey")
+        .join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("viol"))
+    )
+
+    def row(name, metric, passed):
+        return F.struct(
+            F.lit(name).alias("check"),
+            metric.cast("double").alias("metric"),
+            passed.alias("passed"),
+        )
+
+    li_checks = li_m.select(
+        F.explode(
+            F.array(
+                row(
+                    "completeness:lineitem.l_shipdate",
+                    dround(
+                        (F.col("n") - F.col("ship_nulls"))
+                        / F.col("n").cast("double"),
+                        6,
+                    ),
+                    F.col("ship_nulls") == 0,
+                ),
+                row(
+                    "range:lineitem.l_quantity[1,50]",
+                    F.col("qty_oob"),
+                    F.col("qty_oob") == 0,
+                ),
+                row(
+                    "range:lineitem.l_discount[0,0.1]",
+                    F.col("disc_oob"),
+                    F.col("disc_oob") == 0,
+                ),
+            )
+        ).alias("c")
+    )
+    o_checks = o_m.select(
+        F.explode(
+            F.array(
+                row(
+                    "uniqueness:orders.o_orderkey",
+                    dround(
+                        F.col("pk_distinct") / F.col("n").cast("double"), 6
+                    ),
+                    F.col("pk_distinct") == F.col("n"),
+                ),
+                row(
+                    "accepted_values:orders.o_orderstatus{F,O,P}",
+                    F.col("status_bad"),
+                    F.col("status_bad") == 0,
+                ),
+            )
+        ).alias("c")
+    )
+    fk_checks = fk_viol.select(
+        F.explode(
+            F.array(
+                row(
+                    "referential:lineitem.l_orderkey->orders.o_orderkey",
+                    F.col("viol"),
+                    F.col("viol") == 0,
+                )
+            )
+        ).alias("c")
+    )
+    return (
+        li_checks.unionByName(o_checks)
+        .unionByName(fk_checks)
+        .select("c.check", "c.metric", "c.passed")
+    )
+
+
+DQ_VERIFICATION_SQL = """
+WITH li_m AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS ship_nulls,
+         sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+                  THEN 0 ELSE 1 END) AS qty_oob,
+         sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1
+                  THEN 0 ELSE 1 END) AS disc_oob
+  FROM lineitem
+),
+o_m AS (
+  SELECT count(*) AS n,
+         count(DISTINCT o_orderkey) AS pk_distinct,
+         sum(CASE WHEN o_orderstatus IN ('F','O','P')
+                  THEN 0 ELSE 1 END) AS status_bad
+  FROM orders
+),
+fk AS (
+  SELECT count(*) AS viol
+  FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT 'completeness:lineitem.l_shipdate' AS "check",
+       CAST(round(CAST((CAST(n - ship_nulls AS DOUBLE) / n)
+            AS DECIMAL(30,10)), 6) AS DOUBLE) AS metric,
+       ship_nulls = 0 AS passed
+FROM li_m
+UNION ALL
+SELECT 'range:lineitem.l_quantity[1,50]', CAST(qty_oob AS DOUBLE),
+       qty_oob = 0 FROM li_m
+UNION ALL
+SELECT 'range:lineitem.l_discount[0,0.1]', CAST(disc_oob AS DOUBLE),
+       disc_oob = 0 FROM li_m
+UNION ALL
+SELECT 'uniqueness:orders.o_orderkey',
+       CAST(round(CAST((CAST(pk_distinct AS DOUBLE) / n)
+            AS DECIMAL(30,10)), 6) AS DOUBLE),
+       pk_distinct = n FROM o_m
+UNION ALL
+SELECT 'accepted_values:orders.o_orderstatus{F,O,P}',
+       CAST(status_bad AS DOUBLE), status_bad = 0 FROM o_m
+UNION ALL
+SELECT 'referential:lineitem.l_orderkey->orders.o_orderkey',
+       CAST(viol AS DOUBLE), viol = 0 FROM fk
+"""
+
+QUERIES["dq_verification_suite"] = dq_verification_suite
+ORACLES["dq_verification_suite"] = DQ_VERIFICATION_SQL

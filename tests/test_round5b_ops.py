@@ -157,3 +157,18 @@ def test_matryoshka_recall_bounds(spark, queries):
     for r in rows:
         assert 0 <= r["n_kept"] <= 10
         assert r["recall_at_10"] == pytest.approx(r["n_kept"] / 10)
+
+
+def test_dq_suite_green_on_fixtures(spark, queries):
+    rows = queries["dq_verification_suite"](spark, SF_DIR).collect()
+    assert len(rows) == 6
+    by_name = {r["check"]: r for r in rows}
+    # TPC-H-shaped fixtures satisfy every constraint
+    assert all(r["passed"] for r in rows), [
+        r["check"] for r in rows if not r["passed"]
+    ]
+    assert by_name["completeness:lineitem.l_shipdate"]["metric"] == 1.0
+    assert by_name["uniqueness:orders.o_orderkey"]["metric"] == 1.0
+    assert by_name[
+        "referential:lineitem.l_orderkey->orders.o_orderkey"
+    ]["metric"] == 0.0

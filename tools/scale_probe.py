@@ -71,6 +71,13 @@ DEFAULT_QUERIES = [
     "agg_approx_quantiles",
     "events_rfm_segments",
     "evw_session",
+    # round-5 additions with interesting scale shapes: the BPE loop's
+    # vocabulary-sized rounds, the single-shuffle bidirectional as-of,
+    # the Pregel-family LPA, and the census-collect CUSUM argmax
+    "bpe_learn_merges",
+    "join_asof_nearest",
+    "graph_label_propagation",
+    "ts_changepoint_cusum",
 ]
 
 
