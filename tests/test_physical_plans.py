@@ -147,6 +147,12 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
         "events_rfm_segments",
         # one-row sqrt-weight total broadcast (the Σ n^τ denominator)
         "mix_temperature_weights",
+        # one-row argmax-merge broadcast per BPE round (the chosen pair
+        # fans onto the vocabulary frame; never fact×fact)
+        "bpe_learn_merges",
+        # 5-row query-vector broadcast under a != predicate (the
+        # self-exclusion non-equi join, same shape as sim_cosine_topk)
+        "embed_matryoshka_recall",
     }
     for name, fn in queries.items():
         if name.startswith("stream_"):
