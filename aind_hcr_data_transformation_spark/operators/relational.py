@@ -3404,7 +3404,11 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "purchase", F.col("value")).alias("pv"),
         F.unix_micros("ts").alias("us"),
     ).withColumn(
-        "pus", F.when(F.col("pv").isNotNull(), F.col("us"))
+        # gate on event_type, NOT pv-non-null: a NULL-valued purchase is
+        # still the nearest purchase (value NULL) — the same convention
+        # join_asof_tolerance uses, and exactly what the oracle states
+        "pus",
+        F.when(F.col("event_type") == "purchase", F.col("us")),
     )
     wb = (
         Window.partitionBy("user_id")

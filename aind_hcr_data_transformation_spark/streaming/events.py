@@ -1002,7 +1002,7 @@ def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ties in the peak break to the earliest position (strict ``>`` in the
     state update; ``ORDER BY s DESC, i`` in the oracle). Scale: state is
-    six int64s per user; the stream-static join broadcasts the profile;
+    five int64s per user; the stream-static join broadcasts the profile;
     at 100 TB the profile lives in the state store via initialState.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

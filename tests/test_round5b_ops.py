@@ -9,7 +9,7 @@ from datetime import datetime, timezone
 
 import pytest
 
-SF_DIR = "/root/testdata/sf0.001"
+from tests.conftest import SF_DIR
 
 
 def _ts(minute: int):
@@ -59,6 +59,72 @@ def events_dir(spark, tmp_path_factory):
     )
     pq.write_table(table, str(d / "events.parquet"))
     return str(d)
+
+
+@pytest.fixture(scope="module")
+def null_purchase_dir(spark, tmp_path_factory):
+    """User 4: a NULL-valued purchase nearer than a valued one — the
+    review-found divergence case (Spark used to gate the purchase
+    timestamp on pv IS NOT NULL while the oracle gates on event_type)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("r5b_nullp")
+    rows = [
+        (400, _ts(0), 4, "purchase", None, "{}"),
+        (401, _ts(1), 4, "view", 0.0, "{}"),
+        (402, _ts(30), 4, "purchase", 5.0, "{}"),
+    ]
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(cols[0], pa.int64()),
+                "ts": pa.array(cols[1], pa.timestamp("us")),
+                "user_id": pa.array(cols[2], pa.int64()),
+                "event_type": pa.array(cols[3], pa.string()),
+                "value": pa.array(cols[4], pa.float64()),
+                "props": pa.array(cols[5], pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+def test_asof_nearest_null_valued_purchase(spark, queries, null_purchase_dir):
+    """A NULL-valued purchase still wins on distance; its value arrives
+    as NULL — matching the oracle's event_type gate (and
+    join_asof_tolerance's convention)."""
+    rows = {
+        r["event_id"]: r
+        for r in queries["join_asof_nearest"](
+            spark, null_purchase_dir
+        ).collect()
+    }
+    r = rows[401]
+    assert r["np_dir"] == "backward"
+    assert r["np_dist_us"] == 60 * 1_000_000  # the NULL-valued one at 1 min
+    assert r["nearest_purchase_value"] is None
+
+    # differential: the oracle agrees on this adversarial fixture too
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{null_purchase_dir}/events.parquet')"
+    )
+    orc = {
+        t[0]: t
+        for t in con.execute(
+            entrymod.oracle_sql()["join_asof_nearest"]
+        ).fetchall()
+    }
+    assert orc[401][3] is None and orc[401][4] == "backward"
+    assert orc[401][5] == 60 * 1_000_000
 
 
 def test_cusum_locates_planted_shift(spark, queries, events_dir):
