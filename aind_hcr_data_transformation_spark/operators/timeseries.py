@@ -851,8 +851,13 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ``max(struct(...))`` hash-aggregate kernel (map-side combine, no
     second window) pinned by ``tests/test_argmax_agg.py``.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", "value"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        # NULL observations are EXCLUDED from the series (stated in the
+        # oracle too): leading NULLs would make the prefix sum NULL and
+        # hand the argmax to engine-specific NULL ordering
+        .filter(F.col("value").isNotNull())
     )
     wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wall = Window.partitionBy("user_id")
@@ -906,6 +911,7 @@ WITH pref AS (
               (PARTITION BY user_id) AS DECIMAL(25,10)) AS t,
          count(*) OVER (PARTITION BY user_id) AS n
   FROM events
+  WHERE value IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 scored AS (

@@ -1009,9 +1009,15 @@ def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..tables import load_table
 
-    events = streaming_events(spark, sf_dir)
+    # NULL observations are excluded from both the profile and the
+    # monitored stream (stated in the oracle too) — a NULL would crash
+    # the integer quantization and skew the profile mean's denominator
+    events = streaming_events(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+    )
     prof = (
         load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
         .groupBy("user_id")
         .agg(
             (
@@ -1120,16 +1126,17 @@ def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_CUSUM_DRIFT_SQL = """
-WITH prof AS (
+WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL),
+prof AS (
   SELECT user_id,
          round(CAST(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
                     / count(*) AS DECIMAL(30,10)), 6) AS mu
-  FROM events GROUP BY user_id
+  FROM ev GROUP BY user_id
 ),
 dev AS (
   SELECT e.user_id, e.ts, e.event_id,
          CAST(e.value AS DECIMAL(30,10)) - p.mu AS d
-  FROM events e JOIN prof p USING (user_id)
+  FROM ev e JOIN prof p USING (user_id)
 ),
 pref AS (
   SELECT user_id, ts,
