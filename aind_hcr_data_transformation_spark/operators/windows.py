@@ -1136,3 +1136,102 @@ GROUP BY 1
 
 QUERIES["evw_sliding_distinct"] = evw_sliding_distinct
 ORACLES["evw_sliding_distinct"] = EVW_SLIDING_DISTINCT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time feature snapshot (leakage-free training matrix)
+# ---------------------------------------------------------------------------
+
+
+def feature_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-store MATERIALIZATION query: one row per user with
+    every feature computed strictly AS OF a cutoff and the supervised
+    label computed strictly AFTER it — the leakage discipline that
+    separates a valid churn/propensity training matrix from a data leak.
+    The cutoff is data-derived (max event time − 7 days), so every scale
+    factor has both history and a label window.
+
+    Features (all ≤ cutoff): lifetime event count, trailing-7-day count
+    and exact-decimal spend, whole days since last activity, distinct
+    event types. Label (> cutoff): did the user purchase in the holdout
+    week. Each is a conditional aggregate over ONE user-keyed shuffle of
+    a single scan — no window, no self-join; the cutoff is a broadcast
+    1-row scalar. Day arithmetic in exact integer microseconds. The
+    point-in-time complement of ``scd2_asof_lookup`` (which joins
+    per-event; this materializes per-entity).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        (F.max(F.unix_micros("ts")) - F.lit(7 * 86_400_000_000)).alias("cut")
+    )
+    e = ev.crossJoin(F.broadcast(cutoff)).select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+        "cut",
+    )
+    before = F.col("us") <= F.col("cut")
+    in7d = before & (F.col("us") > F.col("cut") - F.lit(7 * 86_400_000_000))
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.when(before, 1).otherwise(0)).alias("n_lifetime"),
+            F.sum(F.when(in7d, 1).otherwise(0)).alias("n_7d"),
+            dround(
+                F.coalesce(
+                    F.sum(
+                        F.when(in7d, F.col("value").cast("decimal(30,10)"))
+                    ),
+                    F.lit(0).cast("decimal(30,10)"),
+                ),
+                2,
+            ).alias("spend_7d"),
+            (
+                (F.first("cut") - F.max(F.when(before, F.col("us"))))
+                / F.lit(86_400_000_000)
+            )
+            .cast("long")
+            .alias("days_since_last"),
+            F.countDistinct(F.when(before, F.col("event_type"))).alias(
+                "n_types"
+            ),
+            F.max(
+                F.when(
+                    ~before & (F.col("event_type") == "purchase"), 1
+                ).otherwise(0)
+            ).alias("label_purchase_next7d"),
+        )
+        # users with NO pre-cutoff history are not a training row (their
+        # features are undefined); they'd appear only via label events
+        .filter(F.col("n_lifetime") > 0)
+    )
+
+
+FEATURE_SNAPSHOT_SQL = """
+WITH cut AS (
+  SELECT max(epoch_us(ts)) - 7 * 86400000000 AS cut FROM events
+),
+e AS (
+  SELECT user_id, event_type, value, epoch_us(ts) AS us, cut
+  FROM events, cut
+)
+SELECT user_id,
+  sum(CASE WHEN us <= cut THEN 1 ELSE 0 END) AS n_lifetime,
+  sum(CASE WHEN us <= cut AND us > cut - 7 * 86400000000
+           THEN 1 ELSE 0 END) AS n_7d,
+  CAST(round(coalesce(sum(CASE WHEN us <= cut AND us > cut - 7 * 86400000000
+                                THEN CAST(value AS DECIMAL(30,10)) END),
+                      CAST(0 AS DECIMAL(30,10))), 2) AS DOUBLE) AS spend_7d,
+  CAST((any_value(cut) - max(CASE WHEN us <= cut THEN us END))
+       // 86400000000 AS BIGINT) AS days_since_last,
+  count(DISTINCT CASE WHEN us <= cut THEN event_type END) AS n_types,
+  max(CASE WHEN us > cut AND event_type = 'purchase'
+           THEN 1 ELSE 0 END) AS label_purchase_next7d
+FROM e
+GROUP BY user_id
+HAVING sum(CASE WHEN us <= cut THEN 1 ELSE 0 END) > 0
+"""
+
+QUERIES["feature_snapshot_asof"] = feature_snapshot_asof
+ORACLES["feature_snapshot_asof"] = FEATURE_SNAPSHOT_SQL

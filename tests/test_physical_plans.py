@@ -153,6 +153,8 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
         # 5-row query-vector broadcast under a != predicate (the
         # self-exclusion non-equi join, same shape as sim_cosine_topk)
         "embed_matryoshka_recall",
+        # one-row data-derived cutoff broadcast (the as-of timestamp)
+        "feature_snapshot_asof",
     }
     for name, fn in queries.items():
         if name.startswith("stream_"):

@@ -238,3 +238,21 @@ def test_dq_suite_green_on_fixtures(spark, queries):
     assert by_name[
         "referential:lineitem.l_orderkey->orders.o_orderkey"
     ]["metric"] == 0.0
+
+
+def test_feature_snapshot_leakage_discipline(spark, queries):
+    from pyspark.sql import functions as F
+
+    df = queries["feature_snapshot_asof"](spark, SF_DIR)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        # features are strictly pre-cutoff, label strictly post
+        assert r["n_7d"] <= r["n_lifetime"]
+        assert r["days_since_last"] >= 0
+        assert r["label_purchase_next7d"] in (0, 1)
+        assert r["n_lifetime"] > 0  # label-only users are not rows
+    # the cutoff leaves a real holdout: at least one positive label and
+    # at least one user with trailing-week activity
+    assert any(r["label_purchase_next7d"] == 1 for r in rows)
+    assert any(r["n_7d"] > 0 for r in rows)
