@@ -4,9 +4,12 @@ here, not at the next benchmark. Ceilings are the audited values at the
 time of pinning — they may go DOWN freely; raising one requires the
 commit to say why the extra stage is worth it.
 
-Counts are from the pre-execution physical plan; persisted subplans
-print once per consumer, so multi-consumer pipelines legitimately sit
-above their true runtime shuffle count (see tools/plan_audit.py).
+Counts are from the pre-execution physical plan, deduplicated by
+``[plan_id]`` (tools/plan_audit.py): each exchange OPERATOR counts once
+even though persisted subplans print once per consumer. Ceilings pinned
+before the dedup fix are loose; the three recalibrated entries
+(dedup_semantic, rag_mmr_rerank, text_ccnet_buckets) state true
+operator counts.
 """
 
 from __future__ import annotations
@@ -35,7 +38,7 @@ BUDGETS = {
     "dedup_minhash_fast": (16, 1),
     # 3 Lloyd iterations × persisted-subplan overcount + pair join;
     # codebook and totals must broadcast
-    "dedup_semantic": (42, 8),
+    "dedup_semantic": (16, 4),
     # stats pass + kept pass; rate table and totals must broadcast
     "mix_token_budget": (7, 2),
     # gram explode + two bucket aggregates + per-doc sum + top-k;
@@ -50,7 +53,7 @@ BUDGETS = {
     "rag_retrieve_assemble": (3, 2),
     # unrolled greedy MMR: persisted cands/pairs subplans reprint under
     # every selection step and union branch (true runtime shuffles ≈ 6)
-    "rag_mmr_rerank": (96, 10),
+    "rag_mmr_rerank": (32, 5),
     # decorrelated WindowGroupLimit + broadcast nation dim
     "join_lateral": (1, 1),
     # one Expand + ONE hash-agg shuffle for all four grouping sets
@@ -67,7 +70,7 @@ BUDGETS = {
     # relations (census overcounts); the cutoff histogram and totals
     # must broadcast — the doc-level relation never re-shuffles for
     # bucketing
-    "text_ccnet_buckets": (12, 8),
+    "text_ccnet_buckets": (8, 4),
     # two salted-key join inputs + one agg shuffle; dim replicated, NOT
     # broadcast (the point is exercising the shuffle path)
     "join_salted_skew": (3, 0),

@@ -35,15 +35,38 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def count_exchanges(df) -> dict[str, int]:
     """Exchange census of a DataFrame's physical plan (pre-execution
-    AQE initial plan — the shape Catalyst committed to)."""
+    AQE initial plan — the shape Catalyst committed to).
+
+    Counts each exchange OPERATOR once, not each tree-string appearance:
+    a persisted subtree is reprinted in full under every
+    InMemoryRelation scan site, so a naive line count multiplies one
+    cache-filling shuffle by its number of consumers (observed 238
+    "shuffles" for a plan that executes ~20). Exchange lines carry a
+    stable ``[plan_id=N]`` (same JVM node → same id at every
+    appearance); dedupe on it, falling back to a raw count for lines
+    without one."""
     tree = df._jdf.queryExecution().executedPlan().treeString()
     shuffles = broadcasts = reused = 0
+    seen: set[str] = set()
     for line in tree.splitlines():
         if re.search(r"\bReusedExchange\b", line):
-            reused += 1
+            kind = "reused"
         elif re.search(r"\bBroadcastExchange\b", line):
-            broadcasts += 1
+            kind = "broadcasts"
         elif re.search(r"\bExchange\b", line):
+            kind = "shuffles"
+        else:
+            continue
+        m = re.search(r"\[plan_id=(\d+)\]", line)
+        if m:
+            if m.group(1) in seen:
+                continue
+            seen.add(m.group(1))
+        if kind == "reused":
+            reused += 1
+        elif kind == "broadcasts":
+            broadcasts += 1
+        else:
             shuffles += 1
     return {"shuffles": shuffles, "broadcasts": broadcasts, "reused": reused}
 
