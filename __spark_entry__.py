@@ -84,3 +84,21 @@ def oracle_sql() -> dict[str, str]:
     for mod in _MODULES:
         merged.update(mod.ORACLES)
     return merged
+
+
+def production_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Side registry: production sketch/hash twins whose outputs are
+    engine-specific (HLL / GK-sketch estimates, xxhash64 minhash pairs)
+    and therefore carry no DuckDB oracle.  Each is accuracy-pinned by
+    pytest against an exact answer or its md5 oracle twin; they are
+    benchmarked alongside ``queries()`` but excluded from the driver's
+    differential gate (every ``queries()`` entry has an ``oracle_sql()``
+    twin)."""
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _MODULES:
+        extra = getattr(mod, "PRODUCTION_QUERIES", {})
+        overlap = merged.keys() & extra.keys()
+        if overlap:
+            raise ValueError(f"duplicate production query names: {overlap}")
+        merged.update(extra)
+    return merged

@@ -1285,15 +1285,20 @@ HAVING count(*) >= {_CDC_MIN_SHARED}
 """
 
 
+# Production-hash twin: xxhash64 minhash signatures have no DuckDB
+# equivalent, so this runs outside the driver-checked registry; recall and
+# pair-set equality vs the md5 oracle twin are pinned by
+# tests/test_dedup_recall.py::test_minhash_fast_twin_matches_md5_pairs_and_recall.
+PRODUCTION_QUERIES = {
+    "dedup_minhash_fast": dedup_minhash_fast,
+}
+
 QUERIES = {
     "dedup_incremental_batch": dedup_incremental_batch,
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
-    # rows-only production-hash twin (xxhash64 has no DuckDB equivalent;
-    # recall pinned by tests/test_dedup_recall.py)
-    "dedup_minhash_fast": dedup_minhash_fast,
     "dedup_cdc_chunks": dedup_cdc_chunks,
     # NOTE: dedup_ngram_jaccard's 0.4 threshold is a Jaccard over the
     # DF-CAPPED shingle universe — both engines and the recall test use

@@ -1043,6 +1043,17 @@ WHERE doc_id < 200
 """
 
 
+# Production sketch twins: the one-pass HLL / GK-sketch plan shapes a user
+# actually runs at 100 TB.  Their estimates are engine-specific builds, so
+# they carry no DuckDB oracle and live OUTSIDE the driver-checked ``QUERIES``
+# registry — pytest pins each estimate against the exact answer within the
+# sketch's error bound, and the calibration twins (``agg_approx_distinct``,
+# ``agg_approx_quantiles``) carry the differential accuracy gates.
+PRODUCTION_QUERIES = {
+    "agg_hll_only": agg_hll_only,
+    "agg_quantiles_sketch_only": agg_quantiles_sketch_only,
+}
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1061,9 +1072,7 @@ QUERIES = {
     "agg_cube": agg_cube,
     "agg_pivot": agg_pivot,
     "agg_approx_distinct": agg_approx_distinct,
-    "agg_hll_only": agg_hll_only,
     "agg_approx_quantiles": agg_approx_quantiles,
-    "agg_quantiles_sketch_only": agg_quantiles_sketch_only,
     "sort_topk": sort_topk,
     "sort_multikey": sort_multikey,
     "set_ops": set_ops,
@@ -1089,8 +1098,6 @@ ORACLES = {
     "agg_cube": AGG_CUBE_SQL,
     "agg_pivot": AGG_PIVOT_SQL,
     "agg_approx_distinct": AGG_APPROX_DISTINCT_SQL,
-    # agg_hll_only / agg_quantiles_sketch_only: production sketch shapes,
-    # engine-specific estimates — rows+schema check only (no SQL twin)
     "agg_approx_quantiles": AGG_APPROX_QUANTILES_SQL,
     "sort_topk": SORT_TOPK_SQL,
     "sort_multikey": SORT_MULTIKEY_SQL,
@@ -1827,36 +1834,41 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.parse_json(F.col("props")).alias("v"),
     )
+    # Extract the typed long ONCE; derive the string from the typed value
+    # (CAST(long AS STRING)) rather than asking the variant layer for a
+    # string view of a JSON number — number→string formatting inside
+    # try_variant_get is engine-version-sensitive, while integer→string
+    # casting is identical everywhere.
     per_event = v.select(
         "event_id",
         "event_type",
         F.try_variant_get("v", "$.k", "long").alias("k"),
-        F.try_variant_get("v", "$.k", "string").alias("k_str"),
         F.try_variant_get("v", "$.missing", "long").isNull().alias("missing_is_null"),
-    )
+    ).withColumn("k_str", F.col("k").cast("string"))
     return per_event.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         dround(F.avg("k"), 4).alias("avg_k"),
         F.min("k_str").alias("min_k_str"),
         F.max("k").alias("max_k"),
-        F.sum(F.when(F.col("missing_is_null"), 1).otherwise(0)).alias("n_missing_null"),
+        F.sum(F.when(F.col("missing_is_null"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing_null"),
     )
 
 
 SCALAR_VARIANT_SQL = """
 WITH per_event AS (
   SELECT event_id, event_type,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-         json_extract_string(props, '$.k')                 AS k_str,
-         json_extract_string(props, '$.missing') IS NULL   AS missing_is_null
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         json_extract_string(props, '$.missing') IS NULL       AS missing_is_null
   FROM events
 )
 SELECT event_type,
        count(*) AS n_events,
        CAST(round(CAST(avg(k) AS DECIMAL(30,10)), 4) AS DOUBLE) AS avg_k,
-       min(k_str) AS min_k_str,
+       min(CAST(k AS VARCHAR)) AS min_k_str,
        max(k)     AS max_k,
-       sum(CASE WHEN missing_is_null THEN 1 ELSE 0 END) AS n_missing_null
+       CAST(sum(CASE WHEN missing_is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_null
 FROM per_event
 GROUP BY event_type
 """
@@ -3328,8 +3340,9 @@ def agg_hll_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES["agg_hll_merge_shards"] = agg_hll_merge_shards
-# no ORACLES entry: sketch estimates are engine-specific (rows-only check)
+# Sketch estimates are engine-specific — no SQL oracle, so this lives in
+# the pytest-pinned production registry, not the driver-checked QUERIES.
+PRODUCTION_QUERIES["agg_hll_merge_shards"] = agg_hll_merge_shards
 
 
 # ---------------------------------------------------------------------------

@@ -279,7 +279,8 @@ def main() -> None:
         return dt
 
     timings: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
+    bench_queries = {**entrymod.queries(), **entrymod.production_queries()}
+    for name, fn in bench_queries.items():
         t = run_once(name, fn)
         # spike guard: single-run sweeps routinely catch a GC pause or
         # host-contention stall on one query (BENCH_HISTORY shows 2-12x

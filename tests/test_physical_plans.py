@@ -22,7 +22,7 @@ def plan_of(df, mode: str = "formatted") -> str:
 def queries(spark):
     import __spark_entry__ as m
 
-    return m.queries()
+    return {**m.queries(), **m.production_queries()}
 
 
 def test_q1_pushdown_and_pruning(spark, queries):

@@ -197,8 +197,7 @@ def test_shuffle_budget(spark, name):
     # audit the uncached shape
     spark.catalog.clearCache()
     max_shuffles, min_broadcasts = BUDGETS[name]
-    census = count_exchanges(
-        entrymod.queries()[name](spark, "/root/testdata/sf0.001")
-    )
+    registry = {**entrymod.queries(), **entrymod.production_queries()}
+    census = count_exchanges(registry[name](spark, "/root/testdata/sf0.001"))
     assert census["shuffles"] <= max_shuffles, census
     assert census["broadcasts"] >= min_broadcasts, census

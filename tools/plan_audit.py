@@ -90,7 +90,7 @@ def main() -> int:
 
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    queries = entrymod.queries()
+    queries = {**entrymod.queries(), **entrymod.production_queries()}
     unknown = only - set(queries)
     if unknown:
         print(f"unknown query names: {sorted(unknown)}")

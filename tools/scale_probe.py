@@ -176,7 +176,7 @@ def main() -> int:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    queries = entrymod.queries()
+    queries = {**entrymod.queries(), **entrymod.production_queries()}
     unknown = [n for n in names if n not in queries]
     if unknown:
         print(f"unknown query names: {unknown}")
