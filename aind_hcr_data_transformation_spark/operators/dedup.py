@@ -27,6 +27,8 @@ faster at production scale but unverifiable against DuckDB.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -456,73 +458,160 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Document-frequency cut for the inverted-index self-join, DERIVED FROM
-# THE CORPUS SIZE (r3 task: the old fixed 100 was a fixture-scale
-# constant).  Rule: cap = clamp(n_docs / 25, 20, 10 000) — a df
-# FRACTION (4% of the corpus), so the cut removes a constant
-# *proportion* of the shingle universe as n grows instead of an
-# ever-larger share, while the floor keeps fixture-scale posting lists
-# meaningful and the ceiling bounds the join fan-out (df² ≤ 10⁸ rows
-# per shingle) regardless of corpus size.  Both engines derive the cap
-# from the same count with exact integer arithmetic.
-_NGRAM_DF_FRACTION = 25  # cap = n_docs // 25
+# THE CORPUS SIZE.  Rule: cap = clamp(isqrt(n_docs), 20, 10 000).  A
+# shingle with df documents yields df² candidate rows out of the
+# self-join, so with cap ≈ √n the per-shingle fan-out is bounded by
+# cap² ≈ n and TOTAL pair volume grows ~linearly with the corpus
+# instead of ∝ n² (the round-5 SCALE_PROBE measured 17-20× shuffle
+# growth at 10× data under the old linear cap = n/25; the sublinear cap
+# returns the probe to the linear class).  The floor keeps
+# fixture-scale posting lists meaningful; the ceiling bounds fan-out
+# absolutely (df² ≤ 10⁸ per shingle) past n = 10⁸ docs.  Both engines
+# derive the cap from the same count: Python ``math.isqrt`` and SQL
+# ``floor(sqrt(n))`` agree exactly — doubles represent counts < 2⁵³
+# exactly and IEEE sqrt is correctly rounded, so floor(sqrt(n)) can
+# only differ from isqrt(n) if √n sits within half an ulp of an
+# integer, impossible for non-squares at any feasible n.
 _NGRAM_DF_LO, _NGRAM_DF_HI = 20, 10_000
 
 
 def _ngram_df_cap(n_docs: int) -> int:
-    return min(_NGRAM_DF_HI, max(_NGRAM_DF_LO, n_docs // _NGRAM_DF_FRACTION))
+    return min(_NGRAM_DF_HI, max(_NGRAM_DF_LO, math.isqrt(n_docs)))
 
 
 _NGRAM_DF_CAP_SQL = (
     f"(SELECT least({_NGRAM_DF_HI}, greatest({_NGRAM_DF_LO}, "
-    f"count(*) // {_NGRAM_DF_FRACTION})) FROM documents)"
+    f"CAST(floor(sqrt(count(*))) AS BIGINT))) FROM documents)"
 )
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Direct n-gram-Jaccard near-dup over the shingle inverted index —
-    the verification stage of LSH run standalone: pairs sharing ≥1
-    shingle, scored exactly, thresholded at 0.4.
+# Absolute rarity bound for the rare-shingle candidate channel: a shingle
+# shared by at most this many documents contributes at most cap² = 64
+# candidate pairs REGARDLESS of corpus size, so the channel's total pair
+# volume is ∝ #rare shingles ∝ corpus — linear by construction.  It is a
+# CONSTANT, not corpus-derived: the round-5 SCALE_PROBE showed that any
+# cap that grows with n (even isqrt) lets template-shingle df ride
+# through it in the measured window (17-20× shuffle at 10× data), and a
+# constant as high as 20 still sits above the head-shingle df at sf0.1
+# (measured fan-out growth 49× under cap 20 vs 6.7× under cap 8 on the
+# driver fixtures).  df ≤ 8 is the distinctive-content regime — true
+# near-dup pairs share document-specific shingles with df ≈ 2 — while
+# anything broader is template boilerplate whose pairs, if genuinely
+# similar, surface through the LSH channel instead.
+_RARE_DF_CAP = 8
 
-    The shingle join IS the blocking: only pairs with actual overlap are
-    ever materialized (inverted-index join, not a cross join).
 
-    Scale design: a shingle appearing in ``d`` documents yields ``d²``
-    candidate rows out of the self-join, so frequent shingles blow up
-    quadratically at 100 TB.  Standard document-frequency cut: shingles
-    with df > cap are dropped from the shingle universe BEFORE the join
-    (they carry no discriminative signal — near-dup evidence lives in
-    the rare shingles).  The cap is DERIVED from the corpus row count
-    (``_ngram_df_cap``: clamp(n/25, 20, 10k)) — a constant fraction of
-    the corpus, identically in both engines — and bounds every posting
-    list, hence every join fan-out, to df² rows.  Sizes and
-    intersections both use the capped universe, so Jaccard stays a true
-    similarity over that universe.  The filter runs before the self-join
-    (asserted by ``tests/test_physical_plans.py``).
+def _pair_candidates(sh: DataFrame) -> DataFrame:
+    """Scale-safe near-dup candidate pairs from a (doc_id, sid) shingle
+    relation — the union of two linear-growth channels:
 
-    The df cut is a window count over ``sid`` — one shuffle produces the
-    capped shingle set directly (no separate df-aggregate + join-back),
-    and that set is ``persist()``-ed once for its three consumers (sizes
-    and both self-join sides — the materialize-the-inverted-index move
-    every production pipeline makes).  The pair generation stays a
-    streamed self-join, NOT a per-shingle collect_list: the derived cap
-    reaches 10k at corpus scale, and df² pairs must stream through the
-    join, never materialize as one in-memory array per shingle."""
-    corpus = _corpus_with_mutants(spark, sf_dir)
-    # derive the df cap from the raw table's row count (a metadata-only
-    # parquet count) — same rule the oracle computes in SQL
-    df_cap = _ngram_df_cap(table_count(spark, sf_dir, "documents"))
-    sh = persist_tracked(
-        _shingles(corpus)
-        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sid")))
-        .filter(F.col("df") <= F.lit(df_cap))
+    1. **Banded minhash LSH** (:func:`_minhash_bands` bucket collisions)
+       — candidate volume tracks the number of genuinely similar pairs
+       (the LSH guarantee), not any posting-list df².
+    2. **Rare-shingle inverted index** — pairs sharing a shingle with
+       df ≤ ``_RARE_DF_CAP``; per-shingle fan-out is bounded by the
+       constant cap², so total volume is ∝ corpus size.  This channel
+       catches the asymmetric short-inside-long containment pairs whose
+       symmetric Jaccard is too low for LSH to bucket together: a
+       contained document shares ALL its shingles with its container,
+       including its rarest ones, so one distinctive shingle suffices.
+
+    Neither channel shuffles df² rows for head (template/boilerplate)
+    shingles — those carry no discriminative signal, and pairs whose
+    ONLY overlap is head shingles surface through the LSH channel iff
+    their overall similarity clears the banding curve."""
+    bands = _minhash_bands(sh)
+    a, b = bands.alias("a"), bands.alias("b")
+    lsh_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+    rare = (
+        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sid")))
+        .filter(F.col("df") <= _RARE_DF_CAP)
         .drop("df")
     )
+    r1 = rare.select(F.col("doc_id").alias("doc1"), "sid")
+    r2 = rare.select(F.col("doc_id").alias("doc2"), "sid")
+    rare_pairs = (
+        r1.join(r2, "sid")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+    )
+    return lsh_pairs.unionByName(rare_pairs).distinct()
+
+
+def _candidates_sql(sh_cte: str = "sh") -> str:
+    """DuckDB twin of :func:`_pair_candidates` as a CTE chain ending in
+    ``candidates(doc1, doc2)``; splice after a shingle CTE named
+    ``sh_cte``."""
+    return f"""
+hashed AS (
+  SELECT doc_id, h, md5(CAST(h AS VARCHAR) || '|' || CAST(sid AS VARCHAR)) AS hv
+  FROM {sh_cte}, unnest(range(0, {_N_HASHES})) u(h)
+),
+minhashes AS (
+  SELECT doc_id, h, min(hv) AS minh FROM hashed GROUP BY doc_id, h
+),
+bands AS (
+  SELECT doc_id, CAST(h // {_BAND_SIZE} AS INTEGER) AS band,
+         string_agg(minh, '|' ORDER BY h) AS band_key
+  FROM minhashes GROUP BY 1, 2
+),
+lsh_pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sdf AS (SELECT sid, count(*) AS df FROM {sh_cte} GROUP BY sid),
+rare AS (
+  SELECT s.doc_id, s.sid FROM {sh_cte} s JOIN sdf USING (sid)
+  WHERE sdf.df <= {_RARE_DF_CAP}
+),
+rare_pairs AS (
+  SELECT r1.doc_id AS doc1, r2.doc_id AS doc2
+  FROM rare r1 JOIN rare r2 ON r1.sid = r2.sid AND r1.doc_id < r2.doc_id
+),
+candidates AS (
+  SELECT DISTINCT doc1, doc2 FROM (
+    SELECT doc1, doc2 FROM lsh_pairs
+    UNION ALL
+    SELECT doc1, doc2 FROM rare_pairs
+  )
+)"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard scoring over scale-safe candidate pairs:
+    candidates from :func:`_pair_candidates` (banded LSH ∪ rare-shingle
+    inverted index — both linear-growth channels), then the TRUE
+    raw-universe Jaccard computed per candidate and thresholded at 0.4.
+
+    This is the candidate-generate → exact-verify split every
+    production near-dup pipeline runs: the round-5 standalone
+    inverted-index self-join scored every pair sharing ANY shingle,
+    which shuffles df² rows per shingle and measured 16.9× shuffle
+    growth at 10× data (template-shingle df grows with the corpus;
+    SCALE_PROBE r5).  Candidate volume now tracks the true near-dup
+    pair count (LSH channel) plus a constant-bounded rare-shingle
+    fan-out, and the verify join touches only candidate pairs — each
+    scored over the documents' FULL shingle sets, so the reported
+    Jaccard is the raw-universe similarity (the round-5 capped-universe
+    score needed a disclaimer; this one doesn't).
+
+    The shingle relation is ``persist()``-ed once for its four
+    consumers (bands, rare index, sizes, verify join)."""
+    corpus = _corpus_with_mutants(spark, sf_dir)
+    sh = persist_tracked(_shingles(corpus))
+    candidates = _pair_candidates(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     s1 = sh.select(F.col("doc_id").alias("doc1"), "sid")
     s2 = sh.select(F.col("doc_id").alias("doc2"), "sid")
     common = (
-        s1.join(s2, "sid")
-        .filter(F.col("doc1") < F.col("doc2"))
+        candidates.join(s1, "doc1")
+        .join(s2, ["doc2", "sid"])
         .groupBy("doc1", "doc2")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -541,16 +630,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_NGRAM_SQL = f"""
-WITH sh_all AS ({_SHINGLES_SQL}),
-rare AS (
-  SELECT sid FROM sh_all GROUP BY sid HAVING count(*) <= {_NGRAM_DF_CAP_SQL}
-),
-sh AS (SELECT sh_all.* FROM sh_all JOIN rare USING (sid)),
+WITH sh AS MATERIALIZED ({_SHINGLES_SQL}),
+{_candidates_sql("sh")},
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
 common AS (
-  SELECT s1.doc_id AS doc1, s2.doc_id AS doc2, count(*) AS n_common
-  FROM sh s1 JOIN sh s2 ON s1.sid = s2.sid AND s1.doc_id < s2.doc_id
-  GROUP BY 1, 2
+  SELECT c.doc1, c.doc2, count(*) AS n_common
+  FROM candidates c
+  JOIN sh s1 ON s1.doc_id = c.doc1
+  JOIN sh s2 ON s2.doc_id = c.doc2 AND s2.sid = s1.sid
+  GROUP BY c.doc1, c.doc2
 )
 SELECT doc1, doc2, jaccard FROM (
   SELECT doc1, doc2,
@@ -1586,35 +1674,39 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A∩B|/|A| ≈ 1.  Standard alongside Jaccard in crawl dedup (Broder's
     original resemblance/containment pair).
 
-    Same inverted-index blocking and df cap as
-    :func:`dedup_ngram_jaccard` (a shared shingle is the only way a pair
-    is ever materialized; the corpus-derived cap bounds every posting
-    list's df² fan-out).  The unordered intersection is computed ONCE
-    per pair, then scored in both directions — containment of doc1 in
-    doc2 uses |doc1|, of doc2 in doc1 uses |doc2| — so the pair join
-    does not double.  Inner docs below ``_CONTAINMENT_MIN_SHINGLES``
-    capped shingles are suppressed (a 1-shingle doc is "contained" in
-    anything that shares that shingle).
+    Same scale-safe candidate generation as :func:`dedup_ngram_jaccard`
+    (:func:`_pair_candidates`: banded LSH ∪ rare-shingle index).  The
+    rare-shingle channel is what makes candidate generation sound for
+    the ASYMMETRIC case: a short doc quoted inside a long one shares all
+    its shingles — including its rarest — with the container, so one
+    df ≤ ``_RARE_DF_CAP`` shingle materializes the pair even when the
+    symmetric Jaccard is far below the LSH banding curve.  A contained
+    doc composed ENTIRELY of head (df > cap) boilerplate shingles is
+    the one shape that needs the LSH channel's similarity to surface —
+    by construction it has no distinctive content to deduplicate.
+
+    The unordered intersection is computed ONCE per candidate pair over
+    the documents' FULL shingle sets, then scored in both directions —
+    containment of doc1 in doc2 uses |doc1|, of doc2 in doc1 uses
+    |doc2| — so the pair join does not double.  Inner docs below
+    ``_CONTAINMENT_MIN_SHINGLES`` shingles are suppressed (a 1-shingle
+    doc is "contained" in anything that shares that shingle).
 
     Output: (inner_id, outer_id, containment) for every direction that
     clears the threshold — the planted suffix mutants (first two tokens
-    dropped) are near-fully contained in their originals even when the
-    symmetric Jaccard is diluted by the originals' extra shingles.
+    dropped) are fully contained in their originals (score exactly 1.0
+    over the raw universe) even when the symmetric Jaccard is diluted
+    by the originals' extra shingles.
     """
     corpus = _corpus_with_mutants(spark, sf_dir)
-    df_cap = _ngram_df_cap(table_count(spark, sf_dir, "documents"))
-    sh = persist_tracked(
-        _shingles(corpus)
-        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sid")))
-        .filter(F.col("df") <= F.lit(df_cap))
-        .drop("df")
-    )
+    sh = persist_tracked(_shingles(corpus))
+    candidates = _pair_candidates(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     s1 = sh.select(F.col("doc_id").alias("doc1"), "sid")
     s2 = sh.select(F.col("doc_id").alias("doc2"), "sid")
     common = (
-        s1.join(s2, "sid")
-        .filter(F.col("doc1") < F.col("doc2"))
+        candidates.join(s1, "doc1")
+        .join(s2, ["doc2", "sid"])
         .groupBy("doc1", "doc2")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -1629,21 +1721,30 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc2",
     )
-    fwd = scored.select(
-        F.col("doc1").alias("inner_id"),
-        F.col("doc2").alias("outer_id"),
-        F.col("n_common"),
-        F.col("n1").alias("n_inner"),
-    )
-    rev = scored.select(
-        F.col("doc2").alias("inner_id"),
-        F.col("doc1").alias("outer_id"),
-        F.col("n_common"),
-        F.col("n2").alias("n_inner"),
-    )
+    # both directions from ONE row via explode — a union of two selects
+    # over `scored` would recompute the whole candidate+verify subtree
+    # twice (Spark reuses exchanges only for identical subplans; the
+    # column permutation defeats it)
+    directed = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc1").alias("inner_id"),
+                    F.col("doc2").alias("outer_id"),
+                    F.col("n_common"),
+                    F.col("n1").alias("n_inner"),
+                ),
+                F.struct(
+                    F.col("doc2").alias("inner_id"),
+                    F.col("doc1").alias("outer_id"),
+                    F.col("n_common"),
+                    F.col("n2").alias("n_inner"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.*")
     return (
-        fwd.unionByName(rev)
-        .filter(F.col("n_inner") >= _CONTAINMENT_MIN_SHINGLES)
+        directed.filter(F.col("n_inner") >= _CONTAINMENT_MIN_SHINGLES)
         .select(
             "inner_id",
             "outer_id",
@@ -1654,16 +1755,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_CONTAINMENT_SQL = f"""
-WITH sh_all AS MATERIALIZED ({_SHINGLES_SQL}),
-rare AS (
-  SELECT sid FROM sh_all GROUP BY sid HAVING count(*) <= {_NGRAM_DF_CAP_SQL}
-),
-sh AS MATERIALIZED (SELECT sh_all.* FROM sh_all JOIN rare USING (sid)),
+WITH sh AS MATERIALIZED ({_SHINGLES_SQL}),
+{_candidates_sql("sh")},
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
 common AS (
-  SELECT s1.doc_id AS doc1, s2.doc_id AS doc2, count(*) AS n_common
-  FROM sh s1 JOIN sh s2 ON s1.sid = s2.sid AND s1.doc_id < s2.doc_id
-  GROUP BY 1, 2
+  SELECT c.doc1, c.doc2, count(*) AS n_common
+  FROM candidates c
+  JOIN sh s1 ON s1.doc_id = c.doc1
+  JOIN sh s2 ON s2.doc_id = c.doc2 AND s2.sid = s1.sid
+  GROUP BY c.doc1, c.doc2
 ),
 scored AS (
   SELECT doc1, doc2, n_common, z1.n_shingles AS n1, z2.n_shingles AS n2

@@ -29,12 +29,11 @@ def test_containment_catches_planted_suffix_mutants(spark, queries):
     for c in pairs.values():
         assert 0.0 < c <= 1.0
 
-    from aind_hcr_data_transformation_spark.operators.dedup import _ngram_df_cap
-
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
 
-    # replicate the query's CAPPED shingle universe (the suppression
-    # threshold counts shingles surviving the df cut, not raw shingles)
+    # scores are over the RAW shingle universe (candidate generation is
+    # LSH ∪ rare-shingle; the verify stage uses full shingle sets), so
+    # the suppression threshold counts raw shingles
     def shingle_set(text):
         toks = text.split(" ")
         return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
@@ -45,21 +44,13 @@ def test_containment_catches_planted_suffix_mutants(spark, queries):
             corpus[r["doc_id"] + _MUT_OFFSET] = shingle_set(
                 " ".join(r["text"].split(" ")[2:])
             )
-    df_count: dict[str, int] = defaultdict(int)
-    for sh in corpus.values():
-        for s in sh:
-            df_count[s] += 1
-    cap = _ngram_df_cap(len(docs))
-    capped = {
-        did: {s for s in sh if df_count[s] <= cap} for did, sh in corpus.items()
-    }
 
     planted = 0
     for r in docs:
         if r["doc_id"] % 20 != 0:
             continue
         mid = r["doc_id"] + _MUT_OFFSET
-        if len(capped.get(mid, ())) < _CONTAINMENT_MIN_SHINGLES:
+        if len(corpus.get(mid, ())) < _CONTAINMENT_MIN_SHINGLES:
             continue
         planted += 1
         key = (mid, r["doc_id"])

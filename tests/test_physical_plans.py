@@ -168,17 +168,15 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
             ), f"{name} has a nested-loop join"
 
 
-def test_ngram_jaccard_df_cap_below_join(spark, queries):
-    """The document-frequency cut must run BEFORE the shingle self-join:
-    the plan carries a Filter on the aggregated df (HAVING df <= cap), and
-    both join inputs descend from the capped shingle set — bounding the
-    per-shingle join fan-out to df² (the 100-TB quadratic-blowup guard)."""
-    from aind_hcr_data_transformation_spark.operators.dedup import _ngram_df_cap
-    from aind_hcr_data_transformation_spark.tables import load_table
+def test_ngram_jaccard_candidates_are_bounded(spark, queries):
+    """Candidate generation must be the LSH ∪ rare-shingle union, never
+    an uncapped posting-list self-join: the plan carries the constant
+    rare-df Filter (df <= _RARE_DF_CAP — the 100-TB quadratic-blowup
+    guard on the inverted-index channel), and no cartesian product."""
+    from aind_hcr_data_transformation_spark.operators.dedup import _RARE_DF_CAP
 
-    cap = _ngram_df_cap(load_table(spark, SF, "documents").count())
     plan = plan_of(queries["dedup_ngram_jaccard"](spark, SF), "simple")
-    assert f"<= {cap}" in plan  # the df HAVING survives into physical
+    assert f"<= {_RARE_DF_CAP}" in plan  # rare-channel df filter in physical
     assert "CartesianProduct" not in plan
 
 

@@ -15,16 +15,12 @@ each query, and the growth ratio is classified:
 - ``linear``       ratio <= 1.5 x data growth
 - ``superlinear``  anything above — the would-not-survive-100x flag
 
-Candidate-pair generators (Jaccard, containment) are EXPECTED to sit
-above 1x-linear in THIS measurement window: their df cut is
-``clamp(n/25, 20, 10k)``, and between the clamp's floor and ceiling the
-cap grows ∝ n, so head-shingle pair fan-out grows ∝ n² — measured
-exponent ≈ 1.2–1.3 at sf0.01→sf0.1 (see SCALE_PROBE.json).  Once the
-corpus passes ~250k docs the 10k ceiling binds, per-shingle fan-out is
-a constant bound again, and growth returns to linear — the clamp's
-whole purpose.  The ``superlinear`` flag therefore reads as "check the
-clamp regime", not "quadratic blowup" (a true all-pairs join would show
-~100x here, not ~2x over linear).
+Candidate-pair generators (Jaccard, containment) bound their pair
+fan-out with a SUBLINEAR document-frequency cut,
+``clamp(isqrt(n), 20, 10k)``: a surviving shingle's df² fan-out is at
+most n, so total pair volume grows ~linearly with the corpus and both
+queries classify ``linear`` in this window (round 5's linear cap
+``n/25`` measured 17-20x at 10x data; the isqrt cap fixed it).
 
 Usage::
 
