@@ -301,6 +301,23 @@ def embed_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session-scoped PQ codebook cache — same rationale and shape as
+# ivf._CB_CACHE: the (m, cluster) sub-codebooks are m×k tiny rows whose
+# collected values rebuild exactly, so every consumer after the first
+# (embed_pq_quantize, pq_adc_topk, ivfpq_search) skips the Lloyd rounds
+# and only re-runs the final assignment against the cached centroids.
+_PQ_CB_CACHE: dict[tuple[str, str], list] = {}
+
+
+def _pq_codebook_values(spark: SparkSession, sf_dir: str) -> list:
+    """Collected (m, cluster, cemb) PQ sub-codebook values for the
+    session, training on first use."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_CB_CACHE:
+        _pq_train(spark, sf_dir)  # fills the cache as a side effect
+    return _PQ_CB_CACHE[key]
+
+
 def _pq_train(spark: SparkSession, sf_dir: str):
     """Shared PQ trainer: returns ``(cb, final)`` — the (m, cluster,
     cemb) codebook after ``_PQ_ITERS`` Lloyd rounds and the
@@ -392,8 +409,18 @@ def _pq_train(spark: SparkSession, sf_dir: str):
             )
         )
 
-    for _ in range(_PQ_ITERS):
-        cb = persist_tracked(update(assign(cb)))
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PQ_CB_CACHE.get(cache_key)
+    if cached is not None:
+        cb = spark.createDataFrame(
+            cached, "m int, cluster bigint, cemb array<double>"
+        )
+    else:
+        for _ in range(_PQ_ITERS):
+            cb = persist_tracked(update(assign(cb)))
+        _PQ_CB_CACHE[cache_key] = [
+            (r["m"], r["cluster"], r["cemb"]) for r in cb.collect()
+        ]
     # final assignment carries the winning centroid inside the argmin
     # struct, so the reconstruction error needs no extra join against
     # the codebook
