@@ -2563,6 +2563,32 @@ ORACLES["layout_compaction_plan"] = LAYOUT_COMPACTION_SQL
 _BUCKETS = 16
 
 
+def _sweep_stale_layouts(prefix: str, keep) -> None:
+    """Best-effort-delete sibling cached layouts under the same
+    sf-scoped ``prefix`` whose tag differs from the current one: every
+    fixture regeneration mints a new mtime tag, so without the sweep the
+    orphaned spark_graft_bucketed_* / spark_graft_textsrc_* trees would
+    accumulate in tmp without bound.  The prefix embeds the sf_dir slug,
+    so layouts of OTHER scale factors (live in parallel test/bench
+    sessions) are never touched — only superseded generations of the
+    same source, which no session can still be serving (a parquet
+    mtime is filesystem-global)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    keep = Path(keep)
+    for sib in Path(tempfile.gettempdir()).glob(f"{prefix}*"):
+        if sib != keep:
+            shutil.rmtree(sib, ignore_errors=True)
+
+
+def _sf_slug(sf_dir: str) -> str:
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+
+
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Materialize lineitem/orders bucketed+sorted by order key, ONCE
     per fixture generation; every later session re-attaches the layout.
@@ -2596,7 +2622,9 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     spec = f"{_BUCKETS}|l_orderkey,l_linenumber|o_orderkey,o_custkey"
     tag = hashlib.md5(f"{sf_dir}|{mtimes}|{spec}".encode()).hexdigest()[:8]
     li_name, ord_name = f"li_bkt_{tag}", f"ord_bkt_{tag}"
-    base = Path(tempfile.gettempdir()) / f"spark_graft_bucketed_{tag}"
+    prefix = f"spark_graft_bucketed_{_sf_slug(sf_dir)}_"
+    base = Path(tempfile.gettempdir()) / f"{prefix}{tag}"
+    _sweep_stale_layouts(prefix, base)
     for name, table, key, sort_extra in (
         (li_name, "lineitem", "l_orderkey", "l_linenumber"),
         (ord_name, "orders", "o_orderkey", "o_custkey"),
@@ -2739,7 +2767,9 @@ def _text_format_copies(spark: SparkSession, sf_dir: str) -> str:
 
     mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
     tag = hashlib.md5(f"{sf_dir}|{mtime}".encode()).hexdigest()[:8]
-    base = Path(tempfile.gettempdir()) / f"spark_graft_textsrc_{tag}"
+    prefix = f"spark_graft_textsrc_{_sf_slug(sf_dir)}_"
+    base = Path(tempfile.gettempdir()) / f"{prefix}{tag}"
+    _sweep_stale_layouts(prefix, base)
     docs = load_table(spark, sf_dir, "documents")
     if not (base / "csv" / "_SUCCESS").exists():
         (
@@ -3294,12 +3324,17 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# n_user_days: Spark's multi-arg countDistinct drops rows where ANY
+# argument is NULL; DuckDB's count(DISTINCT (a, b)) would count
+# partially-NULL tuples as distinct structs — the CASE guard aligns the
+# oracle with Spark's semantics for fixtures that carry NULLs.
 AGG_MULTI_DISTINCT_SQL = f"""
 SELECT
   event_type,
   count(DISTINCT user_id) AS n_users,
   count(DISTINCT CAST(ts AS DATE)) AS n_days,
-  count(DISTINCT (user_id, CAST(ts AS DATE))) AS n_user_days,
+  count(DISTINCT CASE WHEN user_id IS NOT NULL AND ts IS NOT NULL
+                      THEN (user_id, CAST(ts AS DATE)) END) AS n_user_days,
   count(*) AS n_events,
   {sql_sum_round('value', 2)} AS total_value
 FROM events

@@ -26,9 +26,13 @@ documented by the public libCZI decoder):
 :class:`MiniCziFile` exposes the same call surface ``_read_slab_czifile``
 uses from ``czifile`` (``axes``, ``filtered_subblock_directory`` entries
 with ``.start`` and ``.data_segment().data()``), so it drops in as the
-fallback backend when ``czifile`` is absent. Compressed subblocks (zstd,
-JPEG-XR) still require ``czifile`` + imagecodecs and raise
-``NotImplementedError`` here.
+fallback backend when ``czifile`` is absent.
+
+Compression-mode support matrix (in-container, no extra packages):
+mode 0 (uncompressed) and modes 5/6 (zstd0/zstd1, including the zstd1
+hi-lo byte-planing header) decode HERE; modes 1/2 (JPEG / JPEG-XR)
+raise ``NotImplementedError`` with a clear message and require the
+``czifile`` + ``imagecodecs`` backend when installed.
 
 :func:`write_czi` is the matching spec-conformant writer used by tests and
 fixture tooling to produce real binary CZI files (one subblock per z-plane,

@@ -921,7 +921,14 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_vals = []
         for i in range(len(batch)):
             if types[i] == "purchase":
-                pts_us, pval = int(ts_us[i]), float(values[i])
+                # pts and pval are INDEPENDENT state (matching the batch
+                # oracle's last_value(pts) / last_value(pv IGNORE NULLS)):
+                # a NULL-valued purchase advances the freshness clock but
+                # must not clobber the last known value with NaN
+                pts_us = int(ts_us[i])
+                v = values[i]
+                if v == v:  # not NaN (pandas encodes NULL doubles as NaN)
+                    pval = float(v)
             fresh = pts_us is not None and int(ts_us[i]) - pts_us <= tol_us
             out_vals.append(pval if fresh else None)
         state.update((pts_us, pval))
@@ -930,7 +937,9 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_id": batch["event_id"].to_numpy(),
                 "user_id": batch["user_id"].to_numpy(),
                 "event_type": types,
-                "recent_purchase_value": pd.array(out_vals, dtype="float64"),
+                # nullable Float64 so missing values reach Spark as NULL,
+                # never NaN
+                "recent_purchase_value": pd.array(out_vals, dtype="Float64"),
             }
         )
 

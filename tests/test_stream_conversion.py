@@ -48,6 +48,7 @@ def test_stream_conversion_restarts_voxel_exact(spark, tmp_path):
     init_array(url, (Z, Y, X), (TILE, TILE, TILE), "uint16", compressor="zstd")
 
     written = []  # (batch_id, n_tiles) from the driver-side foreachBatch
+    tile_keys = set()  # distinct (z0, y0, x0) origins ever delivered
 
     def sink(df, batch_id):
         rows = df.collect()  # a handful of tiles per micro-batch
@@ -56,6 +57,7 @@ def test_stream_conversion_restarts_voxel_exact(spark, tmp_path):
                 bytes(r.block), dtype=np.dtype(r.dtype)
             ).reshape(r.shape[-3:])
             write_region(url, (r.z0, r.y0, r.x0), arr)
+            tile_keys.add((r.z0, r.y0, r.x0))
         written.append((batch_id, len(rows)))
 
     # phase 1: ingest a few micro-batches, then "crash"
@@ -86,14 +88,22 @@ def test_stream_conversion_restarts_voxel_exact(spark, tmp_path):
         .start()
     )
     deadline = time.time() + 120
-    while sum(n for _, n in written) < 12 and time.time() < deadline:
+    # drain on distinct tiles, not raw deliveries — a replayed batch
+    # inflates the count without completing coverage
+    while len(tile_keys) < 12 and time.time() < deadline:
         time.sleep(0.3)
     q2.stop()
     q2.awaitTermination(30)
 
-    # exactly-once at the tile level: 12 tiles total, none re-delivered
-    # (offset replay happens only on an uncommitted batch, absent here)
-    assert sum(n for _, n in written) == 12
+    # exactly-once at the TILE level: every tile delivered, and the raw
+    # delivery count allows at most ONE replayed micro-batch (q1.stop()
+    # can land after sink() ran but before that batch's checkpoint
+    # commit, in which case the restart legitimately replays it — the
+    # idempotent writes make the replay harmless, so asserting a bare
+    # ==12 would flake on a loaded host)
+    assert len(tile_keys) == 12
+    delivered = sum(n for _, n in written)
+    assert 12 <= delivered <= 12 + 3, written
 
     got = read_array(url)
     np.testing.assert_array_equal(got, synthetic_ramp_block(0, Z, 0, Y, 0, X))
