@@ -336,11 +336,27 @@ def main() -> None:
         if q in timings and q in prior and timings[q] > 1.5 * prior[q]
     }
 
+    # per-module subtotals: at 200+ queries the per-query sub-second
+    # numbers are mostly Python-worker spin-up noise (2-4x run-to-run);
+    # the module aggregates are where real regressions surface
+    mod_of = {}
+    for mod in entrymod._MODULES:
+        mname = mod.__name__.rsplit(".", 1)[-1]
+        for qname in getattr(mod, "QUERIES", {}):
+            mod_of[qname] = mname
+        for qname in getattr(mod, "PRODUCTION_QUERIES", {}):
+            mod_of[qname] = mname
+    module_subtotals: dict[str, float] = {}
+    for qname, t in timings.items():
+        mname = mod_of.get(qname, "other")
+        module_subtotals[mname] = round(module_subtotals.get(mname, 0.0) + t, 3)
+
     detail = {
         "metric": "total_query_wall_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "module_subtotals": module_subtotals,
         "pipeline": {
             **({"pipe_e2e_convert": pipe} if pipe else {}),
             **({"pipe_czi_decode": czi} if czi else {}),
@@ -357,6 +373,7 @@ def main() -> None:
             json.dumps(
                 {
                     "queries": timings,
+                    "module_subtotals": module_subtotals,
                     "sf": sf_val,
                     "calib_sec": calib_sec,
                     "ts": detail["ts"],
@@ -389,6 +406,7 @@ def _final_line(
         "sf": detail["sf"],
         "n_queries": len(detail["queries"]),
         "calib_sec": detail["calib_sec"],
+        "module_subtotals": detail.get("module_subtotals", {}),
         "regressions": regressions,
         "detail": "BENCH_DETAIL.json",
     }
@@ -407,6 +425,10 @@ def _final_line(
         line_doc["regressions_truncated"] = len(regressions) - len(
             line_doc["regressions"]
         )
+        line = json.dumps(line_doc)
+    if len(line) > _MAX_LINE_BYTES:
+        # last resort: the subtotals live in BENCH_DETAIL.json anyway
+        line_doc.pop("module_subtotals", None)
         line = json.dumps(line_doc)
     return line
 

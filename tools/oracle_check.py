@@ -5,18 +5,30 @@ Runs every ``queries()`` entry from ``__spark_entry__`` and compares against
 value comparison (values normalized to strings, rows sorted). Columns are
 sorted by name before comparison, mirroring the driver contract.
 
-Usage: python tools/oracle_check.py [--json OUT.json] [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--json OUT.json] [--duckdb-strict]
+       [sf_dir] [query ...]
 
 ``--json`` writes a driver-shaped per-query record (rows/schema/hash
 match booleans) so the full-registry differential evidence can be
 committed each round (VERDICT r3 task #1: the driver samples ~50 of the
 registered queries; this artifact covers all of them).
+
+``--duckdb-strict`` probes a second DuckDB-semantics axis (VERDICT r5
+task #7): every oracle is re-run with each bare ``CAST(`` rewritten to
+``TRY_CAST(`` and the result compared against the normal oracle run.
+Where a cast succeeds the two are identical; a divergence means the
+oracle RELIES on a throwing/rounding cast — exactly the
+version-sensitive surface that made ``scalar_variant_json`` driver-red
+in round 5 while staying green locally.  Divergences are reported as
+failures (``strict_match`` in the JSON record) so fragile oracles are
+caught before the driver's environment does.
 """
 
 from __future__ import annotations
 
 import json
 import math
+import re
 import sys
 import time
 from datetime import datetime
@@ -54,6 +66,19 @@ def _canon(rows, cols) -> list[tuple]:
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+#: bare CAST( not already preceded by TRY_ (case-insensitive)
+_CAST_RE = re.compile(r"(?<![A-Za-z_])(?<!TRY_)(CAST\s*\()", re.IGNORECASE)
+
+
+def _strictify(sql: str) -> str:
+    """Rewrite every bare ``CAST(`` to ``TRY_CAST(`` — the
+    newest-DuckDB-semantics probe: TRY_CAST agrees with CAST wherever
+    the cast succeeds and yields NULL where CAST would throw, so any
+    result difference marks an oracle leaning on throw/round behavior
+    that varies across DuckDB versions."""
+    return _CAST_RE.sub("TRY_CAST(", sql)
+
+
 def main() -> int:
     import duckdb
 
@@ -72,6 +97,9 @@ def main() -> int:
             return 2
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    strict = "--duckdb-strict" in argv
+    if strict:
+        argv.remove("--duckdb-strict")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -169,6 +197,28 @@ def main() -> int:
                 print(f"      spark : {a}")
                 print(f"      duckdb: {b}")
             continue
+        if strict:
+            strict_sql = _strictify(oracles[name])
+            try:
+                sres = con.execute(strict_sql)
+                stcols = [d[0] for d in sres.description]
+                strows = sres.fetchall()
+                strict_match = (
+                    sorted(stcols) == sorted(dcols)
+                    and _canon(strows, stcols) == dc
+                )
+                strict_err = None
+            except Exception as e:  # TRY_CAST on a non-castable TYPE throws
+                strict_match, strict_err = False, str(e)
+            records[name]["strict_match"] = strict_match
+            if not strict_match:
+                failures.append(name)
+                records[name]["err"] = strict_err or "strict divergence"
+                print(
+                    f"FAIL  {name}: TRY_CAST strict probe diverges"
+                    + (f" ({strict_err})" if strict_err else "")
+                )
+                continue
         print(f"OK    {name}: {len(srows)} rows")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     if json_out:
