@@ -408,6 +408,11 @@ _SEM_EPS = 0.98
 _SEM_MUT_OFFSET = 1_000_000
 
 
+# SemDeDup's session codebook cache — same contract as _CB_CACHE, keyed
+# separately because it trains on the normalized mutant-augmented corpus
+_SEM_CB_CACHE: dict[tuple[str, str], list] = {}
+
+
 def _sem_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ planted semantic duplicates: every 50th vector
     re-appears scaled ×1.1 (id + 1e6).  Uniform scaling preserves
@@ -468,8 +473,24 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would otherwise re-run for every Lloyd assign/update consumer —
     # 3 iterations × 2 consumers + the final assignment
     corpus = persist_tracked(_normalize(_sem_corpus(spark, sf_dir)))
-    codebook = _train(corpus)
-    assigned = persist_tracked(_assign(corpus, codebook))
+    # train-once-per-session + literal-codebook assignment, exactly as
+    # the IVF read path (see _CB_CACHE / _cell_candidates)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    values = _SEM_CB_CACHE.get(key)
+    if values is None:
+        values = [
+            (r["cluster"], list(r["cemb"])) for r in _train(corpus).collect()
+        ]
+        _SEM_CB_CACHE[key] = values
+    assigned = persist_tracked(
+        corpus.select(
+            "vec_id",
+            "embedding",
+            F.array_min(_cell_candidates(F.col("embedding"), values))[
+                "cluster"
+            ].alias("cluster"),
+        )
+    )
     a = assigned.select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("aemb"), "cluster"
     )

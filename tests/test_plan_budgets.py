@@ -36,9 +36,10 @@ BUDGETS = {
     "dedup_incremental_batch": (7, 2),
     # xxhash64 twin mirrors the md5 pipeline's stage structure
     "dedup_minhash_fast": (16, 1),
-    # 3 Lloyd iterations × persisted-subplan overcount + pair join;
-    # codebook and totals must broadcast
-    "dedup_semantic": (16, 4),
+    # steady-state read path (session codebook primed below): corpus
+    # spread + within-cluster pair join + prune agg; literal-codebook
+    # assignment adds no exchange
+    "dedup_semantic": (6, 0),
     # stats pass + kept pass; rate table and totals must broadcast
     "mix_token_budget": (7, 2),
     # gram explode + two bucket aggregates + per-doc sum + top-k;
@@ -112,12 +113,10 @@ BUDGETS = {
     # ONE brand shuffle + in-partition window sort — no self-join (the
     # quadratic NOT EXISTS spec lives only in the oracle)
     "skyline_pareto": (1, 0),
-    # PQ training chain reprints under BOTH consumers (the LUT build and
-    # the code pivot) and under each of the 4 broadcast code joins —
-    # true runtime shuffles ≈ 12 (training + pivot + top-k window); the
-    # 80-row LUT and the codebooks must broadcast — the code table
-    # crosses ZERO shuffles between pivot and window
-    "pq_adc_topk": (52, 7),
+    # steady-state read path (session PQ codebook primed below): code
+    # pivot + top-k window; the 80-row LUT and code joins must broadcast
+    # — the code table crosses ZERO shuffles between pivot and window
+    "pq_adc_topk": (8, 5),
     # ONE user shuffle: the partition-only min(ts) window and the moment
     # aggregate ride the same exchange
     "ts_linear_trend": (1, 0),
@@ -205,6 +204,15 @@ def test_shuffle_budget(spark, name):
         )
 
         _pq_codebook_values(spark, "/root/testdata/sf0.001")
+    if name == "pq_adc_topk":
+        from aind_hcr_data_transformation_spark.operators.vectorops import (
+            _pq_codebook_values,
+        )
+
+        _pq_codebook_values(spark, "/root/testdata/sf0.001")
+    if name == "dedup_semantic":
+        # same steady-state pin for the SemDeDup session codebook
+        entrymod.queries()["dedup_semantic"](spark, "/root/testdata/sf0.001")
     max_shuffles, min_broadcasts = BUDGETS[name]
     registry = {**entrymod.queries(), **entrymod.production_queries()}
     census = count_exchanges(registry[name](spark, "/root/testdata/sf0.001"))

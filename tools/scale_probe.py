@@ -74,6 +74,28 @@ DEFAULT_QUERIES = [
     "join_asof_nearest",
     "graph_label_propagation",
     "ts_changepoint_cusum",
+    # round-6: the expensive bench tail (VERDICT r5 task 4) — every
+    # query >2 s at sf0.1 gets a MEASURED growth class, not an argued one
+    "ivfpq_search",
+    "dedup_canonical_pick",
+    "graph_triangle_count",
+    "dedup_semantic",
+    "graph_bfs_hops",
+    "pq_adc_topk",
+    "boilerplate_strip",
+    "assoc_basket_rules",
+    "embed_pq_quantize",
+    "grouped_zscore",
+    "embed_power_iteration",
+    "udaf_user_median",
+    "dedup_minhash_incremental",
+    "join_bloom_semi",
+    "scalar_try_funcs",
+    "contamination_bloom",
+    "stream_stream_join",
+    "rag_mmr_rerank",
+    "text_ccnet_buckets",
+    "rec_item_cosine",
 ]
 
 
