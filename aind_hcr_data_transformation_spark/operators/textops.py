@@ -1157,3 +1157,106 @@ GROUP BY doc_id
 
 QUERIES["text_rarity_score"] = text_rarity_score
 ORACLES["text_rarity_score"] = TEXT_RARITY_SQL
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model fluency scoring (CCNet-style quality pass)
+# ---------------------------------------------------------------------------
+
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fluency score from a corpus-trained bigram LM — the
+    CCNet/KenLM "perplexity filter" stage of an LLM data pipeline
+    (reference has no text surface; this is the §LLM-ops mandate).
+
+    The LM is add-one-smoothed: ``p(w2|w1) = (c12 + 1) / (c1 + V)`` with
+    ``V`` the corpus vocabulary size. Instead of mean log-loss we score
+    mean INVERSE probability, quantized to an exact integer per bigram:
+    ``inv_q = (c1 + V) * 1e6 DIV (c12 + 1)``. ``ln`` differs in the last
+    ulp between libm and the JVM (same rationale as
+    :func:`text_tfidf_topk`'s rational idf), while ``inv_q`` is a pure
+    integer both engines compute bit-identically; its mean is a
+    perplexity surrogate under the arithmetic (not geometric) mean and
+    ranks documents the same way for filtering purposes.
+
+    Shape at 100 TB: explode → bigram count aggregate (map-side combine)
+    → unigram aggregate → one shuffle join bigrams⋈LM on (w1,w2) — the
+    LM tables are corpus-sized but distinct-key-sized (vocabulary², far
+    smaller than the token stream); the final per-doc aggregate re-uses
+    the doc_id partitioning. No Python, no collect.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "w"),
+    )
+    w2 = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.select("doc_id", "w", F.lead("w").over(w2).alias("w_next"))
+        .filter(F.col("w_next").isNotNull())
+        .select("doc_id", F.col("w").alias("w1"), F.col("w_next").alias("w2"))
+    )
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.agg(F.countDistinct("w").alias("v"))
+    lm = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            # pure BIGINT fixed-point: DuckDB's // on DECIMAL detours
+            # through float (off-by-one floors observed); (c1+v)*1e6
+            # stays < 2^63 for any single-shard vocabulary
+            F.expr("(c1 + v) * CAST(1000000 AS BIGINT) DIV (c12 + 1)").alias(
+                "inv_q"
+            ),
+        )
+    )
+    return (
+        bigrams.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("inv_q").alias("sum_inv_q"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            # mean inverse-probability in exact 1e-6 fixed point: one
+            # integer floor-division, then ONE exact int→double widening
+            # (quotient < 2^52) — no chained double divisions to drift
+            F.expr("CAST(sum_inv_q DIV n_bigrams AS DOUBLE) / 1000000.0").alias(
+                "mean_inv_p"
+            ),
+        )
+    )
+
+
+TEXT_BIGRAM_LM_SQL = f"""
+WITH lists AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+bigrams AS MATERIALIZED (
+  SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+  FROM lists, unnest(range(0, len(t) - 1)) u(i)
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bigrams GROUP BY w1),
+vocab AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+),
+lm AS (
+  SELECT w1, w2,
+         CAST(c1 + v AS BIGINT) * 1000000 // (c12 + 1) AS inv_q
+  FROM c12 JOIN c1 USING (w1) CROSS JOIN vocab
+)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(inv_q) // count(*) AS DOUBLE) / 1000000.0 AS mean_inv_p
+FROM bigrams b JOIN lm USING (w1, w2)
+GROUP BY b.doc_id
+"""
+
+QUERIES["text_bigram_lm_score"] = text_bigram_lm_score
+ORACLES["text_bigram_lm_score"] = TEXT_BIGRAM_LM_SQL

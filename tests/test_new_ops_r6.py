@@ -1,0 +1,49 @@
+"""Semantic invariants for the round-6 operator batch — properties the
+differential oracle can't express (it already pins cross-engine value
+equality; these pin the MEANING of the values)."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from tests.conftest import SF_DIR
+
+
+def test_bigram_lm_score_matches_reference_recompute(spark, queries):
+    """The add-one-smoothed bigram LM score must equal an independent
+    pure-Python recompute from raw text: corpus counts, 1e-6 fixed-point
+    inverse probability, floor-mean — for every document."""
+    from aind_hcr_data_transformation_spark.tables import load_table
+
+    docs = {
+        r["doc_id"]: r["text"].lower().split(" ")
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    c12: Counter = Counter()
+    c1: Counter = Counter()
+    vocab = set()
+    per_doc = defaultdict(list)
+    for doc_id, toks in docs.items():
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+            per_doc[doc_id].append((a, b))
+    v = len(vocab)
+
+    expected = {}
+    for doc_id, bgs in per_doc.items():
+        inv = [(c1[a] + v) * 1_000_000 // (c12[(a, b)] + 1) for a, b in bgs]
+        expected[doc_id] = (len(bgs), (sum(inv) // len(inv)) / 1e6)
+
+    rows = queries["text_bigram_lm_score"](spark, SF_DIR).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        n, score = expected[r["doc_id"]]
+        assert r["n_bigrams"] == n
+        assert r["mean_inv_p"] == score
+
+    # smoothed inverse probability is > 1 by construction (p < 1)
+    assert all(r["mean_inv_p"] > 1.0 for r in rows)

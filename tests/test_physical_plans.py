@@ -123,6 +123,8 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
         "dedup_semantic",
         # one-row corpus-count broadcast (the N in tf*N/df)
         "text_tfidf_topk",
+        # one-row vocabulary-size broadcast (the V in add-one smoothing)
+        "text_bigram_lm_score",
         # one-row token-total and doc-total broadcasts (the N in N//freq
         # and the tercile denominators)
         "text_ccnet_buckets",

@@ -104,7 +104,7 @@ def main() -> int:
     only = set(argv[1:])
 
     spark = get_spark("oracle-check")
-    con = duckdb.connect()
+
     # bounded memory + disk spill: the heavy unrolled-CTE oracles
     # (SemDeDup's 3 Lloyd iterations over 64-dim folds) can exceed
     # DuckDB's default allocation budget while the Spark JVM holds its
@@ -112,14 +112,41 @@ def main() -> int:
     # with Out of Memory instead of spilling (observed once at sf0.1)
     import tempfile
 
-    con.execute("SET memory_limit='16GB'")
-    con.execute(
-        f"SET temp_directory='{tempfile.gettempdir()}/duckdb_oracle_spill'"
-    )
-    for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+    def _fresh_con():
+        c = duckdb.connect()
+        c.execute("SET memory_limit='48GB'")
+        c.execute(
+            f"SET temp_directory='{tempfile.gettempdir()}/duckdb_oracle_spill'"
         )
+        for t in TABLES:
+            c.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return c
+
+    con = _fresh_con()
+
+    def _dd_execute(sql):
+        """Execute on the shared connection; once a heavy oracle trips the
+        memory limit the connection's buffer pool stays poisoned and EVERY
+        later allocation fails (observed: one OOM → 25 cascading OOMs in
+        the r6 strict run), so on an OOM we rebuild the connection and
+        retry once on a clean pool."""
+        nonlocal con
+        try:
+            return con.execute(sql)
+        except Exception as e:
+            # "already been closed": a prior retry's _fresh_con() itself
+            # died mid-setup (host-level memory pressure), leaving the
+            # closed handle bound — reconnect instead of cascading
+            if "Out of Memory" not in str(e) and "already been closed" not in str(e):
+                raise
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = _fresh_con()
+            return con.execute(sql)
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -163,7 +190,7 @@ def main() -> int:
                 print(f"      WARNING: zero rows")
             continue
         try:
-            res = con.execute(oracles[name])
+            res = _dd_execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception as e:
@@ -200,7 +227,7 @@ def main() -> int:
         if strict:
             strict_sql = _strictify(oracles[name])
             try:
-                sres = con.execute(strict_sql)
+                sres = _dd_execute(strict_sql)
                 stcols = [d[0] for d in sres.description]
                 strows = sres.fetchall()
                 strict_match = (
