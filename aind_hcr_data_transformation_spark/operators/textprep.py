@@ -1702,3 +1702,132 @@ BPE_LEARN_SQL = _bpe_learn_sql()
 
 QUERIES["bpe_learn_merges"] = bpe_learn_merges
 ORACLES["bpe_learn_merges"] = BPE_LEARN_SQL
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (Xie et al. 2023, arXiv:2305.10429)
+# ---------------------------------------------------------------------------
+
+_DOREMI_SCALE = 1_000_000  # fixed-point 1e6 for weights and shares
+_DOREMI_ETA_Q = 200_000  # multiplicative-weights step η = 0.2
+_DOREMI_ROUNDS = 3
+
+
+def mix_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture weights by multiplicative-weights ascent on excess
+    difficulty — the DoReMi recipe's deterministic skeleton: domains whose
+    data is "harder" than the easiest domain get their sampling weight
+    multiplied up each round, then the mixture renormalizes.
+
+    The difficulty proxy is the mean integer token rarity
+    ``N_total DIV ctf`` (the exact-arithmetic stand-in for per-domain
+    reference loss; a real run would plug per-domain proxy-model losses
+    into the same update). The update is pure fixed-point:
+    ``w_t = w_{t-1} * (S + η_q * excess_norm) DIV S`` with per-round
+    floor — genuinely iterative (flooring makes the compounding
+    non-closed-form) and bit-identical across engines.
+
+    Scale shape: ONE heavy stage — the token-stream explode and the
+    toks⋈ctf rarity join (same shuffle class as ``text_rarity_score``,
+    linear in corpus size) — collapses to a k-row domain frame; the 3
+    unrolled multiplicative-weights rounds and the renormalization are
+    k-row arithmetic with one-row min/max/sum broadcasts. At 100 TB the
+    iteration cost is independent of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    ctf = docs.groupBy("w").agg(F.count(F.lit(1)).alias("ctf"))
+    n_tot = docs.agg(F.count(F.lit(1)).alias("n_tot"))
+    diffs = (
+        docs.join(ctf, "w")
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr("sum(n_tot DIV ctf)").alias("sum_rarity"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.expr("sum_rarity DIV n_tokens").alias("difficulty"),
+        )
+    )
+    lo_hi = diffs.agg(
+        F.min("difficulty").alias("lo"), F.max("difficulty").alias("hi")
+    )
+    S, ETA = _DOREMI_SCALE, _DOREMI_ETA_Q
+    cur = diffs.crossJoin(F.broadcast(lo_hi)).select(
+        "source",
+        "n_tokens",
+        "difficulty",
+        F.expr(
+            f"CASE WHEN hi = lo THEN CAST(0 AS BIGINT) "
+            f"ELSE (difficulty - lo) * CAST({S} AS BIGINT) DIV (hi - lo) END"
+        ).alias("excess_norm"),
+        F.lit(S).cast("long").alias("wgt"),
+    )
+    for _ in range(_DOREMI_ROUNDS):
+        cur = cur.withColumn(
+            "wgt", F.expr(f"wgt * (CAST({S} AS BIGINT) + {ETA} * excess_norm DIV {S}) DIV {S}")
+        )
+    tot = cur.agg(F.sum("wgt").alias("wgt_total"))
+    return (
+        cur.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            "difficulty",
+            F.col("wgt").alias("weight_q"),
+            F.expr(
+                f"CAST(wgt * CAST({S} AS BIGINT) DIV wgt_total AS DOUBLE) / {S}.0"
+            ).alias("share"),
+        )
+    )
+
+
+def _doremi_sql() -> str:
+    S, ETA, R = _DOREMI_SCALE, _DOREMI_ETA_Q, _DOREMI_ROUNDS
+    rounds = []
+    prev = "w0"
+    for t in range(1, R + 1):
+        rounds.append(
+            f"w{t} AS (SELECT source, n_tokens, difficulty, excess_norm, "
+            f"wgt * (CAST({S} AS BIGINT) + {ETA} * excess_norm // {S}) // {S} AS wgt "
+            f"FROM {prev})"
+        )
+        prev = f"w{t}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+ctf AS (SELECT w, count(*) AS ctf FROM toks GROUP BY w),
+n AS (SELECT count(*) AS n_tot FROM toks),
+diffs AS (
+  SELECT source, count(*) AS n_tokens,
+         sum(n_tot // ctf) // count(*) AS difficulty
+  FROM toks JOIN ctf USING (w) CROSS JOIN n
+  GROUP BY source
+),
+lo_hi AS (SELECT min(difficulty) AS lo, max(difficulty) AS hi FROM diffs),
+w0 AS (
+  SELECT source, n_tokens, difficulty,
+         CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+              ELSE (difficulty - lo) * CAST({S} AS BIGINT) // (hi - lo) END
+           AS excess_norm,
+         CAST({S} AS BIGINT) AS wgt
+  FROM diffs CROSS JOIN lo_hi
+),
+{rounds_sql},
+tot AS (SELECT sum(wgt) AS wgt_total FROM {prev})
+SELECT source, n_tokens, difficulty, wgt AS weight_q,
+       CAST(wgt * CAST({S} AS BIGINT) // wgt_total AS DOUBLE) / {S}.0 AS share
+FROM {prev} CROSS JOIN tot
+"""
+
+
+MIX_DOREMI_SQL = _doremi_sql()
+
+QUERIES["mix_doremi_weights"] = mix_doremi_weights
+ORACLES["mix_doremi_weights"] = MIX_DOREMI_SQL

@@ -47,3 +47,55 @@ def test_bigram_lm_score_matches_reference_recompute(spark, queries):
 
     # smoothed inverse probability is > 1 by construction (p < 1)
     assert all(r["mean_inv_p"] > 1.0 for r in rows)
+
+
+def test_doremi_weights_match_reference_recompute(spark, queries):
+    """The DoReMi multiplicative-weights update must equal an independent
+    pure-Python recompute (token rarity difficulty, fixed-point ascent),
+    and the resulting mixture must upweight harder domains monotonically."""
+    from aind_hcr_data_transformation_spark.operators.textprep import (
+        _DOREMI_ETA_Q,
+        _DOREMI_ROUNDS,
+        _DOREMI_SCALE,
+    )
+    from aind_hcr_data_transformation_spark.tables import load_table
+
+    S, ETA = _DOREMI_SCALE, _DOREMI_ETA_Q
+    toks = [
+        (r["source"], t)
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("source", "text")
+        .collect()
+        for t in r["text"].lower().split(" ")
+    ]
+    ctf: Counter = Counter(t for _, t in toks)
+    n_tot = len(toks)
+    by_src = defaultdict(list)
+    for src, t in toks:
+        by_src[src].append(n_tot // ctf[t])
+    diff = {s: sum(v) // len(v) for s, v in by_src.items()}
+    lo, hi = min(diff.values()), max(diff.values())
+
+    expected = {}
+    for s, d in diff.items():
+        excess = 0 if hi == lo else (d - lo) * S // (hi - lo)
+        w = S
+        for _ in range(_DOREMI_ROUNDS):
+            w = w * (S + ETA * excess // S) // S
+        expected[s] = (len(by_src[s]), d, w)
+    wgt_total = sum(w for _, _, w in expected.values())
+
+    rows = queries["mix_doremi_weights"](spark, SF_DIR).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        n, d, w = expected[r["source"]]
+        assert (r["n_tokens"], r["difficulty"], r["weight_q"]) == (n, d, w)
+        assert r["share"] == (w * S // wgt_total) / S
+
+    # harder domains never get a smaller weight (monotone ascent)
+    srt = sorted(rows, key=lambda r: r["difficulty"])
+    assert all(
+        a["weight_q"] <= b["weight_q"] for a, b in zip(srt, srt[1:])
+    )
+    # floor-renormalized shares sum to 1 within k ulps of the fixed point
+    assert 1 - len(rows) / S <= sum(r["share"] for r in rows) <= 1.0

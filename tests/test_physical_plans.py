@@ -125,6 +125,10 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
         "text_tfidf_topk",
         # one-row vocabulary-size broadcast (the V in add-one smoothing)
         "text_bigram_lm_score",
+        # one-row token-total, (lo, hi) difficulty-range, and weight-total
+        # broadcasts onto the k-row domain frame (bounded scalar
+        # crossJoins — the heavy stage is the equi-join toks⋈ctf)
+        "mix_doremi_weights",
         # one-row token-total and doc-total broadcasts (the N in N//freq
         # and the tercile denominators)
         "text_ccnet_buckets",
