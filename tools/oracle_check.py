@@ -114,7 +114,12 @@ def main() -> int:
 
     def _fresh_con():
         c = duckdb.connect()
-        c.execute("SET memory_limit='48GB'")
+        # 24GB, not 48: the Spark JVM shares this host, and the limit is
+        # only a buffer-pool cap — with temp_directory set the heavy
+        # unrolled-CTE oracles spill instead of failing. 48GB left too
+        # little headroom and the r6 strict sweep died on HOST-level
+        # bad_alloc (std::bad_alloc at 16KB blocks ≠ DuckDB's own limit).
+        c.execute("SET memory_limit='24GB'")
         c.execute(
             f"SET temp_directory='{tempfile.gettempdir()}/duckdb_oracle_spill'"
         )
