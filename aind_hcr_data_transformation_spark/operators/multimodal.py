@@ -652,3 +652,112 @@ GROUP BY p.doc_id, d.text
 
 QUERIES["multimodal_png_decode"] = multimodal_png_decode
 ORACLES["multimodal_png_decode"] = MULTIMODAL_PNG_DECODE_SQL
+
+
+# ---------------------------------------------------------------------------
+# real JPEG decode through the Arrow batch path (round 6)
+# ---------------------------------------------------------------------------
+
+#: 8 blocks × 8 px — a 64×64 image of 64 constant 8×8 blocks
+_JPEG_BLOCKS = 8
+
+
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG decode done FOR REAL through the vendored ITU-T T.81 codec
+    (``sources/jpegcodec.py`` — the same decoder the CZI mode-1 subblock
+    path uses), hash-exact against an oracle that never sees a JPEG.
+
+    JPEG is lossy in general, so the fixture family is chosen where
+    quality-100 baseline JPEG is EXACTLY lossless: per-block-constant
+    images (each 8×8 block holds one byte of the doc's text). A constant
+    block's DCT is a single DC coefficient ``8·(c−128)`` — an exact
+    integer under the all-ones quality-100 quantization table — and the
+    DC-only inverse transform is an exact power-of-two division, so
+    encode→decode reproduces every byte bit-for-bit. The emitted stats
+    (dims, pixel sum, md5 of decoded bytes) come from the DECODED
+    array; the DuckDB twin rebuilds the same image by string algebra
+    from the text, so ANY codec defect (Huffman tables, DC prediction,
+    stuffing, zig-zag, IDCT) breaks the hash match.
+
+    Scale: one mapInPandas pass, no shuffle before the tiny result —
+    per-row CPU inside Arrow batches, the same batch shape a libjpeg
+    decode would occupy."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    media = docs.filter(F.length("text") >= 1).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return media.mapInPandas(_jpeg_roundtrip, PNG_DECODE_SCHEMA)
+
+
+def _jpeg_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ..sources.jpegcodec import decode_gray, encode_gray
+
+    nb = _JPEG_BLOCKS
+    side = nb * 8
+    kidx = np.arange(nb * nb)
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        ids, sums, digests = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(payload, np.uint8)
+            blocks = b[kidx % len(b)].reshape(nb, nb)
+            img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+            arr = decode_gray(encode_gray(img, quality=100))
+            ids.append(doc_id)
+            sums.append(int(arr.astype(np.int64).sum()))
+            digests.append(hashlib.md5(arr.tobytes()).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, np.int64),
+                "width": np.full(n, side, np.int32),
+                "height": np.full(n, side, np.int32),
+                "pix_sum": np.asarray(sums, np.int64),
+                "pix_md5": digests,
+            }
+        )
+
+
+MULTIMODAL_JPEG_DECODE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE octet_length(encode(text)) >= 1
+),
+bc AS (  -- the 64 block bytes: text tiled to {_JPEG_BLOCKS * _JPEG_BLOCKS} chars
+  SELECT doc_id,
+         substr(repeat(text,
+                       CAST({_JPEG_BLOCKS * _JPEG_BLOCKS}
+                            // octet_length(encode(text)) + 1 AS INTEGER)),
+                1, {_JPEG_BLOCKS * _JPEG_BLOCKS}) AS chars
+  FROM d
+),
+blocks AS (
+  SELECT doc_id,
+         CAST(t.bk // {_JPEG_BLOCKS} AS INTEGER) AS br,
+         CAST(t.bk % {_JPEG_BLOCKS} AS INTEGER) AS bx,
+         substr(chars, CAST(t.bk + 1 AS INTEGER), 1) AS ch
+  FROM bc, unnest(range(0, {_JPEG_BLOCKS * _JPEG_BLOCKS})) t(bk)
+),
+rows_ AS (  -- one distinct image row per block-row (repeated 8× below)
+  SELECT doc_id, br, string_agg(repeat(ch, 8), '' ORDER BY bx) AS rowstr,
+         sum(ascii(ch)) AS row_block_sum
+  FROM blocks GROUP BY doc_id, br
+),
+img AS (
+  SELECT doc_id,
+         string_agg(repeat(rowstr, 8), '' ORDER BY br) AS image,
+         sum(row_block_sum) AS block_sum
+  FROM rows_ GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({_JPEG_BLOCKS * 8} AS INTEGER) AS width,
+       CAST({_JPEG_BLOCKS * 8} AS INTEGER) AS height,
+       CAST(block_sum * 64 AS BIGINT) AS pix_sum,
+       md5(image) AS pix_md5
+FROM img
+"""
+
+QUERIES["multimodal_jpeg_decode"] = multimodal_jpeg_decode
+ORACLES["multimodal_jpeg_decode"] = MULTIMODAL_JPEG_DECODE_SQL

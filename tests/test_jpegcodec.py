@@ -128,3 +128,17 @@ def test_ff_byte_stuffing_round_trips():
             assert np.max(np.abs(dec.astype(int) - img.astype(int))) <= 2
             return
     raise AssertionError("no test image produced a stuffed byte")
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_constant_block_family_is_exactly_lossless(seed):
+    """Per-block-constant images round-trip BIT-EXACT at quality 100
+    (DC = 8·(c−128) is an exact integer; the DC-only IDCT is an exact
+    power-of-two division) — the invariant `multimodal_jpeg_decode`'s
+    hash-exact oracle rests on."""
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    dec = decode_gray(encode_gray(img, quality=100))
+    np.testing.assert_array_equal(dec, img)

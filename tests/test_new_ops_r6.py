@@ -99,3 +99,55 @@ def test_doremi_weights_match_reference_recompute(spark, queries):
     )
     # floor-renormalized shares sum to 1 within k ulps of the fixed point
     assert 1 - len(rows) / S <= sum(r["share"] for r in rows) <= 1.0
+
+
+def test_url_canonical_dedup_matches_reference_recompute(spark, queries):
+    """Canonicalization must collapse exactly the five planted messy
+    spellings per logical URL: pure-Python recompute of the canonical
+    key, keeper, and spelling census for every group."""
+    import re
+
+    from aind_hcr_data_transformation_spark.tables import load_table
+
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+
+    def messy(doc_id: int) -> str:
+        base = doc_id // 5
+        host = f"site{base % 7}.example.com"
+        path = f"/docs/{base}"
+        v = doc_id % 5
+        return [
+            f"https://{host}{path}/",
+            f"HTTPS://{host}{path}#top",
+            f"https://WWW.{host}{path}",
+            f"https://{host.replace('.example.com', '.example.com:443')}{path}",
+            f"https://{host}{path}?utm_source=feed",
+        ][v]
+
+    def canon(url: str) -> str:
+        c = url.lower()
+        c = re.sub(r"#.*$", "", c)
+        c = re.sub(r"\?utm_[a-z_]+=[a-z]+$", "", c)
+        c = c.replace(":443/", "/")
+        c = re.sub(r"^https://www\.", "https://", c)
+        return re.sub(r"/$", "", c)
+
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for d in range(n_docs):
+        groups[canon(messy(d))].append(d)
+
+    rows = {r["canonical_url"]: r for r in
+            queries["dedup_url_canonical"](spark, SF_DIR).collect()}
+    assert set(rows) == set(groups)
+    for cu, members in groups.items():
+        r = rows[cu]
+        assert r["n_variants"] == len(members)
+        assert r["keeper"] == min(members)
+        assert r["n_spellings"] == len({messy(d) for d in members})
+    # every messy doc lands in exactly one canonical group
+    assert sum(r["n_variants"] for r in rows.values()) == n_docs
+    # full groups collapse 5 spellings into one resource
+    full = [r for r in rows.values() if r["n_variants"] == 5]
+    assert full and all(r["n_spellings"] == 5 for r in full)

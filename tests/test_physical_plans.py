@@ -178,12 +178,25 @@ def test_ngram_jaccard_candidates_are_bounded(spark, queries):
     """Candidate generation must be the LSH ∪ rare-shingle union, never
     an uncapped posting-list self-join: the plan carries the constant
     rare-df Filter (df <= _RARE_DF_CAP — the 100-TB quadratic-blowup
-    guard on the inverted-index channel), and no cartesian product."""
-    from aind_hcr_data_transformation_spark.operators.dedup import _RARE_DF_CAP
+    guard on the inverted-index channel), and no cartesian product.
 
-    plan = plan_of(queries["dedup_ngram_jaccard"](spark, SF), "simple")
+    Pins the GENERATION subtree (`_pair_candidates` on fresh shingles):
+    inside a query the session cache may legitimately replace it with a
+    checkpoint scan, which would hide the filter from the query plan."""
+    from aind_hcr_data_transformation_spark.operators.dedup import (
+        _RARE_DF_CAP,
+        _corpus_with_mutants,
+        _pair_candidates,
+        _shingles,
+    )
+
+    gen = _pair_candidates(_shingles(_corpus_with_mutants(spark, SF)))
+    plan = plan_of(gen, "simple")
     assert f"<= {_RARE_DF_CAP}" in plan  # rare-channel df filter in physical
     assert "CartesianProduct" not in plan
+    # the full query (cached or not) must still be cartesian-free
+    qplan = plan_of(queries["dedup_ngram_jaccard"](spark, SF), "simple")
+    assert "CartesianProduct" not in qplan
 
 
 def test_null_safe_join_is_hash_not_bnlj(spark, queries):
