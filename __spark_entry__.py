@@ -38,6 +38,12 @@ from aind_hcr_data_transformation_spark.operators import (
 from aind_hcr_data_transformation_spark.session import apply_session_confs
 from aind_hcr_data_transformation_spark.streaming import events as streaming_events
 
+# Registry (and therefore bench) order follows PIPELINE order for the
+# vector family: `vectorops` (which owns the PQ trainer/quantizer,
+# `embed_pq_quantize`) precedes `ivf` (whose `ivfpq_search` READS the
+# trained sub-codebooks through the session cache) — training cost sits
+# on the training operator, search measures the serving path, exactly
+# as a production IVFADC deployment splits them.
 _MODULES = [
     relational,
     tpch,
@@ -45,12 +51,12 @@ _MODULES = [
     pipeline_queries,
     dedup,
     similarity,
+    vectorops,
     ivf,
     textops,
     textprep,
     timeseries,
     graphops,
-    vectorops,
     warehouse,
     multimodal,
     streaming_events,

@@ -332,6 +332,9 @@ def decode_gray(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte (T.81 §B.1.1.2 allows FF padding)
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             raise ValueError("reached EOI without a scan")
         length = struct.unpack_from(">H", data, pos + 2)[0]

@@ -51,6 +51,12 @@ _ACCEPTED_REGRESSIONS = {
         "nprobe=1 cost the 3.08s prior was recorded on) for recall at "
         "cell boundaries; recall-vs-bruteforce test pins the gain"
     ),
+    "embed_pq_quantize": (
+        "r6: registry now runs in pipeline order (vectorops before ivf), "
+        "so the PQ TRAINING operator carries the once-per-session Lloyd "
+        "cost its sub-second prior was recorded without (ivfpq_search "
+        "paid it then; the search query now measures the serving path)"
+    ),
 }
 
 
@@ -245,6 +251,44 @@ def main() -> None:
     spark.range(1000).mapInPandas(
         lambda it: (b for b in it), "id long"
     ).write.format("noop").mode("overwrite").save()
+    # ...and the kernel classes the vector/dedup families lean on — HOF
+    # zip_with/aggregate folds, md5-explode signatures, and wide
+    # DECIMAL(30,10) aggregation. C2-compiling them here keeps the
+    # one-time JIT out of whichever family query runs first: the same
+    # Lloyd-chain collect measures 8.2 s cold vs 3.6 s warm in one
+    # session, and which query paid the cold cost shifted between
+    # rounds as registry order changed, poisoning cross-round
+    # comparisons. (Same methodology as the two warm-ups above; the
+    # synthetic frame resembles no registry query, so no query's
+    # scan/plan is pre-warmed.)
+    from pyspark.sql import functions as _F  # noqa: PLC0415
+
+    _warm = spark.range(50_000).select(
+        "id",
+        _F.expr(
+            "transform(sequence(0, 63), i -> cast(id % 97 + i as double))"
+        ).alias("v"),
+    )
+    (
+        _warm.select(
+            _F.aggregate(
+                _F.zip_with(_F.col("v"), _F.col("v"), lambda a, b: a * b),
+                _F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+            _F.explode(
+                _F.expr(
+                    "transform(sequence(0, 3), h -> "
+                    "md5(concat(cast(h as string), '|', cast(id as string))))"
+                )
+            ).alias("hv"),
+        )
+        .groupBy("hv")
+        .agg(_F.sum(_F.expr("cast(dot as decimal(30,10))")).alias("s"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     # host-calibration floor: a fixed trivial shuffle, timed warm. Query
     # wall-clocks include the host's per-job scheduling latency, which has

@@ -142,3 +142,14 @@ def test_constant_block_family_is_exactly_lossless(seed):
     img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
     dec = decode_gray(encode_gray(img, quality=100))
     np.testing.assert_array_equal(dec, img)
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 §B.1.1.2 allows 0xFF fill padding before any marker — other
+    encoders emit it; the parser must skip it."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    enc = encode_gray(img)
+    # inject two fill bytes before the DQT marker
+    dqt = enc.find(b"\xff\xdb")
+    padded = enc[:dqt] + b"\xff\xff" + enc[dqt:]
+    np.testing.assert_array_equal(decode_gray(padded), decode_gray(enc))
