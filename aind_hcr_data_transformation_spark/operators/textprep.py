@@ -1518,8 +1518,6 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     words.count()
 
-    wisl = Window.partitionBy("w").orderBy("i")
-    wrun = Window.partitionBy("w", "g").orderBy("i")
     merges = []
     for r in range(1, _BPE_ROUNDS + 1):
         pairs = (
@@ -1563,69 +1561,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if r == _BPE_ROUNDS:
             break
-
-        # rebuild ONLY words containing the pair (an array-expression
-        # pre-filter in codegen); the untouched majority passes through
-        # without explode/window/reassembly — at web scale almost every
-        # word is untouched by any single merge
-        wm = words.crossJoin(F.broadcast(merge.select("a", "b")))
-        has_pair = F.expr(
-            # the size guard lives INSIDE the CASE: sequence(1, 0)
-            # descends for single-symbol words and ANSI AND would still
-            # evaluate the element_at(s, 0) branch
-            "CASE WHEN size(s) < 2 THEN false ELSE "
-            "exists(sequence(1, size(s) - 1), i -> "
-            "element_at(s, i) = a AND element_at(s, i + 1) = b) END"
-        )
-        unmatched = wm.filter(~has_pair).select("w", "wn", "s")
-        rows = wm.filter(has_pair).select(
-            "w",
-            "wn",
-            "a",
-            "b",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(s)), i -> struct("
-                    "i AS i, element_at(s, i) AS sym, "
-                    # try_element_at: ANSI AND does not short-circuit, so
-                    # the i = size(s) row would error on plain element_at
-                    "CASE WHEN i < size(s) AND element_at(s, i) = a "
-                    "AND try_element_at(s, i + 1) = b THEN 1 ELSE 0 END AS mt))"
-                )
-            ).alias("r"),
-        ).select("w", "wn", "a", "b", "r.i", "r.sym", "r.mt")
-        sel = (
-            rows.filter(F.col("mt") == 1)
-            .withColumn("g", F.col("i") - F.row_number().over(wisl))
-            .withColumn("rn", F.row_number().over(wrun))
-            .filter(F.col("rn") % 2 == 1)
-            .select("w", "i")
-        )
-        dropped = sel.select("w", (F.col("i") + 1).alias("i"))
-        rebuilt = (
-            rows.join(dropped, ["w", "i"], "left_anti")
-            .join(sel.withColumn("hit", F.lit(1)), ["w", "i"], "left")
-            .select(
-                "w",
-                "wn",
-                "i",
-                F.when(
-                    F.col("hit") == 1, F.concat(F.col("a"), F.col("b"))
-                )
-                .otherwise(F.col("sym"))
-                .alias("sym"),
-            )
-        )
-        words = persist_tracked(
-            rebuilt.groupBy("w", "wn")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "sym"))),
-                    lambda st: st["sym"],
-                ).alias("s")
-            )
-            .unionByName(unmatched)
-        )
+        words = persist_tracked(_apply_merge(words, merge))
 
     out = merges[0]
     for m in merges[1:]:
@@ -1633,7 +1569,81 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _bpe_learn_sql() -> str:
+def _apply_merge(words: DataFrame, merge: DataFrame) -> DataFrame:
+    """Greedy left-to-right non-overlapping application of ONE (a, b)
+    merge to every word's (w, wn, s) symbol sequence — the loop body of
+    :func:`bpe_learn_merges`, shared verbatim with the corpus tokenizer
+    (train and apply MUST agree on merge semantics or the tokenizer
+    drifts from its own vocabulary)."""
+    wisl = Window.partitionBy("w").orderBy("i")
+    wrun = Window.partitionBy("w", "g").orderBy("i")
+    # rebuild ONLY words containing the pair (an array-expression
+    # pre-filter in codegen); the untouched majority passes through
+    # without explode/window/reassembly — at web scale almost every
+    # word is untouched by any single merge
+    wm = words.crossJoin(F.broadcast(merge.select("a", "b")))
+    has_pair = F.expr(
+        # the size guard lives INSIDE the CASE: sequence(1, 0)
+        # descends for single-symbol words and ANSI AND would still
+        # evaluate the element_at(s, 0) branch
+        "CASE WHEN size(s) < 2 THEN false ELSE "
+        "exists(sequence(1, size(s) - 1), i -> "
+        "element_at(s, i) = a AND element_at(s, i + 1) = b) END"
+    )
+    unmatched = wm.filter(~has_pair).select("w", "wn", "s")
+    rows = wm.filter(has_pair).select(
+        "w",
+        "wn",
+        "a",
+        "b",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(s)), i -> struct("
+                "i AS i, element_at(s, i) AS sym, "
+                # try_element_at: ANSI AND does not short-circuit, so
+                # the i = size(s) row would error on plain element_at
+                "CASE WHEN i < size(s) AND element_at(s, i) = a "
+                "AND try_element_at(s, i + 1) = b THEN 1 ELSE 0 END AS mt))"
+            )
+        ).alias("r"),
+    ).select("w", "wn", "a", "b", "r.i", "r.sym", "r.mt")
+    sel = (
+        rows.filter(F.col("mt") == 1)
+        .withColumn("g", F.col("i") - F.row_number().over(wisl))
+        .withColumn("rn", F.row_number().over(wrun))
+        .filter(F.col("rn") % 2 == 1)
+        .select("w", "i")
+    )
+    dropped = sel.select("w", (F.col("i") + 1).alias("i"))
+    rebuilt = (
+        rows.join(dropped, ["w", "i"], "left_anti")
+        .join(sel.withColumn("hit", F.lit(1)), ["w", "i"], "left")
+        .select(
+            "w",
+            "wn",
+            "i",
+            F.when(F.col("hit") == 1, F.concat(F.col("a"), F.col("b")))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+    )
+    return (
+        rebuilt.groupBy("w", "wn")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "sym"))),
+                lambda st: st["sym"],
+            ).alias("s")
+        )
+        .unionByName(unmatched)
+    )
+
+
+def _bpe_chain_sql(apply_last: bool) -> str:
+    """The learn-chain WITH body shared by the trainer oracle (merges
+    1..R, last one NOT applied — its effect is unobservable in the merge
+    table) and the tokenizer oracle (all R merges applied so ``words{R}``
+    is the fully tokenized vocabulary)."""
     sql = """
 WITH words0 AS MATERIALIZED (
   SELECT w, count(*) AS wn,
@@ -1655,7 +1665,7 @@ pairs{r} AS (
 merge{r} AS MATERIALIZED (
   SELECT a, b, cnt FROM pairs{r} ORDER BY cnt DESC, a, b LIMIT 1
 )"""
-        if r == _BPE_ROUNDS:
+        if r == _BPE_ROUNDS and not apply_last:
             break
         sql += f""",
 rows{r} AS MATERIALIZED (
@@ -1689,13 +1699,16 @@ words{r} AS MATERIALIZED (
   CROSS JOIN merge{r} m
   GROUP BY k.w
 )"""
+    return sql
+
+
+def _bpe_learn_sql() -> str:
     parts = [
         f"SELECT {r} AS rank, a AS left_sym, b AS right_sym, cnt AS n_pairs "
         f"FROM merge{r}"
         for r in range(1, _BPE_ROUNDS + 1)
     ]
-    sql += "\n" + "\nUNION ALL\n".join(parts)
-    return sql
+    return _bpe_chain_sql(apply_last=False) + "\n" + "\nUNION ALL\n".join(parts)
 
 
 BPE_LEARN_SQL = _bpe_learn_sql()
@@ -1831,3 +1844,126 @@ MIX_DOREMI_SQL = _doremi_sql()
 
 QUERIES["mix_doremi_weights"] = mix_doremi_weights
 ORACLES["mix_doremi_weights"] = MIX_DOREMI_SQL
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer APPLY at corpus scale (round 6)
+# ---------------------------------------------------------------------------
+
+#: session-learned merge table values — (rank, left, right), tiny by
+#: definition (a merge table, not data); same cache shape as the IVF/PQ
+#: codebooks: train once per (session, sf_dir), every consumer reuses
+_BPE_MERGES_CACHE: dict[tuple[str, str], list] = {}
+
+
+def _learned_merges(spark: SparkSession, sf_dir: str) -> list:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    rows = _BPE_MERGES_CACHE.get(key)
+    if rows is None:
+        rows = sorted(
+            (r["rank"], r["left_sym"], r["right_sym"])
+            for r in bpe_learn_merges(spark, sf_dir).collect()
+        )
+        _BPE_MERGES_CACHE[key] = rows
+    return rows
+
+
+def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's APPLY stage at corpus scale — the production
+    counterpart of :func:`bpe_learn_merges`' training loop: take the
+    session-learned merge table (trained once, cached like the IVF/PQ
+    codebooks) and tokenize EVERY word, reporting per-source token
+    economics (words, BPE tokens, chars, chars-per-token) — the numbers
+    a data-mixture owner actually reads off a tokenized corpus.
+
+    Application runs on the DISTINCT-word vocabulary through the SAME
+    :func:`_apply_merge` kernel the trainer used (train/apply agreement
+    by construction), then joins token counts back to the per-(source,
+    word) instance table — the standard "tokenize the vocabulary, not
+    the corpus" factorization: corpus-scale work is ONE distinct
+    aggregate and ONE multiply-join, the merge loop runs on vocabulary
+    rows. Single-char words are single tokens by definition (the
+    trainer's ≥2 filter excludes them from PAIR statistics, which they
+    cannot affect).
+
+    The oracle re-derives the merges by unrolling the training rounds
+    as CTEs and applies the final round too (``_bpe_chain_sql(True)``)
+    — a differential test of the whole train→apply chain."""
+    merges = _learned_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    inst = docs.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n_inst"))
+    vocab = (
+        inst.groupBy("w")
+        .agg(F.sum("n_inst").alias("wn"))
+        .filter(F.length("w") >= 2)
+        .select(
+            "w",
+            "wn",
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("s"),
+        )
+    )
+    for _rank, a, b in merges:
+        vocab = persist_tracked(
+            _apply_merge(
+                vocab, spark.createDataFrame([(a, b)], "a string, b string")
+            )
+        )
+    tok = vocab.select("w", F.size("s").cast("long").alias("n_tok")).unionByName(
+        inst.select("w").filter(F.length("w") == 1).distinct().select(
+            "w", F.lit(1).cast("long").alias("n_tok")
+        )
+    )
+    return (
+        inst.join(tok, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("n_inst").alias("n_words"),
+            F.sum(F.col("n_inst") * F.col("n_tok")).alias("n_tokens"),
+            F.sum(F.col("n_inst") * F.length("w")).alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            dround(F.col("n_chars") / F.col("n_tokens"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+    )
+
+
+def _bpe_tokenize_sql() -> str:
+    last = f"words{_BPE_ROUNDS}"
+    return (
+        _bpe_chain_sql(apply_last=True)
+        + f""",
+toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+inst AS (SELECT source, w, count(*) AS n_inst FROM toks GROUP BY 1, 2),
+tok AS (
+  SELECT w, CAST(len(s) AS BIGINT) AS n_tok FROM {last}
+  UNION ALL
+  SELECT DISTINCT w, CAST(1 AS BIGINT) AS n_tok FROM inst WHERE length(w) = 1
+)
+SELECT source,
+       sum(n_inst) AS n_words,
+       sum(n_inst * n_tok) AS n_tokens,
+       sum(n_inst * length(w)) AS n_chars,
+       CAST(round(CAST(sum(n_inst * length(w)) / sum(n_inst * n_tok)
+                       AS DECIMAL(30,10)), 6) AS DOUBLE) AS chars_per_token
+FROM inst JOIN tok USING (w)
+GROUP BY source
+"""
+    )
+
+
+BPE_TOKENIZE_SQL = _bpe_tokenize_sql()
+
+QUERIES["bpe_tokenize_corpus"] = bpe_tokenize_corpus
+ORACLES["bpe_tokenize_corpus"] = BPE_TOKENIZE_SQL

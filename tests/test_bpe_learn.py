@@ -56,3 +56,20 @@ def test_oracle_agrees_on_adversarial_corpus(spark, bpe_dir):
         map(tuple, con.execute(entrymod.oracle_sql()["bpe_learn_merges"]).fetchall())
     )
     assert rows == {(1, "a", "a", 7), (2, "c", "c", 3), (3, "aa", "a", 2)}
+
+
+def test_tokenize_applies_all_learned_merges(spark, queries, bpe_dir):
+    """Hand computation on the same fixture, all THREE merges applied:
+    aaaa→[aa,aa] (merge 3 (aa,a) does not match (aa,aa)), aaa→[aaa],
+    baaab→[b,aaa,b], cc→[cc]×3 instances → 6 words, 9 tokens, 18 chars,
+    exactly 2.0 chars/token."""
+    rows = queries["bpe_tokenize_corpus"](spark, bpe_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (
+        r["source"],
+        r["n_words"],
+        r["n_tokens"],
+        r["n_chars"],
+        r["chars_per_token"],
+    ) == ("src0", 6, 9, 18, 2.0)

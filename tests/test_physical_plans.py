@@ -156,6 +156,9 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
         # one-row argmax-merge broadcast per BPE round (the chosen pair
         # fans onto the vocabulary frame; never fact×fact)
         "bpe_learn_merges",
+        # same one-row merge broadcast per round, applied via the shared
+        # _apply_merge kernel with session-cached literal merges
+        "bpe_tokenize_corpus",
         # 5-row query-vector broadcast under a != predicate (the
         # self-exclusion non-equi join, same shape as sim_cosine_topk)
         "embed_matryoshka_recall",
