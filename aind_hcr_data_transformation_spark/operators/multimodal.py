@@ -3,11 +3,13 @@
 Image/audio/video payloads are opaque ``BinaryType`` columns with typed
 metadata. The Spark-side machinery — schema, Arrow batching, ``mapInPandas``
 UDF signature, partitioning — is real and oracle-tested. Media decode
-(:func:`decode_image`) decodes PNG FOR REAL through the vendored stdlib
-codec (``functions/png.py``, exercised end-to-end by
-``multimodal_png_decode``); other formats (JPEG, TIFF, video) gate
-loudly because their codec libraries are not in this container —
-swapping in PIL/ffmpeg changes one function, not the plan.
+(:func:`decode_image`) decodes PNG, baseline JPEG, and uncompressed
+grayscale TIFF FOR REAL through vendored spec-derived codecs
+(``functions/png.py``, ``sources/jpegcodec.py``, ``functions/tiff.py``
+— PNG and JPEG exercised end-to-end by ``multimodal_png_decode`` /
+``multimodal_jpeg_decode``); the long tail (color/compressed TIFF,
+video) gates loudly because those codec libraries are not in this
+container — swapping in PIL/ffmpeg changes one function, not the plan.
 
 Scale notes: binary payloads ride Arrow batches into Python once
 (``mapInPandas``), are hashed/measured vectorized, and never shuffle —
@@ -41,22 +43,32 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes) -> "object":
-    """Decode an image payload into an ndarray.
+    """Decode an image payload into an ndarray, sniffing the magic.
 
-    PNG (8-bit grayscale, non-interlaced — any scanline filter) decodes
-    FOR REAL through the vendored stdlib codec
-    (``functions/png.py``; exercised end-to-end by
-    ``multimodal_png_decode``). Other formats gate loudly: general media
-    codecs (JPEG, TIFF, …) are not available in this environment — plug
-    PIL/imageio here for production.
-    """
+    Three formats decode FOR REAL through vendored spec-derived codecs:
+    PNG (8-bit gray, non-interlaced, any scanline filter —
+    ``functions/png.py``, stdlib DEFLATE), baseline JPEG (gray8 —
+    ``sources/jpegcodec.py``, ITU-T T.81), and uncompressed grayscale
+    TIFF (8/16-bit, II or MM — ``functions/tiff.py``). Anything else
+    gates loudly — plug PIL/imageio for production coverage of the
+    long tail (video frames still gate on ffmpeg)."""
     from ..functions.png import PNG_SIGNATURE, decode_png_gray8
 
-    if bytes(payload[:8]) == PNG_SIGNATURE:
-        return decode_png_gray8(bytes(payload))
+    buf = bytes(payload)
+    if buf[:8] == PNG_SIGNATURE:
+        return decode_png_gray8(buf)
+    if buf[:2] == b"\xff\xd8":
+        from ..sources.jpegcodec import decode_gray
+
+        return decode_gray(buf)
+    if buf[:2] in (b"II", b"MM"):
+        from ..functions.tiff import decode_tiff_gray
+
+        return decode_tiff_gray(buf)
     raise NotImplementedError(
-        "only PNG (8-bit gray, non-interlaced) decodes in this "
-        "environment; plug PIL/imageio for other formats"
+        "only PNG (8-bit gray), baseline JPEG (gray8), and uncompressed "
+        "grayscale TIFF decode in this environment; plug PIL/imageio "
+        "for other formats"
     )
 
 
