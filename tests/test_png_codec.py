@@ -64,8 +64,9 @@ def test_unsupported_flavor_gates_loudly():
 
 
 def test_decode_image_dispatch():
-    """decode_image: PNG payloads decode for real; anything else raises
-    the documented gate."""
+    """decode_image: PNG payloads decode for real; a JPEG magic routes
+    to the vendored T.81 codec (malformed stream → ITS error, not the
+    PIL gate); an unknown magic raises the documented gate."""
     from aind_hcr_data_transformation_spark.operators.multimodal import (
         decode_image,
     )
@@ -74,5 +75,7 @@ def test_decode_image_dispatch():
     np.testing.assert_array_equal(
         decode_image(encode_png_gray8(arr, filter_type=2)), arr
     )
+    with pytest.raises(ValueError):  # the codec's parse error, not the gate
+        decode_image(b"\xff\xd8\xff\xe0 not a real jpeg")
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"\xff\xd8\xff\xe0 not a png")
+        decode_image(b"GIF87a not decodable here")
