@@ -71,6 +71,9 @@ DEFAULT_QUERIES = [
     # vocabulary-sized rounds, the single-shuffle bidirectional as-of,
     # the Pregel-family LPA, and the census-collect CUSUM argmax
     "bpe_learn_merges",
+    # round-6: the tokenizer APPLY stage (vocabulary-sized merge rounds
+    # + one corpus-instance multiply-join)
+    "bpe_tokenize_corpus",
     "join_asof_nearest",
     "graph_label_propagation",
     "ts_changepoint_cusum",
