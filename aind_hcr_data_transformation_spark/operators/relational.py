@@ -2543,9 +2543,9 @@ binned AS (
 )
 SELECT
   source,
-  cum_before // target AS bin,
+  CAST(cum_before // target AS BIGINT) AS bin,
   count(*) AS n_files,
-  sum(bytes) AS bin_bytes,
+  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
   min(doc_id) AS doc_lo,
   max(doc_id) AS doc_hi
 FROM binned
@@ -2835,8 +2835,8 @@ SELECT
   fmt,
   lang,
   count(*) AS n_docs,
-  sum(n_chars) AS sum_chars,
-  sum(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)) AS content_hash
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS content_hash
 FROM per_fmt
 GROUP BY 1, 2
 """

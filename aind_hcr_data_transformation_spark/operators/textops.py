@@ -938,7 +938,7 @@ tf AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
 tot AS (SELECT count(*) AS n FROM toks),
 surp AS (SELECT tok, ((SELECT n FROM tot) * 1000) // freq AS surprise FROM tf),
 doc_score AS (
-  SELECT doc_id, sum(surprise) // count(*) AS mean_surprise
+  SELECT doc_id, CAST(sum(surprise) // count(*) AS BIGINT) AS mean_surprise
   FROM toks JOIN surp USING (tok) GROUP BY doc_id
 ),
 nd AS (SELECT count(*) AS n_docs FROM doc_score),
@@ -1054,7 +1054,7 @@ cells AS (
   GROUP BY 1, 2
 ),
 est AS (
-  SELECT tf.tok, tf.n, min(c.c) AS cms_est
+  SELECT tf.tok, tf.n, CAST(min(c.c) AS BIGINT) AS cms_est
   FROM tf
   CROSS JOIN (VALUES (0), (1), (2), (3)) js(j)
   JOIN cells c ON c.j = js.j AND c.cell = {cell('tf.tok')}

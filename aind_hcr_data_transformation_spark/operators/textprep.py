@@ -1283,7 +1283,7 @@ pos AS (
 pairs AS (
   SELECT substr(w, CAST(i AS INT), 1) AS a,
          substr(w, CAST(i AS INT) + 1, 1) AS b,
-         sum(wn) AS n_pairs
+         CAST(sum(wn) AS BIGINT) AS n_pairs
   FROM pos
   GROUP BY 1, 2
 )
@@ -1444,7 +1444,7 @@ MIX_TEMPERATURE_SQL = f"""
 WITH per_src AS (
   SELECT source,
          count(*) AS n_docs,
-         sum(len(string_split(text, ' '))) AS n_tokens
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 ),
 w AS (
@@ -1704,7 +1704,8 @@ words{r} AS MATERIALIZED (
 
 def _bpe_learn_sql() -> str:
     parts = [
-        f"SELECT {r} AS rank, a AS left_sym, b AS right_sym, cnt AS n_pairs "
+        f"SELECT {r} AS rank, a AS left_sym, b AS right_sym, "
+        f"CAST(cnt AS BIGINT) AS n_pairs "
         f"FROM merge{r}"
         for r in range(1, _BPE_ROUNDS + 1)
     ]
@@ -1819,7 +1820,7 @@ ctf AS (SELECT w, count(*) AS ctf FROM toks GROUP BY w),
 n AS (SELECT count(*) AS n_tot FROM toks),
 diffs AS (
   SELECT source, count(*) AS n_tokens,
-         sum(n_tot // ctf) // count(*) AS difficulty
+         CAST(sum(n_tot // ctf) // count(*) AS BIGINT) AS difficulty
   FROM toks JOIN ctf USING (w) CROSS JOIN n
   GROUP BY source
 ),
@@ -1834,7 +1835,7 @@ w0 AS (
 ),
 {rounds_sql},
 tot AS (SELECT sum(wgt) AS wgt_total FROM {prev})
-SELECT source, n_tokens, difficulty, wgt AS weight_q,
+SELECT source, n_tokens, difficulty, CAST(wgt AS BIGINT) AS weight_q,
        CAST(wgt * CAST({S} AS BIGINT) // wgt_total AS DOUBLE) / {S}.0 AS share
 FROM {prev} CROSS JOIN tot
 """
@@ -1966,9 +1967,9 @@ tok AS (
   SELECT DISTINCT w, CAST(1 AS BIGINT) AS n_tok FROM inst WHERE length(w) = 1
 )
 SELECT source,
-       sum(n_inst) AS n_words,
-       sum(n_inst * n_tok) AS n_tokens,
-       sum(n_inst * length(w)) AS n_chars,
+       CAST(sum(n_inst) AS BIGINT) AS n_words,
+       CAST(sum(n_inst * n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(n_inst * length(w)) AS BIGINT) AS n_chars,
        CAST(round(CAST(sum(n_inst * length(w)) / sum(n_inst * n_tok)
                        AS DECIMAL(30,10)), 6) AS DOUBLE) AS chars_per_token
 FROM inst JOIN tok USING (w)

@@ -753,8 +753,8 @@ mad AS (
 SELECT
   d.event_type,
   count(*) AS n,
-  sum(CASE WHEN {sql_round('d.adev', 6)} > {sql_round(f'm.mad * {_MAD_K}', 6)}
-           THEN 1 ELSE 0 END) AS n_outliers,
+  CAST(sum(CASE WHEN {sql_round('d.adev', 6)} > {sql_round(f'm.mad * {_MAD_K}', 6)}
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
   {sql_round('any_value(m.med)', 6)} AS med,
   {sql_round('any_value(m.mad)', 6)} AS mad
 FROM dev d JOIN mad m ON d.event_type = m.event_type

@@ -890,7 +890,7 @@ streaks AS (
 SELECT user_id,
        max(len) AS longest_streak,
        count(*) AS n_streaks,
-       sum(len) AS active_days
+       CAST(sum(len) AS BIGINT) AS active_days
 FROM streaks
 GROUP BY 1
 """
@@ -1217,9 +1217,9 @@ e AS (
   FROM events, cut
 )
 SELECT user_id,
-  sum(CASE WHEN us <= cut THEN 1 ELSE 0 END) AS n_lifetime,
-  sum(CASE WHEN us <= cut AND us > cut - 7 * 86400000000
-           THEN 1 ELSE 0 END) AS n_7d,
+  CAST(sum(CASE WHEN us <= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_lifetime,
+  CAST(sum(CASE WHEN us <= cut AND us > cut - 7 * 86400000000
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_7d,
   CAST(round(coalesce(sum(CASE WHEN us <= cut AND us > cut - 7 * 86400000000
                                 THEN CAST(value AS DECIMAL(30,10)) END),
                       CAST(0 AS DECIMAL(30,10))), 2) AS DOUBLE) AS spend_7d,

@@ -5,6 +5,15 @@ Runs every ``queries()`` entry from ``__spark_entry__`` and compares against
 value comparison (values normalized to strings, rows sorted). Columns are
 sorted by name before comparison, mirroring the driver contract.
 
+Additionally compares the **physical type family** of every output column
+(DuckDB ``DESCRIBE`` vs the Spark schema, via ``tools/type_audit``): the
+driver hashes through Arrow, where DuckDB HUGEINT materializes as
+``decimal128(38,0)`` — a hash mismatch against a Spark ``bigint`` even
+when every value is identical.  Plain ``fetchall()`` collapses both to
+Python ``int`` and was blind to the class (the round-5/6 driver reds,
+``scalar_variant_json`` / ``layout_compaction_plan``); the family check
+makes those trip locally (``type_match`` in the JSON record).
+
 Usage: python tools/oracle_check.py [--json OUT.json] [--duckdb-strict]
        [sf_dir] [query ...]
 
@@ -166,6 +175,7 @@ def main() -> int:
         base = {
             "rows_match": None,
             "schema_match": None,
+            "type_match": None,
             "hash_match": None,
             "spark_rows": None,
             "oracle_rows": None,
@@ -174,12 +184,15 @@ def main() -> int:
         base.update(kw)
         records[name] = base
 
+    from tools.type_audit import duckdb_family, spark_family
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            sschema = sdf.schema
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
@@ -205,6 +218,30 @@ def main() -> int:
             continue
         schema_match = sorted(scols) == sorted(dcols)
         rows_match = len(srows) == len(drows)
+        # driver-faithful physical-type check: DESCRIBE is free (no
+        # re-execution) and catches the Arrow-level HUGEINT class that
+        # value comparison through fetchall() cannot see
+        try:
+            dd_types = {
+                r[0]: r[1]
+                for r in _dd_execute(f"DESCRIBE {oracles[name]}").fetchall()
+            }
+            sp_fams = {f.name: spark_family(f.dataType) for f in sschema.fields}
+            type_diffs = [
+                (c, t, sp_fams.get(c))
+                for c, t in dd_types.items()
+                if c in sp_fams and duckdb_family(t) != sp_fams[c]
+            ]
+        except Exception as e:
+            type_diffs = [("<describe failed>", str(e), None)]
+        if type_diffs:
+            failures.append(name)
+            record(name, rows_match=rows_match, schema_match=schema_match,
+                   type_match=False, spark_rows=len(srows),
+                   oracle_rows=len(drows))
+            print(f"FAIL  {name}: physical type family differs "
+                  f"(driver Arrow-hash hazard): {type_diffs}")
+            continue
         if not schema_match:
             failures.append(name)
             record(name, rows_match=rows_match, schema_match=False,
@@ -219,7 +256,8 @@ def main() -> int:
             continue
         sc, dc = _canon(srows, scols), _canon(drows, dcols)
         hash_match = sc == dc
-        record(name, rows_match=True, schema_match=True, hash_match=hash_match,
+        record(name, rows_match=True, schema_match=True, type_match=True,
+               hash_match=hash_match,
                spark_rows=len(srows), oracle_rows=len(drows))
         if not hash_match:
             failures.append(name)
