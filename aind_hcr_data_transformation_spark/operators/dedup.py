@@ -570,9 +570,18 @@ def _pair_candidates(sh: DataFrame, bands_df: DataFrame | None = None) -> DataFr
        including its rarest ones, so one distinctive shingle suffices.
 
     Neither channel shuffles df² rows for head (template/boilerplate)
-    shingles — those carry no discriminative signal, and pairs whose
-    ONLY overlap is head shingles surface through the LSH channel iff
-    their overall similarity clears the banding curve.  The rare
+    shingles — those carry no discriminative signal; pairs whose ONLY
+    overlap is head shingles can still surface through the LSH channel,
+    but only with the banding curve's per-pair PROBABILITY
+    (1-(1-s^r)^b), not as a guarantee.  Recall is therefore
+    probabilistic for pairs whose Jaccard sits between the scoring
+    threshold (0.4) and the LSH design point (~0.5) when all their
+    shared shingles have df > ``_RARE_DF_CAP``: such a pair can be
+    silently missed.  This is the standard candidate-generation
+    trade-off (the exact-verify step never creates false positives,
+    and the oracle mirrors the same candidate set); the adversarial
+    bound is pinned in ``tests/test_dedup_recall.py::
+    test_mid_similarity_head_shingle_recall``.  The rare
     channel additionally demands ``_RARE_MIN_COLLISIONS`` distinct
     rare-shingle matches per pair, which collapses the coincidental
     single-3-gram collisions a finite vocabulary produces while keeping
@@ -1475,11 +1484,14 @@ QUERIES = {
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_cdc_chunks": dedup_cdc_chunks,
-    # NOTE: dedup_ngram_jaccard's 0.4 threshold is a Jaccard over the
-    # DF-CAPPED shingle universe — both engines and the recall test use
-    # the identical capped universe, but the score is not the
-    # raw-universe Jaccard.  The cap is derived from the corpus row
-    # count (``_ngram_df_cap``) in both engines.
+    # NOTE: dedup_ngram_jaccard scores RAW-universe Jaccard at 0.4 but
+    # only over candidate pairs from the shared LSH ∪ rare-shingle index
+    # (see _pair_candidates): recall for pairs between 0.4 and the LSH
+    # design point whose shared shingles are all non-rare is
+    # probabilistic, not guaranteed.  Both engines mirror the same
+    # candidate set, so the differential gate checks exact-verify
+    # parity, not absolute recall (that bound is pinned in
+    # tests/test_dedup_recall.py).
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,

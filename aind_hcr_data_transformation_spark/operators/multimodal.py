@@ -695,8 +695,16 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row CPU inside Arrow batches, the same batch shape a libjpeg
     decode would occupy."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
+    # normalize to printable ASCII ('?' for anything else) BEFORE the
+    # byte tiling: the DuckDB twin tiles *characters* (substr/ascii)
+    # while this side tiles *bytes*, and any multi-byte UTF-8 character
+    # would make the two engines build different images — normalizing in
+    # both engines makes the twin byte-exact by construction (ADVICE r6)
     media = docs.filter(F.length("text") >= 1).select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+        "doc_id",
+        F.encode(
+            F.regexp_replace(F.col("text"), "[^ -~]", "?"), "utf-8"
+        ).alias("payload"),
     )
     return media.mapInPandas(_jpeg_roundtrip, PNG_DECODE_SCHEMA)
 
@@ -735,13 +743,16 @@ def _jpeg_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 MULTIMODAL_JPEG_DECODE_SQL = f"""
 WITH d AS (
-  SELECT doc_id, text FROM documents WHERE octet_length(encode(text)) >= 1
+  -- same printable-ASCII normalization as the Spark side: with every
+  -- character single-byte, character tiling == byte tiling by construction
+  SELECT doc_id, regexp_replace(text, '[^ -~]', '?', 'g') AS text
+  FROM documents WHERE octet_length(encode(text)) >= 1
 ),
 bc AS (  -- the 64 block bytes: text tiled to {_JPEG_BLOCKS * _JPEG_BLOCKS} chars
   SELECT doc_id,
          substr(repeat(text,
                        CAST({_JPEG_BLOCKS * _JPEG_BLOCKS}
-                            // octet_length(encode(text)) + 1 AS INTEGER)),
+                            // length(text) + 1 AS INTEGER)),
                 1, {_JPEG_BLOCKS * _JPEG_BLOCKS}) AS chars
   FROM d
 ),

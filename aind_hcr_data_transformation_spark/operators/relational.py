@@ -2563,6 +2563,15 @@ ORACLES["layout_compaction_plan"] = LAYOUT_COMPACTION_SQL
 _BUCKETS = 16
 
 
+#: superseded layouts younger than this survive the sweep: a session
+#: that attached the old-tag layout BEFORE the fixture regen may still
+#: be serving queries from it, and rmtree-ing a registered external
+#: table's files fails those queries with confusing read errors
+#: (ADVICE r6).  One hour comfortably exceeds any single bench/test
+#: session here while still bounding tmp growth.
+_SWEEP_GRACE_S = 3600.0
+
+
 def _sweep_stale_layouts(prefix: str, keep) -> None:
     """Best-effort-delete sibling cached layouts under the same
     sf-scoped ``prefix`` whose tag differs from the current one: every
@@ -2571,15 +2580,25 @@ def _sweep_stale_layouts(prefix: str, keep) -> None:
     accumulate in tmp without bound.  The prefix embeds the sf_dir slug,
     so layouts of OTHER scale factors (live in parallel test/bench
     sessions) are never touched — only superseded generations of the
-    same source, which no session can still be serving (a parquet
-    mtime is filesystem-global)."""
+    same source, and of those only ones older than ``_SWEEP_GRACE_S``
+    (a concurrent session that attached the previous generation before
+    the regen could otherwise lose its registered files mid-query;
+    within the grace window both generations coexist on disk)."""
     import shutil
     import tempfile
+    import time
     from pathlib import Path
 
     keep = Path(keep)
+    now = time.time()
     for sib in Path(tempfile.gettempdir()).glob(f"{prefix}*"):
-        if sib != keep:
+        if sib == keep:
+            continue
+        try:
+            age = now - sib.stat().st_mtime
+        except OSError:
+            continue
+        if age > _SWEEP_GRACE_S:
             shutil.rmtree(sib, ignore_errors=True)
 
 

@@ -182,8 +182,12 @@ class _BitReader:
         self._n = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG stream (entropy segment ends mid-block)")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG stream (dangling FF at end of scan)")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -337,6 +341,13 @@ def decode_gray(data: bytes) -> np.ndarray:
             continue
         if marker == 0xD9:  # EOI
             raise ValueError("reached EOI without a scan")
+        if marker == 0x01:  # TEM — standalone, no length field (T.81 §B.1.1.3)
+            pos += 2
+            continue
+        if 0xD0 <= marker <= 0xD7:  # RSTn outside a scan is malformed
+            raise ValueError(f"stray restart marker FF{marker:02X} outside scan")
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG stream (marker without length)")
         length = struct.unpack_from(">H", data, pos + 2)[0]
         body = data[pos + 4 : pos + 2 + length]
         pos += 2 + length

@@ -1,6 +1,8 @@
 """Vendored minimal ZISRAW (Zeiss CZI) container codec — pure Python;
-uncompressed and zstd (modes 5/6, incl. hi-lo byte planing) subblocks.
-JPEG / JPEG-XR subblocks still require czifile + imagecodecs.
+uncompressed, zstd (modes 5/6, incl. hi-lo byte planing) and baseline
+JPEG (mode 1, via the vendored :mod:`jpegcodec`) subblocks decode
+in-container.  Only JPEG-XR (mode 4) and non-baseline JPEG flavors
+still require czifile + imagecodecs.
 
 Why this exists: the production slab reader (``czi.py::_read_slab_czifile``,
 mirroring ``read_slices_czi``, reference ``utils/utils.py:284-395``) needs a

@@ -319,3 +319,60 @@ def test_cdc_chunks_edge_documents(spark, queries, tmp_path):
         for r in queries["dedup_cdc_chunks"](spark, str(tmp_path)).collect()
     }
     assert rows == {(1, 2): 3, (6, 7): 2}
+
+
+def test_mid_similarity_head_shingle_recall(spark):
+    """ADVICE r6: adversarial recall bound for the candidate index.
+
+    Pairs with raw Jaccard in [0.4, 0.5) whose shared shingles ALL have
+    df > _RARE_DF_CAP reach the verifier only through the banded-LSH
+    channel, whose per-pair admission is the banding curve probability
+    1-(1-s^r)^b (~0.56 at s=0.43 with r=2, b=4) — NOT a guarantee.
+    This pins that documented behavior with a deterministic adversarial
+    corpus (md5 minhashes are deterministic, so recall is a fixed
+    number): recall must be well above zero (the channel works) and
+    below one (the docstring's probabilistic caveat is real, i.e. the
+    guarantee claim the round-6 advisor flagged would be false).
+    """
+    from pyspark.sql import functions as F
+
+    from aind_hcr_data_transformation_spark.operators.dedup import (
+        _RARE_DF_CAP,
+        _pair_candidates,
+    )
+
+    n_pairs, n_head, n_bg = 60, 100, 120
+    rows = []
+    # head shingles: each lives in 12 background docs -> df > cap
+    for h in range(n_head):
+        for j in range(12):
+            rows.append(((h * 7 + j) % n_bg, h))
+    # planted pairs: 12 shared HEAD shingles + 8 unique each
+    # -> raw Jaccard = 12 / (20 + 20 - 12) = 0.4286 in [0.4, 0.5)
+    for p in range(n_pairs):
+        shared = [(p * 13 + k * 17) % n_head for k in range(12)]
+        assert len(set(shared)) == 12
+        for s in shared:
+            rows.append((10_000 + p, s))
+            rows.append((20_000 + p, s))
+        for i in range(8):
+            rows.append((10_000 + p, 1_000_000 + p * 100 + i))
+            rows.append((20_000 + p, 2_000_000 + p * 100 + i))
+    sh = spark.createDataFrame(rows, "doc_id long, sid long")
+
+    # every shared shingle is non-rare by construction
+    head_df = (
+        sh.groupBy("sid").count().filter(F.col("sid") < n_head)
+        .agg(F.min("count")).collect()[0][0]
+    )
+    assert head_df > _RARE_DF_CAP
+
+    cands = {
+        (r.doc1, r.doc2)
+        for r in _pair_candidates(sh).filter(F.col("doc1") >= 10_000).collect()
+    }
+    found = sum((10_000 + p, 20_000 + p) in cands for p in range(n_pairs))
+    recall = found / n_pairs
+    # deterministic given the fixed corpus; expected ~0.56 from the
+    # banding curve.  Loose bounds so fixture tweaks don't flake it.
+    assert 0.2 <= recall < 1.0, f"recall {recall} outside documented band"

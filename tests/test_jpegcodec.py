@@ -153,3 +153,88 @@ def test_fill_bytes_before_markers_are_skipped():
     dqt = enc.find(b"\xff\xdb")
     padded = enc[:dqt] + b"\xff\xff" + enc[dqt:]
     np.testing.assert_array_equal(decode_gray(padded), decode_gray(enc))
+
+
+def test_truncated_entropy_segment_raises_valueerror():
+    """A scan cut mid-entropy-segment must raise a clean ValueError, not
+    a bare IndexError from the bit reader (ADVICE r6)."""
+    img = np.arange(4096, dtype=np.uint8).reshape(64, 64)
+    enc = encode_gray(img)
+    sos = enc.find(b"\xff\xda")
+    assert sos > 0
+    truncated = enc[: sos + 20]  # header + a few entropy bytes
+    with pytest.raises(ValueError, match="truncated JPEG stream"):
+        decode_gray(truncated)
+
+
+def test_standalone_markers_handled_cleanly():
+    """TEM (FF01) has no length field and must be skipped; a stray RSTn
+    in the header zone is malformed and must raise ValueError instead of
+    being parsed as a length-prefixed segment (ADVICE r6)."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    enc = encode_gray(img)
+    dqt = enc.find(b"\xff\xdb")
+    # TEM before DQT: legal standalone marker, decode unchanged
+    np.testing.assert_array_equal(
+        decode_gray(enc[:dqt] + b"\xff\x01" + enc[dqt:]), decode_gray(enc)
+    )
+    with pytest.raises(ValueError, match="restart marker"):
+        decode_gray(enc[:dqt] + b"\xff\xd3" + enc[dqt:])
+
+
+def test_dangling_ff_at_scan_end_raises_valueerror():
+    """An entropy segment ending exactly on an 0xFF byte must report
+    truncation, not IndexError on the lookahead."""
+    img = np.full((8, 8), 200, dtype=np.uint8)
+    enc = encode_gray(img)
+    sos = enc.find(b"\xff\xda")
+    with pytest.raises(ValueError, match="truncated|dangling"):
+        decode_gray(enc[: sos + 10] + b"\xff")
+
+
+def test_multimodal_jpeg_twin_byte_exact_on_non_ascii(tmp_path):
+    """ADVICE r6: the DuckDB twin tiles characters while Spark tiles
+    bytes — parity must not depend on an all-ASCII corpus.  Both sides
+    now normalize to printable ASCII first; a corpus with multi-byte
+    UTF-8 characters must still hash-match."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aind_hcr_data_transformation_spark.operators.multimodal import (
+        MULTIMODAL_JPEG_DECODE_SQL,
+        QUERIES,
+    )
+    from aind_hcr_data_transformation_spark.session import get_spark
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "café naïve résumé",          # 2-byte chars
+                "数据 管道 去重",               # 3-byte chars + spaces
+                "plain ascii only here",
+                "mixed ascii → with 𝄞 arrows",  # incl. 4-byte char
+            ],
+            "lang": ["fr", "zh", "en", "en"],
+            "source": ["s"] * 4,
+            "n_chars": [17, 8, 21, 26],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), tmp_path / "documents.parquet")
+
+    spark = get_spark("test-jpeg-nonascii")
+    got = {
+        r.doc_id: (r.pix_sum, r.pix_md5)
+        for r in QUERIES["multimodal_jpeg_decode"](spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = {
+        r[0]: (r[3], r[4])
+        for r in con.execute(MULTIMODAL_JPEG_DECODE_SQL).fetchall()
+    }
+    assert got == want and len(got) == 4

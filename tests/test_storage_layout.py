@@ -85,3 +85,29 @@ def test_partitioned_write_prunes(warehouse, tmp_path):
         (l for l in plan.splitlines() if "PartitionFilters" in l), ""
     )
     assert "1997" in pruned_line
+
+
+def test_sweep_stale_layouts_respects_grace_age(tmp_path, monkeypatch):
+    """ADVICE r6: superseded layout generations younger than the grace
+    age must survive the sweep (a concurrent session may still serve
+    them); older ones are reclaimed."""
+    import os
+    import tempfile
+    import time
+
+    from aind_hcr_data_transformation_spark.operators import relational as R
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    keep = tmp_path / "spark_graft_bucketed_abc123_tagNEW"
+    fresh = tmp_path / "spark_graft_bucketed_abc123_tagMID"
+    stale = tmp_path / "spark_graft_bucketed_abc123_tagOLD"
+    for d in (keep, fresh, stale):
+        d.mkdir()
+        (d / "part-0.parquet").write_bytes(b"x")
+    old = time.time() - R._SWEEP_GRACE_S - 60
+    os.utime(stale, (old, old))
+
+    R._sweep_stale_layouts("spark_graft_bucketed_abc123_", keep)
+    assert keep.exists(), "current layout must never be touched"
+    assert fresh.exists(), "young superseded layout must survive the grace window"
+    assert not stale.exists(), "aged-out layout must be reclaimed"

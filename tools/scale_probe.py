@@ -15,12 +15,15 @@ each query, and the growth ratio is classified:
 - ``linear``       ratio <= 1.5 x data growth
 - ``superlinear``  anything above — the would-not-survive-100x flag
 
-Candidate-pair generators (Jaccard, containment) bound their pair
-fan-out with a SUBLINEAR document-frequency cut,
-``clamp(isqrt(n), 20, 10k)``: a surviving shingle's df² fan-out is at
-most n, so total pair volume grows ~linearly with the corpus and both
-queries classify ``linear`` in this window (round 5's linear cap
-``n/25`` measured 17-20x at 10x data; the isqrt cap fixed it).
+Candidate-pair generators (Jaccard, containment) were rebuilt in round
+6 on a shared candidate-generate → exact-verify index (banded minhash
+LSH ∪ constant-df rare-shingle channel, ``dedup._pair_candidates``):
+LSH pair volume tracks genuinely-similar pairs and the rare channel's
+per-shingle fan-out is bounded by the constant cap² — both classify
+linear/sublinear in this window.  (``dedup_cdc_chunks`` still uses the
+sublinear ``clamp(isqrt(n), 20, 10k)`` df cut on chunk hashes; round
+5's linear cap ``n/25`` measured 17-20x at 10x data before these
+fixes.)
 
 Usage::
 
