@@ -54,3 +54,48 @@ def sql_cosine(a: str, b: str, dim: int = EMB_DIM) -> str:
         f"(({sql_dot(a, b, dim)})"
         f" / (sqrt({sql_dot(a, a, dim)}) * sqrt({sql_dot(b, b, dim)})))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark-SQL string builders for literal-inlined vector math.
+#
+# Building a codebook-literal expression through the Column API costs one
+# py4j round-trip per F.lit — measured ~1.5 s of pure DataFrame
+# CONSTRUCTION per 8×64-double codebook at 2–3 ms a call, paid on every
+# query build.  Emitting ONE SQL string and parsing it with a single
+# F.expr() is the same expression tree (identical analyzed plan, bit-
+# identical results) at zero py4j amplification.
+# ---------------------------------------------------------------------------
+
+
+def dlit(v: float) -> str:
+    """Exact Spark-SQL double literal: ``repr`` round-trips IEEE-754
+    doubles (shortest-exact), and the ``D`` suffix keeps the parser from
+    reading the token as DECIMAL."""
+    return repr(float(v)) + "D"
+
+
+def arr_lit(vals) -> str:
+    """``array(...)`` literal of exact double literals."""
+    return "array(" + ", ".join(dlit(v) for v in vals) + ")"
+
+
+def sparksql_dot(a_sql: str, b_sql: str) -> str:
+    """Spark-SQL twin of :func:`spark_dot` — the SAME zip_with/aggregate
+    left fold, so the analyzed expression (and every IEEE operation) is
+    identical to the Column-API form."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def sparksql_sq_l2(a_sql: str, b_sql: str) -> str:
+    """Spark-SQL twin of ``vectorops._sq_l2`` (left-folded squared L2)."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+        "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "0.0D, (acc, v) -> acc + v)"
+    )

@@ -37,7 +37,16 @@ from pyspark.sql import functions as F
 
 from ..cache import persist_tracked
 from ..functions.compat import dround
-from ..functions.vectors import EMB_DIM, spark_dot, spark_cosine_prenorm, sql_cosine
+from ..functions.vectors import (
+    EMB_DIM,
+    arr_lit,
+    dlit,
+    spark_cosine_prenorm,
+    spark_dot,
+    sparksql_dot,
+    sparksql_sq_l2,
+    sql_cosine,
+)
 from ..tables import load_table
 
 _K = 8  # coarse-quantizer cells; scale rule: k ≈ n / target_bucket_size
@@ -94,53 +103,84 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def _update(assigned: DataFrame) -> DataFrame:
-    """Centroid update: exact decimal per-dimension sums (order-immune),
-    then mean in double.
+def _train_values(emb: DataFrame) -> list:
+    """K-means codebook values after ``_ITERS`` Lloyd iterations —
+    driver-iterated, exactly MLlib's KMeans loop shape: the k×dim
+    centroid array lives on the DRIVER between iterations and each
+    iteration is ONE distributed job (literal-inlined nearest-centroid
+    assignment → per-(cluster, dim) exact decimal sums → collect the
+    k×dim sums).  The round-6 DataFrame-chained form (broadcast join +
+    argmin aggregate + array rebuild per iteration, persisted lineage)
+    computed the identical values in ~3× the wall time at fixture scale
+    because each iteration cost several jobs of pure orchestration.
 
-    Shaped as posexplode → one (cluster, dim) aggregate → array rebuild,
-    NOT 64 aggregate expressions: decimal addition is exact in any
-    order, so the value is identical while the generated code stays
-    small (64 wide aggregates cost seconds of codegen compilation and
-    the long rows carry no benefit).  Data volume is rows × dims tiny
-    integers — two cheap shuffles."""
-    long = assigned.select(
-        "cluster", F.posexplode("embedding").alias("dim", "v")
-    ).select(
-        "cluster", "dim", F.col("v").cast("double").cast("decimal(30,10)").alias("v")
+    Bit-equivalence with the previous formulation (and with the
+    unrolled-CTE oracle):
+
+    * assignment score ``c·c − 2·x·c`` uses :func:`_cell_candidates` —
+      the same left-fold order as ``_assign``'s ``spark_dot``, with the
+      driver-held centroids inlined as double literals (Python floats
+      ARE IEEE doubles; the ``c²`` Python fold mirrors ``spark_dot(c,
+      c)`` term order);
+    * the argmin is ``array_min`` over (score, cluster) structs — the
+      same deterministic tie-break as ``min(struct(score, cluster,
+      …))`` since (score, cluster) pairs are unique per vector;
+    * the update sums each dimension as ``DECIMAL(30,10)`` exactly like
+      ``_update`` (order-immune, so partial aggregation is free), and
+      the driver computes ``mean = double(sum)/n`` — the same
+      correctly-rounded decimal→double conversion and IEEE division
+      Spark's ``s.cast("double")/n`` performs.
+
+    Collect volume per iteration is k×dim (cluster, dim, sum, count)
+    rows — codebook-sized by definition, independent of corpus rows:
+    the legitimate MLlib-style driver collect at any scale."""
+    # the corpus is re-scanned once per iteration — cache it so
+    # iterations 2..N read materialized blocks instead of re-running the
+    # scan (+ the spread exchange); released with the query's persists
+    emb = persist_tracked(emb)
+    init = emb.filter(F.col("vec_id") < _K).select("vec_id", "embedding").collect()
+    values = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]]) for r in init
     )
-    per_dim = long.groupBy("cluster", "dim").agg(
-        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
-    )
-    return (
-        per_dim.select(
-            "cluster",
-            "dim",
-            (F.col("s").cast("double") / F.col("n")).alias("mean"),
+    for _ in range(_ITERS):
+        rows = (
+            emb.select(
+                # two-step: a struct-field extraction cannot share a
+                # select with a generator (Spark resolves the generator
+                # first and loses the struct's field names)
+                F.array_min(_cell_candidates("embedding", values))[
+                    "cluster"
+                ].alias("cluster"),
+                "embedding",
+            )
+            .select("cluster", F.posexplode("embedding").alias("dim", "v"))
+            .select(
+                "cluster",
+                "dim",
+                F.col("v").cast("double").cast("decimal(30,10)").alias("v"),
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
         )
-        .groupBy("cluster")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dm")
+        byc: dict[int, dict[int, float]] = {}
+        for r in rows:
+            byc.setdefault(int(r["cluster"]), {})[int(r["dim"])] = (
+                float(r["s"]) / r["n"]
+            )
+        values = sorted(
+            (c, [dims[d] for d in range(len(dims))]) for c, dims in byc.items()
         )
-        .select(
-            "cluster",
-            F.transform("dm", lambda x: x["mean"]).alias("cemb"),
-        )
-    )
+    return values
 
 
 def _train(emb: DataFrame) -> DataFrame:
-    """K-means codebook after ``_ITERS`` Lloyd iterations."""
-    centroids = emb.filter(F.col("vec_id") < _K).select(
-        F.col("vec_id").alias("cluster"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("cemb"),
+    """K-means codebook after ``_ITERS`` Lloyd iterations (DataFrame
+    wrapper over :func:`_train_values` for the save/load/search API)."""
+    values = _train_values(emb)
+    return emb.sparkSession.createDataFrame(
+        values, "cluster bigint, cemb array<double>"
     )
-    for _ in range(_ITERS):
-        # persist each k-row codebook: truncates the iteration lineage so
-        # no downstream consumer re-runs earlier Lloyd passes (the
-        # DataFrame analog of MLlib's per-iteration materialization)
-        centroids = persist_tracked(_update(_assign(emb, centroids)))
-    return centroids
 
 
 # Session-scoped trained-codebook cache.  The operational IVF pattern is
@@ -164,7 +204,7 @@ def _trained_codebook_values(spark: SparkSession, sf_dir: str) -> list:
         emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
             "vec_id", "embedding"
         )
-        rows = [(r["cluster"], list(r["cemb"])) for r in _train(emb).collect()]
+        rows = _train_values(emb)
         _CB_CACHE[key] = rows
     return rows
 
@@ -213,26 +253,51 @@ def _codebook_values(codebook: DataFrame) -> list:
     return [(r["cluster"], list(r["cemb"])) for r in codebook.collect()]
 
 
-def _cell_candidates(emb_col, values) -> F.Column:
+def _cell_candidates_sql(emb_sql: str, values) -> str:
+    """Spark-SQL text of :func:`_cell_candidates` (see there).
+
+    Shaped as ``transform(<codebook literal>, c -> score struct)`` rather
+    than k inline copies of the fold: the codebook array-of-structs is
+    wholly foldable, so ConstantFolding collapses it into ONE literal
+    that codegen stores as a reference object — the generated source is
+    then independent of the centroid VALUES and the compiled kernel is
+    reused across Lloyd iterations (scalar literals would be inlined
+    into the source, forcing a fresh whole-stage-codegen compile per
+    iteration — measured ~1 s each)."""
+    entries = []
+    for cluster, cemb in values:
+        c2 = 0.0
+        for v in cemb:
+            c2 = c2 + v * v  # same left fold as spark_dot(c, c)
+        entries.append(
+            f"named_struct('c2', {dlit(c2)}, "
+            f"'cluster', CAST({int(cluster)} AS BIGINT), "
+            f"'cemb', {arr_lit(cemb)})"
+        )
+    cb = "array(" + ", ".join(entries) + ")"
+    dot = sparksql_dot(emb_sql, "c.cemb")
+    return (
+        f"transform({cb}, c -> named_struct("
+        f"'score', c.c2 - 2.0D * {dot}, 'cluster', c.cluster))"
+    )
+
+
+def _cell_candidates(emb_sql: str, values) -> F.Column:
     """``array<struct<score,cluster>>`` of per-centroid scores with the
     codebook inlined as literals — the same ``c·c − 2·x·c`` formula and
     left-fold order as :func:`_assign`, but evaluated per ROW with no
     join and no aggregate: the cell assignment becomes a map-only
     expression inside whole-stage codegen (FAISS keeps the coarse
-    codebook in L1 for exactly this reason)."""
-    cands = []
-    for cluster, cemb in values:
-        c2 = 0.0
-        for v in cemb:
-            c2 = c2 + v * v  # same left fold as spark_dot(c, c)
-        lit = F.array(*[F.lit(float(v)) for v in cemb])
-        cands.append(
-            F.struct(
-                (F.lit(c2) - F.lit(2) * spark_dot(emb_col, lit)).alias("score"),
-                F.lit(int(cluster)).cast("bigint").alias("cluster"),
-            )
-        )
-    return F.array(*cands)
+    codebook in L1 for exactly this reason).
+
+    ``emb_sql`` is a SQL expression STRING (e.g. ``"embedding"`` or a
+    ``slice(...)`` of it), not a Column: the whole candidate array is
+    emitted as one SQL string and parsed with a single ``F.expr`` —
+    the Column-API form cost one py4j round-trip per double literal
+    (~1.5 s of pure DataFrame construction per 8×64 codebook, measured;
+    the analyzed expression and every IEEE operation are identical —
+    bit-equality is pinned in tests/test_sim_recall.py)."""
+    return F.expr(_cell_candidates_sql(emb_sql, values))
 
 
 def _search(emb: DataFrame, codebook: DataFrame) -> DataFrame:
@@ -247,7 +312,7 @@ def _search(emb: DataFrame, codebook: DataFrame) -> DataFrame:
     corpus = emb.select(
         "vec_id",
         "embedding",
-        F.array_min(_cell_candidates(F.col("embedding"), values))[
+        F.array_min(_cell_candidates("embedding", values))[
             "cluster"
         ].alias("cluster"),
         spark_dot(F.col("embedding"), F.col("embedding")).alias("n2"),
@@ -266,7 +331,7 @@ def _search(emb: DataFrame, codebook: DataFrame) -> DataFrame:
             F.explode(
                 F.slice(
                     F.array_sort(
-                        _cell_candidates(F.col("embedding"), values)
+                        _cell_candidates("embedding", values)
                     ),
                     1,
                     _NPROBE,
@@ -478,15 +543,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     values = _SEM_CB_CACHE.get(key)
     if values is None:
-        values = [
-            (r["cluster"], list(r["cemb"])) for r in _train(corpus).collect()
-        ]
+        values = _train_values(corpus)
         _SEM_CB_CACHE[key] = values
     assigned = persist_tracked(
         corpus.select(
             "vec_id",
             "embedding",
-            F.array_min(_cell_candidates(F.col("embedding"), values))[
+            F.array_min(_cell_candidates("embedding", values))[
                 "cluster"
             ].alias("cluster"),
         )
@@ -603,7 +666,7 @@ def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings, and the probe list bounds read volume per query — the
     reason this is THE production ANN layout.
     """
-    from .vectorops import _PQ_M, _PQ_SUB, _pq_codebook_values, _sq_l2
+    from .vectorops import _PQ_M, _PQ_SUB, _pq_codebook_values
 
     emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", "embedding"
@@ -620,36 +683,53 @@ def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m, cluster, cemb in pq_values:
         by_m.setdefault(int(m), []).append((int(cluster), cemb))
 
-    def _sub(col, m):
-        return F.slice(col, m * _PQ_SUB + 1, _PQ_SUB)
+    def _sub_sql(m: int) -> str:
+        return f"slice(embedding, {m * _PQ_SUB + 1}, {_PQ_SUB})"
 
     def _code_expr(m) -> F.Column:
         # same score formula and (score, cluster) argmin as the PQ
         # trainer's assign(): c·c − 2·x·c over the m-th sub-vector
+        # (one-F.expr SQL construction — see _cell_candidates)
         cands = []
         for cluster, cemb in by_m[m]:
             c2 = 0.0
             for v in cemb:
                 c2 = c2 + v * v
-            lit = F.array(*[F.lit(float(v)) for v in cemb])
+            dot = sparksql_dot(_sub_sql(m), arr_lit(cemb))
             cands.append(
-                F.struct(
-                    (
-                        F.lit(c2)
-                        - F.lit(2) * spark_dot(_sub(F.col("embedding"), m), lit)
-                    ).alias("score"),
-                    F.lit(cluster).cast("int").alias("cluster"),
-                )
+                f"named_struct('score', {dlit(c2)} - 2.0D * {dot}, "
+                f"'cluster', CAST({int(cluster)} AS INT))"
             )
-        return F.array_min(F.array(*cands))["cluster"]
+        return F.expr(
+            "array_min(array(" + ", ".join(cands) + "))"
+        )["cluster"]
 
     cand_src = emb.select(
         "vec_id",
-        F.array_min(_cell_candidates(F.col("embedding"), ivf_values))[
+        F.array_min(_cell_candidates("embedding", ivf_values))[
             "cluster"
         ].alias("cluster"),
         *[_code_expr(m).alias(f"code{m}") for m in range(_PQ_M)],
     )
+
+    # probe + lookup tables in ONE broadcast frame: each of the 5 query
+    # vectors expands to its _NPROBE probed cells, and the row CARRIES
+    # the query's four per-subspace ADC lookup tables as literal-keyed
+    # maps (cluster -> squared-L2 to that codeword, the same _sq_l2
+    # fold the per-m LUT join computed).  The whole read path is then
+    # corpus-projection |><| broadcast(10 rows) -> window: ONE join
+    # instead of five (probe + 4 LUT joins), which at fixture scale
+    # removes four broadcast-build jobs and at cluster scale four
+    # broadcast rounds over the executors.
+    def _lut_map(m: int) -> F.Column:
+        keys, vals = [], []
+        for cluster, cemb in by_m[m]:
+            keys.append(f"CAST({int(cluster)} AS INT)")
+            vals.append(sparksql_sq_l2(_sub_sql(m), arr_lit(cemb)))
+        return F.expr(
+            "map_from_arrays("
+            f"array({', '.join(keys)}), array({', '.join(vals)}))"
+        )
 
     probe = (
         emb_q.filter(F.col("vec_id") < _N_QUERIES)
@@ -658,59 +738,34 @@ def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.slice(
                     F.array_sort(
-                        _cell_candidates(F.col("embedding"), ivf_values)
+                        _cell_candidates("embedding", ivf_values)
                     ),
                     1,
                     _NPROBE,
                 )
             ).alias("pc"),
+            *[_lut_map(m).alias(f"lut{m}") for m in range(_PQ_M)],
         )
-        .select("qid", F.col("pc.cluster").alias("cluster"))
+        .select(
+            "qid",
+            F.col("pc.cluster").alias("cluster"),
+            *[f"lut{m}" for m in range(_PQ_M)],
+        )
     )
 
     cand = cand_src.join(F.broadcast(probe), "cluster").filter(
         F.col("vec_id") != F.col("qid")
     )
-    res = cand
-    for m in range(_PQ_M):
-        # per-query LUT for subspace m: distance from the query's m-th
-        # sub-vector to each literal codeword (same _sq_l2 fold as the
-        # joined-codebook formulation)
-        lm = (
-            emb_q.filter(F.col("vec_id") < _N_QUERIES)
-            .select(
-                F.col("vec_id").alias(f"q{m}"),
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(cluster).cast("int").alias(f"cl{m}"),
-                                _sq_l2(
-                                    _sub(F.col("embedding"), m),
-                                    F.array(
-                                        *[F.lit(float(v)) for v in cemb]
-                                    ),
-                                ).alias(f"d{m}"),
-                            )
-                            for cluster, cemb in by_m[m]
-                        ]
-                    )
-                ).alias("s"),
-            )
-            .select(f"q{m}", F.col(f"s.cl{m}").alias(f"cl{m}"), F.col(f"s.d{m}").alias(f"d{m}"))
-        )
-        res = res.join(
-            F.broadcast(lm),
-            (F.col("qid") == F.col(f"q{m}"))
-            & (F.col(f"code{m}") == F.col(f"cl{m}")),
-        ).drop(f"q{m}", f"cl{m}")
+    # ADC distance: four map lookups keyed by the vector's PQ codes,
+    # summed as exact decimals in the same fixed order as before (each
+    # lookup value is the identical _sq_l2 double the LUT join carried)
     adc = (
-        F.col("d0").cast("decimal(30,10)")
-        + F.col("d1").cast("decimal(30,10)")
-        + F.col("d2").cast("decimal(30,10)")
-        + F.col("d3").cast("decimal(30,10)")
+        F.element_at(F.col("lut0"), F.col("code0")).cast("decimal(30,10)")
+        + F.element_at(F.col("lut1"), F.col("code1")).cast("decimal(30,10)")
+        + F.element_at(F.col("lut2"), F.col("code2")).cast("decimal(30,10)")
+        + F.element_at(F.col("lut3"), F.col("code3")).cast("decimal(30,10)")
     )
-    scored = res.select("qid", "vec_id", adc.alias("adc_dec"))
+    scored = cand.select("qid", "vec_id", adc.alias("adc_dec"))
     w = Window.partitionBy("qid").orderBy("adc_dec", "vec_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))

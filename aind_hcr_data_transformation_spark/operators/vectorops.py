@@ -22,7 +22,14 @@ from pyspark.sql import functions as F
 
 from ..cache import persist_tracked
 from ..functions.compat import dround, dsum, sql_round
-from ..functions.vectors import EMB_DIM, spark_dot
+from ..functions.vectors import (
+    EMB_DIM,
+    arr_lit,
+    dlit,
+    spark_dot,
+    sparksql_dot,
+    sparksql_sq_l2,
+)
 from ..tables import load_table
 
 
@@ -314,142 +321,153 @@ def _pq_codebook_values(spark: SparkSession, sf_dir: str) -> list:
     session, training on first use."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PQ_CB_CACHE:
-        _pq_train(spark, sf_dir)  # fills the cache as a side effect
+        _PQ_CB_CACHE[key] = _pq_train_values(spark, sf_dir)
     return _PQ_CB_CACHE[key]
+
+
+def _pq_train_values(spark: SparkSession, sf_dir: str) -> list:
+    """Driver-iterated PQ training: all four sub-codebooks advance in
+    each ONE-job Lloyd iteration — the same MLlib loop shape as
+    ``ivf._train_values`` (driver-held centroids inlined as literals for
+    the assignment, per-(m, cluster, subdim) exact decimal sums
+    collected, means computed on the driver), with the subspace index
+    folded into the aggregate key instead of a row fan-out.  Collect
+    volume per iteration is M*k*sub-dim (4*4*16 = 256 rows) —
+    codebook-sized, corpus-independent.  Values are bit-identical to
+    the previous broadcast-join/argmin-aggregate chain: same
+    ``c*c - 2*x*c`` fold (``_cell_candidates``), same (score, cluster)
+    argmin tie-break, same DECIMAL(30,10) sums and decimal->double/n
+    mean — the unrolled-CTE oracle is unchanged."""
+    from .ivf import _cell_candidates
+
+    emb = persist_tracked(
+        load_table(spark, sf_dir, "embeddings", spread=True).select(
+            "vec_id", "embedding"
+        )
+    )
+    init = (
+        emb.filter(F.col("vec_id") < _PQ_K).select("vec_id", "embedding").collect()
+    )
+    by_m = {
+        m: sorted(
+            (
+                int(r["vec_id"]),
+                [float(v) for v in r["embedding"][m * _PQ_SUB : (m + 1) * _PQ_SUB]],
+            )
+            for r in init
+        )
+        for m in range(_PQ_M)
+    }
+    for _ in range(_PQ_ITERS):
+        assigned = emb.select(
+            *[
+                F.array_min(
+                    _cell_candidates(
+                        f"slice(embedding, {m * _PQ_SUB + 1}, {_PQ_SUB})",
+                        by_m[m],
+                    )
+                )["cluster"].alias(f"c{m}")
+                for m in range(_PQ_M)
+            ],
+            "embedding",
+        )
+        long = assigned.select(
+            *[f"c{m}" for m in range(_PQ_M)],
+            F.posexplode("embedding").alias("dim", "v"),
+        )
+        m_col = F.expr(f"dim DIV {_PQ_SUB}").cast("int")
+        rows = (
+            long.select(
+                m_col.alias("m"),
+                F.element_at(
+                    F.array(*[f"c{m}" for m in range(_PQ_M)]), m_col + 1
+                ).alias("cluster"),
+                F.expr(f"dim % {_PQ_SUB}").alias("subdim"),
+                F.col("v").cast("double").cast("decimal(30,10)").alias("v"),
+            )
+            .groupBy("m", "cluster", "subdim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc: dict[int, dict[int, dict[int, float]]] = {}
+        for r in rows:
+            acc.setdefault(int(r["m"]), {}).setdefault(int(r["cluster"]), {})[
+                int(r["subdim"])
+            ] = float(r["s"]) / r["n"]
+        by_m = {
+            m: sorted(
+                (c, [dims[d] for d in range(len(dims))])
+                for c, dims in clusters.items()
+            )
+            for m, clusters in acc.items()
+        }
+    return [(m, c, cemb) for m in range(_PQ_M) for c, cemb in by_m[m]]
 
 
 def _pq_train(spark: SparkSession, sf_dir: str):
     """Shared PQ trainer: returns ``(cb, final)`` — the (m, cluster,
     cemb) codebook after ``_PQ_ITERS`` Lloyd rounds and the
-    (vec_id, m, cluster, err) assignment against it. Consumed by
+    (vec_id, m, cluster, err) assignment against it.  Consumed by
     :func:`embed_pq_quantize` (codes + reconstruction error) and
-    :func:`pq_adc_topk` (ADC search lookup tables)."""
+    :func:`pq_adc_topk` (ADC search lookup tables).
+
+    The final assignment inlines the trained sub-codebooks as literal
+    expressions, so it is a single map-only projection over the
+    embedding scan — no explode, no broadcast join, no argmin
+    aggregate (the values are identical: same score fold, same
+    (score, cluster) tie-break, same ``_sq_l2`` error fold on the
+    winning codeword)."""
+    values = _pq_codebook_values(spark, sf_dir)
+    cb = spark.createDataFrame(
+        values, "m int, cluster bigint, cemb array<double>"
+    )
+    by_m: dict[int, list] = {}
+    for m, cluster, cemb in values:
+        by_m.setdefault(int(m), []).append((int(cluster), list(cemb)))
     emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", "embedding"
     )
-    sub = persist_tracked(
-        emb.select(
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(m).alias("m"),
-                            F.slice(
-                                "embedding", m * _PQ_SUB + 1, _PQ_SUB
-                            ).alias("semb"),
-                        )
-                        for m in range(_PQ_M)
-                    ]
-                )
-            ).alias("s"),
-        ).select("vec_id", F.col("s.m").alias("m"), F.col("s.semb").alias("semb"))
-    )
-    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
-        "m",
-        F.col("vec_id").alias("cluster"),
-        F.transform("semb", lambda x: x.cast("double")).alias("cemb"),
-    )
 
-    def assign(codebook: DataFrame) -> DataFrame:
-        from .ivf import _assign  # noqa: F401  (kernel twin; see docstring)
-
-        cents = codebook.select(
-            "m",
-            "cluster",
-            "cemb",
-            spark_dot(F.col("cemb"), F.col("cemb")).alias("c2"),
-        )
-        pairs = sub.join(F.broadcast(cents), "m").select(
-            "vec_id",
-            "m",
-            "semb",
-            "cluster",
-            (
-                F.col("c2") - F.lit(2) * spark_dot(F.col("semb"), F.col("cemb"))
-            ).alias("score"),
-        )
-        # hash-agg argmin, not a rank-1 window: candidates for a
-        # (vec_id, m) key are map-side colocated (broadcast join), so
-        # partial min collapses them pre-shuffle (see ivf._assign)
-        return (
-            pairs.groupBy("vec_id", "m")
-            .agg(F.min(F.struct("score", "cluster", "semb")).alias("sc"))
-            .select(
-                "vec_id",
-                "m",
-                F.col("sc.semb").alias("semb"),
-                F.col("sc.cluster").alias("cluster"),
+    def _win(m: int) -> F.Column:
+        # one-F.expr SQL construction, same rationale and bit-identical
+        # semantics as ivf._cell_candidates (py4j-per-literal cost)
+        sub = f"slice(embedding, {m * _PQ_SUB + 1}, {_PQ_SUB})"
+        cands = []
+        for cluster, cemb in by_m[m]:
+            c2 = 0.0
+            for v in cemb:
+                c2 = c2 + v * v  # same left fold as spark_dot(c, c)
+            arr = arr_lit(cemb)
+            cands.append(
+                f"named_struct("
+                f"'score', {dlit(c2)} - 2.0D * {sparksql_dot(sub, arr)}, "
+                f"'cluster', CAST({int(cluster)} AS BIGINT), "
+                f"'err', {sparksql_sq_l2(sub, arr)})"
             )
-        )
+        return F.expr("array_min(array(" + ", ".join(cands) + "))")
 
-    def update(assigned: DataFrame) -> DataFrame:
-        long = assigned.select(
-            "m", "cluster", F.posexplode("semb").alias("dim", "v")
-        ).select(
-            "m",
-            "cluster",
-            "dim",
-            F.col("v").cast("double").cast("decimal(30,10)").alias("v"),
-        )
-        per_dim = long.groupBy("m", "cluster", "dim").agg(
-            F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
-        )
-        return (
-            per_dim.select(
-                "m",
-                "cluster",
-                "dim",
-                (F.col("s").cast("double") / F.col("n")).alias("mean"),
-            )
-            .groupBy("m", "cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dm"))
-            .select(
-                "m", "cluster", F.transform("dm", lambda x: x["mean"]).alias("cemb")
-            )
-        )
-
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _PQ_CB_CACHE.get(cache_key)
-    if cached is not None:
-        cb = spark.createDataFrame(
-            cached, "m int, cluster bigint, cemb array<double>"
-        )
-    else:
-        for _ in range(_PQ_ITERS):
-            cb = persist_tracked(update(assign(cb)))
-        _PQ_CB_CACHE[cache_key] = [
-            (r["m"], r["cluster"], r["cemb"]) for r in cb.collect()
-        ]
-    # final assignment carries the winning centroid inside the argmin
-    # struct, so the reconstruction error needs no extra join against
-    # the codebook
-    cents = cb.select(
-        "m",
-        "cluster",
-        "cemb",
-        spark_dot(F.col("cemb"), F.col("cemb")).alias("c2"),
-    )
-    fpairs = sub.join(F.broadcast(cents), "m").select(
+    # two-step select: struct-field extraction cannot share a select
+    # with a generator (see ivf._train_values)
+    flat = emb.select(
         "vec_id",
-        "m",
-        "semb",
-        "cemb",
-        "cluster",
-        (
-            F.col("c2") - F.lit(2) * spark_dot(F.col("semb"), F.col("cemb"))
-        ).alias("score"),
+        *[_win(m)["cluster"].alias(f"cl{m}") for m in range(_PQ_M)],
+        *[_win(m)["err"].alias(f"e{m}") for m in range(_PQ_M)],
     )
-    final = (
-        fpairs.groupBy("vec_id", "m")
-        .agg(F.min(F.struct("score", "cluster", "semb", "cemb")).alias("sc"))
-        .select(
-            "vec_id",
-            "m",
-            F.col("sc.cluster").alias("cluster"),
-            _sq_l2(F.col("sc.semb"), F.col("sc.cemb")).alias("err"),
-        )
-    )
+    final = flat.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.col(f"cl{m}").alias("cluster"),
+                        F.col(f"e{m}").alias("err"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.cluster", "s.err")
     return cb, final
 
 

@@ -92,3 +92,51 @@ def test_ivf_codebook_round_trip(spark, tmp_path):
         map(tuple, _search(emb, load_codebook(spark, path)).collect())
     )
     assert direct == reloaded and len(direct) > 0
+
+
+def test_sqlstring_vector_folds_bit_equal_column_api(spark):
+    """The SQL-string expression builders (functions/vectors: dlit,
+    arr_lit, sparksql_dot, sparksql_sq_l2 — used by the codebook-literal
+    assignment paths) must be BIT-identical to the Column-API folds they
+    replaced: same zip_with/aggregate tree, repr-exact double literals."""
+    import functools
+    import random
+    import struct as pystruct
+
+    from pyspark.sql import functions as F
+
+    from aind_hcr_data_transformation_spark.functions.vectors import (
+        arr_lit,
+        dlit,
+        spark_dot,
+        sparksql_dot,
+        sparksql_sq_l2,
+    )
+    from aind_hcr_data_transformation_spark.operators.vectorops import _sq_l2
+
+    random.seed(7)
+    adversarial = [
+        1e-17, -0.1, 12345.6789e-12, 2.0**-52, -(2.0**52) + 0.75,
+    ] + [random.uniform(-1, 1) * 10 ** random.randint(-10, 10) for _ in range(59)]
+    plain = [random.uniform(-3, 3) for _ in range(64)]
+    df = spark.createDataFrame(
+        [([float(i) for i in range(64)],)], "embedding array<double>"
+    ).select(F.expr("transform(embedding, x -> x * 0.123456789 - 3.21)").alias("embedding"))
+
+    def bits(col):
+        return pystruct.pack("<d", df.select(col.alias("v")).collect()[0]["v"])
+
+    for arr in (plain, adversarial):
+        lit = F.array(*[F.lit(float(v)) for v in arr])
+        assert bits(spark_dot(F.col("embedding"), lit)) == bits(
+            F.expr(sparksql_dot("embedding", arr_lit(arr)))
+        )
+        assert bits(_sq_l2(F.col("embedding"), lit)) == bits(
+            F.expr(sparksql_sq_l2("embedding", arr_lit(arr)))
+        )
+        c2 = functools.reduce(lambda acc, v: acc + v * v, arr, 0.0)
+        assert bits(
+            F.lit(c2) - F.lit(2) * spark_dot(F.col("embedding"), lit)
+        ) == bits(
+            F.expr(f"{dlit(c2)} - 2.0D * {sparksql_dot('embedding', arr_lit(arr))}")
+        )
