@@ -733,85 +733,74 @@ _PI_SCALE = 10_000  # fixed-point 1e4 for both the data and the vector
 
 def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the embedding matrix by power
-    iteration — v ← Xᵀ(Xv), renormalized each round — expressed as two
-    hash aggregates per iteration over the exploded (vec_id, dim,
-    value) long format. The PCA/spectral shape MLlib computes with RSVD,
-    here as pure declarative plans: matvec = broadcast-join + aggregate,
-    so a billion-row X runs the exact plan this fixture runs.
+    iteration — v ← Xᵀ(Xv), renormalized each round — with the 64-long
+    fixed-point iterate held on the DRIVER between rounds (the MLlib
+    loop shape, like ``ivf._train_values``): each round is ONE
+    distributed job computing both matvecs in a single pass — per row,
+    ``dot_i = Σ_j xq_ij·v_j`` folds over the literal iterate, then the
+    per-dimension products ``xq_ij·dot_i`` aggregate as exact
+    DECIMAL(38,0) sums and the 64 component sums are collected.  The
+    round-6 form ran two broadcast-join aggregates plus a one-row
+    crossJoin per round (43 shuffles total); this is 3 scans, 3
+    shuffles, zero joins — and at a billion rows the collect is still
+    64 rows.
 
     Determinism: the data quantizes once to 1e4 fixed point
-    (floor-of-decimal — identical engines), every matvec accumulates
-    exact DECIMAL(38)/HUGEINT products, and each round renormalizes by
-    the max |component| using sign·(|w|·1e4 DIV max) — magnitude floor
-    division, avoiding the truncate-vs-floor divergence on negatives.
-    Both engines therefore iterate over identical integer states. The
-    fixture embeddings are near-isotropic (eigengap ≈ 0.95), so 3
-    rounds don't CONVERGE here — the unit test pins exact agreement
-    with a float reference of the same 3 rounds, and on any spectrum
-    with a real gap (the production case for PCA) the identical plan
-    converges geometrically.
+    (floor-of-decimal — identical engines), every product is an exact
+    integer (|xq·dot| ≤ ~1e16 < 2⁶³ — long-safe per term; the SUM
+    crosses into DECIMAL(38,0) exactly as before), and the driver
+    renormalizes with the same sign·(|w|·1e4 DIV max) magnitude floor
+    division the SQL used — pure-integer arithmetic, so Python's ``//``
+    on non-negatives is the identical operation.  Both engines (and the
+    unrolled-CTE oracle, unchanged) iterate over identical integer
+    states.  The fixture embeddings are near-isotropic (eigengap ≈
+    0.95), so 3 rounds don't CONVERGE here — the unit test pins exact
+    agreement with a float reference of the same 3 rounds.
 
     Returns (dim, v_e4): the iterate in 1e4 fixed point.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.posexplode("embedding").alias("dim", "x")
-    )
-    x = persist_tracked(
-        emb.select(
+    emb = persist_tracked(
+        load_table(spark, sf_dir, "embeddings").select(
             "vec_id",
-            "dim",
             # float32 → DOUBLE first: Spark's float→decimal cast goes
             # through the float's SHORTEST repr while DuckDB rounds the
             # binary value — through double, both land on the same
             # decimal (the dround convention), so the floor agrees
             F.expr(
-                f"CAST(FLOOR(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,10))"
-                f" * {_PI_SCALE}) AS BIGINT)"
+                f"transform(embedding, x -> CAST(FLOOR("
+                f"CAST(CAST(x AS DOUBLE) AS DECIMAL(30,10)) * {_PI_SCALE}"
+                f") AS BIGINT))"
             ).alias("xq"),
         )
     )
-    x.count()  # consumed by two matvecs per iteration
-
-    v = (
-        x.select("dim")
-        .distinct()
-        .select("dim", F.lit(_PI_SCALE).cast("long").alias("v"))
-    )
+    v = [int(_PI_SCALE)] * EMB_DIM
     for _ in range(_PI_ITERS):
-        dots = (
-            x.join(F.broadcast(v), "dim")
-            .groupBy("vec_id")
-            .agg(
-                F.sum((F.col("xq") * F.col("v")).cast("decimal(38,0)")).alias(
-                    "dot"
-                )
-            )
+        vlit = "array(" + ", ".join(f"{int(c)}L" for c in v) + ")"
+        dot_sql = (
+            f"aggregate(zip_with(xq, {vlit}, (a, b) -> a * b), "
+            "0L, (acc, p) -> acc + p)"
         )
-        w = (
-            x.join(F.broadcast(dots), "vec_id")
-            .groupBy("dim")
-            .agg(
-                F.sum(
-                    (F.col("xq").cast("decimal(19,0)") * F.col("dot")).cast(
-                        "decimal(38,0)"
-                    )
-                ).alias("w")
-            )
-        )
-        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
-        v = (
-            w.crossJoin(F.broadcast(m))
+        rows = (
+            emb.select(F.expr(dot_sql).alias("dot"), "xq")
+            .select("dot", F.posexplode("xq").alias("dim", "xqj"))
             .select(
                 "dim",
-                (
-                    F.signum(F.col("w")).cast("long")
-                    * F.expr(
-                        f"CAST(CAST(abs(w) AS DECIMAL(38,0)) * {_PI_SCALE} DIV CAST(m AS DECIMAL(38,0)) AS BIGINT)"
-                    )
-                ).alias("v"),
+                (F.col("xqj") * F.col("dot")).cast("decimal(38,0)").alias("p"),
             )
+            .groupBy("dim")
+            .agg(F.sum("p").alias("w"))
+            .collect()
         )
-    return v.select("dim", F.col("v").alias("v_e4"))
+        w = {int(r["dim"]): int(r["w"]) for r in rows}
+        m = max(abs(val) for val in w.values())
+        v = [
+            (0 if w[d] == 0 else (1 if w[d] > 0 else -1))
+            * ((abs(w[d]) * _PI_SCALE) // m)
+            for d in range(EMB_DIM)
+        ]
+    return spark.createDataFrame(
+        [(d, v[d]) for d in range(EMB_DIM)], "dim int, v_e4 long"
+    )
 
 
 def _power_iteration_sql() -> str:

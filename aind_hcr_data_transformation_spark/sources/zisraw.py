@@ -156,9 +156,15 @@ class SubBlockEntry:
         zstd_modes = (_COMPRESSION_ZSTD0, _COMPRESSION_ZSTD1)
         decodable = zstd_modes + (_COMPRESSION_NONE, _COMPRESSION_JPEG)
         if self.compression not in decodable:
+            # deliberate non-goal, not a gap: see the JPEG-XR statement
+            # of record in README.md (vendoring T.832 would need a
+            # matching encoder to be testable and serves a mode AIND
+            # acquisitions don't use)
             raise NotImplementedError(
                 f"compressed subblock (compression={self.compression}); "
-                "install czifile+imagecodecs for compressed CZI stacks"
+                "JPEG-XR (mode 4) is deliberately not vendored — "
+                "install czifile+imagecodecs and the reader will "
+                "dispatch to that backend automatically"
             )
         if self.compression == _COMPRESSION_JPEG and self.pixel_type != 0:
             raise NotImplementedError(

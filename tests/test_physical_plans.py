@@ -105,8 +105,6 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
         # 3-row epoch frame broadcast onto the corpus (bounded fan-out
         # by construction, never fact×fact)
         "mix_epoch_shuffle",
-        # one-row max-|component| renormalizer broadcast per iteration
-        "embed_power_iteration",
         "sim_cosine_topk",
         # built on sim_cosine_topk's broadcast-queries scorer
         "rag_retrieve_assemble",

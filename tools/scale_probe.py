@@ -102,11 +102,40 @@ DEFAULT_QUERIES = [
     "rag_mmr_rerank",
     "text_ccnet_buckets",
     "rec_item_cosine",
+    # round-7 (VERDICT r6 task 7): the full stream_* family.  Their
+    # micro-batch jobs run on Structured Streaming's own threads, so the
+    # thread-local job group never tags them — the event-log accounting
+    # saw zero bytes ("no_shuffle" blind spot).  The probe now ALSO
+    # attributes ungrouped task events by wall-clock interval (queries
+    # run strictly serially), which gives every streaming query a real
+    # measured growth class.
+    "stream_tumbling_counts",
+    "stream_user_totals",
+    "stream_dedup",
+    "stream_static_join",
+    "stream_sessions",
+    "stream_foreach_upsert",
+    "stream_static_anti_join",
+    "stream_quality_filter",
+    "stream_ohlc",
+    "stream_png_decode",
+    "stream_pattern_match",
+    "stream_asof_enrich",
+    "stream_cusum_drift",
 ]
 
 
-def parse_event_log(log_dir: Path) -> dict[str, dict[str, int]]:
-    """Sum task metrics per job group across every app log in the dir."""
+def parse_event_log(
+    log_dir: Path, intervals: list | None = None
+) -> dict[str, dict[str, int]]:
+    """Sum task metrics per job group across every app log in the dir.
+
+    ``intervals`` is an optional list of ``(group, start_ms, end_ms)``
+    wall-clock windows: tasks whose stage carries NO job group (jobs
+    launched from Structured Streaming's micro-batch threads never
+    inherit the driver thread's group) are attributed to the window
+    containing their finish time.  The probe runs queries strictly
+    serially, so interval attribution is exact."""
     agg: dict[str, dict[str, int]] = defaultdict(
         lambda: {"shuffle_write": 0, "shuffle_read": 0, "input": 0}
     )
@@ -130,11 +159,20 @@ def parse_event_log(log_dir: Path) -> dict[str, dict[str, int]]:
     for app_logs in by_app.values():
         stage_group: dict[int, str] = {}
         for log in app_logs:
-            _parse_one(log, stage_group, agg)
+            _parse_one(log, stage_group, agg, intervals or [])
     return agg
 
 
-def _parse_one(log: Path, stage_group: dict, agg: dict) -> None:
+def _group_for_time(intervals: list, t_ms) -> str | None:
+    if t_ms is None:
+        return None
+    for group, start, end in intervals:
+        if start <= t_ms <= end:
+            return group
+    return None
+
+
+def _parse_one(log: Path, stage_group: dict, agg: dict, intervals: list) -> None:
     """Fold one event-log file into ``agg`` using the app's stage map."""
     with open(log, encoding="utf-8") as fh:
         for line in fh:
@@ -152,6 +190,15 @@ def _parse_one(log: Path, stage_group: dict, agg: dict) -> None:
                         stage_group[sid] = group
             elif kind == "SparkListenerTaskEnd":
                 group = stage_group.get(ev.get("Stage ID"))
+                if not group or not group.startswith(("small:", "big:")):
+                    # not one of the probe's own groups: Structured
+                    # Streaming's micro-batch thread sets its OWN job
+                    # group (the query runId), so streaming tasks are
+                    # mis-grouped rather than ungrouped — fall back to
+                    # the wall-clock window of the serially-running query
+                    group = _group_for_time(
+                        intervals, (ev.get("Task Info") or {}).get("Finish Time")
+                    )
                 if not group:
                     continue
                 m = ev.get("Task Metrics") or {}
@@ -206,22 +253,30 @@ def main() -> int:
         print(f"unknown query names: {unknown}")
         return 2
 
-    walls: dict[str, float] = {}
+    intervals: list[tuple[str, float, float]] = []
     for sf_dir, tag in [(SF_SMALL, "small"), (SF_BIG, "big")]:
         for name in names:
             group = f"{tag}:{name}"
             spark.sparkContext.setJobGroup(group, group)
+            t0_ms = time.time() * 1000
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            walls[group] = round(time.perf_counter() - t0, 3)
+            wall = round(time.perf_counter() - t0, 3)
+            intervals.append((group, t0_ms, time.time() * 1000))
             release_persists()
             spark.sparkContext.setJobGroup("", "")
-            print(f"ran {group}: {walls[group]} s", flush=True)
+            # walls are printed as progress only, NOT recorded: the
+            # small-SF pass absorbs per-plan JIT/warm-up, so its wall
+            # routinely exceeds the 10×-data wall and any recorded
+            # ratio would mislead (VERDICT r6 "what's wrong" #3).  The
+            # recorded signal is shuffle-byte growth, which warm-up
+            # does not touch.
+            print(f"ran {group}: {wall} s (progress only)", flush=True)
     spark.stop()  # flush the event log
 
-    agg = parse_event_log(log_dir)
+    agg = parse_event_log(log_dir, intervals)
     out = {}
     flagged = []
     for name in names:
@@ -248,8 +303,6 @@ def main() -> int:
             "input_small": small.get("input", 0),
             "input_big": big.get("input", 0),
             "shuffle_growth": round(ratio, 2) if ratio is not None else None,
-            "wall_small_s": walls.get(f"small:{name}"),
-            "wall_big_s": walls.get(f"big:{name}"),
             "class": cls,
         }
     doc = {
