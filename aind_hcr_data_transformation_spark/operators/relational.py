@@ -3562,3 +3562,141 @@ FROM sided
 
 QUERIES["join_asof_nearest"] = join_asof_nearest
 ORACLES["join_asof_nearest"] = JOIN_ASOF_NEAREST_SQL
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — a DETERMINISTIC distinct
+# estimator with hash-exact cross-engine parity (round 7)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+#: 16^15 — the md5-prefix hash space (same 60-bit prefix convention as
+#: dedup's shingle ids); long→double conversion rounds identically in
+#: both engines
+_KMV_SPACE = 16 ** 15
+
+
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user estimation per event type (plus the merged 'ALL'
+    union sketch) via the KMV / k-minimum-values bottom-k sketch
+    (Bar-Yossef et al. 2002): keep the k smallest hash fractions of the
+    distinct keys; estimate = (k−1)/u_k where u_k is the k-th smallest.
+
+    Unlike the engine-native sketches (`agg_approx_distinct`'s HLL,
+    `agg_approx_quantiles`' GK/t-digest — engine-specific internals,
+    which is why those queries assert each engine's own sketch against
+    exact twins), KMV is DETERMINISTIC given the hash: both engines
+    compute the identical md5-prefix fractions, so the estimates
+    themselves hash-compare exactly.  This is the mergeable sketch shape
+    audience-overlap / cross-partition distinct systems use: per
+    partition keep k minima, union = k minima of the concatenation —
+    the 'ALL' row demonstrates the merge.
+
+    Scale: distinct (type, user) is one shuffle; the per-group bottom-k
+    uses the two-phase `grouped_row_number` (range-shuffled parallel
+    sort, no per-group single-reducer funnel), and the union sketch is a
+    `TakeOrderedAndProject` top-k — no full sort, no collect beyond k
+    rows.  Estimator error is ~1/√(k−2) ≈ 12.7 % at k=64; the
+    `within_3sigma` flag (computed from the same doubles both sides)
+    pins it."""
+    from ..plans.partitioning import grouped_row_number
+
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    dist = ev.select("event_type", "user_id").distinct()
+    frac = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(float(_KMV_SPACE))
+    )
+    hashed = dist.select("event_type", "user_id", frac.alias("frac"))
+
+    ranked = grouped_row_number(
+        hashed.select("event_type", "frac"), "event_type", "frac", out="rn"
+    )
+    per_group = (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.max(F.when(F.col("rn") <= _KMV_K, F.col("frac"))).alias("u_k"),
+        )
+    )
+    # union sketch: k smallest fractions over the DISTINCT user set
+    # (same user in several types hashes identically — union of the
+    # per-group sketches == sketch of the distinct-user union)
+    u_dist = hashed.select("user_id", "frac").distinct()
+    topk = u_dist.select("frac").orderBy("frac").limit(_KMV_K)
+    union_row = (
+        u_dist.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(F.broadcast(topk.agg(F.max("frac").alias("u_k"))))
+        .select(F.lit("ALL").alias("event_type"), "n_exact", "u_k")
+    )
+    both = per_group.unionByName(union_row)
+    est = F.when(
+        F.col("n_exact") >= _KMV_K,
+        F.lit(float(_KMV_K - 1)) / F.col("u_k"),
+    ).otherwise(F.col("n_exact").cast("double"))
+    sigma3 = F.lit(3.0 / (_KMV_K - 2) ** 0.5)
+    return both.select(
+        "event_type",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        dround(est, 6).alias("kmv_est"),
+        (
+            F.abs(est - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+            <= sigma3
+        ).alias("within_3sigma"),
+    )
+
+
+def _kmv_sql() -> str:
+    from .dedup import _sql_md5_prefix_int
+
+    frac = (
+        f"(CAST({_sql_md5_prefix_int('CAST(user_id AS VARCHAR)')} AS DOUBLE)"
+        f" / CAST({_KMV_SPACE} AS DOUBLE))"
+    )
+    est = (
+        f"CASE WHEN n_exact >= {_KMV_K} THEN CAST({_KMV_K - 1} AS DOUBLE) / u_k "
+        "ELSE CAST(n_exact AS DOUBLE) END"
+    )
+    sigma3 = repr(3.0 / (_KMV_K - 2) ** 0.5)
+    return f"""
+WITH dist AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+hashed AS (
+  SELECT event_type, user_id, {frac} AS frac FROM dist
+),
+ranked AS (
+  SELECT event_type, frac,
+         row_number() OVER (PARTITION BY event_type ORDER BY frac) AS rn
+  FROM hashed
+),
+per_group AS (
+  SELECT event_type,
+         count(*) AS n_exact,
+         max(CASE WHEN rn <= {_KMV_K} THEN frac END) AS u_k
+  FROM ranked GROUP BY event_type
+),
+u_dist AS (SELECT DISTINCT user_id, frac FROM hashed),
+union_row AS (
+  SELECT 'ALL' AS event_type,
+         (SELECT count(*) FROM u_dist) AS n_exact,
+         (SELECT max(frac) FROM (
+            SELECT frac FROM u_dist ORDER BY frac LIMIT {_KMV_K})) AS u_k
+),
+merged AS (
+  SELECT * FROM per_group UNION ALL SELECT * FROM union_row
+)
+SELECT event_type,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       {sql_round(est, 6)} AS kmv_est,
+       (abs(({est}) - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+        <= {sigma3}) AS within_3sigma
+FROM merged
+"""
+
+
+QUERIES["agg_kmv_distinct"] = agg_kmv_distinct
+ORACLES["agg_kmv_distinct"] = _kmv_sql()

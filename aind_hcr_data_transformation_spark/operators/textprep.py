@@ -1985,3 +1985,109 @@ ORACLES["bpe_learn_merges"] = BPE_LEARN_SQL
 
 QUERIES["bpe_tokenize_corpus"] = bpe_tokenize_corpus
 ORACLES["bpe_tokenize_corpus"] = BPE_TOKENIZE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling — deterministic weighted sampling without
+# replacement, with an unbiased subset-sum estimator (round 7)
+# ---------------------------------------------------------------------------
+
+_PRI_N = 50
+_PRI_SPACE = 16 ** 15  # md5-prefix hash space (dedup's 60-bit convention)
+
+
+def mix_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted document sampling by priority sampling (Duffield,
+    Lund & Thorup 2007): priority ``p_i = w_i / u_i`` with ``u_i``
+    uniform on (0,1], keep the top-n priorities, and estimate any
+    subset's total weight unbiasedly as ``Σ max(w_i, τ)`` over sampled
+    members, where τ is the (n+1)-th priority.  This is the standard
+    one-pass scheme for building a small weighted subsample of a corpus
+    (here: weight = n_chars, a token-count proxy) whose aggregate
+    statistics remain estimable — the data-mixing companion to
+    `mix_stratified_sample`'s uniform strata.
+
+    Determinism and parity: ``u_i`` is the md5-prefix fraction of the
+    doc id mapped to (0,1] (never 0 — division is safe), so priorities
+    are pure IEEE divisions that hash-compare across engines — no RNG,
+    reproducible resamples (the property production selection pipelines
+    need for lineage).  Ties break on doc_id.
+
+    Scale: one map-only projection computes priorities; the top-(n+1)
+    cut is a ``TakeOrderedAndProject`` (no full sort, no collect); τ
+    joins back as a one-row broadcast.  At 100 TB nothing about the
+    shape changes — the sample is O(n) rows end to end."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "source", F.col("n_chars").cast("double").alias("w")
+    )
+    u = (
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .cast("double")
+            + F.lit(1.0)
+        )
+        / F.lit(float(_PRI_SPACE))
+    )
+    pri = docs.select("doc_id", "source", "w", (F.col("w") / u).alias("priority"))
+    top = pri.orderBy(F.desc("priority"), F.asc("doc_id")).limit(_PRI_N + 1)
+    # τ = the (n+1)-th priority; when the corpus has ≤ n docs the whole
+    # population is sampled and τ = 0 (est_w degenerates to w, exact)
+    w_rank = Window.orderBy(F.desc("priority"), F.asc("doc_id"))
+    ranked = top.withColumn("rn", F.row_number().over(w_rank))
+    tau = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == _PRI_N + 1, F.col("priority"))),
+            F.lit(0.0),
+        ).alias("tau")
+    )
+    return (
+        ranked.filter(F.col("rn") <= _PRI_N)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id",
+            "source",
+            F.col("w").cast("long").alias("n_chars"),
+            dround("priority", 6).alias("priority"),
+            dround(F.greatest(F.col("w"), F.col("tau")), 6).alias("est_w"),
+        )
+    )
+
+
+def _priority_sample_sql() -> str:
+    from .dedup import _sql_md5_prefix_int
+
+    u = (
+        f"((CAST({_sql_md5_prefix_int('CAST(doc_id AS VARCHAR)')} AS DOUBLE)"
+        f" + 1.0) / CAST({_PRI_SPACE} AS DOUBLE))"
+    )
+    return f"""
+WITH pri AS (
+  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS w,
+         CAST(n_chars AS DOUBLE) / {u} AS priority
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+  FROM pri
+),
+tau AS (
+  SELECT coalesce(max(CASE WHEN rn = {_PRI_N + 1} THEN priority END), 0.0)
+           AS tau
+  FROM ranked WHERE rn <= {_PRI_N + 1}
+)
+SELECT doc_id, source,
+       CAST(w AS BIGINT) AS n_chars,
+       {sql_round('priority', 6)} AS priority,
+       {sql_round('greatest(w, tau)', 6)} AS est_w
+FROM ranked CROSS JOIN tau
+WHERE rn <= {_PRI_N}
+"""
+
+
+QUERIES["mix_priority_sample"] = mix_priority_sample
+ORACLES["mix_priority_sample"] = _priority_sample_sql()

@@ -151,3 +151,82 @@ def test_url_canonical_dedup_matches_reference_recompute(spark, queries):
     # full groups collapse 5 spellings into one resource
     full = [r for r in rows.values() if r["n_variants"] == 5]
     assert full and all(r["n_spellings"] == 5 for r in full)
+
+
+def test_kmv_distinct_sketch_properties(spark, queries):
+    """KMV: per-type rows + the merged ALL row; the estimate is exact
+    below k and within the pinned 3σ band above it; and the estimate is
+    reproducible from a reference recompute of the same md5 fractions."""
+    import hashlib
+
+    from aind_hcr_data_transformation_spark.operators.relational import (
+        _KMV_K,
+        _KMV_SPACE,
+    )
+    from aind_hcr_data_transformation_spark.tables import load_table
+
+    rows = {r["event_type"]: r for r in queries["agg_kmv_distinct"](spark, SF_DIR).collect()}
+    assert "ALL" in rows and len(rows) >= 2
+
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "user_id").collect()
+    by_type: dict = {}
+    all_users = set()
+    for r in ev:
+        by_type.setdefault(r["event_type"], set()).add(r["user_id"])
+        all_users.add(r["user_id"])
+    by_type["ALL"] = all_users
+
+    def ref_est(users):
+        fracs = sorted(
+            int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) / _KMV_SPACE
+            for u in users
+        )
+        if len(users) < _KMV_K:
+            return float(len(users))
+        return (_KMV_K - 1) / fracs[_KMV_K - 1]
+
+    for t, r in rows.items():
+        users = by_type[t]
+        assert r["n_exact"] == len(users)
+        assert abs(r["kmv_est"] - round(ref_est(users), 6)) < 1e-6
+        if len(users) >= _KMV_K:
+            assert r["within_3sigma"], (t, r["kmv_est"], len(users))
+        else:
+            assert r["kmv_est"] == float(len(users))
+
+
+def test_priority_sample_reference_recompute_and_estimator(spark, queries):
+    """Priority sampling: the sample is exactly the top-n reference
+    priorities (md5-fraction recompute), and Σ max(w,τ) over the sample
+    estimates the corpus total weight within a loose band."""
+    import hashlib
+
+    from aind_hcr_data_transformation_spark.operators.textprep import (
+        _PRI_N,
+        _PRI_SPACE,
+    )
+    from aind_hcr_data_transformation_spark.tables import load_table
+
+    out = queries["mix_priority_sample"](spark, SF_DIR).collect()
+    assert len(out) == _PRI_N
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "n_chars").collect()
+    pri = sorted(
+        (
+            -(
+                float(r["n_chars"])
+                / (
+                    (int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16) + 1.0)
+                    / _PRI_SPACE
+                )
+            ),
+            r["doc_id"],
+        )
+        for r in docs
+    )
+    ref_ids = [doc_id for _, doc_id in pri[:_PRI_N]]
+    assert sorted(r["doc_id"] for r in out) == sorted(ref_ids)
+
+    total_w = sum(float(r["n_chars"]) for r in docs)
+    est_total = sum(r["est_w"] for r in out)
+    assert abs(est_total - total_w) / total_w < 0.35, (est_total, total_w)

@@ -121,6 +121,11 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
         "dedup_semantic",
         # one-row corpus-count broadcast (the N in tf*N/df)
         "text_tfidf_topk",
+        # one-row u_k (union-sketch k-th minimum) broadcast onto the
+        # one-row distinct-count aggregate
+        "agg_kmv_distinct",
+        # one-row τ (threshold priority) broadcast onto the n-row sample
+        "mix_priority_sample",
         # one-row vocabulary-size broadcast (the V in add-one smoothing)
         "text_bigram_lm_score",
         # one-row token-total, (lo, hi) difficulty-range, and weight-total

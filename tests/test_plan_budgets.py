@@ -64,9 +64,10 @@ BUDGETS = {
     "scalar_variant_json": (1, 0),  # parse-once variant, one agg shuffle
     # steady-state read path (the session-cached PQ codebook is primed
     # below, mirroring production where the trainer runs once): spread
-    # exchange + sub-vector explode + final-assign agg; the literal
-    # codebook centroids broadcast as one local relation
-    "embed_pq_quantize": (4, 1),
+    # exchange + the code-pivot agg — the round-7 literal-inlined final
+    # assignment is a map-only projection (no explode, no broadcast
+    # join, no argmin aggregate)
+    "embed_pq_quantize": (3, 0),
     "udtf_doc_bigrams": (0, 0),  # pure generator, no exchange at all
     # tf + totals + doc-score + histogram stages over two persisted
     # relations (census overcounts); the cutoff histogram and totals
