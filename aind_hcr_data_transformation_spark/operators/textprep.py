@@ -1574,69 +1574,45 @@ def _apply_merge(words: DataFrame, merge: DataFrame) -> DataFrame:
     merge to every word's (w, wn, s) symbol sequence — the loop body of
     :func:`bpe_learn_merges`, shared verbatim with the corpus tokenizer
     (train and apply MUST agree on merge semantics or the tokenizer
-    drifts from its own vocabulary)."""
-    wisl = Window.partitionBy("w").orderBy("i")
-    wrun = Window.partitionBy("w", "g").orderBy("i")
-    # rebuild ONLY words containing the pair (an array-expression
-    # pre-filter in codegen); the untouched majority passes through
-    # without explode/window/reassembly — at web scale almost every
-    # word is untouched by any single merge
+    drifts from its own vocabulary).
+
+    Expressed as a single array FOLD per word (``aggregate`` carrying a
+    (out, skip) state): emit the merged symbol and skip the next
+    position on a match, else emit the symbol — the literal statement
+    of the BPE greedy contract (``aaaa`` + merge ``a+a`` → ``aa aa``,
+    ``aaa`` → ``aa a``; pinned by ``tests/test_bpe_learn.py``).  This
+    is a MAP-ONLY projection after the one-row (a, b) broadcast: the
+    round-6 relational form (explode → two vocabulary windows →
+    anti/left joins → reassembly aggregate) shuffled the vocabulary
+    four times per round for the same result; now the only per-round
+    shuffle left in the BPE loop is the pair-count aggregate itself.
+    The ORACLE keeps the relational gaps-and-islands formulation — the
+    differential check is therefore also a cross-formulation proof of
+    the greedy semantics.
+
+    ``try_element_at`` on the lookahead: ANSI ``AND`` does not
+    short-circuit, so the ``i = size(s)`` row would error on plain
+    ``element_at``."""
     wm = words.crossJoin(F.broadcast(merge.select("a", "b")))
-    has_pair = F.expr(
-        # the size guard lives INSIDE the CASE: sequence(1, 0)
-        # descends for single-symbol words and ANSI AND would still
-        # evaluate the element_at(s, 0) branch
-        "CASE WHEN size(s) < 2 THEN false ELSE "
-        "exists(sequence(1, size(s) - 1), i -> "
-        "element_at(s, i) = a AND element_at(s, i + 1) = b) END"
+    fold = F.expr(
+        """
+        aggregate(
+          sequence(1, size(s)),
+          named_struct('out', CAST(array() AS ARRAY<STRING>), 'skip', false),
+          (st, i) -> CASE
+            WHEN st.skip
+              THEN named_struct('out', st.out, 'skip', false)
+            WHEN i < size(s) AND element_at(s, i) = a
+                 AND try_element_at(s, i + 1) = b
+              THEN named_struct('out', array_append(st.out, concat(a, b)),
+                                'skip', true)
+            ELSE named_struct('out', array_append(st.out, element_at(s, i)),
+                              'skip', false)
+          END,
+          st -> st.out)
+        """
     )
-    unmatched = wm.filter(~has_pair).select("w", "wn", "s")
-    rows = wm.filter(has_pair).select(
-        "w",
-        "wn",
-        "a",
-        "b",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(s)), i -> struct("
-                "i AS i, element_at(s, i) AS sym, "
-                # try_element_at: ANSI AND does not short-circuit, so
-                # the i = size(s) row would error on plain element_at
-                "CASE WHEN i < size(s) AND element_at(s, i) = a "
-                "AND try_element_at(s, i + 1) = b THEN 1 ELSE 0 END AS mt))"
-            )
-        ).alias("r"),
-    ).select("w", "wn", "a", "b", "r.i", "r.sym", "r.mt")
-    sel = (
-        rows.filter(F.col("mt") == 1)
-        .withColumn("g", F.col("i") - F.row_number().over(wisl))
-        .withColumn("rn", F.row_number().over(wrun))
-        .filter(F.col("rn") % 2 == 1)
-        .select("w", "i")
-    )
-    dropped = sel.select("w", (F.col("i") + 1).alias("i"))
-    rebuilt = (
-        rows.join(dropped, ["w", "i"], "left_anti")
-        .join(sel.withColumn("hit", F.lit(1)), ["w", "i"], "left")
-        .select(
-            "w",
-            "wn",
-            "i",
-            F.when(F.col("hit") == 1, F.concat(F.col("a"), F.col("b")))
-            .otherwise(F.col("sym"))
-            .alias("sym"),
-        )
-    )
-    return (
-        rebuilt.groupBy("w", "wn")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "sym"))),
-                lambda st: st["sym"],
-            ).alias("s")
-        )
-        .unionByName(unmatched)
-    )
+    return wm.select("w", "wn", fold.alias("s"))
 
 
 def _bpe_chain_sql(apply_last: bool) -> str:

@@ -80,13 +80,28 @@ def main() -> int:
             return v
         return default
 
-    sample = _opt("--sample", os.path.join(REPO, "CORRECTNESS_r05.json"))
-    out_path = _opt("--out", os.path.join(REPO, "STRICT_ORACLE_r06.json"))
+    # default sample = the UNION of every driver CORRECTNESS_r*.json in
+    # the repo (VERDICT r6 task 8: each round's driver sample rotates,
+    # so the strict population should accumulate across rounds).
+    # ``--sample`` accepts a comma-separated list of files to override.
+    import glob as _glob
+
+    default_samples = ",".join(
+        sorted(_glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    )
+    sample = _opt("--sample", default_samples)
+    out_path = _opt("--out", os.path.join(REPO, "STRICT_ORACLE.json"))
     chunk = int(_opt("--chunk", "12"))
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
 
-    with open(sample) as fh:
-        sampled = [k for k in json.load(fh) if k != "_meta"]
+    seen: set[str] = set()
+    sampled: list[str] = []
+    for path in sample.split(","):
+        with open(path) as fh:
+            for k in json.load(fh):
+                if k != "_meta" and k not in seen:
+                    seen.add(k)
+                    sampled.append(k)
     sys.path.insert(0, REPO)
     import __spark_entry__ as entrymod  # registry names only; no session
 
@@ -145,7 +160,7 @@ def main() -> int:
         "_meta": {
             "tool": "tools/strict_sweep.py (chunked --duckdb-strict)",
             "sf_dir": sf_dir,
-            "sample": os.path.basename(sample),
+            "sample": [os.path.basename(x) for x in sample.split(",")],
             "retired_sample_names": retired,
             "n_queries": len(merged),
             "n_failures": n_fail,
