@@ -190,26 +190,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tiny, broadcast) → oriented edge list → wedge self-join on source →
     closure equi-join on (v, w). All joins equi; no cartesian anywhere.
     """
-    items = persist_tracked(
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .join(
-            F.broadcast(
-                load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-            ),
-            F.col("l_partkey") == F.col("p_partkey"),
-        )
-        .select("l_orderkey", F.col("p_brand").alias("brand"))
-        .distinct()
-    )
-    items.count()  # one basket build; pairs consumes it twice + totals
-    a = items.select(F.col("l_orderkey").alias("ok"), F.col("brand").alias("u"))
-    b = items.select(F.col("l_orderkey").alias("ok"), F.col("brand").alias("v"))
-    pairs = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("co"))
+    # session-shared basket + co-occurrence frames (localCheckpoint —
+    # warehouse.shared_brand_baskets; assoc_basket_rules reads the same
+    # ones, so the basket build and pair self-join run once per session)
+    from .warehouse import shared_brand_baskets
+
+    items, co_pairs = shared_brand_baskets(spark, sf_dir)
+    pairs = co_pairs.select(
+        F.col("brand_a").alias("u"), F.col("brand_b").alias("v"), "co"
     )
     totals = items.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
     edges = persist_tracked(
