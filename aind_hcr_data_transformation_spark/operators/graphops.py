@@ -186,9 +186,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan and the oracle use row-value (deg, id) comparisons, so the two
     engines orient identically.
 
-    Plan: basket build (one shuffle) → pair aggregate → degree aggregate
-    (tiny, broadcast) → oriented edge list → wedge self-join on source →
-    closure equi-join on (v, w). All joins equi; no cartesian anywhere.
+    Plan: basket build (one shuffle) → pair aggregate — both
+    session-shared with ``assoc_basket_rules`` via
+    ``warehouse.shared_brand_baskets`` (localCheckpoint, built once) —
+    → degree aggregate (tiny, broadcast) → oriented edge list → wedge
+    self-join on source → closure equi-join on (v, w). All joins equi;
+    no cartesian anywhere.
     """
     # session-shared basket + co-occurrence frames (localCheckpoint —
     # warehouse.shared_brand_baskets; assoc_basket_rules reads the same

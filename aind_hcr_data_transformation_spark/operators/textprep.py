@@ -1484,23 +1484,20 @@ def _bpe_learn_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Merge application is greedy left-to-right non-overlapping (the BPE
     contract: ``aaaa`` + merge ``a+a`` → ``aa aa``, ``aaa`` → ``aa a``),
-    expressed relationally: match positions → consecutive-run islands
-    (``i − row_number()``, the gaps-and-islands idiom of
-    ``dedup_exact_substring``) → keep every odd rank within a run →
-    drop each selected position's right neighbor and substitute the
-    merged symbol. No UDF anywhere; ties in the argmax break
-    (count desc, left asc, right asc) via ``min(struct(-cnt, a, b))`` —
-    a single-row global aggregate that is BROADCAST back, never
-    collected to the driver.
+    expressed as a single per-word array FOLD (:func:`_apply_merge` —
+    map-only after the one-row merge broadcast; the ORACLE keeps the
+    relational gaps-and-islands formulation, so the differential check
+    is a cross-formulation proof of the greedy semantics). No UDF
+    anywhere; ties in the argmax break (count desc, left asc, right
+    asc) via ``min(struct(-cnt, a, b))`` — a single-row global
+    aggregate that is BROADCAST back, never collected to the driver.
 
     Scale shape: every stage runs on the DISTINCT-word frequency table
     (vocabulary-sized, orders of magnitude below corpus tokens — the
-    same pre-aggregate that makes production BPE trainers tractable),
-    so the per-round explodes are Σ|word| over the vocabulary. At
-    100 TB the word string key becomes an xxhash64 id (the
-    ``dedup_minhash_fast`` trick) and each round stays one pair
-    aggregate + two vocabulary-partitioned windows + one reassembly
-    aggregate.
+    same pre-aggregate that makes production BPE trainers tractable).
+    At 100 TB the word string key becomes an xxhash64 id (the
+    ``dedup_minhash_fast`` trick) and each round is ONE pair-count
+    aggregate — the fold application adds no exchange at all.
     """
     docs = load_table(spark, sf_dir, "documents")
     words = persist_tracked(

@@ -112,10 +112,13 @@ def assoc_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one broadcast join attaches brands, one shuffle dedups the
     basket items, the pair self-join runs co-partitioned on the basket
     key (fan-out ≤ items-per-basket², never corpus-quadratic), one hash
-    aggregate counts support. Brand marginals and the basket total are
-    tiny aggregates broadcast onto the pair table (the 1-row totals
-    frame is a deliberate bounded BNLJ, same pattern as
-    ``text_tfidf_topk``). minsup derives from the basket count.
+    aggregate counts support — with the basket AND pair frames
+    session-shared with ``graph_triangle_count`` via
+    :func:`shared_brand_baskets` (whichever runs first pays the build).
+    Brand marginals and the basket total are tiny aggregates broadcast
+    onto the pair table (the 1-row totals frame is a deliberate bounded
+    BNLJ, same pattern as ``text_tfidf_topk``). minsup derives from the
+    basket count.
 
     All counts stay BIGINT; confidence/lift are single final double
     divisions of exact integers (IEEE-identical cross-engine), then
