@@ -198,15 +198,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ones, so the basket build and pair self-join run once per session)
     from .warehouse import shared_brand_baskets
 
-    items, co_pairs = shared_brand_baskets(spark, sf_dir)
+    items, co_pairs, n_baskets = shared_brand_baskets(spark, sf_dir)
     pairs = co_pairs.select(
         F.col("brand_a").alias("u"), F.col("brand_b").alias("v"), "co"
     )
-    totals = items.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
     edges = persist_tracked(
-        pairs.crossJoin(F.broadcast(totals))
-        .filter(F.col("co") >= F.expr(f"n_baskets DIV {_TRI_SUP_DIV}"))
-        .select("u", "v")
+        pairs.filter(F.col("co") >= F.lit(n_baskets // _TRI_SUP_DIV)).select(
+            "u", "v"
+        )
     )
     edges.count()  # materialize: consumed by deg (twice) and orientation
 

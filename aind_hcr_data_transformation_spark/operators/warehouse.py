@@ -81,10 +81,14 @@ _BASKET_CACHE: dict[tuple, tuple] = {}
 
 
 def shared_brand_baskets(spark: SparkSession, sf_dir: str):
-    """(items, pair_counts) — both localCheckpoint-materialized once per
-    (session, sf_dir).  ``items`` = distinct (l_orderkey, brand);
-    ``pair_counts`` = (brand_a < brand_b, co) basket co-occurrence
-    counts from the basket-keyed self-join."""
+    """(items, pair_counts, n_baskets) — the frames localCheckpoint-
+    materialized, and the basket count collected, once per (session,
+    sf_dir).  ``items`` = distinct (l_orderkey, brand); ``pair_counts``
+    = (brand_a < brand_b, co) basket co-occurrence counts from the
+    basket-keyed self-join; ``n_baskets`` = countDistinct(l_orderkey)
+    as a plain int — a 1-value collected aggregate (codebook-sized by
+    any standard) that both consumers previously re-derived with their
+    own distinct-aggregate shuffle and bounded-BNLJ crossJoin."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BASKET_CACHE:
         items = _brand_baskets(spark, sf_dir).localCheckpoint()
@@ -101,7 +105,10 @@ def shared_brand_baskets(spark: SparkSession, sf_dir: str):
             .agg(F.count(F.lit(1)).alias("co"))
             .localCheckpoint()
         )
-        _BASKET_CACHE[key] = (items, pairs)
+        n_baskets = items.agg(
+            F.countDistinct("l_orderkey").alias("n")
+        ).collect()[0]["n"]
+        _BASKET_CACHE[key] = (items, pairs, int(n_baskets))
     return _BASKET_CACHE[key]
 
 
@@ -112,13 +119,12 @@ def assoc_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one broadcast join attaches brands, one shuffle dedups the
     basket items, the pair self-join runs co-partitioned on the basket
     key (fan-out ≤ items-per-basket², never corpus-quadratic), one hash
-    aggregate counts support — with the basket AND pair frames
-    session-shared with ``graph_triangle_count`` via
-    :func:`shared_brand_baskets` (whichever runs first pays the build).
-    Brand marginals and the basket total are tiny aggregates broadcast
-    onto the pair table (the 1-row totals frame is a deliberate bounded
-    BNLJ, same pattern as ``text_tfidf_topk``). minsup derives from the
-    basket count.
+    aggregate counts support — with the basket frame, the pair counts,
+    AND the collected basket total session-shared with
+    ``graph_triangle_count`` via :func:`shared_brand_baskets`
+    (whichever runs first pays the build).  Brand marginals are a tiny
+    broadcast aggregate; minsup derives from the shared basket count,
+    inlined as a literal.
 
     All counts stay BIGINT; confidence/lift are single final double
     divisions of exact integers (IEEE-identical cross-engine), then
@@ -126,13 +132,11 @@ def assoc_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # session-shared basket + pair frames (localCheckpoint — see
     # shared_brand_baskets; graph_triangle_count reads the same ones)
-    items, co = shared_brand_baskets(spark, sf_dir)
+    items, co, n_baskets = shared_brand_baskets(spark, sf_dir)
     marg = items.groupBy("brand").agg(F.count(F.lit(1)).alias("n_brand"))
-    totals = items.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
 
     out = (
-        co.crossJoin(F.broadcast(totals))
-        .filter(F.col("co") >= F.expr(f"n_baskets DIV {_MINSUP_DIV}"))
+        co.filter(F.col("co") >= F.lit(n_baskets // _MINSUP_DIV))
         .join(
             F.broadcast(marg.select(F.col("brand").alias("brand_a"), F.col("n_brand").alias("na"))),
             "brand_a",
@@ -149,7 +153,7 @@ def assoc_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("co").cast("double") / F.col("na"), 6).alias("conf_a_to_b"),
         dround(F.col("co").cast("double") / F.col("nb"), 6).alias("conf_b_to_a"),
         dround(
-            (F.col("co") * F.col("n_baskets")).cast("double")
+            (F.col("co") * F.lit(n_baskets)).cast("double")
             / (F.col("na") * F.col("nb")),
             6,
         ).alias("lift"),

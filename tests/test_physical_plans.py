@@ -145,10 +145,6 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
         # ivf_kmeans_ann's k-row centroid broadcast (probe-list build) plus
         # embed_pq_quantize's per-subspace codebook broadcasts, composed
         "ivfpq_search",
-        # one-row basket-total broadcast (the N in lift / the derived
-        # support threshold), same pattern as text_tfidf_topk
-        "assoc_basket_rules",
-        "graph_triangle_count",
         # one-row (min, max) range broadcast for integer bucket math
         "agg_histogram",
         # one-row n_users broadcast (the N in the quintile formula),

@@ -84,12 +84,18 @@ DEFAULT_QUERIES = [
     # query >2 s at sf0.1 gets a MEASURED growth class, not an argued one
     "ivfpq_search",
     "dedup_canonical_pick",
-    "graph_triangle_count",
     "dedup_semantic",
     "graph_bfs_hops",
     "pq_adc_topk",
     "boilerplate_strip",
+    # assoc runs FIRST of the two shared-basket consumers so the
+    # (linear) basket/pair build lands in its measurement; the
+    # triangle row then measures the bounded-graph residual.  The
+    # other order flagged assoc superlinear on an accounting
+    # artifact: its residual is a countDistinct + marginals whose
+    # small-SF bytes are deflated by AQE partition coalescing.
     "assoc_basket_rules",
+    "graph_triangle_count",
     "embed_pq_quantize",
     "grouped_zscore",
     "embed_power_iteration",
@@ -102,6 +108,10 @@ DEFAULT_QUERIES = [
     "rag_mmr_rerank",
     "text_ccnet_buckets",
     "rec_item_cosine",
+    # round-7 additions: the KMV bottom-k sketch (grouped two-phase
+    # rank) and the priority sample (TakeOrdered + 1-row τ broadcast)
+    "agg_kmv_distinct",
+    "mix_priority_sample",
     # round-7 (VERDICT r6 task 7): the full stream_* family.  Their
     # micro-batch jobs run on Structured Streaming's own threads, so the
     # thread-local job group never tags them — the event-log accounting
