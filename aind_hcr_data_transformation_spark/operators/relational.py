@@ -3700,3 +3700,83 @@ FROM merged
 
 QUERIES["agg_kmv_distinct"] = agg_kmv_distinct
 ORACLES["agg_kmv_distinct"] = _kmv_sql()
+
+
+# ---------------------------------------------------------------------------
+# Parquet schema evolution (mergeSchema) — the lakehouse add-a-column
+# read path (round 7)
+# ---------------------------------------------------------------------------
+
+
+def _schema_evo_copies(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize two parquet GENERATIONS of the documents table once
+    per fixture generation (same mtime-tag cache + grace-aged sweep as
+    ``_text_format_copies``): gen1 (even doc_id) with the original
+    3-column schema, gen2 (odd doc_id) after a schema EVOLUTION that
+    added the ``lang`` column.  Returns the base dir."""
+    import hashlib
+    import os
+    import tempfile
+    from pathlib import Path
+
+    mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
+    tag = hashlib.md5(f"{sf_dir}|{mtime}|evo".encode()).hexdigest()[:8]
+    prefix = f"spark_graft_schevo_{_sf_slug(sf_dir)}_"
+    base = Path(tempfile.gettempdir()) / f"{prefix}{tag}"
+    _sweep_stale_layouts(prefix, base)
+    docs = load_table(spark, sf_dir, "documents")
+    if not (base / "gen1" / "_SUCCESS").exists():
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "source", "n_chars"
+        ).write.mode("overwrite").parquet(str(base / "gen1"))
+    if not (base / "gen2" / "_SUCCESS").exists():
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "source", "n_chars", "lang"
+        ).write.mode("overwrite").parquet(str(base / "gen2"))
+    return str(base)
+
+
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read ACROSS a parquet schema evolution — the lakehouse
+    add-a-column reality every long-lived table hits: generation 1 was
+    written before ``lang`` existed, generation 2 after.  A single
+    ``mergeSchema`` scan unifies the footers (old files surface the new
+    column as NULL; no rewrite of historical data), and the query
+    aggregates per (source, lang-with-default) over BOTH generations.
+
+    The oracle derives the identical result from the parquet source of
+    truth (gen1 rows are exactly the even doc_ids, whose lang the
+    evolved read cannot know), so the differential check proves the
+    merged-footer read reconstructs every row and NULL-fills precisely
+    the pre-evolution files — the contract that makes in-place schema
+    evolution safe at 100 TB (footer-only schema merge; the scan still
+    prunes to the referenced columns, and historical files are never
+    touched).
+    """
+    base = _schema_evo_copies(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/gen1", f"{base}/gen2"
+    )
+    return (
+        merged.groupBy(
+            "source",
+            F.coalesce(F.col("lang"), F.lit("unknown")).alias("lang_filled"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+SOURCE_SCHEMA_EVOLUTION_SQL = """
+SELECT source,
+       CASE WHEN doc_id % 2 = 1 THEN lang ELSE 'unknown' END AS lang_filled,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+QUERIES["source_schema_evolution"] = source_schema_evolution
+ORACLES["source_schema_evolution"] = SOURCE_SCHEMA_EVOLUTION_SQL

@@ -111,3 +111,24 @@ def test_sweep_stale_layouts_respects_grace_age(tmp_path, monkeypatch):
     assert keep.exists(), "current layout must never be touched"
     assert fresh.exists(), "young superseded layout must survive the grace window"
     assert not stale.exists(), "aged-out layout must be reclaimed"
+
+
+def test_schema_evolution_merged_read(spark):
+    """mergeSchema must unify the two parquet generations: the evolved
+    column exists in the merged schema and is NULL exactly for the
+    pre-evolution (even doc_id) files."""
+    from pyspark.sql import functions as F
+
+    from aind_hcr_data_transformation_spark.operators.relational import (
+        _schema_evo_copies,
+    )
+
+    base = _schema_evo_copies(spark, "/root/testdata/sf0.001")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/gen1", f"{base}/gen2"
+    )
+    assert "lang" in merged.columns
+    nulls = merged.filter(F.col("lang").isNull()).select("doc_id")
+    assert nulls.filter(F.col("doc_id") % 2 == 1).count() == 0
+    assert nulls.count() == merged.filter(F.col("doc_id") % 2 == 0).count()
+    assert nulls.count() > 0
