@@ -17,6 +17,15 @@ sweep.
 Usage:
     python tools/strict_sweep.py [sf_dir] [--sample CORRECTNESS.json]
                                  [--out STRICT_ORACLE.json] [--chunk N]
+                                 [--full]
+
+``--full`` switches from the strict TRY_CAST probe to the plain
+differential over the ENTIRE registry (every ``queries()`` entry) —
+the crash-proof way to produce the round-end full-registry evidence:
+a single-process ``oracle_check`` run over 200+ queries can die on one
+transient host-level DuckDB ``std::bad_alloc`` and lose the whole
+artifact (observed again in round 7 at ``ivfpq_search``); chunked
+fresh processes bound the blast radius to one retried chunk.
 """
 
 from __future__ import annotations
@@ -31,7 +40,9 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_chunk(sf_dir: str, names: list[str]) -> tuple[dict, int]:
+def _run_chunk(
+    sf_dir: str, names: list[str], strict: bool = True
+) -> tuple[dict, int]:
     """One fresh-process oracle_check over ``names``; returns (records,
     exit_code). Records may be partial if the process crashed."""
     with tempfile.NamedTemporaryFile(
@@ -45,7 +56,7 @@ def _run_chunk(sf_dir: str, names: list[str]) -> tuple[dict, int]:
                 os.path.join(REPO, "tools", "oracle_check.py"),
                 "--json",
                 out,
-                "--duckdb-strict",
+                *(["--duckdb-strict"] if strict else []),
                 sf_dir,
                 *names,
             ],
@@ -89,23 +100,34 @@ def main() -> int:
     default_samples = ",".join(
         sorted(_glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
     )
+    full = "--full" in argv
+    if full:
+        argv.remove("--full")
     sample = _opt("--sample", default_samples)
-    out_path = _opt("--out", os.path.join(REPO, "STRICT_ORACLE.json"))
+    out_path = _opt(
+        "--out",
+        os.path.join(
+            REPO, "FULL_ORACLE.json" if full else "STRICT_ORACLE.json"
+        ),
+    )
     chunk = int(_opt("--chunk", "12"))
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
 
-    seen: set[str] = set()
-    sampled: list[str] = []
-    for path in sample.split(","):
-        with open(path) as fh:
-            for k in json.load(fh):
-                if k != "_meta" and k not in seen:
-                    seen.add(k)
-                    sampled.append(k)
     sys.path.insert(0, REPO)
     import __spark_entry__ as entrymod  # registry names only; no session
 
     live = set(entrymod.queries())
+    if full:
+        sampled = list(entrymod.queries())
+    else:
+        seen: set[str] = set()
+        sampled = []
+        for path in sample.split(","):
+            with open(path) as fh:
+                for k in json.load(fh):
+                    if k != "_meta" and k not in seen:
+                        seen.add(k)
+                        sampled.append(k)
     names = [n for n in sampled if n in live]
     retired = [n for n in sampled if n not in live]
     if retired:
@@ -118,7 +140,7 @@ def main() -> int:
     crashed: list[str] = []
     for i in range(0, len(names), chunk):
         batch = names[i : i + chunk]
-        recs, rc = _run_chunk(sf_dir, batch)
+        recs, rc = _run_chunk(sf_dir, batch, strict=not full)
         merged.update(recs)
         missing = [n for n in batch if n not in recs]
         if missing:
@@ -136,7 +158,7 @@ def main() -> int:
         )
 
     for n in crashed:  # isolate: one query per process
-        recs, rc = _run_chunk(sf_dir, [n])
+        recs, rc = _run_chunk(sf_dir, [n], strict=not full)
         if n in recs:
             merged[n] = recs[n]
         else:
@@ -158,9 +180,17 @@ def main() -> int:
     )
     merged_out = {
         "_meta": {
-            "tool": "tools/strict_sweep.py (chunked --duckdb-strict)",
+            "tool": (
+                "tools/strict_sweep.py (chunked full differential)"
+                if full
+                else "tools/strict_sweep.py (chunked --duckdb-strict)"
+            ),
             "sf_dir": sf_dir,
-            "sample": [os.path.basename(x) for x in sample.split(",")],
+            "sample": (
+                "full registry"
+                if full
+                else [os.path.basename(x) for x in sample.split(",")]
+            ),
             "retired_sample_names": retired,
             "n_queries": len(merged),
             "n_failures": n_fail,
