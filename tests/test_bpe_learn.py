@@ -19,6 +19,8 @@ Hand computation for text ``"aaaa aaa baaab cc cc cc"``:
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 
 @pytest.fixture(scope="module")
@@ -73,3 +75,52 @@ def test_tokenize_applies_all_learned_merges(spark, queries, bpe_dir):
         r["n_chars"],
         r["chars_per_token"],
     ) == ("src0", 6, 9, 18, 2.0)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=10),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    ),
+    pair=st.tuples(
+        st.sampled_from(["a", "b", "c", "ab", "bc"]),
+        st.sampled_from(["a", "b", "c", "ab", "bc"]),
+    ),
+)
+def test_apply_merge_fold_matches_python_greedy(spark, words, pair):
+    """Property pin for the round-7 array-fold _apply_merge: on random
+    symbol sequences and an arbitrary (a, b) merge — including
+    self-merges like (a, a) and multi-char symbols — the fold must
+    agree with a direct Python statement of the greedy left-to-right
+    non-overlapping contract."""
+    from aind_hcr_data_transformation_spark.operators.textprep import (
+        _apply_merge,
+    )
+
+    a, b = pair
+
+    def ref(sym_seq):
+        out, i = [], 0
+        while i < len(sym_seq):
+            if (
+                i + 1 < len(sym_seq)
+                and sym_seq[i] == a
+                and sym_seq[i + 1] == b
+            ):
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym_seq[i])
+                i += 1
+        return out
+
+    rows = [(w, 1, list(w)) for w in words]
+    df = spark.createDataFrame(
+        rows, "w string, wn long, s array<string>"
+    )
+    merge = spark.createDataFrame([(a, b)], "a string, b string")
+    got = {r["w"]: list(r["s"]) for r in _apply_merge(df, merge).collect()}
+    assert got == {w: ref(list(w)) for w in words}
