@@ -11,6 +11,8 @@ whole-stage codegen — no Python UDF in the hot path (SURVEY §2.11 policy).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -71,8 +73,21 @@ def sql_cosine(a: str, b: str, dim: int = EMB_DIM) -> str:
 def dlit(v: float) -> str:
     """Exact Spark-SQL double literal: ``repr`` round-trips IEEE-754
     doubles (shortest-exact), and the ``D`` suffix keeps the parser from
-    reading the token as DECIMAL."""
-    return repr(float(v)) + "D"
+    reading the token as DECIMAL.
+
+    Non-finite values would emit unparseable tokens (``infD`` / ``nanD``)
+    that fail far from the cause with an opaque parser error, so they are
+    rejected here — a codebook literal should never be non-finite; if one
+    is, the training input was degenerate and the caller must know.
+    """
+    f = float(v)
+    if not math.isfinite(f):
+        raise ValueError(
+            f"dlit: non-finite value {f!r} cannot be emitted as a "
+            "Spark-SQL double literal — check the codebook / training "
+            "input for NaN/inf (e.g. a zero-variance or empty cluster)"
+        )
+    return repr(f) + "D"
 
 
 def arr_lit(vals) -> str:

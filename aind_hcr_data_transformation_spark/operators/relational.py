@@ -3771,7 +3771,8 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SOURCE_SCHEMA_EVOLUTION_SQL = """
 SELECT source,
-       CASE WHEN doc_id % 2 = 1 THEN lang ELSE 'unknown' END AS lang_filled,
+       CASE WHEN doc_id % 2 = 1 THEN coalesce(lang, 'unknown')
+            ELSE 'unknown' END AS lang_filled,
        count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents

@@ -16,6 +16,7 @@ shuffle is on (window, event_type) — exactly as in batch.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -530,13 +531,22 @@ def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(checkpoint, ignore_errors=True)
     # harness read-back: the store is the query's real output and would
-    # never be deleted in production — here it lives in /tmp, so copy it
-    # out before cleanup. An eager toPandas (not persist) because cached
-    # blocks can be LRU-evicted and recomputation would then re-read the
-    # deleted directory. Bounded by distinct users at harness scale.
-    pdf = spark.read.parquet(store_dir).orderBy("user_id").toPandas()
+    # never be deleted in production — here it lives in /tmp, so copy the
+    # directory aside (executor-free, never through the driver) and return
+    # a lazy scan of the copy. The copy is retained until process exit so
+    # the returned DataFrame stays re-readable; atexit reclaims it.
+    keep_dir = store_dir + "_result"
+    shutil.copytree(store_dir, keep_dir)
+    atexit.register(shutil.rmtree, keep_dir, ignore_errors=True)
     shutil.rmtree(store_dir, ignore_errors=True)
-    return spark.createDataFrame(pdf, "user_id long, n_events long")
+    return (
+        spark.read.parquet(keep_dir)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
 
 
 STREAM_FOREACH_UPSERT_SQL = """

@@ -140,3 +140,21 @@ def test_sqlstring_vector_folds_bit_equal_column_api(spark):
         ) == bits(
             F.expr(f"{dlit(c2)} - 2.0D * {sparksql_dot('embedding', arr_lit(arr))}")
         )
+
+
+def test_dlit_rejects_non_finite():
+    """``dlit`` must refuse NaN/inf instead of emitting the unparseable
+    tokens ``nanD``/``infD`` that would fail with an opaque Spark parser
+    error far from the degenerate training input that produced them."""
+    import math
+
+    import pytest
+
+    from aind_hcr_data_transformation_spark.functions.vectors import dlit
+
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        with pytest.raises(ValueError, match="non-finite"):
+            dlit(bad)
+    # finite extremes still round-trip exactly
+    for ok in (1.7976931348623157e308, 5e-324, -0.0):
+        assert float(dlit(ok)[:-1]) == ok or math.copysign(1, ok) == -1

@@ -173,11 +173,30 @@ def parse_event_log(
     return agg
 
 
+#: wall-clock fallback slack (ms): a task can report a Finish Time a
+#: beat after the driver-side save() returned; credit it to the query
+#: whose window just closed rather than dropping it.
+_WINDOW_PAD_MS = 500
+
+
 def _group_for_time(intervals: list, t_ms) -> str | None:
+    """Wall-clock-interval fallback attribution.
+
+    LOCAL-MODE ASSUMPTION: compares the driver's time.time() windows
+    against executor-reported task Finish Times, which is only exact
+    when driver and executors share a clock — true for the local[N]
+    probe runs this tool performs, NOT for a distributed cluster (there
+    you would derive windows from driver-side JobStart/JobEnd listener
+    events instead). Queries run strictly serially, and windows are
+    checked in order with first-match-wins, so the ``_WINDOW_PAD_MS``
+    slack on each window end credits a task finishing just after
+    save() returned to the query that spawned it, never to the next
+    query's window.
+    """
     if t_ms is None:
         return None
     for group, start, end in intervals:
-        if start <= t_ms <= end:
+        if start <= t_ms <= end + _WINDOW_PAD_MS:
             return group
     return None
 
