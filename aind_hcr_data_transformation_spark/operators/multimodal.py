@@ -104,9 +104,13 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload column, featurized via ``mapInPandas``. The oracle recomputes
     length/sha256/magic bytes in SQL — pinning that the Python batch path
     and the JVM path see identical bytes."""
-    # spread: the documents fixture is one parquet file (one scan task);
-    # the per-payload Python work is the cost, so fan the rows out first
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    # NO spread: the per-payload Python work (one sha256 + a 4-byte
+    # unpack per row) is lighter than a full-payload round-robin
+    # exchange, so this stays scan-partitioned — measured 0.47 s vs
+    # 0.73 s at sf0.1 when the r4 spread landed this query in the bench
+    # regressions map two rounds running. The DECODE queries below keep
+    # spread=True: their per-payload Python cost dominates the exchange.
+    docs = load_table(spark, sf_dir, "documents")
     binary_df = docs.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
