@@ -371,10 +371,16 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seed")
         )
     )
+    # the distance vector is |V| rows and every round references it
+    # TWICE (frontier filter + union): localCheckpoint per round keeps
+    # the plan one-round deep instead of doubling per iteration (the r7
+    # census measured 27 distinct exchanges / 24 broadcasts for a
+    # 3-round loop on a 25-node vector; checkpointed: one join + one
+    # aggregate per round, the Pregel shape the docstring claims)
     dist = n.crossJoin(F.broadcast(seed)).select(
         F.col("n_nationkey").alias("node"),
         F.when(F.col("n_nationkey") == F.col("seed"), F.lit(0)).alias("d"),
-    )
+    ).localCheckpoint()
     for _ in range(_BFS_ITERS):
         relaxed = (
             edges.join(
@@ -387,7 +393,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionAll(relaxed)
             .groupBy("node")
             .agg(F.min("d").alias("d"))
-        )
+        ).localCheckpoint()
     return n.join(dist, n.n_nationkey == dist.node).select(
         F.col("n_name").alias("nation"),
         F.coalesce(F.col("d"), F.lit(-1)).alias("hops"),

@@ -368,7 +368,15 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(queries · pool²) regardless of corpus size; the corpus itself is
     touched only once, by the scorer scan.  Relevance and similarity are
     rounded to 6 dp before any comparison so both engines rank identical
-    doubles (ties broken by vec_id)."""
+    doubles (ties broken by vec_id).
+
+    Lineage discipline (r8, VERDICT r7 task 3): the pool/pair frames and
+    each step's ``selected`` frame are ``localCheckpoint``-ed — all are
+    constant-size (queries·pool, queries·pool², queries·step rows), and
+    without the cut every later step re-derived the whole prior chain
+    once per reference (the census measured 30 distinct exchanges for a
+    3-step greedy loop; the checkpointed form plans each step against
+    materialized RDDs instead)."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True).withColumn(
         "n2", spark_dot(F.col("embedding"), F.col("embedding"))
     )
@@ -378,7 +386,7 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("qn2"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("vec_id"))
-    cands = persist_tracked(
+    cands = (
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
@@ -396,7 +404,7 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
-    )
+    ).localCheckpoint()
     a = cands.select(
         "qid",
         F.col("vec_id").alias("vid_a"),
@@ -409,7 +417,7 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("n2").alias("n2_b"),
     )
-    pairs = persist_tracked(
+    pairs = (
         a.join(b, "qid")
         .filter(F.col("vid_a") != F.col("vid_b"))
         .select(
@@ -425,7 +433,7 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("sim"),
         )
-    )
+    ).localCheckpoint()
     pool = cands.select("qid", "vec_id", "rel")
 
     # per-query argmax as a hash aggregate (max over (rel, -vec_id) =
@@ -441,7 +449,7 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).alias("sel_rank"),
             F.col("sc.rel").alias("mmr_score"),
         )
-    )
+    ).localCheckpoint()
     for step in range(2, _MMR_K + 1):
         sel_keys = selected.select("qid", F.col("vec_id").alias("vid_b"))
         max_sim = (
@@ -475,7 +483,7 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("sc.mmr_score").alias("mmr_score"),
             )
         )
-        selected = selected.unionByName(pick)
+        selected = selected.unionByName(pick).localCheckpoint()
     return selected
 
 

@@ -1714,32 +1714,43 @@ def mix_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor — genuinely iterative (flooring makes the compounding
     non-closed-form) and bit-identical across engines.
 
-    Scale shape: ONE heavy stage — the token-stream explode and the
-    toks⋈ctf rarity join (same shuffle class as ``text_rarity_score``,
-    linear in corpus size) — collapses to a k-row domain frame; the 3
-    unrolled multiplicative-weights rounds and the renormalization are
-    k-row arithmetic with one-row min/max/sum broadcasts. At 100 TB the
-    iteration cost is independent of corpus size.
+    Scale shape: ONE heavy stage — the token-stream explode collapses
+    immediately to a (source, word) count frame (``inst``, vocabulary-
+    sized), and the corpus frequency, total, and rarity join all derive
+    from it: corpus text is read and exploded exactly once (the r7 form
+    referenced the explode three times — ctf, total, rarity join — and
+    the census showed no exchange reuse). The k-row domain frame is
+    localCheckpoint-ed so the 3 multiplicative-weights rounds and the
+    renormalization plan against a materialized constant-size RDD. At
+    100 TB the iteration cost is independent of corpus size.
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
     )
-    ctf = docs.groupBy("w").agg(F.count(F.lit(1)).alias("ctf"))
-    n_tot = docs.agg(F.count(F.lit(1)).alias("n_tot"))
+    # one corpus pass; two consumers (ctf build, rarity join)
+    inst = persist_tracked(
+        docs.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n_sw"))
+    )
+    ctf = inst.groupBy("w").agg(F.sum("n_sw").alias("ctf"))
+    # total tokens = sum of corpus term frequencies (exact, no re-scan)
+    n_tot = ctf.agg(F.sum("ctf").alias("n_tot"))
+    # sum over instances of (n_tot DIV ctf) == sum over (source, word)
+    # groups of n_sw * (n_tot DIV ctf): identical integer arithmetic,
+    # one vocabulary-sized join instead of a token-stream join
     diffs = (
-        docs.join(ctf, "w")
+        inst.join(ctf, "w")
         .crossJoin(F.broadcast(n_tot))
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.expr("sum(n_tot DIV ctf)").alias("sum_rarity"),
+            F.sum("n_sw").alias("n_tokens"),
+            F.expr("sum(n_sw * (n_tot DIV ctf))").alias("sum_rarity"),
         )
         .select(
             "source",
             "n_tokens",
             F.expr("sum_rarity DIV n_tokens").alias("difficulty"),
         )
-    )
+    ).localCheckpoint()
     lo_hi = diffs.agg(
         F.min("difficulty").alias("lo"), F.max("difficulty").alias("hi")
     )
@@ -1881,7 +1892,12 @@ def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
     )
-    inst = docs.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n_inst"))
+    # three consumers (vocabulary, single-char union, final multiply-
+    # join) — without the persist the corpus explode+aggregate ran once
+    # per consumer (census: 25 exchanges, reused 0)
+    inst = persist_tracked(
+        docs.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n_inst"))
+    )
     vocab = (
         inst.groupBy("w")
         .agg(F.sum("n_inst").alias("wn"))
@@ -1894,11 +1910,15 @@ def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
+    # the merge rounds are MAP-ONLY folds (one 1-row broadcast each,
+    # each round referenced exactly once): leave them LAZY so whole-
+    # stage codegen pipelines all rounds into a single stage — r8
+    # measured eager localCheckpoint per round 0.55 s slower (vocab
+    # char-array serialization ×3) and per-round persist a wasted cache
+    # fill (nothing ever reads a middle round twice)
     for _rank, a, b, _n_pairs in merges:
-        vocab = persist_tracked(
-            _apply_merge(
-                vocab, spark.createDataFrame([(a, b)], "a string, b string")
-            )
+        vocab = _apply_merge(
+            vocab, spark.createDataFrame([(a, b)], "a string, b string")
         )
     tok = vocab.select("w", F.size("s").cast("long").alias("n_tok")).unionByName(
         inst.select("w").filter(F.length("w") == 1).distinct().select(

@@ -52,9 +52,12 @@ BUDGETS = {
     "dedup_cdc_chunks": (15, 0),
     # queries broadcast into the scorer; top-k + assembly shuffles
     "rag_retrieve_assemble": (3, 2),
-    # unrolled greedy MMR: persisted cands/pairs subplans reprint under
-    # every selection step and union branch (true runtime shuffles ≈ 6)
-    "rag_mmr_rerank": (32, 5),
+    # unrolled greedy MMR (r8): pool/pairs/per-step selections are
+    # localCheckpoint-ed constant-size frames, so the returned plan is a
+    # pure LogicalRDD — the ~6 true shuffles run once at construction
+    # (timed by the bench) instead of the 30 re-derived exchanges the
+    # un-checkpointed loop planned
+    "rag_mmr_rerank": (0, 0),
     # decorrelated WindowGroupLimit + broadcast nation dim
     "join_lateral": (1, 1),
     # one Expand + ONE hash-agg shuffle for all four grouping sets
