@@ -73,8 +73,26 @@ _COMPRESSION_NONE = 0
 #: preprocessing header (optional hi/lo byte planing of 16-bit pixels
 #: before compression).
 _COMPRESSION_JPEG = 1
+_COMPRESSION_JPEGXR = 4
 _COMPRESSION_ZSTD0 = 5
 _COMPRESSION_ZSTD1 = 6
+
+
+def _jpegxr_codec():
+    """The optional JPEG-XR (ITU-T T.832) codec: ``imagecodecs`` when
+    installed, else ``None``.  T.832 is a far larger spec than baseline
+    T.81 (lapped biorthogonal transform, adaptive VLC, tiling) and a
+    vendored decoder could only be validated against a vendored encoder
+    — circular — so mode-4 subblocks decode through the optional
+    dependency or gate loudly (README statement of record)."""
+    try:
+        import imagecodecs
+
+        if getattr(imagecodecs, "jpegxr_decode", None) is not None:
+            return imagecodecs
+    except ImportError:
+        pass
+    return None
 
 
 def _zstd_codec():
@@ -154,17 +172,30 @@ class SubBlockEntry:
         subblocks from a thread pool, and per-call handles make the
         reader trivially thread-safe (no shared seek position)."""
         zstd_modes = (_COMPRESSION_ZSTD0, _COMPRESSION_ZSTD1)
-        decodable = zstd_modes + (_COMPRESSION_NONE, _COMPRESSION_JPEG)
+        decodable = zstd_modes + (
+            _COMPRESSION_NONE,
+            _COMPRESSION_JPEG,
+            _COMPRESSION_JPEGXR,
+        )
         if self.compression not in decodable:
+            raise NotImplementedError(
+                f"compressed subblock (compression={self.compression}) is "
+                "not a ZISRAW mode this reader decodes (0/1/4/5/6) — "
+                "install czifile+imagecodecs and the slab reader will "
+                "dispatch to that backend automatically"
+            )
+        if self.compression == _COMPRESSION_JPEGXR and _jpegxr_codec() is None:
             # deliberate non-goal, not a gap: see the JPEG-XR statement
             # of record in README.md (vendoring T.832 would need a
             # matching encoder to be testable and serves a mode AIND
-            # acquisitions don't use)
+            # acquisitions don't use). Exercised by
+            # tests/test_jpegxr_gate.py on a synthetic mode-4 fixture.
             raise NotImplementedError(
-                f"compressed subblock (compression={self.compression}); "
-                "JPEG-XR (mode 4) is deliberately not vendored — "
-                "install czifile+imagecodecs and the reader will "
-                "dispatch to that backend automatically"
+                "JPEG-XR subblock (compression=4): the T.832 codec is "
+                "deliberately not vendored — `pip install imagecodecs` "
+                "(this reader then decodes mode 4 directly) or install "
+                "czifile+imagecodecs (the slab reader dispatches to that "
+                "backend automatically)"
             )
         if self.compression == _COMPRESSION_JPEG and self.pixel_type != 0:
             raise NotImplementedError(
@@ -241,6 +272,15 @@ class SubBlockEntry:
             from .jpegcodec import decode_gray
 
             arr = decode_gray(bytes(raw)).reshape(-1)
+        elif self.compression == _COMPRESSION_JPEGXR:
+            codec = _jpegxr_codec()  # non-None: gated above
+            decoded = np.asarray(codec.jpegxr_decode(bytes(raw)))
+            if decoded.dtype != np.dtype(dtype):
+                raise ValueError(
+                    f"JPEG-XR payload decoded to {decoded.dtype}, directory "
+                    f"pixel type {self.pixel_type} says {dtype}"
+                )
+            arr = decoded.reshape(-1)
         else:
             arr = np.frombuffer(raw, dtype=dtype)
         if arr.size != expect:
@@ -399,15 +439,20 @@ def write_czi(
     planes: dict[int, np.ndarray],
     metadata_xml: str = "<ImageDocument><Metadata/></ImageDocument>",
     compression: int = _COMPRESSION_NONE,
+    encode_payload=None,
 ) -> None:
     """Write a spec-conformant single-file CZI: one uncompressed subblock
     per z-plane (``planes``: z → 2-D array, written in the dict's
     iteration order — pass a scrambled order to exercise reader sorting),
     then the metadata segment, then the subblock directory, with the file
     header pointing at both. For multi-tile (mosaic) planes use
-    :func:`write_czi_tiles`."""
+    :func:`write_czi_tiles` (which also documents ``encode_payload``)."""
     write_czi_tiles(
-        path, {(z, 0, 0): a for z, a in planes.items()}, metadata_xml, compression
+        path,
+        {(z, 0, 0): a for z, a in planes.items()},
+        metadata_xml,
+        compression,
+        encode_payload=encode_payload,
     )
 
 
@@ -416,14 +461,23 @@ def write_czi_tiles(
     tiles: dict[tuple[int, int, int], np.ndarray],
     metadata_xml: str = "<ImageDocument><Metadata/></ImageDocument>",
     compression: int = _COMPRESSION_NONE,
+    encode_payload=None,
 ) -> None:
     """Mosaic-capable writer: ``tiles`` maps (z, y0, x0) → 2-D tile —
     the multi-subblock-per-plane layout real scope acquisitions use.
     Tiles may differ in shape; dtype must be uniform (axes ``CZYX``).
     ``compression``: 0 (uncompressed), 1 (baseline JPEG — uint8 tiles
-    only, quality 100, LOSSY by ≤ ±2 gray levels), 5 (zstd0 raw frame),
+    only, quality 100, LOSSY by ≤ ±2 gray levels), 4 (JPEG-XR — needs
+    ``imagecodecs`` to encode, lossless), 5 (zstd0 raw frame),
     or 6 (zstd1 — 16-bit tiles get the hi/lo byte-planing header real
-    Zeiss acquisitions use, other dtypes a plain 1-byte header)."""
+    Zeiss acquisitions use, other dtypes a plain 1-byte header).
+
+    ``encode_payload`` (tile ndarray → payload bytes) supplies the
+    mode-4 per-tile encoder when imagecodecs is absent — the hook that
+    lets tests emit a structurally-valid mode-4 fixture in environments
+    without the codec (the reader gates on the compression id before
+    touching the payload, so proving the gate needs real directory
+    entries, not real T.832 bytes). Ignored for other modes."""
     zs = list(tiles)
     if not zs:
         raise ValueError("need at least one tile")
@@ -453,6 +507,7 @@ def write_czi_tiles(
     if compression not in (
         _COMPRESSION_NONE,
         _COMPRESSION_JPEG,
+        _COMPRESSION_JPEGXR,
         _COMPRESSION_ZSTD0,
         _COMPRESSION_ZSTD1,
     ):
@@ -466,6 +521,17 @@ def write_czi_tiles(
             raise NotImplementedError(
                 "zstd writing needs pyarrow's zstd codec"
             )
+    if (
+        compression == _COMPRESSION_JPEGXR
+        and encode_payload is None
+    ):
+        xr = _jpegxr_codec()
+        if xr is None or getattr(xr, "jpegxr_encode", None) is None:
+            raise NotImplementedError(
+                "JPEG-XR writing needs imagecodecs (jpegxr_encode), or "
+                "pass encode_payload= to supply pre-encoded tile bytes"
+            )
+        encode_payload = lambda a: xr.jpegxr_encode(a, level=None)  # noqa: E731 — lossless
 
     dir_entries: list[bytes] = []
     for z, y0, x0 in zs:
@@ -478,6 +544,8 @@ def write_czi_tiles(
             # quality 100 → all-ones quantization: round-trip error is
             # coefficient rounding only (≤ ±2 gray levels, e2e-pinned)
             data = encode_gray(arr, quality=100)
+        elif compression == _COMPRESSION_JPEGXR:
+            data = bytes(encode_payload(arr))
         elif compression == _COMPRESSION_ZSTD0:
             data = codec.compress(data, asbytes=True)
         elif compression == _COMPRESSION_ZSTD1:
