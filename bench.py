@@ -106,17 +106,32 @@ def _load_prior(repo: Path, sf_val: object) -> dict[str, float]:
     return prior
 
 
-def _robust_timed(once, max_runs: int = 3, agree_ratio: float = 1.3) -> tuple[float, list[float]]:
+def _robust_timed(
+    once,
+    max_runs: int = 3,
+    agree_ratio: float = 1.3,
+    min_runs: int = 2,
+) -> tuple[float, list[float]]:
     """min-of-N sidecar timing with the same spike treatment queries get:
-    two samples, a third only when the first two disagree by more than
-    ``agree_ratio`` (host-variance runs have swung the conversion numbers
-    61-133 MiB/s on unchanged code; a single sample is noise). Returns
+    ``min_runs`` samples, one more only when the first two disagree by
+    more than ``agree_ratio`` (host-variance runs have swung the
+    conversion numbers 61-133 MiB/s on unchanged code; a single sample
+    is noise). ``min_runs=3`` pins the throughput sidecars to always-3
+    samples (VERDICT r7 task 5: the single-shot pipeline figure swung
+    496 -> 349 MiB/s between rounds on unchanged code). Returns
     (best, all_samples)."""
-    times = [once(), once()]
-    lo, hi = sorted(times)
-    if hi > agree_ratio * lo and max_runs > 2:
+    times = [once() for _ in range(max(2, min_runs))]
+    lo, hi = sorted(times)[:2]
+    if hi > agree_ratio * lo and len(times) < max_runs:
         times.append(once())
     return min(times), [round(t, 3) for t in times]
+
+
+def _median(vals: list[float]) -> float:
+    s = sorted(vals)
+    n = len(s)
+    mid = n // 2
+    return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2
 
 
 def _bench_pipeline(spark) -> dict[str, object]:
@@ -160,12 +175,15 @@ def _bench_pipeline(spark) -> dict[str, object]:
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
-    sec, samples = _robust_timed(once)
+    sec, samples = _robust_timed(once, min_runs=3)
     return {
         "sec": round(sec, 3),
         "samples": samples,
         "gib": round(level0_bytes / 2**30, 3),
         "mib_per_s": round(level0_bytes / 2**20 / sec, 1),
+        "mib_per_s_median": round(
+            level0_bytes / 2**20 / _median(samples), 1
+        ),
         "n_stacks": n_stacks,
     }
 
@@ -217,7 +235,7 @@ def _bench_czi_decode(spark) -> dict[str, float]:
             shutil.rmtree(settings.output_directory, ignore_errors=True)
 
     try:
-        sec, samples = _robust_timed(once)
+        sec, samples = _robust_timed(once, min_runs=3)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return {
@@ -225,6 +243,9 @@ def _bench_czi_decode(spark) -> dict[str, float]:
         "samples": samples,
         "gib": round(level0_bytes / 2**30, 3),
         "mib_per_s": round(level0_bytes / 2**20 / sec, 1),
+        "mib_per_s_median": round(
+            level0_bytes / 2**20 / _median(samples), 1
+        ),
     }
 
 
