@@ -504,9 +504,13 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     und.count()  # consumed once per LPA round
 
+    # |V|-row label vector, referenced TWICE per round (tally broadcast
+    # + carry-forward join): localCheckpoint per round keeps the plan
+    # one-round deep instead of doubling per iteration (same cut as
+    # graph_bfs_hops' distance vector, r8)
     labels = n.select(
         F.col("n_nationkey").alias("node"), F.col("n_nationkey").alias("lab")
-    )
+    ).localCheckpoint()
     for _ in range(_LPA_ITERS):
         tally = (
             und.join(F.broadcast(labels), und.src == F.col("node"))
@@ -529,7 +533,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = (
             labels.join(winner, "node", "left")
             .select("node", F.coalesce("nlab", "lab").alias("lab"))
-        )
+        ).localCheckpoint()
     return n.join(labels, n.n_nationkey == labels.node).select(
         F.col("n_name").alias("nation"), F.col("lab").alias("community")
     )

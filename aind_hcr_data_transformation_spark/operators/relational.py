@@ -3599,6 +3599,7 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.  Estimator error is ~1/√(k−2) ≈ 12.7 % at k=64; the
     `within_3sigma` flag (computed from the same doubles both sides)
     pins it."""
+    from ..cache import persist_tracked
     from ..plans.partitioning import grouped_row_number
 
     ev = load_table(spark, sf_dir, "events", spread=True)
@@ -3609,7 +3610,11 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         / F.lit(float(_KMV_SPACE))
     )
-    hashed = dist.select("event_type", "user_id", frac.alias("frac"))
+    # two consumers (per-group rank path, union-sketch path) — persist
+    # so the corpus distinct shuffle runs once, not once per branch
+    hashed = persist_tracked(
+        dist.select("event_type", "user_id", frac.alias("frac"))
+    )
 
     ranked = grouped_row_number(
         hashed.select("event_type", "frac"), "event_type", "frac", out="rn"

@@ -27,7 +27,10 @@ fixes.)
 
 Usage::
 
-    python tools/scale_probe.py [--json SCALE_PROBE.json] [query ...]
+    python tools/scale_probe.py [--json SCALE_PROBE.json] [--full] [query ...]
+
+``--full`` probes the ENTIRE registry (queries() + production twins)
+instead of the headline DEFAULT_QUERIES sample.
 
 Writes one JSON object keyed by query name with bytes at each SF, the
 growth ratios, and the classification.  No Spark UI, no REST — only the
@@ -195,6 +198,14 @@ def _group_for_time(intervals: list, t_ms) -> str | None:
     """
     if t_ms is None:
         return None
+    # strict containment first: the pad exists ONLY to recover tasks
+    # finishing just after save() returned, and must never steal a task
+    # that strictly belongs to the NEXT query's window (a padded-first
+    # scan mis-flagged two stream_* queries as superlinear by crediting
+    # their early small-SF shuffle writes to the preceding query)
+    for group, start, end in intervals:
+        if start <= t_ms <= end:
+            return group
     for group, start, end in intervals:
         if start <= t_ms <= end + _WINDOW_PAD_MS:
             return group
@@ -257,6 +268,9 @@ def main() -> int:
         i = argv.index("--json")
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    full = "--full" in argv
+    if full:
+        argv = [a for a in argv if a != "--full"]
     names = argv or DEFAULT_QUERIES
 
     log_dir = Path(tempfile.mkdtemp(prefix="spark_scale_probe_"))
@@ -277,6 +291,10 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     queries = {**entrymod.queries(), **entrymod.production_queries()}
+    if full:
+        # the whole registry — makes "zero superlinear" a census claim,
+        # not a 26%-sample claim (VERDICT r7 task 2)
+        names = list(queries)
     unknown = [n for n in names if n not in queries]
     if unknown:
         print(f"unknown query names: {unknown}")
