@@ -102,6 +102,20 @@ BUDGETS = {
     # lineitem⋈orders⋈customer shuffles + 3 broadcast-rank iterations;
     # the persisted edge subplan reprints under every consumer
     "graph_pagerank": (26, 3),
+    # r8 checkpointed Pregel loops: the |V|-row state vector is cut per
+    # round, so the returned plan is the final 25-row join only — the
+    # real per-round join+agg shuffles run at construction (benched)
+    "graph_bfs_hops": (0, 1),
+    "graph_label_propagation": (0, 1),
+    # vocabulary fold rounds stay lazy map-only over the persisted
+    # (source, word) frame; explode + two aggs + final join remain
+    "bpe_tokenize_corpus": (4, 1),
+    # one corpus explode -> vocab count frame; ctf/total/rarity derive
+    # from it and the k-row domain frame is checkpointed
+    "mix_doremi_weights": (3, 1),
+    # distinct + two-phase grouped rank + union-sketch top-k over the
+    # persisted hash frame (census overcounts across the two branches)
+    "agg_kmv_distinct": (12, 1),
     # tf + sketch aggregates over the persisted tf (census overcounts);
     # the 2048-cell sketch and one-row total must broadcast
     "text_heavy_hitters_cms": (6, 2),
