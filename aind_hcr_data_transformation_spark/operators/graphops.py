@@ -505,12 +505,15 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     und.count()  # consumed once per LPA round
 
     # |V|-row label vector, referenced TWICE per round (tally broadcast
-    # + carry-forward join): localCheckpoint per round keeps the plan
-    # one-round deep instead of doubling per iteration (same cut as
-    # graph_bfs_hops' distance vector, r8)
+    # + carry-forward join): persist per round so the runtime computes
+    # each round once instead of once per downstream reference. LAZY
+    # persist, not the eager localCheckpoint BFS uses — LPA's rounds
+    # chain into one job under the noop sink, and r8 measured the three
+    # eager checkpoint jobs 0.6 s slower at sf0.1 than the lazily
+    # cached chain (per-job scheduling overhead on 25-row frames)
     labels = n.select(
         F.col("n_nationkey").alias("node"), F.col("n_nationkey").alias("lab")
-    ).localCheckpoint()
+    )
     for _ in range(_LPA_ITERS):
         tally = (
             und.join(F.broadcast(labels), und.src == F.col("node"))
@@ -530,10 +533,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("dst").alias("node"), F.col("b.lab").alias("nlab"))
         )
-        labels = (
+        labels = persist_tracked(
             labels.join(winner, "node", "left")
             .select("node", F.coalesce("nlab", "lab").alias("lab"))
-        ).localCheckpoint()
+        )
     return n.join(labels, n.n_nationkey == labels.node).select(
         F.col("n_name").alias("nation"), F.col("lab").alias("community")
     )
