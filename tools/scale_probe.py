@@ -40,6 +40,7 @@ event log, which works headless.
 from __future__ import annotations
 
 import json
+import shutil
 import sys
 import tempfile
 import time
@@ -324,6 +325,9 @@ def main() -> int:
     spark.stop()  # flush the event log
 
     agg = parse_event_log(log_dir, intervals)
+    # a --full probe's event log is ~0.5 GB; don't let per-round runs
+    # accumulate gigabytes of dead logs in /tmp
+    shutil.rmtree(log_dir, ignore_errors=True)
     out = {}
     flagged = []
     for name in names:
