@@ -3205,13 +3205,19 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     output compact and adds the group-by-host shape domain analyses use.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # coalesce BEFORE synthesis: concat propagates one NULL lang into a
+    # NULL URL (nulling host/path too), while the oracle's independent
+    # string algebra would keep host non-NULL — the engines must agree
+    # on NULL-lang rows by construction (found by the r8 NULL-injection
+    # differential, tools/null_probe.py)
+    lang_filled = F.coalesce(F.col("lang"), F.lit("und"))
     url = F.concat(
         F.lit("https://"),
         F.col("source"),
         F.lit(".example.com/docs/"),
         F.col("doc_id").cast("string"),
         F.lit("?lang="),
-        F.col("lang"),
+        lang_filled,
         F.lit("&v=2"),
     )
     parsed = docs.select(
@@ -3232,8 +3238,8 @@ WITH parsed AS (
   SELECT
     source || '.example.com' AS host,
     '/docs/' || CAST(doc_id AS VARCHAR) AS path,
-    'lang=' || lang || '&v=2' AS query,
-    lang AS lang_param
+    'lang=' || coalesce(lang, 'und') || '&v=2' AS query,
+    coalesce(lang, 'und') AS lang_param
   FROM documents
 )
 SELECT host, lang_param,
