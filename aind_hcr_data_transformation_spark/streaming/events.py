@@ -193,6 +193,7 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             T.StructField("n", T.LongType()),
             T.StructField("su", T.LongType()),  # exact sum, units of 1e-10
+            T.StructField("nv", T.LongType()),  # non-NULL values summed
         ]
     )
 
@@ -202,28 +203,41 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     def update(key, pdfs, state: GroupState):
         import numpy as np
 
-        n, su = state.get if state.exists else (0, 0)
+        n, su, nv = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
+            vals = pdf["value"].to_numpy(dtype=np.float64)
+            # SQL aggregate NULL semantics (count(*) counts every row,
+            # sum skips NULLs, an all-NULL sum is NULL): parquet NULL
+            # arrives as NaN through pandas — drop it from the sum and
+            # track how many real values contributed (r8 NULL-value
+            # probe: the previous kernel int()-crashed on the first
+            # NULL batch)
+            vals = vals[~np.isnan(vals)]
+            nv += len(vals)
             # vectorized exact conversion: for |v| ≲ 1e5 the float64
             # error of v*1e10 is ≪ 0.5, so rint lands on the same
             # integer as the Decimal shortest-repr quantize; rows
             # outside that safety margin take the exact Decimal path.
-            scaled = pdf["value"].to_numpy(dtype=np.float64) * 1e10
+            scaled = vals * 1e10
             near = np.abs(scaled - np.rint(scaled)) < 0.01
             # per-element int64 is exact (|v| bounded), but the SUM can
             # exceed 2^63 in one big batch — accumulate via object dtype
             # (arbitrary-precision Python ints), never wrapping int64
             su += int(np.rint(scaled[near]).astype(np.int64).astype(object).sum())
-            for v in pdf["value"].to_numpy()[~near]:
+            for v in vals[~near]:
                 su += int(
                     Decimal(repr(float(v)))
                     .quantize(_Q10, rounding=ROUND_HALF_UP)
                     .scaleb(10)
                 )
-        state.update((n, su))
-        final = float(
-            Decimal(su).scaleb(-10).quantize(_CENT, rounding=ROUND_HALF_UP)
+        state.update((n, su, nv))
+        final = (
+            None
+            if nv == 0
+            else float(
+                Decimal(su).scaleb(-10).quantize(_CENT, rounding=ROUND_HALF_UP)
+            )
         )
         yield pd.DataFrame(
             {

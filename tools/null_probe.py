@@ -15,6 +15,15 @@ unset), and runs the FULL registry differential against the mutated
 fixtures. A query that treats NULLs differently from its oracle fails
 the rows/hash compare right here, before any driver or advisor sees it.
 
+Two mutations run, each against the full registry:
+
+1. ``documents.lang = NULL`` where ``doc_id % 7 == 0`` (und-tagged
+   crawl shards — caught ``scalar_url_parse``'s concat-null-propagation
+   in its first run);
+2. ``events.value = NULL`` where ``event_id % 11 == 0`` (metric-less
+   telemetry rows — caught ``stream_user_totals``' stateful kernel
+   int()-crashing on the first NaN batch).
+
 Usage::
 
     python tools/null_probe.py [src_sf_dir] [--json NULL_PROBE.json]
@@ -23,8 +32,8 @@ Scope note: ``documents.text`` is deliberately NOT nullified — half the
 text operators define their corpus as "the documents" and a NULL text
 is not a document; the pipeline contract (TESTDATA.md) keeps text
 non-null, and frame_sample-style guards for hypothetical regens are
-pinned in their own tests. ``lang`` is the column with a real
-NULL-bearing production story (und-tagged crawl shards).
+pinned in their own tests. ``lang`` and ``value`` are the columns with
+a real NULL-bearing production story.
 """
 
 from __future__ import annotations
@@ -45,30 +54,31 @@ TABLES = (
 ).split()
 
 
-def build_fixture(src: str, dst: str) -> int:
-    """Copy ``src`` fixtures into ``dst`` with NULL lang on every
-    doc_id % 7 == 0 row; returns the number of nulled rows."""
-    import duckdb
+def build_fixture(src: str, dst: str, mutation: str) -> int:
+    """Copy ``src`` fixtures into ``dst`` with one column nulled;
+    returns the number of nulled rows. Mutations go through pyarrow so
+    every untouched column (including the events ts physical type,
+    which varies by fixture generation) survives byte-identical."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
 
     os.makedirs(dst, exist_ok=True)
-    for t in TABLES:
-        shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
-    con = duckdb.connect()
-    con.execute(
-        f"""
-        COPY (
-          SELECT * REPLACE (
-            CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang
-          )
-          FROM read_parquet('{src}/documents.parquet')
-        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
-        """
-    )
-    (n,) = con.execute(
-        f"SELECT count(*) FILTER (lang IS NULL) "
-        f"FROM read_parquet('{dst}/documents.parquet')"
-    ).fetchone()
-    return int(n)
+    table, key, col, mod = {
+        "lang": ("documents", "doc_id", "lang", 7),
+        "value": ("events", "event_id", "value", 11),
+    }[mutation]
+    for t in TABLES + ["documents"]:
+        if t != table:
+            shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+    tab = pq.read_table(f"{src}/{table}.parquet")
+    keys = tab[key].to_numpy()
+    mask = pa.array((keys % mod) == 0)
+    idx = tab.schema.get_field_index(col)
+    nulled = pc.if_else(mask, pa.scalar(None, tab.schema.field(col).type), tab[col])
+    tab = tab.set_column(idx, col, nulled)
+    pq.write_table(tab, f"{dst}/{table}.parquet")
+    return int(pc.sum(pc.is_null(tab[col])).as_py())
 
 
 def main() -> int:
@@ -80,54 +90,94 @@ def main() -> int:
         argv = argv[:i] + argv[i + 2 :]
     src = argv[0] if argv else "/root/testdata/sf0.001"
 
-    dst = tempfile.mkdtemp(prefix="sfnull_")
-    try:
-        nulled = build_fixture(src, dst)
-        print(f"fixture: {dst} ({nulled} NULL-lang rows)", flush=True)
-        # one fresh process for the whole differential (same contract as
-        # the round-end ritual's oracle_check runs)
-        record = os.path.join(dst, "record.json")
-        proc = subprocess.run(
-            [sys.executable, "tools/oracle_check.py", dst, "--json", record],
-            cwd=REPO,
-            capture_output=True,
-            text=True,
-        )
-        sys.stdout.write(
-            "\n".join(
-                l
-                for l in proc.stdout.splitlines()
-                if l.startswith(("FAIL", "ERR")) or "failures" in l
-            )
-            + "\n"
-        )
-        recs = {}
-        if os.path.exists(record):
-            recs = json.load(open(record))
-        failures = [
-            k
-            for k, v in recs.items()
-            if not k.startswith("_")
-            and isinstance(v, dict)
-            and not (
-                v.get("rows_match")
-                and v.get("schema_match")
-                and v.get("hash_match") is not False
-            )
-        ]
-        doc = {
-            "src": src,
-            "nulled_rows": nulled,
-            "mutation": "documents.lang = NULL where doc_id % 7 = 0",
-            "n_queries": len([k for k in recs if not k.startswith("_")]),
-            "failures": failures,
-            "rc": proc.returncode,
-        }
-        Path(json_out).write_text(json.dumps(doc, indent=1))
-        print(f"wrote {json_out}; failures: {failures or 'none'}")
-        return 1 if failures or proc.returncode else 0
-    finally:
-        shutil.rmtree(dst, ignore_errors=True)
+    stages = {}
+    any_fail = False
+    for mutation, desc in (
+        ("lang", "documents.lang = NULL where doc_id % 7 = 0"),
+        ("value", "events.value = NULL where event_id % 11 = 0"),
+    ):
+        dst = tempfile.mkdtemp(prefix=f"sfnull_{mutation}_")
+        try:
+            nulled = build_fixture(src, dst, mutation)
+            print(f"[{mutation}] fixture: {dst} ({nulled} NULL rows)", flush=True)
+            # chunked fresh processes, the strict_sweep lesson: a single
+            # 220-query process can die on one transient DuckDB
+            # bad_alloc (observed here too — rc -11 with no record
+            # written) and lose the whole stage
+            import __spark_entry__ as entrymod
+
+            names = list(entrymod.queries())
+            recs: dict = {}
+            rc_worst = 0
+            chunk = 40
+            for ci in range(0, len(names), chunk):
+                record = os.path.join(dst, f"record_{ci}.json")
+                proc = subprocess.run(
+                    [
+                        sys.executable,
+                        "tools/oracle_check.py",
+                        dst,
+                        "--json",
+                        record,
+                        *names[ci : ci + chunk],
+                    ],
+                    cwd=REPO,
+                    capture_output=True,
+                    text=True,
+                )
+                sys.stdout.write(
+                    "\n".join(
+                        l
+                        for l in proc.stdout.splitlines()
+                        if l.startswith(("FAIL", "ERR"))
+                    )
+                )
+                if proc.returncode not in (0, 1):
+                    # crashed chunk: record the rc; per-query failures in
+                    # the chunk's partial record still merge below
+                    rc_worst = proc.returncode
+                    print(
+                        f"[{mutation}] chunk {ci//chunk}: rc {proc.returncode}",
+                        flush=True,
+                    )
+                if os.path.exists(record):
+                    part = json.load(open(record))
+                    recs.update(
+                        {k: v for k, v in part.items() if not k.startswith("_")}
+                    )
+            failures = [
+                k
+                for k, v in recs.items()
+                if not k.startswith("_")
+                and isinstance(v, dict)
+                and not (
+                    v.get("rows_match")
+                    and v.get("schema_match")
+                    and v.get("hash_match") is not False
+                )
+            ]
+            missing = [n for n in names if n not in recs]
+            any_fail = any_fail or bool(failures) or bool(rc_worst) or bool(missing)
+            stages[mutation] = {
+                "mutation": desc,
+                "nulled_rows": nulled,
+                "n_queries": len(recs),
+                "failures": failures,
+                "missing": missing,
+                "rc_worst": rc_worst,
+            }
+        finally:
+            shutil.rmtree(dst, ignore_errors=True)
+
+    doc = {"src": src, "stages": stages}
+    Path(json_out).write_text(json.dumps(doc, indent=1))
+    flagged = {
+        m: (s["failures"] or s["missing"] or f"rc {s['rc_worst']}")
+        for m, s in stages.items()
+        if s["failures"] or s["missing"] or s["rc_worst"]
+    }
+    print(f"wrote {json_out}; failures: {flagged or 'none'}")
+    return 1 if any_fail else 0
 
 
 if __name__ == "__main__":
