@@ -80,9 +80,12 @@ _CORPUS_SQL = f"""
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + {_MUT_OFFSET} AS doc_id,
-         array_to_string(string_split(text, ' ')[3:], ' ') AS text
+         coalesce(array_to_string(string_split(text, ' ')[3:], ' '), '') AS text
   FROM documents WHERE doc_id % 20 = 0
 """
+# ^ coalesce: DuckDB's array_to_string([], ' ') is NULL while Spark's
+# array_join is '' — a ≤2-token source doc would otherwise put its
+# mutant in a NULL group on the oracle side only (r8 empty-text probe)
 
 
 # ---------------------------------------------------------------------------

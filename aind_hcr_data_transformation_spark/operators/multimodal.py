@@ -122,9 +122,14 @@ SELECT
   doc_id,
   CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
   sha256(text) AS digest,
+  -- the kernel's documented sentinel: payloads shorter than 4 bytes
+  -- have no magic number and report -1 (DuckDB's ascii('') is 0, which
+  -- would silently fake a 0x00000000 magic for tiny payloads)
   CAST(
-    ascii(substr(text, 1, 1)) * 16777216 + ascii(substr(text, 2, 1)) * 65536
-    + ascii(substr(text, 3, 1)) * 256 + ascii(substr(text, 4, 1))
+    CASE WHEN octet_length(encode(text)) >= 4 THEN
+      ascii(substr(text, 1, 1)) * 16777216 + ascii(substr(text, 2, 1)) * 65536
+      + ascii(substr(text, 3, 1)) * 256 + ascii(substr(text, 4, 1))
+    ELSE -1 END
   AS BIGINT) AS magic_u32
 FROM documents
 """

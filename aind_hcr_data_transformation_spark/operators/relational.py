@@ -2784,8 +2784,10 @@ def _text_format_copies(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
     from pathlib import Path
 
+    # csvv2: the null token is part of the layout contract — changing
+    # write options must invalidate cached copies
     mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
-    tag = hashlib.md5(f"{sf_dir}|{mtime}".encode()).hexdigest()[:8]
+    tag = hashlib.md5(f"{sf_dir}|{mtime}|csvv2".encode()).hexdigest()[:8]
     prefix = f"spark_graft_textsrc_{_sf_slug(sf_dir)}_"
     base = Path(tempfile.gettempdir()) / f"{prefix}{tag}"
     _sweep_stale_layouts(prefix, base)
@@ -2796,6 +2798,12 @@ def _text_format_copies(spark: SparkSession, sf_dir: str) -> str:
             .option("header", True)
             .option("quoteAll", True)
             .option("escape", '"')
+            # a DISTINCT null token: with the default (empty) token a
+            # NULL and an empty string both serialize to "" and the
+            # read side cannot tell them apart — Spark's CSV reader
+            # would return NULL for both, silently dropping ''-text
+            # rows from md5 content hashing (r8 empty-text probe)
+            .option("nullValue", "\\N")
             .csv(str(base / "csv"))
         )
     if not (base / "jsonl" / "_SUCCESS").exists():
@@ -2824,6 +2832,9 @@ def source_text_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema(SCHEMAS["documents"])
         .option("header", True)
         .option("escape", '"')
+        # match the writer's distinct null token so '' and NULL
+        # round-trip losslessly (quoted "" parses back as '', not NULL)
+        .option("nullValue", "\\N")
         .csv(f"{base}/csv")
         .withColumn("fmt", F.lit("csv"))
     )

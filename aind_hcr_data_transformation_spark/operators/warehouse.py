@@ -264,23 +264,34 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cutoff = F.lit(_MV_CUTOFF).cast("timestamp")
 
+    # NULL-SAFE merge key: GROUP BY makes one group per NULL key, but a
+    # plain equi-join treats NULL != NULL, so a NULL-key rollup row in
+    # base would never meet its delta twin and the refreshed MV would
+    # carry duplicate groups (r8 NULL-injection probe caught exactly
+    # this: 100 vs 90 rows with NULL event_type). Grouping and joining
+    # on ONE struct key gives null-safe matching (struct equality
+    # treats NULL fields as equal, like GROUP BY) AND lets the join
+    # reuse the aggregates' hash partitioning — eqNullSafe key pairs
+    # would re-shuffle both rollups (measured census 2 -> 4 exchanges).
     def rollup(df: DataFrame) -> DataFrame:
-        return df.groupBy("user_id", "event_type").agg(
+        return df.groupBy(
+            F.struct("user_id", "event_type").alias("k")
+        ).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("v").alias("s"),
         )
 
     base = rollup(ev.filter(F.col("ts") < cutoff)).select(
-        "user_id", "event_type", F.col("n").alias("n_b"), F.col("s").alias("s_b")
+        "k", F.col("n").alias("n_b"), F.col("s").alias("s_b")
     )
     delta = rollup(ev.filter(F.col("ts") >= cutoff)).select(
-        "user_id", "event_type", F.col("n").alias("n_d"), F.col("s").alias("s_d")
+        "k", F.col("n").alias("n_d"), F.col("s").alias("s_d")
     )
-    merged = base.join(delta, ["user_id", "event_type"], "full_outer")
+    merged = base.join(delta, "k", "full_outer")
     zero = F.lit(0).cast("decimal(18,2)")
     return merged.select(
-        "user_id",
-        "event_type",
+        F.col("k.user_id").alias("user_id"),
+        F.col("k.event_type").alias("event_type"),
         (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0))).alias("n_events"),
         F.round(
             F.coalesce(F.col("s_b"), zero) + F.coalesce(F.col("s_d"), zero), 2

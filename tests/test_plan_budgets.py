@@ -106,7 +106,11 @@ BUDGETS = {
     # round, so the returned plan is the final 25-row join only — the
     # real per-round join+agg shuffles run at construction (benched)
     "graph_bfs_hops": (0, 1),
-    "graph_label_propagation": (0, 1),
+    # LAZY per-round persist (eager checkpoint was 0.6s of job overhead
+    # at sf0.1): the persisted round subplans reprint under both
+    # consumers, so the census over-counts; true runtime shuffles are
+    # one tally agg per round over the persisted edge frame
+    "graph_label_propagation": (12, 1),
     # vocabulary fold rounds stay lazy map-only over the persisted
     # (source, word) frame; explode + two aggs + final join remain
     "bpe_tokenize_corpus": (4, 1),
@@ -141,8 +145,10 @@ BUDGETS = {
     # block-keyed self-join broadcasts at fixture scale; the Levenshtein
     # verify adds no exchange
     "entity_match_fuzzy": (0, 1),
-    # two rollup shuffles on the SAME (user, event_type) key — the
-    # full-outer merge reuses their partitioning, no third exchange
+    # two rollup shuffles on the SAME struct merge key — the full-outer
+    # merge reuses their partitioning, no third exchange (struct key =
+    # null-safe GROUP BY join semantics; eqNullSafe key pairs would
+    # re-shuffle both rollups, measured 4 exchanges)
     "mv_incremental_refresh": (2, 0),
     # one conditional-moment aggregate; t folds from the single row
     "ab_welch_t": (1, 0),

@@ -15,25 +15,28 @@ unset), and runs the FULL registry differential against the mutated
 fixtures. A query that treats NULLs differently from its oracle fails
 the rows/hash compare right here, before any driver or advisor sees it.
 
-Two mutations run, each against the full registry:
+Five mutations run, each against the full registry, every one of which
+caught a real latent divergence on its first run:
 
-1. ``documents.lang = NULL`` where ``doc_id % 7 == 0`` (und-tagged
-   crawl shards — caught ``scalar_url_parse``'s concat-null-propagation
-   in its first run);
-2. ``events.value = NULL`` where ``event_id % 11 == 0`` (metric-less
-   telemetry rows — caught ``stream_user_totals``' stateful kernel
-   int()-crashing on the first NaN batch).
+1. ``documents.lang = NULL`` (und-tagged crawl shards) — caught
+   ``scalar_url_parse``'s concat-null-propagation;
+2. ``events.value = NULL`` (metric-less telemetry rows) — caught
+   ``stream_user_totals``' stateful kernel int()-crashing on NaN;
+3. ``events.event_type = NULL`` — caught ``mv_incremental_refresh``
+   merging on plain equi-keys (NULL != NULL splits the NULL group the
+   oracle's GROUP BY keeps whole);
+4. ``events.props = NULL`` — clean on first run (variant/JSON paths
+   already try_-guarded);
+5. ``documents.text = ''`` (empty, NOT NULL — a NULL text is not a
+   document, TESTDATA.md contract) — caught THREE: DuckDB's
+   ``array_to_string([])`` being NULL vs Spark's ``array_join`` ''
+   (shared dedup mutant corpus), the multimodal magic-u32 oracle
+   faking 0x0 for <4-byte payloads, and the CSV roundtrip conflating
+   '' with NULL under the default null token.
 
 Usage::
 
     python tools/null_probe.py [src_sf_dir] [--json NULL_PROBE.json]
-
-Scope note: ``documents.text`` is deliberately NOT nullified — half the
-text operators define their corpus as "the documents" and a NULL text
-is not a document; the pipeline contract (TESTDATA.md) keeps text
-non-null, and frame_sample-style guards for hypothetical regens are
-pinned in their own tests. ``lang`` and ``value`` are the columns with
-a real NULL-bearing production story.
 """
 
 from __future__ import annotations
@@ -64,10 +67,7 @@ def build_fixture(src: str, dst: str, mutation: str) -> int:
     import pyarrow.parquet as pq
 
     os.makedirs(dst, exist_ok=True)
-    table, key, col, mod = {
-        "lang": ("documents", "doc_id", "lang", 7),
-        "value": ("events", "event_id", "value", 11),
-    }[mutation]
+    table, key, col, mod, repl = MUTATIONS[mutation]
     for t in TABLES + ["documents"]:
         if t != table:
             shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
@@ -75,10 +75,22 @@ def build_fixture(src: str, dst: str, mutation: str) -> int:
     keys = tab[key].to_numpy()
     mask = pa.array((keys % mod) == 0)
     idx = tab.schema.get_field_index(col)
-    nulled = pc.if_else(mask, pa.scalar(None, tab.schema.field(col).type), tab[col])
-    tab = tab.set_column(idx, col, nulled)
+    mutated = pc.if_else(
+        mask, pa.scalar(repl, tab.schema.field(col).type), tab[col]
+    )
+    tab = tab.set_column(idx, col, mutated)
     pq.write_table(tab, f"{dst}/{table}.parquet")
-    return int(pc.sum(pc.is_null(tab[col])).as_py())
+    return int(pc.sum(mask).as_py())
+
+
+#: mutation -> (table, key col, mutated col, key modulus, replacement)
+MUTATIONS = {
+    "lang": ("documents", "doc_id", "lang", 7, None),
+    "value": ("events", "event_id", "value", 11, None),
+    "event_type": ("events", "event_id", "event_type", 17, None),
+    "props": ("events", "event_id", "props", 13, None),
+    "empty_text": ("documents", "doc_id", "text", 19, ""),
+}
 
 
 def main() -> int:
@@ -92,10 +104,11 @@ def main() -> int:
 
     stages = {}
     any_fail = False
-    for mutation, desc in (
-        ("lang", "documents.lang = NULL where doc_id % 7 = 0"),
-        ("value", "events.value = NULL where event_id % 11 = 0"),
-    ):
+    descs = {
+        m: f"{t}.{c} = {v!r} where {k} % {mod} = 0"
+        for m, (t, k, c, mod, v) in MUTATIONS.items()
+    }
+    for mutation, desc in descs.items():
         dst = tempfile.mkdtemp(prefix=f"sfnull_{mutation}_")
         try:
             nulled = build_fixture(src, dst, mutation)
