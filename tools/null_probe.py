@@ -158,17 +158,45 @@ def main() -> int:
                     recs.update(
                         {k: v for k, v in part.items() if not k.startswith("_")}
                     )
-            failures = [
-                k
-                for k, v in recs.items()
-                if not k.startswith("_")
-                and isinstance(v, dict)
-                and not (
-                    v.get("rows_match")
-                    and v.get("schema_match")
-                    and v.get("hash_match") is not False
+            def _failed(recset):
+                return [
+                    k
+                    for k, v in recset.items()
+                    if not k.startswith("_")
+                    and isinstance(v, dict)
+                    and not (
+                        v.get("rows_match")
+                        and v.get("schema_match")
+                        and v.get("hash_match") is not False
+                    )
+                ]
+
+            # retry failures individually in fresh processes: DuckDB's
+            # buffer pool degrades over a 40-query chunk and throws
+            # transient bad_allocs (ivfpq_search hit this three times
+            # this round, green alone every time); a genuine mismatch
+            # fails again
+            for name in _failed(recs):
+                record = os.path.join(dst, f"retry_{name}.json")
+                subprocess.run(
+                    [
+                        sys.executable,
+                        "tools/oracle_check.py",
+                        dst,
+                        "--json",
+                        record,
+                        name,
+                    ],
+                    cwd=REPO,
+                    capture_output=True,
+                    text=True,
                 )
-            ]
+                if os.path.exists(record):
+                    part = json.load(open(record))
+                    if name in part:
+                        print(f"[{mutation}] retried {name}", flush=True)
+                        recs[name] = part[name]
+            failures = _failed(recs)
             missing = [n for n in names if n not in recs]
             any_fail = any_fail or bool(failures) or bool(rc_worst) or bool(missing)
             stages[mutation] = {
