@@ -486,7 +486,15 @@ def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         m = pdf["value"].mean()
         s = pdf["value"].std()  # ddof=1 == stddev_samp
-        z = (pdf["value"] - m) / s if s and s == s else pdf["value"] * 0.0
+        if s and s == s:
+            z = (pdf["value"] - m) / s
+        else:
+            # SQL semantics for degenerate groups (r8 tiny-fixture
+            # probe): a 1-row group has stddev_samp NULL, a constant
+            # group divides by NULLIF(0) — zscore is NULL, not 0.
+            # Nullable Float64 so Arrow carries real nulls (a float64
+            # NaN would hash-diverge from the oracle's NULL).
+            z = pd.array([None] * len(pdf), dtype="Float64")
         return pd.DataFrame({"event_id": pdf["event_id"], "zscore_raw": z})
 
     out = ev.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
@@ -503,7 +511,8 @@ def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 GROUPED_ZSCORE_SQL = """
 SELECT
   event_id,
-  CAST(round(CAST(((value - avg(value) OVER w) / stddev_samp(value) OVER w) AS DECIMAL(30,10)), 4) AS DOUBLE) AS zscore
+  CAST(round(CAST(((value - avg(value) OVER w)
+    / NULLIF(stddev_samp(value) OVER w, 0)) AS DECIMAL(30,10)), 4) AS DOUBLE) AS zscore
 FROM events
 WINDOW w AS (PARTITION BY user_id)
 """

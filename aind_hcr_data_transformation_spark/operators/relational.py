@@ -351,6 +351,18 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # tolerance must carry the group's TIE MASS: a sketch answer is a
+    # data value, so its cumulative rank jumps in steps of the value's
+    # tie count — at fixture scale that is the documented ~2.3%, but on
+    # a degenerate group (tiny n, integer quantities) the step alone
+    # can exceed a flat 5% and the two engines' (different) sketches
+    # legitimately land on opposite sides of it (r8 tiny-fixture probe)
+    ties = (
+        li.groupBy("rf", "q")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("rf")
+        .agg(F.max("c").alias("mt"))
+    )
 
     def exact(tag, p):
         frac = pos(p) - F.floor(pos(p))
@@ -360,16 +372,17 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         )
 
-    out = g.join(ranks, "rf").select(
+    bound = F.lit(0.05) + F.col("mt").cast("double") / F.col("n")
+    out = g.join(ranks, "rf").join(F.broadcast(ties), "rf").select(
         F.col("rf").alias("l_returnflag"),
         "n",
         exact("p50", 0.5).alias("exact_p50"),
         exact("p95", 0.95).alias("exact_p95"),
         (
-            F.abs(F.col("c50").cast("double") / F.col("n") - 0.5) <= 0.05
+            F.abs(F.col("c50").cast("double") / F.col("n") - 0.5) <= bound
         ).alias("ok_p50"),
         (
-            F.abs(F.col("c95").cast("double") / F.col("n") - 0.95) <= 0.05
+            F.abs(F.col("c95").cast("double") / F.col("n") - 0.95) <= bound
         ).alias("ok_p95"),
     )
     return out.orderBy("l_returnflag")
@@ -404,6 +417,11 @@ ranks AS (
          sum(CASE WHEN b.q <= g.ap95 THEN 1 ELSE 0 END) AS c95
   FROM base b JOIN g USING (rf)
   GROUP BY b.rf
+),
+ties AS (
+  SELECT rf, max(c) AS mt
+  FROM (SELECT rf, q, count(*) AS c FROM base GROUP BY rf, q)
+  GROUP BY rf
 )
 SELECT g.rf AS l_returnflag,
        CAST(g.n AS INTEGER) AS n,
@@ -413,9 +431,11 @@ SELECT g.rf AS l_returnflag,
        CAST(round(CAST((g.vlo_p95
          + (CAST(g.n - 1 AS DOUBLE) * 0.95 - floor(CAST(g.n - 1 AS DOUBLE) * 0.95))
            * (g.vhi_p95 - g.vlo_p95)) AS DECIMAL(30,10)), 6) AS DOUBLE) AS exact_p95,
-       abs(CAST(r.c50 AS DOUBLE) / g.n - 0.5)  <= 0.05 AS ok_p50,
-       abs(CAST(r.c95 AS DOUBLE) / g.n - 0.95) <= 0.05 AS ok_p95
-FROM g JOIN ranks r USING (rf)
+       abs(CAST(r.c50 AS DOUBLE) / g.n - 0.5)
+         <= 0.05 + CAST(t.mt AS DOUBLE) / g.n AS ok_p50,
+       abs(CAST(r.c95 AS DOUBLE) / g.n - 0.95)
+         <= 0.05 + CAST(t.mt AS DOUBLE) / g.n AS ok_p95
+FROM g JOIN ranks r USING (rf) JOIN ties t USING (rf)
 ORDER BY g.rf
 """
 

@@ -32,7 +32,13 @@ caught a real latent divergence on its first run:
    ``array_to_string([])`` being NULL vs Spark's ``array_join`` ''
    (shared dedup mutant corpus), the multimodal magic-u32 oracle
    faking 0x0 for <4-byte payloads, and the CSV roundtrip conflating
-   '' with NULL under the default null token.
+   '' with NULL under the default null token;
+6. ``tiny`` — every table truncated to a degenerate slice (1-row
+   groups, k>n top-k, sketch tie mass, near-empty LSH) — caught
+   ``grouped_zscore`` returning 0 where stddev_samp is NULL/0 (SQL
+   says NULL) and the quantile-sketch rank-error flags ignoring tie
+   mass (a sketch answer's cumulative rank jumps in tie-count steps,
+   which dominates the flat 5% at tiny n).
 
 Usage::
 
@@ -92,6 +98,28 @@ MUTATIONS = {
     "empty_text": ("documents", "doc_id", "text", 19, ""),
 }
 
+#: the degenerate-cardinality stage: tiny slices stress k>n top-k,
+#: 1-row groups (stddev_samp NULL), sketch tie mass, near-empty LSH —
+#: its first run caught grouped_zscore returning 0 where SQL says NULL
+#: and the quantile-sketch flag bound ignoring tie mass
+TINY_ROWS = {
+    "region": 5, "nation": 25, "customer": 20, "supplier": 5,
+    "part": 25, "orders": 40, "lineitem": 120, "events": 60,
+    "documents": 12, "embeddings": 18,
+}
+
+
+def build_tiny_fixture(src: str, dst: str) -> int:
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    total = 0
+    for t, n in TINY_ROWS.items():
+        tab = pq.read_table(f"{src}/{t}.parquet")
+        pq.write_table(tab.slice(0, n), f"{dst}/{t}.parquet")
+        total += min(n, tab.num_rows)
+    return total
+
 
 def main() -> int:
     argv = sys.argv[1:]
@@ -108,11 +136,15 @@ def main() -> int:
         m: f"{t}.{c} = {v!r} where {k} % {mod} = 0"
         for m, (t, k, c, mod, v) in MUTATIONS.items()
     }
+    descs["tiny"] = "truncate every table to TINY_ROWS slices"
     for mutation, desc in descs.items():
         dst = tempfile.mkdtemp(prefix=f"sfnull_{mutation}_")
         try:
-            nulled = build_fixture(src, dst, mutation)
-            print(f"[{mutation}] fixture: {dst} ({nulled} NULL rows)", flush=True)
+            if mutation == "tiny":
+                nulled = build_tiny_fixture(src, dst)
+            else:
+                nulled = build_fixture(src, dst, mutation)
+            print(f"[{mutation}] fixture: {dst} ({nulled} mutated rows)", flush=True)
             # chunked fresh processes, the strict_sweep lesson: a single
             # 220-query process can die on one transient DuckDB
             # bad_alloc (observed here too — rc -11 with no record
