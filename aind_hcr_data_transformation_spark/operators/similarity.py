@@ -21,7 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..cache import persist_tracked
 from ..functions.compat import dround
 from ..functions.vectors import spark_cosine_prenorm, spark_dot, sql_cosine
 from ..tables import load_table, table_count

@@ -181,8 +181,9 @@ class SubBlockEntry:
             raise NotImplementedError(
                 f"compressed subblock (compression={self.compression}) is "
                 "not a ZISRAW mode this reader decodes (0/1/4/5/6) — "
-                "install czifile+imagecodecs and the slab reader will "
-                "dispatch to that backend automatically"
+                "czifile+imagecodecs may support additional modes (the "
+                "slab reader dispatches to that backend when installed), "
+                "but unknown/vendor ids can be undecodable there too"
             )
         if self.compression == _COMPRESSION_JPEGXR and _jpegxr_codec() is None:
             # deliberate non-goal, not a gap: see the JPEG-XR statement

@@ -200,6 +200,11 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     _Q10 = Decimal("1e-10")
     _CENT = Decimal("0.01")
 
+    # NULL-vs-NaN is decidable only JVM-side: F.isnull is true for a
+    # missing value and false for float NaN, while pandas float64 shows
+    # both as NaN. Ship the verdict with the row.
+    events = events.withColumn("value_null", F.isnull("value"))
+
     def update(key, pdfs, state: GroupState):
         import numpy as np
 
@@ -208,12 +213,22 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             n += len(pdf)
             vals = pdf["value"].to_numpy(dtype=np.float64)
             # SQL aggregate NULL semantics (count(*) counts every row,
-            # sum skips NULLs, an all-NULL sum is NULL): parquet NULL
-            # arrives as NaN through pandas — drop it from the sum and
-            # track how many real values contributed (r8 NULL-value
-            # probe: the previous kernel int()-crashed on the first
-            # NULL batch)
-            vals = vals[~np.isnan(vals)]
+            # sum skips NULLs, an all-NULL sum is NULL). Parquet NULL
+            # and a genuine NaN float both surface as NaN in a float64
+            # pandas column, so the NULL mask is computed JVM-side
+            # (isNull, which is false for NaN) and shipped alongside
+            # the value. A real NaN would make SQL sum() return NaN —
+            # unrepresentable in this exact-decimal accumulator — so
+            # it raises loudly instead of silently diverging from the
+            # oracle (r8 NULL-value probe found the int()-crash; the
+            # r9 advisor pass found the NULL/NaN conflation).
+            vals = vals[~pdf["value_null"].to_numpy(dtype=bool)]
+            if np.isnan(vals).any():
+                raise ValueError(
+                    "stream_user_totals: non-NULL NaN in events.value; "
+                    "SQL sum() would propagate NaN, which the exact "
+                    "decimal state cannot represent"
+                )
             nv += len(vals)
             # vectorized exact conversion: for |v| ≲ 1e5 the float64
             # error of v*1e10 is ≪ 0.5, so rint lands on the same

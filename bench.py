@@ -130,8 +130,11 @@ def _robust_timed(
     conversion numbers 61-133 MiB/s on unchanged code; a single sample
     is noise). ``min_runs=3`` pins the throughput sidecars to always-3
     samples (VERDICT r7 task 5: the single-shot pipeline figure swung
-    496 -> 349 MiB/s between rounds on unchanged code). Returns
-    (best, all_samples)."""
+    496 -> 349 MiB/s between rounds on unchanged code). The retry
+    budget always leaves room for one extra sample past ``min_runs``
+    (r8 advisor: min_runs=3 with the old fixed max of 3 silently
+    disabled the disagreement retry). Returns (best, all_samples)."""
+    max_runs = max(max_runs, min_runs + 1)
     times = [once() for _ in range(max(2, min_runs))]
     lo, hi = sorted(times)[:2]
     if hi > agree_ratio * lo and len(times) < max_runs:

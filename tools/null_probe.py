@@ -153,7 +153,7 @@ def main() -> int:
 
             names = list(entrymod.queries())
             recs: dict = {}
-            rc_worst = 0
+            rc_crashed: list[int] = []  # every crashed chunk's rc
             chunk = 40
             for ci in range(0, len(names), chunk):
                 record = os.path.join(dst, f"record_{ci}.json")
@@ -178,9 +178,11 @@ def main() -> int:
                     )
                 )
                 if proc.returncode not in (0, 1):
-                    # crashed chunk: record the rc; per-query failures in
-                    # the chunk's partial record still merge below
-                    rc_worst = proc.returncode
+                    # crashed chunk: record EVERY crash rc (r8 advisor:
+                    # keeping only the last misreported multi-chunk crash
+                    # patterns); per-query failures in the chunk's
+                    # partial record still merge below
+                    rc_crashed.append(proc.returncode)
                     print(
                         f"[{mutation}] chunk {ci//chunk}: rc {proc.returncode}",
                         flush=True,
@@ -230,14 +232,16 @@ def main() -> int:
                         recs[name] = part[name]
             failures = _failed(recs)
             missing = [n for n in names if n not in recs]
-            any_fail = any_fail or bool(failures) or bool(rc_worst) or bool(missing)
+            any_fail = (
+                any_fail or bool(failures) or bool(rc_crashed) or bool(missing)
+            )
             stages[mutation] = {
                 "mutation": desc,
                 "nulled_rows": nulled,
                 "n_queries": len(recs),
                 "failures": failures,
                 "missing": missing,
-                "rc_worst": rc_worst,
+                "rc_crashed": rc_crashed,
             }
         finally:
             shutil.rmtree(dst, ignore_errors=True)
@@ -245,9 +249,9 @@ def main() -> int:
     doc = {"src": src, "stages": stages}
     Path(json_out).write_text(json.dumps(doc, indent=1))
     flagged = {
-        m: (s["failures"] or s["missing"] or f"rc {s['rc_worst']}")
+        m: (s["failures"] or s["missing"] or f"rc {s['rc_crashed']}")
         for m, s in stages.items()
-        if s["failures"] or s["missing"] or s["rc_worst"]
+        if s["failures"] or s["missing"] or s["rc_crashed"]
     }
     print(f"wrote {json_out}; failures: {flagged or 'none'}")
     return 1 if any_fail else 0
