@@ -3630,12 +3630,19 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 'ALL' row demonstrates the merge.
 
     Scale: distinct (type, user) is one shuffle; the per-group bottom-k
-    uses the two-phase `grouped_row_number` (range-shuffled parallel
-    sort, no per-group single-reducer funnel), and the union sketch is a
-    `TakeOrderedAndProject` top-k — no full sort, no collect beyond k
-    rows.  Estimator error is ~1/√(k−2) ≈ 12.7 % at k=64; the
-    `within_3sigma` flag (computed from the same doubles both sides)
-    pins it."""
+    is found by THRESHOLD PRUNING (the production top-k-at-scale
+    pattern): fracs are uniform hashes, so a group's k-th smallest is
+    below τ_g = 3k/n_g except with probability ~e^{-k} — filter to the
+    ~3k survivors per group (O(k) rows per group at ANY corpus size,
+    broadcast-joined group counts, no shuffle), rank only those, and
+    verify the bound held with one exact survivor-count check that
+    falls back to the full two-phase `grouped_row_number` if it ever
+    doesn't (deterministic given the data, so both engines' answers
+    still hash-compare). The union sketch is merged from the per-group
+    sketches (k·|groups| candidate rows — KMV mergeability, no second
+    pass over the key set).  Estimator error is ~1/√(k−2) ≈ 12.7 % at
+    k=64; the `within_3sigma` flag (computed from the same doubles both
+    sides) pins it."""
     from ..cache import persist_tracked
     from ..plans.partitioning import grouped_row_number
 
@@ -3647,29 +3654,76 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         / F.lit(float(_KMV_SPACE))
     )
-    # two consumers (per-group rank path, union-sketch path) — persist
-    # so the corpus distinct shuffle runs once, not once per branch
+    # several consumers (survivor rank, union sketch, exact counts) —
+    # persist so the corpus distinct shuffle runs once, not once per branch
     hashed = persist_tracked(
         dist.select("event_type", "user_id", frac.alias("frac"))
     )
 
-    ranked = grouped_row_number(
-        hashed.select("event_type", "frac"), "event_type", "frac", out="rn"
+    counts = hashed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact")
     )
+    tau = F.least(
+        F.lit(1.0),
+        F.lit(3.0 * _KMV_K) / F.col("n_exact").cast("double"),
+    )
+    surv = hashed.join(F.broadcast(counts), "event_type").filter(
+        F.col("frac") <= tau
+    )
+    # exactness gate: every group must keep at least min(k, n_g)
+    # survivors, else the k-th min exceeded τ_g and the pruned rank
+    # would be wrong. One scalar to the driver; expected to pass with
+    # probability 1 - |groups|·e^{-Θ(k)}.
+    ok = (
+        surv.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .join(F.broadcast(counts), "event_type")
+        .agg(
+            F.min(
+                (
+                    F.col("m")
+                    >= F.least(F.lit(_KMV_K), F.col("n_exact"))
+                ).cast("int")
+            ).alias("ok")
+        )
+        .collect()[0]["ok"]
+    )
+    if ok == 1:
+        from pyspark.sql import Window
+
+        # bounded partitions by construction (~3k rows per group at any
+        # scale), so a plain per-group window is safe here — the
+        # single-reducer funnel grouped_row_number exists to avoid
+        # cannot form on O(k) rows
+        w = Window.partitionBy("event_type").orderBy("frac")
+        ranked = surv.select(
+            "event_type", "frac", F.row_number().over(w).alias("rn")
+        )
+    else:  # pragma: no cover - probability ~e^{-64} per group
+        ranked = grouped_row_number(
+            hashed.select("event_type", "frac"), "event_type", "frac", out="rn"
+        )
     per_group = (
         ranked.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.max(F.when(F.col("rn") <= _KMV_K, F.col("frac"))).alias("u_k"),
-        )
+        .agg(F.max(F.when(F.col("rn") <= _KMV_K, F.col("frac"))).alias("u_k"))
+        .join(F.broadcast(counts), "event_type")
+        .select("event_type", "n_exact", "u_k")
     )
-    # union sketch: k smallest fractions over the DISTINCT user set
-    # (same user in several types hashes identically — union of the
-    # per-group sketches == sketch of the distinct-user union)
-    u_dist = hashed.select("user_id", "frac").distinct()
-    topk = u_dist.select("frac").orderBy("frac").limit(_KMV_K)
+    # union sketch from the per-group sketches — KMV's mergeability,
+    # used structurally: a frac in the global bottom-k has at most k-1
+    # globally-smaller fracs, hence at most k-1 smaller rows inside its
+    # own group, hence per-group rank <= k. So the k*|groups| candidate
+    # rows (<=512 here) already contain every global bottom-k member,
+    # and the union's u_k is their k-th smallest distinct value — no
+    # second full distinct over the user set, no global sort (r9: that
+    # pair was ~4 of this query's 12 shuffles for an answer the ranked
+    # frame already held)
+    cand = (
+        ranked.filter(F.col("rn") <= _KMV_K).select("frac").distinct()
+    )
+    topk = cand.orderBy("frac").limit(_KMV_K)
     union_row = (
-        u_dist.agg(F.count(F.lit(1)).alias("n_exact"))
+        hashed.agg(F.count_distinct("user_id").alias("n_exact"))
         .crossJoin(F.broadcast(topk.agg(F.max("frac").alias("u_k"))))
         .select(F.lit("ALL").alias("event_type"), "n_exact", "u_k")
     )
@@ -3721,12 +3775,12 @@ per_group AS (
          max(CASE WHEN rn <= {_KMV_K} THEN frac END) AS u_k
   FROM ranked GROUP BY event_type
 ),
-u_dist AS (SELECT DISTINCT user_id, frac FROM hashed),
+cand AS (SELECT DISTINCT frac FROM ranked WHERE rn <= {_KMV_K}),
 union_row AS (
   SELECT 'ALL' AS event_type,
-         (SELECT count(*) FROM u_dist) AS n_exact,
+         (SELECT count(DISTINCT user_id) FROM hashed) AS n_exact,
          (SELECT max(frac) FROM (
-            SELECT frac FROM u_dist ORDER BY frac LIMIT {_KMV_K})) AS u_k
+            SELECT frac FROM cand ORDER BY frac LIMIT {_KMV_K})) AS u_k
 ),
 merged AS (
   SELECT * FROM per_group UNION ALL SELECT * FROM union_row

@@ -83,3 +83,18 @@ def test_quantiles_sketch_only_rank_accuracy(spark, queries):
     for rf, n, c50, c95 in checks:
         assert abs(c50 / n - 0.5) <= 0.05, (rf, c50 / n)
         assert abs(c95 / n - 0.95) <= 0.05, (rf, c95 / n)
+
+
+def test_quantile_calibration_flags(spark, queries):
+    """The calibration twin's own gate, pinned where the bench no longer
+    times it (VERDICT r8 task 3: ``agg_approx_quantiles`` is excluded
+    from the timed loop as calibration scaffolding — this pin keeps the
+    exact-vs-sketch rank check enforced): every group's sketch answer
+    must land within the rank bound, i.e. the hash-compared ok flags are
+    all true, and the exact interpolated percentiles are present."""
+    rows = queries["agg_approx_quantiles"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["ok_p50"] is True, (r["l_returnflag"], "p50")
+        assert r["ok_p95"] is True, (r["l_returnflag"], "p95")
+        assert r["exact_p50"] is not None and r["exact_p95"] is not None

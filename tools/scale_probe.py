@@ -28,9 +28,13 @@ fixes.)
 Usage::
 
     python tools/scale_probe.py [--json SCALE_PROBE.json] [--full] [query ...]
+    python tools/scale_probe.py --small /root/testdata/sf0.1 \
+        --big .sfscale/sf1 --growth 10 --json SCALE_PROBE_SF1.json [query ...]
 
 ``--full`` probes the ENTIRE registry (queries() + production twins)
-instead of the headline DEFAULT_QUERIES sample.
+instead of the headline DEFAULT_QUERIES sample. ``--small``/``--big``/
+``--growth`` probe a different decade of the growth curve (VERDICT r8
+task 2: sf0.1 → a derived sf1, built by tools/make_sf_scale.py).
 
 Writes one JSON object keyed by query name with bytes at each SF, the
 growth ratios, and the classification.  No Spark UI, no REST — only the
@@ -254,10 +258,10 @@ def _parse_one(log: Path, stage_group: dict, agg: dict, intervals: list) -> None
                 a["input"] += im.get("Bytes Read", 0)
 
 
-def classify(ratio: float) -> str:
-    if ratio < 0.7 * DATA_GROWTH:
+def classify(ratio: float, growth: float = DATA_GROWTH) -> str:
+    if ratio < 0.7 * growth:
         return "sublinear"
-    if ratio <= 1.5 * DATA_GROWTH:
+    if ratio <= 1.5 * growth:
         return "linear"
     return "superlinear"
 
@@ -265,10 +269,21 @@ def classify(ratio: float) -> str:
 def main() -> int:
     argv = sys.argv[1:]
     json_out = "SCALE_PROBE.json"
-    if "--json" in argv:
-        i = argv.index("--json")
-        json_out = argv[i + 1]
-        argv = argv[:i] + argv[i + 2 :]
+    sf_small, sf_big, growth = SF_SMALL, SF_BIG, DATA_GROWTH
+
+    def _opt(flag, default):
+        nonlocal argv
+        if flag in argv:
+            i = argv.index(flag)
+            v = argv[i + 1]
+            argv = argv[:i] + argv[i + 2 :]
+            return v
+        return default
+
+    json_out = _opt("--json", json_out)
+    sf_small = _opt("--small", sf_small)
+    sf_big = _opt("--big", sf_big)
+    growth = float(_opt("--growth", growth))
     full = "--full" in argv
     if full:
         argv = [a for a in argv if a != "--full"]
@@ -302,7 +317,7 @@ def main() -> int:
         return 2
 
     intervals: list[tuple[str, float, float]] = []
-    for sf_dir, tag in [(SF_SMALL, "small"), (SF_BIG, "big")]:
+    for sf_dir, tag in [(sf_small, "small"), (sf_big, "big")]:
         for name in names:
             group = f"{tag}:{name}"
             spark.sparkContext.setJobGroup(group, group)
@@ -336,7 +351,7 @@ def main() -> int:
         sw_s, sw_b = small.get("shuffle_write", 0), big.get("shuffle_write", 0)
         ratio = (sw_b / sw_s) if sw_s else None
         if sw_s:
-            cls = classify(ratio)
+            cls = classify(ratio, growth)
         elif sw_b:
             # 0 -> N: a broadcast/local plan at the small SF fell back to
             # a real shuffle at the big SF — the worst scaling shape, not
@@ -357,9 +372,9 @@ def main() -> int:
             "class": cls,
         }
     doc = {
-        "data_growth": DATA_GROWTH,
-        "sf_small": SF_SMALL,
-        "sf_big": SF_BIG,
+        "data_growth": growth,
+        "sf_small": sf_small,
+        "sf_big": sf_big,
         "queries": out,
         "superlinear": flagged,
     }
