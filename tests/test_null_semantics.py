@@ -99,3 +99,78 @@ def test_array_join_empty_is_empty_string(spark):
         "SELECT array_to_string(string_split('', ' ')[3:], ' ')"
     ).fetchone()
     assert dk is None  # the divergence the oracle's coalesce bridges
+
+
+def test_stream_user_totals_raises_on_true_nan(spark, tmp_path):
+    """NULL-vs-NaN contract of the stateful totals kernel (r8 advisor):
+    parquet NULLs are skipped per SQL sum() semantics via the JVM-side
+    isNull mask, but a GENUINE float NaN (validity bit set) must raise
+    loudly — SQL sum() would propagate NaN, which the exact-decimal
+    state cannot represent, and silently dropping it would diverge from
+    the oracle without failing any compare."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from aind_hcr_data_transformation_spark.streaming.events import (
+        QUERIES as STREAM_QUERIES,
+    )
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path / "nanfix"
+    dst.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+    tab = pq.read_table(f"{src}/events.parquet")
+    ids = tab["event_id"].to_numpy()
+    mask = pa.array(ids == ids[0])  # exactly one row gets a real NaN
+    idx = tab.schema.get_field_index("value")
+    tab = tab.set_column(
+        idx,
+        "value",
+        pc.if_else(mask, pa.scalar(float("nan"), pa.float64()), tab["value"]),
+    )
+    pq.write_table(tab, f"{dst}/events.parquet")
+
+    with pytest.raises(Exception, match="non-NULL NaN"):
+        STREAM_QUERIES["stream_user_totals"](spark, str(dst)).collect()
+
+
+def test_stream_user_totals_skips_null_not_nan(spark, tmp_path):
+    """The mirror case: a parquet NULL in events.value must NOT trip the
+    NaN guard — it is skipped from the sum (SQL semantics) and the query
+    completes."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from aind_hcr_data_transformation_spark.streaming.events import (
+        QUERIES as STREAM_QUERIES,
+    )
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path / "nullfix"
+    dst.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+    tab = pq.read_table(f"{src}/events.parquet")
+    ids = tab["event_id"].to_numpy()
+    mask = pa.array(ids == ids[0])
+    idx = tab.schema.get_field_index("value")
+    tab = tab.set_column(
+        idx, "value", pc.if_else(mask, pa.scalar(None, pa.float64()), tab["value"])
+    )
+    pq.write_table(tab, f"{dst}/events.parquet")
+
+    rows = STREAM_QUERIES["stream_user_totals"](spark, str(dst)).collect()
+    assert rows  # completes; per-user totals emitted
