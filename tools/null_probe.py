@@ -205,12 +205,15 @@ def main() -> int:
                     )
                 ]
 
-            # retry failures individually in fresh processes: DuckDB's
-            # buffer pool degrades over a 40-query chunk and throws
-            # transient bad_allocs (ivfpq_search hit this three times
-            # this round, green alone every time); a genuine mismatch
-            # fails again
-            for name in _failed(recs):
+            # retry failures AND missing names individually in fresh
+            # processes: DuckDB's buffer pool degrades over a 40-query
+            # chunk and throws transient bad_allocs (ivfpq_search hit
+            # this three times in r8, green alone every time), and a
+            # crashed chunk (rc -11) writes no record at all — its
+            # queries land in "missing" and deserve the same retry; a
+            # genuine mismatch fails again
+            missing0 = [n for n in names if n not in recs]
+            for name in _failed(recs) + missing0:
                 record = os.path.join(dst, f"retry_{name}.json")
                 subprocess.run(
                     [
@@ -243,6 +246,11 @@ def main() -> int:
                 "missing": missing,
                 "rc_crashed": rc_crashed,
             }
+            # incremental write: a crash in a later stage must not lose
+            # the finished stages' evidence
+            Path(json_out).write_text(
+                json.dumps({"src": src, "stages": stages}, indent=1)
+            )
         finally:
             shutil.rmtree(dst, ignore_errors=True)
 

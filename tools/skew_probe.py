@@ -198,7 +198,12 @@ def run_registry_differential(
             )
         ]
 
-    for name in _failed(recs):
+    # retry failures AND missing names individually in fresh processes:
+    # a failure may be a transient DuckDB bad_alloc (green alone every
+    # time observed), and a crashed chunk (rc -11) writes NO record at
+    # all, so its queries would otherwise stay "missing" unretried
+    missing0 = [n for n in names if n not in recs]
+    for name in _failed(recs) + missing0:
         record = os.path.join(fixture, f"retry_{name}.json")
         subprocess.run(
             [
@@ -238,7 +243,7 @@ def run_wall_guard(walls_src: str) -> dict:
         ["events_hot_user", "orders_hot_cust", "lineitem_hot_part"],
     )
     print(f"[walls] skewed fixture: {dst} ({counts})", flush=True)
-    queries = entrymod.queries()
+    queries = {**entrymod.queries(), **entrymod.production_queries()}
     out: dict[str, dict] = {}
     try:
         spark = get_spark("skew-probe")
@@ -310,6 +315,11 @@ def main() -> int:
                 "missing": missing,
                 "rc_crashed": rc_crashed,
             }
+            # incremental write: a crash in a later stage (or the wall
+            # guard) must not lose the finished stages' evidence
+            Path(json_out).write_text(
+                json.dumps({"src": src, "stages": stages}, indent=1)
+            )
         finally:
             shutil.rmtree(dst, ignore_errors=True)
 
