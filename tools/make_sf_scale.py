@@ -19,14 +19,17 @@ replication would CHANGE the scale shape are made disjoint per replica:
   like real data — identical keys would instead grow per-key group
   sizes K× (a skew probe, not a scale probe; tools/skew_probe.py covers
   that axis separately);
-- **document text**: replicas ≥1 get a per-replica salt token spliced
-  after every 2nd word. Word-level shingles (the minhash/Jaccard/
-  containment unit, w=3..5) all straddle a salt, so cross-replica
-  similarity collapses while within-replica similarity (including the
-  planted mutant pairs dedup recall tests rely on) is untouched —
-  identical copies would make every exact-dup cluster a K-clique and
-  every LSH bucket K× taller, turning linear pair generators
-  quadratic as a pure fixture artifact;
+- **document text**: replicas ≥1 get every 3rd word REPLACED by a
+  per-replica salt token (substitution, not insertion: the first sf1
+  build spliced salts in, inflating token counts 1.55× and making
+  every text-driven query's true data growth ~15× — two borderline
+  "superlinear" flags were that fixture artifact). Word-level shingles
+  (the minhash/Jaccard/containment unit, w=3..5) all straddle a salt,
+  so cross-replica similarity collapses while within-replica
+  similarity (including the planted mutant pairs dedup recall tests
+  rely on — both members get the same positional substitution) is
+  preserved; token counts and doc lengths stay ~flat, so 10× docs
+  means 10× tokens;
 - **embedding vectors**: replica r's vectors are cyclically rolled by
   r·7+3 positions — a norm- and within-replica-cosine-preserving
   isometry that makes cross-replica cosines near-orthogonal for these
@@ -90,19 +93,18 @@ def _offset_base(tab: pa.Table, cols: list[str]) -> dict[str, int]:
 
 
 def _salt_text(text: str, salt: str) -> str:
-    """Splice ``salt`` after every 2nd word — every 3+-gram shingle of
+    """Replace every 3rd word with ``salt`` — every 3+-gram shingle of
     the result contains a salt token, so replicas never collide in a
-    shingle-keyed index, while the original word sequence (and any
-    planted near-duplicate relationship WITHIN the replica) is intact."""
+    shingle-keyed index, while token count and doc length stay ~flat
+    (insertion inflated them 1.55× and skewed growth ratios). Planted
+    near-duplicate pairs within a replica get the same positional
+    substitution, so their similarity relationship survives."""
     if not text:
         return text
     words = text.split(" ")
-    out = []
-    for i, w in enumerate(words):
-        out.append(w)
-        if i % 2 == 1:
-            out.append(salt)
-    return " ".join(out)
+    for i in range(2, len(words), 3):
+        words[i] = salt
+    return " ".join(words)
 
 
 def _replicate_table(name: str, src_file: str, k: int) -> pa.Table:
