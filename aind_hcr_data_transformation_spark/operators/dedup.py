@@ -816,19 +816,26 @@ GROUP BY doc_id
 #
 # Scale rule (IMPLEMENTED, not just documented — r3 task 5): per-band
 # bucket population is n / 2^bits, so bits = ceil(log2(n /
-# target_bucket_size)), clamped to [8, 12] (4 bands × 12 bits ≤ 64
-# components).  Computed from the embeddings row count with EXACT
-# integer arithmetic — ``(ceil(n/2) − 1).bit_length()`` in Python, the
-# equivalent power-of-two CASE ladder in SQL — so both engines derive
-# the identical width from the data: 8 bits at the 500-vector fixtures,
-# 10 at sf0.1's 2000, growing with the corpus.  The bucket count is
-# derived from the DATA (sign entropy), not a fixed metadata column, so
-# no join key's fan-out is tied to corpus size.  At 100 TB the band key
-# becomes an IVF/PQ coarse code; the plan shape (band-key equi-join →
-# verify bucket-mates) is unchanged.
+# target_bucket_size)), clamped to [8, 16] (4 bands × 16 bits = all 64
+# components; the r9 sf1 probe caught the previous 12-bit clamp
+# densifying buckets quadratically past ~8k vectors — 23× shuffle
+# growth at 10× data).  Computed from the embeddings row count with
+# EXACT integer arithmetic — ``(ceil(n/2) − 1).bit_length()`` in
+# Python, the equivalent power-of-two CASE ladder in SQL — so both
+# engines derive the identical width from the data: 8 bits at the
+# 500-vector fixtures, 10 at sf0.1's 2000, 14 at the derived sf1's
+# 20k.  The bucket count is derived from the DATA (sign entropy), not
+# a fixed metadata column, so no join key's fan-out is tied to corpus
+# size.  Recall floor at full 16-bit width: a 0.98-cosine pair matches
+# a band with p ≥ 0.936¹⁶ ≈ 0.35, so 4 bands give ≥ 1−(1−0.35)⁴ ≈ 0.82
+# for boundary pairs (planted sign-identical mutants remain 1.0).
+# Past the 16-bit clamp (~130k vectors at target occupancy) the band
+# key becomes an IVF/PQ coarse code (``dedup_semantic`` is that
+# continuation, already implemented); the plan shape (band-key
+# equi-join → verify bucket-mates) is unchanged.
 _EMB_BANDS = 4
 _EMB_TARGET_BUCKET = 2  # aimed per-band bucket population
-_EMB_BITS_LO, _EMB_BITS_HI = 8, 12
+_EMB_BITS_LO, _EMB_BITS_HI = 8, 16
 
 
 def _emb_bits(n_vectors: int) -> int:

@@ -352,11 +352,16 @@ def main() -> int:
         ratio = (sw_b / sw_s) if sw_s else None
         if sw_s:
             cls = classify(ratio, growth)
-        elif sw_b:
+        elif sw_b >= 1 << 20:
             # 0 -> N: a broadcast/local plan at the small SF fell back to
             # a real shuffle at the big SF — the worst scaling shape, not
             # a shuffle-free one
             cls = "superlinear"
+        elif sw_b:
+            # 0 -> a few KB (e.g. sort_topk's AQE detail at the derived
+            # sf1: 888 bytes): a sub-MiB absolute cannot be "the worst
+            # scaling shape" — record it without crying wolf
+            cls = "negligible_shuffle"
         else:
             cls = "no_shuffle"
         if cls == "superlinear":
