@@ -114,6 +114,7 @@ def test_bucketed_layout_reattaches_without_rewrite(spark):
 
     from aind_hcr_data_transformation_spark.operators.relational import (
         _bucketed_tables,
+        _sf_slug,
         join_bucketed_colocated,
     )
 
@@ -124,7 +125,10 @@ def test_bucketed_layout_reattaches_without_rewrite(spark):
     }
     li, od = _bucketed_tables(spark, sf)
     tag = li.rsplit("_", 1)[1]
-    base = Path(tempfile.gettempdir()) / f"spark_graft_bucketed_{tag}"
+    base = (
+        Path(tempfile.gettempdir())
+        / f"spark_graft_bucketed_{_sf_slug(sf)}_{tag}"
+    )
     stamps = {
         n: os.path.getmtime(base / n / "_SUCCESS") for n in (li, od)
     }
