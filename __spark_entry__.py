@@ -37,6 +37,7 @@ from aind_hcr_data_transformation_spark.operators import (
 )
 from aind_hcr_data_transformation_spark.session import apply_session_confs
 from aind_hcr_data_transformation_spark.streaming import events as streaming_events
+from aind_hcr_data_transformation_spark.streaming import feed as streaming_feed
 
 # Registry (and therefore bench) order follows PIPELINE order for the
 # vector family: `vectorops` (which owns the PQ trainer/quantizer,
@@ -60,6 +61,7 @@ _MODULES = [
     warehouse,
     multimodal,
     streaming_events,
+    streaming_feed,
 ]
 
 

@@ -38,7 +38,7 @@ _MAX_LINE_BYTES = 1200
 # ``regressions`` map (which would otherwise re-flag them every run
 # against a best-prior that no longer corresponds to shipped code);
 # reported under ``accepted_regressions`` in BENCH_DETAIL.json instead.
-def _regressed(t: float, best: float) -> bool:
+def _regressed(t: float, best: float, scale: float = 1.0) -> bool:
     """Flag-worthy slowdown: >1.5x the sticky prior AND either a real
     absolute cost (>0.5 s) or an unambiguous ratio (>2x). Sub-second
     queries wobble 1.5-2x run-to-run on Python-worker spin-up and GC
@@ -46,8 +46,20 @@ def _regressed(t: float, best: float) -> bool:
     DISJOINT sets of 0.1-0.8 s queries), so a pure 1.5x-ratio gate
     churns a different noise set every round; the 2x branch keeps the
     multimodal_binary_features class (2.1x, +0.23 s — a real structural
-    regression) flaggable."""
-    return t > 1.5 * best and (t - best > 0.5 or t > 2.0 * best)
+    regression) flaggable.
+
+    ``scale`` is the host-speed normalization (calib_now / calib of the
+    run that recorded ``best``, capped at 2.0 — see ``main``): the
+    sticky prior is a min over ~70 recordings and therefore tends to
+    come from the FASTEST host this repo has ever run on, so an honest
+    run on a 2x-slower VM would otherwise flag half the registry (r9:
+    a fresh host with calib 0.615 vs the 0.276 the minima were set on
+    flagged 8 queries whose slowdowns all tracked the calib ratio).
+    The cap keeps a real >2x structural regression visible even when
+    the calib sample itself is noisy."""
+    return t > 1.5 * scale * best and (
+        t - scale * best > 0.5 or t > 2.0 * scale * best
+    )
 
 
 _ACCEPTED_REGRESSIONS = {
@@ -84,7 +96,9 @@ _ACCEPTED_REGRESSIONS = {
 _CALIBRATION_ONLY = {"agg_approx_quantiles"}
 
 
-def _load_prior(repo: Path, sf_val: object) -> dict[str, float]:
+def _load_prior(
+    repo: Path, sf_val: object
+) -> tuple[dict[str, float], dict[str, float | None], float | None]:
     """Best prior per-query timing from earlier recordings AT THE SAME
     scale factor (cross-sf comparison would flag phantom regressions).
 
@@ -92,8 +106,16 @@ def _load_prior(repo: Path, sf_val: object) -> dict[str, float]:
     FAST one-offs (a stall elsewhere warming workers, a clock hiccup);
     taking the raw min then flags every later honest run. When the
     smallest recording is under 2/3 of the second-smallest it is treated
-    as the outlier and the second-smallest becomes the baseline."""
-    seen: dict[str, list[float]] = {}
+    as the outlier and the second-smallest becomes the baseline.
+
+    Returns ``(prior, prior_calib, calib_ref)``: per-query baseline
+    time, the calibration floor of the RUN each baseline came from
+    (None for pre-calibration history), and a low-quartile reference
+    calib over all recordings — the fallback host speed to normalize
+    against when the baseline run predates calib recording (a low
+    quantile, because sticky minima skew toward the fastest hosts)."""
+    seen: dict[str, list[tuple[float, float | None]]] = {}
+    calibs: list[float] = []
 
     def absorb(doc: object) -> None:
         if not isinstance(doc, dict) or doc.get("sf") != sf_val:
@@ -101,9 +123,13 @@ def _load_prior(repo: Path, sf_val: object) -> dict[str, float]:
         qmap = doc.get("queries")
         if not isinstance(qmap, dict):
             return
+        calib = doc.get("calib_sec")
+        calib = float(calib) if isinstance(calib, (int, float)) else None
+        if calib:
+            calibs.append(calib)
         for q, t in qmap.items():
             if isinstance(t, (int, float)):
-                seen.setdefault(q, []).append(float(t))
+                seen.setdefault(q, []).append((float(t), calib))
 
     for p in sorted(repo.glob("BENCH_r*.json")):
         try:
@@ -121,13 +147,18 @@ def _load_prior(repo: Path, sf_val: object) -> dict[str, float]:
             except json.JSONDecodeError:
                 continue
     prior: dict[str, float] = {}
+    prior_calib: dict[str, float | None] = {}
     for q, vals in seen.items():
-        vals.sort()
-        if len(vals) >= 2 and vals[0] < (2 / 3) * vals[1]:
-            prior[q] = vals[1]
-        else:
-            prior[q] = vals[0]
-    return prior
+        vals.sort(key=lambda tc: tc[0])
+        pick = (
+            vals[1]
+            if len(vals) >= 2 and vals[0][0] < (2 / 3) * vals[1][0]
+            else vals[0]
+        )
+        prior[q], prior_calib[q] = pick
+    calibs.sort()
+    calib_ref = calibs[len(calibs) // 4] if calibs else None
+    return prior, prior_calib, calib_ref
 
 
 def _robust_timed(
@@ -276,7 +307,7 @@ def _bench_czi_decode(spark) -> dict[str, float]:
     }
 
 
-def main() -> None:
+def main(attribute: str | None = None) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repo = Path(__file__).resolve().parent
     import __spark_entry__ as entrymod
@@ -359,7 +390,16 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    prior = _load_prior(repo, sf_val)
+    prior, prior_calib, calib_ref = _load_prior(repo, sf_val)
+
+    def host_scale(q: str) -> float:
+        """calib_now / calib of the run that set q's sticky prior,
+        capped at 2.0 (see _regressed). >= 1.0: a FASTER host than the
+        baseline never relaxes the gate."""
+        ref = prior_calib.get(q) or calib_ref
+        if not ref or calib_sec <= ref:
+            return 1.0
+        return min(calib_sec / ref, 2.0)
 
     def run_once(name: str, fn) -> float:
         t0 = time.perf_counter()
@@ -372,6 +412,80 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     bench_queries = {**entrymod.queries(), **entrymod.production_queries()}
+
+    if attribute:
+        # --attribute mod1,mod2: noise-vs-real adjudication for named
+        # modules (VERDICT r8 task 1). Each query gets 3 samples (the
+        # throughput-sidecar regime, not the single-shot sweep regime);
+        # the MEDIAN is the quotable per-query number, and the verdict
+        # column says whether the median exceeds the host-normalized
+        # sticky prior ("real") or sits within it ("noise").
+        mods = {m.strip() for m in attribute.split(",") if m.strip()}
+        mod_of = {}
+        for mod in entrymod._MODULES:
+            mname = mod.__name__.rsplit(".", 1)[-1]
+            for qname in getattr(mod, "QUERIES", {}):
+                mod_of[qname] = mname
+            for qname in getattr(mod, "PRODUCTION_QUERIES", {}):
+                mod_of[qname] = mname
+        out: dict[str, dict] = {}
+        for name, fn in bench_queries.items():
+            if name in _CALIBRATION_ONLY or mod_of.get(name) not in mods:
+                continue
+            best, samples = _robust_timed(
+                lambda: run_once(name, fn), min_runs=3
+            )
+            med = _median(samples)
+            scale = host_scale(name)
+            base = prior.get(name)
+            out[name] = {
+                "module": mod_of[name],
+                "samples": samples,
+                "median": round(med, 3),
+                "prior_best": base,
+                "host_scale": round(scale, 2),
+                "verdict": (
+                    "no_prior"
+                    if base is None
+                    else "real"
+                    if _regressed(med, base, scale)
+                    and name not in _ACCEPTED_REGRESSIONS
+                    else "noise_or_flat"
+                ),
+            }
+            print(f"{name}: {samples} -> median {med}", file=sys.stderr)
+        doc = {
+            "mode": "attribution",
+            "modules": sorted(mods),
+            "sf": sf_val,
+            "calib_sec": calib_sec,
+            "calib_ref": calib_ref,
+            "queries": out,
+            "module_medians": {
+                m: round(
+                    sum(v["median"] for v in out.values() if v["module"] == m),
+                    3,
+                )
+                for m in sorted(mods)
+            },
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        (repo / "BENCH_ATTRIBUTION.json").write_text(json.dumps(doc, indent=1))
+        print(
+            json.dumps(
+                {
+                    "mode": "attribution",
+                    "module_medians": doc["module_medians"],
+                    "real": [
+                        q for q, v in out.items() if v["verdict"] == "real"
+                    ],
+                    "calib_sec": calib_sec,
+                    "detail": "BENCH_ATTRIBUTION.json",
+                }
+            )
+        )
+        return
+
     for name, fn in bench_queries.items():
         if name in _CALIBRATION_ONLY:
             continue
@@ -390,7 +504,7 @@ def main() -> None:
             name in prior
             and name not in _ACCEPTED_REGRESSIONS
             and prior[name] > 0.05
-            and _regressed(t, prior[name])
+            and _regressed(t, prior[name], host_scale(name))
         ):
             retry = run_once(name, fn)
             print(f"{name}: spike {t} -> retry {retry}", file=sys.stderr)
@@ -399,7 +513,7 @@ def main() -> None:
             # 23s -> 14s on a query whose clean time is 1.7s, while the
             # next run of the same build recorded 1.73s). One more
             # sample for extreme outliers only.
-            if t > 3 * prior[name] and t > 1.0:
+            if t > 3 * host_scale(name) * prior[name] and t > 1.0:
                 retry2 = run_once(name, fn)
                 print(f"{name}: still {t} -> retry2 {retry2}", file=sys.stderr)
                 t = min(t, retry2)
@@ -421,8 +535,20 @@ def main() -> None:
         for q, t in timings.items()
         if q in prior
         and prior[q] > 0.05
-        and _regressed(t, prior[q])
+        and _regressed(t, prior[q], host_scale(q))
         and q not in _ACCEPTED_REGRESSIONS
+    }
+    # transparency: what the UNNORMALIZED gate would have flagged —
+    # recorded in BENCH_DETAIL so a slow host never silently absorbs a
+    # borderline real regression (each entry carries the scale applied)
+    host_normalized = {
+        q: {"prior": prior[q], "now": t, "host_scale": round(host_scale(q), 2)}
+        for q, t in timings.items()
+        if q in prior
+        and prior[q] > 0.05
+        and q not in _ACCEPTED_REGRESSIONS
+        and q not in regressions
+        and _regressed(t, prior[q])
     }
     accepted = {
         q: {"prior": prior[q], "now": timings[q], "why": why}
@@ -457,8 +583,10 @@ def main() -> None:
         },
         "sf": sf_val,
         "regressions": regressions,
+        "regressions_host_normalized": host_normalized,
         "accepted_regressions": accepted,
         "calib_sec": calib_sec,
+        "calib_ref": calib_ref,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
     (repo / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))
@@ -528,4 +656,8 @@ def _final_line(
 
 
 if __name__ == "__main__":
-    main()
+    attr = None
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--attribute":
+        attr = argv[1] if len(argv) > 1 else ""
+    main(attribute=attr)
