@@ -83,8 +83,14 @@ _MIN_CUT = -(2**62)  # "before every event" sentinel (micros)
 
 def _feed_plan(path: str, target_batches: int) -> list[int]:
     """Driver-side replay plan: time-aligned batch cutoffs (ts micros,
-    strictly increasing, last == max ts). Codebook-sized state — one int
-    per planned micro-batch — never row-sized."""
+    strictly increasing, last == max ts). The RETAINED state is one int
+    per planned micro-batch; the exact-quantile computation below reads
+    the ts column once (transient, 8 B/row) for equal-ROW batches at
+    test scale. The no-late-rows guarantee needs only that cutoffs are
+    time values (range partitioning by time) — NOT quantile exactness,
+    which only balances batch sizes — so the 100 TB path swaps this for
+    parquet row-group min/max statistics (footer-only, O(row groups))
+    or the broker's time index, with nothing downstream changing."""
     import numpy as np
     import pyarrow.parquet as pq
 

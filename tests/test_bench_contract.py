@@ -67,8 +67,11 @@ def test_load_prior_keeps_best_timing_at_matching_sf(tmp_path):
         + "\n"
         + "not json\n"  # tolerated
     )
-    prior = bench._load_prior(tmp_path, 0.1)
+    prior, prior_calib, calib_ref = bench._load_prior(tmp_path, 0.1)
     assert prior == {"q1": 1.5, "q2": 1.0, "q3": 4.0}
+    # no recording carried calib_sec -> no per-query calib, no reference
+    assert prior_calib == {"q1": None, "q2": None, "q3": None}
+    assert calib_ref is None
 
 
 def test_accepted_regressions_reasons_are_nonempty():
@@ -87,6 +90,29 @@ def test_load_prior_rejects_outlier_minimum(tmp_path):
         + json.dumps({"sf": 0.1, "queries": {"q": 1.6, "s": 1.1}})
         + "\n"
     )
-    prior = bench._load_prior(tmp_path, 0.1)
+    prior, _, _ = bench._load_prior(tmp_path, 0.1)
     assert prior["q"] == 1.5  # 0.2 < 2/3 * 1.5 -> second-smallest wins
     assert prior["s"] == 0.9  # 0.9 corroborated by 1.0 -> min kept
+
+
+def test_load_prior_carries_the_baseline_runs_calib(tmp_path):
+    """Each sticky prior must remember the host-speed floor of the run
+    that set it, and the host normalization must relax the flag gate by
+    exactly the capped calib ratio."""
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        json.dumps({"sf": 0.1, "calib_sec": 0.3, "queries": {"q": 1.0}})
+        + "\n"
+        + json.dumps({"sf": 0.1, "calib_sec": 0.6, "queries": {"q": 1.4}})
+        + "\n"
+    )
+    prior, prior_calib, calib_ref = bench._load_prior(tmp_path, 0.1)
+    assert prior == {"q": 1.0}
+    assert prior_calib == {"q": 0.3}  # the 1.0 came from the 0.3 run
+    assert calib_ref == 0.3  # low quartile of [0.3, 0.6]
+    # 1.4 corroborates 1.0 (not an outlier min): min kept, with ITS calib
+    # unnormalized: 1.9 > 1.5 and ratio 1.9 -> would flag via abs branch
+    assert bench._regressed(1.9, 1.0)
+    # same measurement on a 2x-slower host (scale 2.0): not flagged
+    assert not bench._regressed(1.9, 1.0, scale=2.0)
+    # a true structural blowup stays visible even at the scale cap
+    assert bench._regressed(4.5, 1.0, scale=2.0)

@@ -287,3 +287,50 @@ def test_feed_restart_is_exactly_once(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_rate_source_unbounded_windows_smoke(spark, tmp_path):
+    """Spark's built-in ``rate`` source is a genuinely UNBOUNDED
+    continuous source (rows manufactured per wall-clock second, no
+    backlog to drain): the windowed-aggregation operators must run on it
+    unmodified — the engine-side proof that the stream_* surface is not
+    specialized to bounded replays. Update mode (append would wait out
+    the watermark on a source that never ends)."""
+    from pyspark.sql import functions as F
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "200")
+        .load()
+    )  # schema: (timestamp, value)
+    windowed = (
+        rate.withWatermark("timestamp", "2 seconds")
+        .groupBy(
+            F.window("timestamp", "1 second").alias("w"),
+            (F.col("value") % 4).alias("lane"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sink = "rate_windows_smoke"
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        got = 0
+        while time.time() < deadline:
+            got = spark.table(sink).count()
+            if got >= 8:  # a few windows x 4 lanes have been emitted
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert got >= 8
+    lanes = {r["lane"] for r in spark.table(sink).collect()}
+    assert lanes <= {0, 1, 2, 3} and lanes
