@@ -292,6 +292,13 @@ def run_feed_bounded(
         deadline = time.time() + timeout_s
         idle = 0
         while time.time() < deadline:
+            if not q.isActive:
+                # surface the stream's own error instead of spinning to
+                # the timeout below and masking it
+                q.awaitTermination()
+                raise RuntimeError(
+                    "feed stream terminated before draining"
+                )
             st = q.status
             if (
                 not st["isDataAvailable"]
