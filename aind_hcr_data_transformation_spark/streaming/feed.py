@@ -336,16 +336,20 @@ def stream_feed_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the answer is deterministic and batching-count-independent — the
     strongest oracle statement a continuous run can make.
     """
+    import shutil
+
+    # fresh consumer group per run (the registry contract is a
+    # from-the-start replay, not a resume), removed after the bounded
+    # run — its restart value lives and dies with the checkpoint
+    progress_dir = os.path.join(
+        tempfile.gettempdir(), f"feedprog_{uuid.uuid4().hex[:8]}"
+    )
     feed = read_feed(
         spark,
         sf_dir,
         feed_partitions=4,
         feed_target_batches=5,
-        # fresh consumer group per run: the registry contract is a
-        # from-the-start replay, not a resume
-        progress_dir=os.path.join(
-            tempfile.gettempdir(), f"feedprog_{uuid.uuid4().hex[:8]}"
-        ),
+        progress_dir=progress_dir,
     )
     windowed = (
         feed.withWatermark("ts", "1 hour")
@@ -363,7 +367,10 @@ def stream_feed_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value",
         )
     )
-    return run_feed_bounded(windowed, "stream_feed_windowed", "append")
+    try:
+        return run_feed_bounded(windowed, "stream_feed_windowed", "append")
+    finally:
+        shutil.rmtree(progress_dir, ignore_errors=True)
 
 
 STREAM_FEED_WINDOWED_SQL = f"""
