@@ -1,8 +1,9 @@
 """Vendored minimal ZISRAW (Zeiss CZI) container codec — pure Python;
-uncompressed, zstd (modes 5/6, incl. hi-lo byte planing) and baseline
-JPEG (mode 1, via the vendored :mod:`jpegcodec`) subblocks decode
-in-container.  Only JPEG-XR (mode 4) and non-baseline JPEG flavors
-still require czifile + imagecodecs.
+uncompressed, zstd (modes 5/6, incl. hi-lo byte planing) and sequential
+JPEG (mode 1, via the vendored :mod:`jpegcodec` — baseline gray8 AND
+12-bit SOF1 gray16, with restart intervals) subblocks decode
+in-container.  Only JPEG-XR (mode 4) and the remaining JPEG flavors
+(progressive, multi-component) still require czifile + imagecodecs.
 
 Why this exists: the production slab reader (``czi.py::_read_slab_czifile``,
 mirroring ``read_slices_czi``, reference ``utils/utils.py:284-395``) needs a
@@ -32,11 +33,12 @@ fallback backend when ``czifile`` is absent.
 
 Compression-mode support matrix (in-container, no extra packages):
 mode 0 (uncompressed), modes 5/6 (zstd0/zstd1, including the zstd1
-hi-lo byte-planing header), and mode 1 (baseline JPEG, gray8 — via the
-vendored T.81 codec in :mod:`jpegcodec`) decode HERE; mode 4 (JPEG-XR)
-and non-baseline JPEG flavors raise ``NotImplementedError`` with a
-clear message and require the ``czifile`` + ``imagecodecs`` backend
-when installed.
+hi-lo byte-planing header), and mode 1 (sequential JPEG via the
+vendored T.81 codec in :mod:`jpegcodec` — baseline gray8, 12-bit SOF1
+gray16, restart intervals, 8/16-bit DQT) decode HERE; mode 4 (JPEG-XR)
+and the remaining JPEG flavors (progressive SOF2, multi-component,
+subsampled) raise ``NotImplementedError`` with a clear message and
+require the ``czifile`` + ``imagecodecs`` backend when installed.
 
 :func:`write_czi` is the matching spec-conformant writer used by tests and
 fixture tooling to produce real binary CZI files (one subblock per z-plane,
@@ -66,12 +68,13 @@ _PIXEL_TYPE_TO_DTYPE = {0: "uint8", 1: "uint16", 4: "float32"}
 _DTYPE_TO_PIXEL_TYPE = {v: k for k, v in _PIXEL_TYPE_TO_DTYPE.items()}
 
 _COMPRESSION_NONE = 0
-#: public ZISRAW / libCZI compression mode ids: 1 = JPEG (baseline
-#: gray8 decodes HERE via the vendored T.81 codec in jpegcodec.py;
-#: other JPEG flavors raise), 4 = JPEG-XR (needs imagecodecs — a far
-#: larger spec, still gated), 5 = zstd raw frame, 6 = zstd with a small
-#: preprocessing header (optional hi/lo byte planing of 16-bit pixels
-#: before compression).
+#: public ZISRAW / libCZI compression mode ids: 1 = JPEG (sequential
+#: DCT decodes HERE via the vendored T.81 codec in jpegcodec.py —
+#: baseline gray8 and 12-bit SOF1 gray16, restart intervals included;
+#: progressive/multi-component flavors raise), 4 = JPEG-XR (needs
+#: imagecodecs — a far larger spec, still gated), 5 = zstd raw frame,
+#: 6 = zstd with a small preprocessing header (optional hi/lo byte
+#: planing of 16-bit pixels before compression).
 _COMPRESSION_JPEG = 1
 _COMPRESSION_JPEGXR = 4
 _COMPRESSION_ZSTD0 = 5
@@ -198,10 +201,14 @@ class SubBlockEntry:
                 "czifile+imagecodecs (the slab reader dispatches to that "
                 "backend automatically)"
             )
-        if self.compression == _COMPRESSION_JPEG and self.pixel_type != 0:
+        if self.compression == _COMPRESSION_JPEG and self.pixel_type not in (
+            0,  # gray8: baseline SOF0
+            1,  # gray16: 12-bit extended sequential SOF1 (camera depth)
+        ):
             raise NotImplementedError(
-                "JPEG subblock with non-gray8 pixels (baseline JPEG is "
-                "8-bit; 16-bit acquisitions use zstd or JPEG-XR)"
+                "JPEG subblock with non-integer-gray pixels (T.81 DCT "
+                "precisions are 8 and 12; float acquisitions use zstd "
+                "or JPEG-XR)"
             )
         try:
             dtype = _PIXEL_TYPE_TO_DTYPE[self.pixel_type]
@@ -272,7 +279,16 @@ class SubBlockEntry:
         elif self.compression == _COMPRESSION_JPEG:
             from .jpegcodec import decode_gray
 
-            arr = decode_gray(bytes(raw)).reshape(-1)
+            decoded = decode_gray(bytes(raw))
+            if decoded.dtype != np.dtype(dtype):
+                # e.g. an 8-bit scan under a gray16 directory entry: the
+                # widths must agree or intensities would silently shift
+                raise ValueError(
+                    f"JPEG payload decoded to {decoded.dtype} (precision "
+                    f"{8 if decoded.dtype == np.uint8 else 12}-bit), "
+                    f"directory pixel type {self.pixel_type} says {dtype}"
+                )
+            arr = decoded.reshape(-1)
         elif self.compression == _COMPRESSION_JPEGXR:
             codec = _jpegxr_codec()  # non-None: gated above
             decoded = np.asarray(codec.jpegxr_decode(bytes(raw)))
@@ -513,8 +529,11 @@ def write_czi_tiles(
         _COMPRESSION_ZSTD1,
     ):
         raise ValueError(f"unsupported writer compression {compression}")
-    if compression == _COMPRESSION_JPEG and dtype != "uint8":
-        raise ValueError("JPEG subblocks are baseline 8-bit: dtype must be uint8")
+    if compression == _COMPRESSION_JPEG and dtype not in ("uint8", "uint16"):
+        raise ValueError(
+            "JPEG subblocks: uint8 (baseline 8-bit) or uint16 holding "
+            "12-bit samples (SOF1); got " + dtype
+        )
     codec = None
     if compression in (_COMPRESSION_ZSTD0, _COMPRESSION_ZSTD1):
         codec = _zstd_codec()
@@ -540,11 +559,17 @@ def write_czi_tiles(
         entry = _dv_entry(arr, z, pos, pixel_type, y0, x0, compression)
         data = arr.tobytes()
         if compression == _COMPRESSION_JPEG:
-            from .jpegcodec import encode_gray
+            from .jpegcodec import encode_gray, encode_gray12
 
             # quality 100 → all-ones quantization: round-trip error is
-            # coefficient rounding only (≤ ±2 gray levels, e2e-pinned)
-            data = encode_gray(arr, quality=100)
+            # coefficient rounding only (≤ ±2 gray levels, e2e-pinned).
+            # gray16 tiles carry 12-bit camera samples → SOF1 writer
+            # (encode_gray12 refuses values above 4095).
+            data = (
+                encode_gray(arr, quality=100)
+                if arr.dtype == np.uint8
+                else encode_gray12(arr, quality=100)
+            )
         elif compression == _COMPRESSION_JPEGXR:
             data = bytes(encode_payload(arr))
         elif compression == _COMPRESSION_ZSTD0:

@@ -25,6 +25,7 @@ import pytest
 from aind_hcr_data_transformation_spark.sources.jpegcodec import (
     decode_gray,
     encode_gray,
+    encode_gray12,
 )
 
 
@@ -67,10 +68,32 @@ def test_baseline_gray8_decodes():
     assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
 
 
-def test_12bit_precision_gates():
+def _img12() -> np.ndarray:
+    rng = np.random.default_rng(11)
+    return rng.integers(0, 4096, size=(16, 24), dtype=np.uint16)
+
+
+def test_12bit_sof1_decodes():
+    """12-bit extended sequential (SOF1) — the microscopy camera depth —
+    round-trips through the vendored codec as uint16."""
+    img = _img12()
+    out = decode_gray(encode_gray12(img, quality=100))
+    assert out.dtype == np.uint16
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_12bit_in_baseline_frame_rejected():
+    """SOF0 is 8-bit by definition: a baseline frame header claiming
+    12-bit precision is malformed, not a supported flavor."""
     # SOF0 body: precision(1) height(2) width(2) nf(1)
     data = _patch(encode_gray(_img()), 0xC0, 0, 12)
-    with pytest.raises(NotImplementedError, match="12-bit JPEG"):
+    with pytest.raises(ValueError, match="BASELINE"):
+        decode_gray(data)
+
+
+def test_unsupported_precision_gates():
+    data = _patch(encode_gray12(_img12()), 0xC1, 0, 10)
+    with pytest.raises(NotImplementedError, match="10-bit JPEG"):
         decode_gray(data)
 
 
@@ -87,23 +110,46 @@ def test_subsampled_gates():
         decode_gray(data)
 
 
-def test_16bit_quant_table_gates():
-    # DQT body: pq/tq nibble byte first; pq=1 means 16-bit table
-    data = _patch(encode_gray(_img()), 0xDB, 0, 0x10)
-    with pytest.raises(NotImplementedError, match="16-bit quantization"):
-        decode_gray(data)
-
-
-def test_restart_interval_gates():
-    # splice a DRI segment (FFDD, len 4, interval 8) in front of SOS
-    data = encode_gray(_img())
-    for m, seg, _body, _n in _segments(data):
-        if m == 0xDA:
-            dri = b"\xff\xdd\x00\x04\x00\x08"
-            data = data[:seg] + dri + data[seg:]
+def test_16bit_quant_table_decodes():
+    """Pq=1 (16-bit DQT entries) decodes: rebuild the DQT segment of a
+    real stream with the same table widened to 16-bit — the pixels must
+    come out identical to the 8-bit-table original."""
+    data = encode_gray(_img(), quality=100)
+    for m, seg, body, n in _segments(data):
+        if m == 0xDB:
+            tbl8 = data[body + 1 : body + 1 + 64]
+            wide = bytes([0x10]) + struct.pack(">64H", *tbl8)
+            new_seg = b"\xff\xdb" + struct.pack(">H", len(wide) + 2) + wide
+            patched = data[:seg] + new_seg + data[seg + 4 + n :]
             break
-    with pytest.raises(NotImplementedError, match="restart intervals"):
+    np.testing.assert_array_equal(decode_gray(patched), decode_gray(data))
+
+
+def test_invalid_quant_precision_gates():
+    data = _patch(encode_gray(_img()), 0xDB, 0, 0x20)  # Pq=2: undefined
+    with pytest.raises(ValueError, match="Pq=2"):
         decode_gray(data)
+
+
+def test_restart_intervals_decode():
+    """DRI + RSTn streams decode bit-identically to their no-restart
+    twin (8- and 12-bit), and a restart marker out of modulo sequence
+    raises — the gate verifies the sequence, not just the syntax."""
+    img = _img()
+    plain = decode_gray(encode_gray(img, quality=100))
+    with_rst = encode_gray(img, quality=100, restart_interval=2)
+    np.testing.assert_array_equal(decode_gray(with_rst), plain)
+    img12 = _img12()
+    np.testing.assert_array_equal(
+        decode_gray(encode_gray12(img12, quality=100, restart_interval=3)),
+        decode_gray(encode_gray12(img12, quality=100)),
+    )
+    # corrupt the first RST id (FFD0 -> FFD5): out-of-sequence must raise
+    first = with_rst.find(b"\xff\xd0")
+    assert first > 0, "fixture must contain a restart marker"
+    corrupted = with_rst[:first] + b"\xff\xd5" + with_rst[first + 2 :]
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_gray(corrupted)
 
 
 def test_zero_restart_interval_is_inert():
@@ -138,19 +184,58 @@ def _plain_entry(tmp_path):
         return czi.filtered_subblock_directory[0]
 
 
-def test_zisraw_jpeg_non_gray8_gates(tmp_path):
-    """Mode 1 (baseline JPEG) is defined for gray8 only: a 16-bit pixel
+def test_zisraw_jpeg_float_pixels_gate(tmp_path):
+    """Mode 1 (JPEG) covers integer gray8/gray16 only: a float32 pixel
     type behind compression=1 must refuse before touching payload."""
     from aind_hcr_data_transformation_spark.sources.zisraw import (
         SubBlockEntry,
     )
 
     e = _plain_entry(tmp_path)
-    jpeg16 = SubBlockEntry(
+    jpegf = SubBlockEntry(
+        4, e.file_position, 1, e.pyramid_type, e.dimensions, e._path
+    )
+    with pytest.raises(NotImplementedError, match="non-integer-gray"):
+        jpegf.data()
+
+
+def test_zisraw_jpeg_gray16_roundtrips(tmp_path):
+    """Mode 1 + gray16 pixel type: 12-bit SOF1 payloads decode through
+    the container within the documented quality-100 bound."""
+    from aind_hcr_data_transformation_spark.sources.zisraw import (
+        MiniCziFile,
+        write_czi,
+    )
+
+    rng = np.random.default_rng(3)
+    plane = rng.integers(0, 4096, size=(32, 48), dtype=np.uint16)
+    path = str(tmp_path / "jpeg12.czi")
+    write_czi(path, {0: plane}, compression=1)
+    with MiniCziFile(path) as czi:
+        got = czi.filtered_subblock_directory[0].data().reshape(plane.shape)
+    assert got.dtype == np.uint16
+    assert int(np.abs(got.astype(int) - plane.astype(int)).max()) <= 2
+
+
+def test_zisraw_jpeg_precision_pixeltype_mismatch_gates(tmp_path):
+    """An 8-bit scan under a gray16 directory entry (or vice versa) must
+    raise: silently widening would shift intensities."""
+    from aind_hcr_data_transformation_spark.sources.zisraw import (
+        MiniCziFile,
+        SubBlockEntry,
+        write_czi,
+    )
+
+    plane = np.arange(32 * 48, dtype=np.uint8).reshape(32, 48) % 251
+    path = str(tmp_path / "jpeg8.czi")
+    write_czi(path, {0: plane}, compression=1)
+    with MiniCziFile(path) as czi:
+        e = czi.filtered_subblock_directory[0]
+    lying = SubBlockEntry(
         1, e.file_position, 1, e.pyramid_type, e.dimensions, e._path
     )
-    with pytest.raises(NotImplementedError, match="non-gray8"):
-        jpeg16.data()
+    with pytest.raises(ValueError, match="decoded to uint8"):
+        lying.data()
 
 
 def test_zisraw_unknown_pixel_type_gates(tmp_path):

@@ -103,7 +103,7 @@ def test_rejects_non_jpeg_and_progressive():
     enc = bytearray(encode_gray(np.zeros((8, 8), np.uint8)))
     sof = enc.find(b"\xff\xc0")
     enc[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="non-baseline"):
+    with pytest.raises(NotImplementedError, match="non-sequential"):
         decode_gray(bytes(enc))
 
 

@@ -106,16 +106,17 @@ def test_compressed_subblock_gate(ramp_czi):
         gated.data()
 
 
-def test_jpeg_subblock_gate_non_gray8(ramp_czi):
-    """JPEG (mode 1) decodes only gray8 in-container — a 16-bit pixel
-    type under JPEG compression must gate loudly, not mis-decode."""
+def test_jpeg_subblock_gate_float_pixels(ramp_czi):
+    """JPEG (mode 1) decodes integer gray8/gray16 in-container — a
+    float32 pixel type under JPEG compression must gate loudly, not
+    mis-decode (T.81 DCT precisions are 8 and 12)."""
     with MiniCziFile(ramp_czi) as czi:
         entry = czi.filtered_subblock_directory[0]
     gated = SubBlockEntry(
-        1, entry.file_position, 1, entry.pyramid_type,
+        4, entry.file_position, 1, entry.pyramid_type,
         entry.dimensions, entry._path,
     )
-    with pytest.raises(NotImplementedError, match="gray8"):
+    with pytest.raises(NotImplementedError, match="non-integer-gray"):
         gated.data()
 
 
@@ -631,15 +632,22 @@ def test_jpeg_roundtrip_uint8(tmp_path):
             assert np.max(np.abs(got - planes[z].astype(np.int64))) <= 2
 
 
-def test_jpeg_writer_rejects_uint16(tmp_path):
-    """Baseline JPEG is 8-bit: the writer refuses 16-bit tiles loudly
-    instead of silently truncating microscopy dynamic range."""
+def test_jpeg_writer_rejects_float_and_overrange(tmp_path):
+    """The JPEG writer refuses float tiles (no DCT precision for them)
+    and uint16 tiles above the 12-bit range (4095) loudly instead of
+    silently truncating microscopy dynamic range."""
     from aind_hcr_data_transformation_spark.sources import zisraw as Z
 
     with pytest.raises(ValueError, match="uint8"):
         write_czi(
             str(tmp_path / "x.czi"),
-            {0: np.zeros((4, 4), np.uint16)},
+            {0: np.zeros((4, 4), np.float32)},
+            compression=Z._COMPRESSION_JPEG,
+        )
+    with pytest.raises(ValueError, match="4095"):
+        write_czi(
+            str(tmp_path / "y.czi"),
+            {0: np.full((4, 4), 4096, np.uint16)},
             compression=Z._COMPRESSION_JPEG,
         )
 
@@ -679,6 +687,42 @@ def test_convert_jpeg_czi_stack_e2e(spark, tmp_path, no_czifile):
     got = read_array(f"{group}/0")[0, 0].astype(np.int64)
     assert got.shape == golden.shape
     assert np.max(np.abs(got - golden)) <= 2
+
+
+def test_convert_jpeg12_czi_stack_e2e(spark, tmp_path, no_czifile):
+    """The core job on a 12-bit-JPEG gray16 CZI (mode 1 + SOF1 — the
+    camera-depth flavor): voxels within the quality-100 bound, dtype
+    preserved as uint16 end to end."""
+    from aind_hcr_data_transformation_spark.pipeline import (
+        ZarrConversionSettings,
+        convert_czi_stack,
+        stack_is_complete,
+    )
+    from aind_hcr_data_transformation_spark.sinks.zarr_sink import read_array
+    from aind_hcr_data_transformation_spark.sources import zisraw as Z
+
+    nz, y, x = 8, 16, 12
+    yy, xx = np.mgrid[0:y, 0:x]
+    planes = {
+        z: ((yy * 61 + xx * 47 + z * 131) % 4096).astype(np.uint16)
+        for z in range(nz)
+    }
+    src = str(tmp_path / "jpeg12_stack.czi")
+    write_czi(src, planes, compression=Z._COMPRESSION_JPEG)
+
+    settings = ZarrConversionSettings(
+        output_directory=str(tmp_path / "out"),
+        chunk_size=(4, 8, 8),
+        scale_factor=(2, 2, 2),
+        downsample_levels=2,
+    )
+    group = convert_czi_stack(spark, settings, src)
+    assert stack_is_complete(group)
+    golden = np.stack([planes[z] for z in range(nz)]).astype(np.int64)
+    got = read_array(f"{group}/0")[0, 0]
+    assert got.dtype == np.uint16
+    assert got.shape == golden.shape
+    assert np.max(np.abs(got.astype(np.int64) - golden)) <= 2
 
 
 def test_convert_zstd_czi_stack_e2e(spark, tmp_path, no_czifile):
