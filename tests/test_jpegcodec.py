@@ -238,3 +238,77 @@ def test_multimodal_jpeg_twin_byte_exact_on_non_ascii(tmp_path):
         for r in con.execute(MULTIMODAL_JPEG_DECODE_SQL).fetchall()
     }
     assert got == want and len(got) == 4
+
+
+def test_12bit_tables_are_canonical_prefix_free_and_spare_all_ones():
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        AC12_BITS,
+        AC12_VALS,
+        DC12_BITS,
+        DC12_VALS,
+    )
+
+    for bits, vals, need in (
+        (DC12_BITS, DC12_VALS, set(range(16))),
+        (
+            AC12_BITS,
+            AC12_VALS,
+            {0x00, 0xF0}
+            | {(r << 4) | s for r in range(16) for s in range(1, 15)},
+        ),
+    ):
+        assert sum(bits) == len(vals)
+        assert set(vals) == need, "table must cover every 12-bit symbol"
+        codes = _canonical_codes(bits, vals)
+        lengths = {l for _, l in codes.values()}
+        assert len(lengths) == 1  # uniform by construction
+        (length,) = lengths
+        # all-ones code of the (single) length unused — C.2
+        assert ((1 << length) - 1) not in {c for c, _ in codes.values()}
+        assert len({c for c, _ in codes.values()}) == len(codes)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    interval=st.integers(0, 7),
+    seed=st.integers(0, 2**31),
+)
+def test_roundtrip_property_8bit_any_shape_any_interval(h, w, interval, seed):
+    """Quality-100 roundtrip stays within ±2 for ANY image shape
+    (including non-multiple-of-8 edges) and any restart interval, and
+    restart streams decode identically to their no-restart twin."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    plain = decode_gray(encode_gray(img, 100))
+    assert int(np.abs(plain.astype(int) - img.astype(int)).max()) <= 2
+    if interval:
+        np.testing.assert_array_equal(
+            decode_gray(encode_gray(img, 100, restart_interval=interval)),
+            plain,
+        )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    interval=st.integers(0, 7),
+    seed=st.integers(0, 2**31),
+)
+def test_roundtrip_property_12bit_any_shape_any_interval(h, w, interval, seed):
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        encode_gray12,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 4096, (h, w), dtype=np.uint16)
+    plain = decode_gray(encode_gray12(img, 100))
+    assert plain.dtype == np.uint16
+    assert int(np.abs(plain.astype(int) - img.astype(int)).max()) <= 2
+    if interval:
+        np.testing.assert_array_equal(
+            decode_gray(encode_gray12(img, 100, restart_interval=interval)),
+            plain,
+        )
