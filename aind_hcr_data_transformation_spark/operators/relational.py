@@ -3663,20 +3663,28 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         / F.lit(float(_KMV_SPACE))
     )
+    # internal NON-NULL surrogate group key: groupBy keeps a NULL group
+    # but every equi-JOIN below would silently drop it (NULL != NULL) —
+    # the exact divergence class the NULL-injection probe exists to
+    # catch (it did, r9: events.event_type=NULL lost the NULL group's
+    # sketch row while the oracle's GROUP BY kept it). The sentinel only
+    # lives inside this query; event_type is restored at the end.
+    nul = "\x00<null>"  # control-char prefix: unreachable by real data
+    gk = F.coalesce(F.col("event_type"), F.lit(nul)).alias("gk")
     # several consumers (survivor rank, union sketch, exact counts) —
     # persist so the corpus distinct shuffle runs once, not once per branch
     hashed = persist_tracked(
-        dist.select("event_type", "user_id", frac.alias("frac"))
+        dist.select(gk, "user_id", frac.alias("frac"))
     )
 
-    counts = hashed.groupBy("event_type").agg(
+    counts = hashed.groupBy("gk").agg(
         F.count(F.lit(1)).alias("n_exact")
     )
     tau = F.least(
         F.lit(1.0),
         F.lit(3.0 * _KMV_K) / F.col("n_exact").cast("double"),
     )
-    surv = hashed.join(F.broadcast(counts), "event_type").filter(
+    surv = hashed.join(F.broadcast(counts), "gk").filter(
         F.col("frac") <= tau
     )
     # exactness gate: every group must keep at least min(k, n_g)
@@ -3684,9 +3692,9 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would be wrong. One scalar to the driver; expected to pass with
     # probability 1 - |groups|·e^{-Θ(k)}.
     ok = (
-        surv.groupBy("event_type")
+        surv.groupBy("gk")
         .agg(F.count(F.lit(1)).alias("m"))
-        .join(F.broadcast(counts), "event_type")
+        .join(F.broadcast(counts), "gk")
         .agg(
             F.min(
                 (
@@ -3704,19 +3712,25 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scale), so a plain per-group window is safe here — the
         # single-reducer funnel grouped_row_number exists to avoid
         # cannot form on O(k) rows
-        w = Window.partitionBy("event_type").orderBy("frac")
+        w = Window.partitionBy("gk").orderBy("frac")
         ranked = surv.select(
-            "event_type", "frac", F.row_number().over(w).alias("rn")
+            "gk", "frac", F.row_number().over(w).alias("rn")
         )
     else:  # pragma: no cover - probability ~e^{-64} per group
         ranked = grouped_row_number(
-            hashed.select("event_type", "frac"), "event_type", "frac", out="rn"
+            hashed.select("gk", "frac"), "gk", "frac", out="rn"
         )
     per_group = (
-        ranked.groupBy("event_type")
+        ranked.groupBy("gk")
         .agg(F.max(F.when(F.col("rn") <= _KMV_K, F.col("frac"))).alias("u_k"))
-        .join(F.broadcast(counts), "event_type")
-        .select("event_type", "n_exact", "u_k")
+        .join(F.broadcast(counts), "gk")
+        .select(
+            F.when(F.col("gk") == nul, F.lit(None).cast("string"))
+            .otherwise(F.col("gk"))
+            .alias("event_type"),
+            "n_exact",
+            "u_k",
+        )
     )
     # union sketch from the per-group sketches — KMV's mergeability,
     # used structurally: a frac in the global bottom-k has at most k-1

@@ -16,19 +16,23 @@ intervals and 16-bit DQT; JPEG-XR remains gated on imagecodecs — that
 codec is a different, far larger spec).
 
 Scope (and loud errors beyond it):
-* decode: sequential DCT, ONE component — baseline 8-bit (SOF0) and
-  extended sequential (SOF1) at 8- or 12-bit sample precision (the
-  microscopy-relevant gray12 camera depth), 8- and 16-bit quantization
-  tables, restart intervals (DRI + RSTn with modulo-sequence
-  verification). Progressive (SOF2), arithmetic coding, multi-component
-  and subsampled streams raise ``NotImplementedError``.
+* decode: Huffman DCT, ONE component — baseline 8-bit (SOF0), extended
+  sequential (SOF1) at 8- or 12-bit sample precision (the
+  microscopy-relevant gray12 camera depth), and PROGRESSIVE (SOF2:
+  spectral selection, successive approximation, EOBRUN, correction
+  bits — T.81 §G.1.2); 8- and 16-bit quantization tables; restart
+  intervals (DRI + RSTn with modulo-sequence verification). Arithmetic
+  coding (SOF9-11), lossless (SOF3), multi-component and subsampled
+  streams raise ``NotImplementedError``.
 * encode: the matching single-component writers used by tests/fixture
   tooling — ``encode_gray`` (8-bit, Annex K quantization + Huffman
-  tables, libjpeg quality scaling) and ``encode_gray12`` (12-bit SOF1;
-  fixed uniform-length Huffman tables sized for 12-bit categories —
-  valid, deliberately simple, tables travel in DHT so any decoder
-  reads them) — what lets CI decode REAL entropy-coded scans through
-  the production branch instead of monkeypatching.
+  tables, libjpeg quality scaling), ``encode_gray12`` (12-bit SOF1) and
+  ``encode_gray_progressive`` (6-scan SOF2 script covering every scan
+  type, bit-identical pixels to the sequential encoding); the non-K
+  tables are fixed uniform-length canonical codes — valid, deliberately
+  simple, and they travel in DHT so any decoder reads them. This is
+  what lets CI decode REAL entropy-coded scans through the production
+  branch instead of monkeypatching.
 
 Numerics: the DCT/IDCT use the orthonormal DCT-II basis as a single
 ``C @ B @ C.T`` matrix product per 8×8 block (vectorized over all blocks
@@ -124,6 +128,19 @@ AC12_VALS = [0x00, 0xF0] + [
     (run << 4) | size for run in range(16) for size in range(1, 15)
 ]
 
+#: progressive (SOF2) encoder AC table: spectral-selection/successive-
+#: approximation scans additionally need the EOBn symbols ((r<<4)|0 for
+#: r 1..14 — EOB runs of 2..2^14+, G.1.2.2) which Annex K's sequential
+#: table omits. Same fixed uniform-length construction as the 12-bit
+#: tables: 176 symbols (EOB0..EOB14, ZRL, runs 0..15 × sizes 1..10) at
+#: 8 bits, all-ones code unused.
+ACP_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+ACP_VALS = (
+    [r << 4 for r in range(15)]  # EOB runs (0x00 = EOB1)
+    + [0xF0]  # ZRL
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+
 #: orthonormal DCT-II basis: row u, col x = α(u)·cos((2x+1)uπ/16)
 _DCT_C = np.array(
     [
@@ -155,6 +172,7 @@ _DC_ENC = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
 _AC_ENC = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
 _DC12_ENC = _canonical_codes(DC12_BITS, DC12_VALS)
 _AC12_ENC = _canonical_codes(AC12_BITS, AC12_VALS)
+_ACP_ENC = _canonical_codes(ACP_BITS, ACP_VALS)
 
 
 def quant_table(quality: int) -> np.ndarray:
@@ -286,6 +304,30 @@ def _amplitude(v: int, size: int) -> int:
     return v if v >= 0 else v + (1 << size) - 1
 
 
+def _quantized_zigzag(
+    img: np.ndarray, prec: int, quality: int
+) -> np.ndarray:
+    """(nblocks, 64) zig-zag-ordered quantized DCT coefficients — the
+    shared front half of every encoder (sequential and progressive)."""
+    h, w = img.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q = quant_table(quality)
+    level = float(1 << (prec - 1))
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - level
+    )
+    coefs = np.einsum("ux,bxy,vy->buv", _DCT_C, blocks, _DCT_C)
+    quantized = np.round(coefs / q.reshape(8, 8)).astype(np.int64)
+    return quantized.reshape(-1, 64)[:, ZIGZAG]
+
+
 def _encode_frame(
     img: np.ndarray,
     prec: int,
@@ -301,25 +343,10 @@ def _encode_frame(
     subsampling): 8-bit baseline (SOF0) and 12-bit extended sequential
     (SOF1) differ only in level shift, tables, and frame header."""
     h, w = img.shape
-    if h == 0 or w == 0:
-        raise ValueError("empty image")
     if restart_interval < 0:
         raise ValueError(f"negative restart interval {restart_interval}")
     q = quant_table(quality)
-    level = float(1 << (prec - 1))
-
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
-    blocks = (
-        padded.reshape(ph // 8, 8, pw // 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(-1, 8, 8)
-        .astype(np.float64)
-        - level
-    )
-    coefs = np.einsum("ux,bxy,vy->buv", _DCT_C, blocks, _DCT_C)
-    quantized = np.round(coefs / q.reshape(8, 8)).astype(np.int64)
-    zz = quantized.reshape(-1, 64)[:, ZIGZAG]
+    zz = _quantized_zigzag(img, prec, quality)
 
     bw = _BitWriter()
     prev_dc = 0
@@ -433,6 +460,352 @@ def encode_gray12(
     )
 
 
+def _enc_dc_first(zz: np.ndarray, al: int, bw: _BitWriter) -> None:
+    prev = 0
+    for b in range(zz.shape[0]):
+        v = int(zz[b, 0]) >> al  # DC point transform: arithmetic shift
+        diff = v - prev
+        prev = v
+        s = _category(diff)
+        code, ln = _DC_ENC[s]
+        bw.write(code, ln)
+        bw.write(_amplitude(diff, s), s)
+
+
+def _enc_dc_refine(zz: np.ndarray, al: int, bw: _BitWriter) -> None:
+    for b in range(zz.shape[0]):
+        bw.write((int(zz[b, 0]) >> al) & 1, 1)
+
+
+def _enc_ac_first(
+    zz: np.ndarray, ss: int, se: int, al: int, bw: _BitWriter
+) -> None:
+    enc = _ACP_ENC
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if not eobrun:
+            return
+        r = eobrun.bit_length() - 1
+        code, ln = enc[r << 4]
+        bw.write(code, ln)
+        if r:
+            bw.write(eobrun - (1 << r), r)
+        eobrun = 0
+
+    for b in range(zz.shape[0]):
+        vals = []
+        for k in range(ss, se + 1):
+            v = int(zz[b, k])
+            # AC point transform: sign-magnitude shift (G.1.2.1)
+            vals.append((abs(v) >> al) * (1 if v >= 0 else -1))
+        last = -1
+        for i, v in enumerate(vals):
+            if v:
+                last = i
+        if last < 0:
+            eobrun += 1
+            if eobrun == 1 << 14:
+                flush()
+            continue
+        flush()
+        r = 0
+        for i in range(last + 1):
+            v = vals[i]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, ln = enc[0xF0]
+                bw.write(code, ln)
+                r -= 16
+            s = _category(v)
+            code, ln = enc[(r << 4) | s]
+            bw.write(code, ln)
+            bw.write(_amplitude(v, s), s)
+            r = 0
+        if last < se - ss:
+            eobrun += 1
+            if eobrun == 1 << 14:
+                flush()
+    flush()
+
+
+def _enc_ac_refine(
+    zz: np.ndarray, ss: int, se: int, al: int, bw: _BitWriter
+) -> None:
+    """Successive-approximation AC refinement (G.1.2.3). Correction bits
+    for nonzero-HISTORY coefficients travel with the Huffman symbol that
+    spans their position: a ZRL carries only the corrections interleaved
+    within its 16-zero window (the decoder's advance stops at the 16th
+    zero), a significant-coefficient symbol carries the rest of its run
+    segment, and EOB carries every correction from the EOB region across
+    all blocks the run covers."""
+    enc = _ACP_ENC
+    eobrun = 0
+    pend: list[int] = []  # EOB-region correction bits awaiting their EOB
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if not eobrun:
+            return
+        r = eobrun.bit_length() - 1
+        code, ln = enc[r << 4]
+        bw.write(code, ln)
+        if r:
+            bw.write(eobrun - (1 << r), r)
+        for bit in pend:
+            bw.write(bit, 1)
+        pend.clear()
+        eobrun = 0
+
+    for b in range(zz.shape[0]):
+        t = [abs(int(zz[b, k])) >> al for k in range(ss, se + 1)]
+        last_sig = -1
+        for i, ti in enumerate(t):
+            if ti == 1:  # first nonzero bit lands at position Al now
+                last_sig = i
+        if last_sig < 0:  # pure-EOB block
+            for ti in t:
+                if ti > 1:
+                    pend.append(ti & 1)
+            eobrun += 1
+            if eobrun == 1 << 14:
+                flush_eob()
+            continue
+        flush_eob()
+        seg: list[tuple[int, int]] = []  # (zeros before it in segment, bit)
+        r = 0
+        for i in range(last_sig + 1):
+            ti = t[i]
+            if ti == 0:
+                r += 1
+                continue
+            if ti > 1:
+                seg.append((r, ti & 1))
+                continue
+            while r > 15:
+                code, ln = enc[0xF0]
+                bw.write(code, ln)
+                for zb, bit in seg:  # corrections inside this window
+                    if zb <= 15:
+                        bw.write(bit, 1)
+                seg = [(zb - 16, bit) for zb, bit in seg if zb > 15]
+                r -= 16
+            code, ln = enc[(r << 4) | 1]
+            bw.write(code, ln)
+            bw.write(1 if int(zz[b, ss + i]) > 0 else 0, 1)
+            for _zb, bit in seg:
+                bw.write(bit, 1)
+            seg = []
+            r = 0
+        if last_sig < se - ss:  # tail -> EOB region of this block
+            for i in range(last_sig + 1, se - ss + 1):
+                if t[i] > 1:
+                    pend.append(t[i] & 1)
+            eobrun += 1
+            if eobrun == 1 << 14:
+                flush_eob()
+    flush_eob()
+
+
+def encode_gray_progressive(img: np.ndarray, quality: int = 100) -> bytes:
+    """Encode a 2-D uint8 array as single-component PROGRESSIVE JPEG
+    (SOF2) with a 6-scan script that exercises every scan type the
+    decoder implements: DC first (Al=1) + DC refinement, then for two
+    spectral bands (1-5, 6-63) an AC first scan at Al=1 and its
+    successive-approximation refinement to Al=0. Lossless relative to
+    the sequential encoding at the same quality (identical coefficient
+    array, delivered progressively)."""
+    if img.ndim != 2 or img.dtype != np.uint8:
+        raise ValueError(f"need 2-D uint8, got {img.shape} {img.dtype}")
+    h, w = img.shape
+    q = quant_table(quality)
+    zz = _quantized_zigzag(img, 8, quality)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([0]) + bytes(q[ZIGZAG].tolist()))
+    out += seg(  # SOF2
+        0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    out += seg(0xFFC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(ACP_BITS) + bytes(ACP_VALS))
+
+    def sos(ss: int, se: int, ah: int, al: int, emit) -> bytes:
+        bw = _BitWriter()
+        emit(bw)
+        return (
+            seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+            + bw.flush()
+        )
+
+    out += sos(0, 0, 0, 1, lambda bw: _enc_dc_first(zz, 1, bw))
+    out += sos(0, 0, 1, 0, lambda bw: _enc_dc_refine(zz, 0, bw))
+    out += sos(1, 5, 0, 1, lambda bw: _enc_ac_first(zz, 1, 5, 1, bw))
+    out += sos(1, 5, 1, 0, lambda bw: _enc_ac_refine(zz, 1, 5, 0, bw))
+    out += sos(6, 63, 0, 1, lambda bw: _enc_ac_first(zz, 6, 63, 1, bw))
+    out += sos(6, 63, 1, 0, lambda bw: _enc_ac_refine(zz, 6, 63, 0, bw))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Progressive (SOF2) scan machinery — single component, so every scan is
+# a plain block sequence (no MCU interleave). Coefficients accumulate in
+# the shared ``zz`` array across scans; the final IDCT is the sequential
+# one. Spec references: T.81 §G.1.2 (spectral selection, successive
+# approximation, EOBRUN, correction bits).
+# --------------------------------------------------------------------------
+
+
+def _progressive_scan(
+    data: bytes,
+    body: bytes,
+    pos: int,
+    zz: "np.ndarray",
+    htables: dict,
+    restart_interval: int,
+) -> int:
+    """Decode ONE progressive scan into ``zz``; returns the stream
+    position of the next marker."""
+    ns = body[0]
+    if ns != 1:
+        raise NotImplementedError(f"{ns}-component scan")
+    td, ta = body[2] >> 4, body[2] & 0x0F
+    ss, se = body[3], body[4]
+    ah, al = body[5] >> 4, body[5] & 0x0F
+    nblocks = zz.shape[0]
+    br = _BitReader(data, pos)
+    rst_expect = 0
+
+    def maybe_restart(b: int) -> bool:
+        nonlocal rst_expect
+        if restart_interval and b and b % restart_interval == 0:
+            n = br.restart()
+            if n != rst_expect & 0x07:
+                raise ValueError(
+                    f"restart marker out of sequence: RST{n}, expected "
+                    f"RST{rst_expect & 0x07}"
+                )
+            rst_expect += 1
+            return True
+        return False
+
+    if ss == 0:  # DC scan (must stand alone in progressive)
+        if se != 0:
+            raise ValueError("progressive DC scan requires Se=0")
+        if ah == 0:  # first
+            tbl = htables.get((0, td))
+            if tbl is None:
+                raise ValueError("DC scan references missing Huffman table")
+            prev = 0
+            for b in range(nblocks):
+                if maybe_restart(b):
+                    prev = 0
+                s = _read_huff_symbol(br, tbl)
+                prev += _extend(br.bits(s), s)
+                zz[b, 0] = prev << al
+        else:  # refinement: one raw bit appends to the approximation
+            for b in range(nblocks):
+                maybe_restart(b)
+                zz[b, 0] += br.bit() << al
+    else:  # AC scan over band [ss, se]
+        if not 1 <= ss <= se <= 63:
+            raise ValueError(f"invalid spectral band [{ss},{se}]")
+        tbl = htables.get((1, ta))
+        if tbl is None:
+            raise ValueError("AC scan references missing Huffman table")
+        eobrun = 0
+        if ah == 0:  # first scan for this band
+            for b in range(nblocks):
+                if maybe_restart(b):
+                    eobrun = 0
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _read_huff_symbol(br, tbl)
+                    r, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1  # current block ends now
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run overflows band")
+                    zz[b, k] = _extend(br.bits(s), s) << al
+                    k += 1
+        else:  # refinement (G.1.2.3)
+            p1, m1 = 1 << al, -(1 << al)
+
+            def correct(b: int, k: int) -> None:
+                v = int(zz[b, k])
+                # one correction bit per nonzero-history coefficient
+                # passed over; only a 1-bit with the Al bit still clear
+                # changes the value (toward larger magnitude)
+                if br.bit() and not (abs(v) & p1):
+                    zz[b, k] = v + (p1 if v > 0 else m1)
+
+            for b in range(nblocks):
+                if maybe_restart(b):
+                    eobrun = 0
+                k = ss
+                if not eobrun:
+                    while k <= se:
+                        sym = _read_huff_symbol(br, tbl)
+                        r, s = sym >> 4, sym & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.bits(r)
+                                break  # rest of block = EOB region below
+                            # ZRL: 16 zero-HISTORY positions, no value
+                        elif s == 1:
+                            newval = p1 if br.bit() else m1
+                        else:
+                            raise ValueError(
+                                "refinement scan size must be 0 or 1"
+                            )
+                        skip = 15 if s == 0 else r
+                        while k <= se:
+                            if zz[b, k] != 0:
+                                correct(b, k)
+                            else:
+                                if skip == 0:
+                                    break
+                                skip -= 1
+                            k += 1
+                        if newval:
+                            if k > se:
+                                raise ValueError("refine overflows band")
+                            zz[b, k] = newval
+                        k += 1
+                if eobrun:
+                    while k <= se:  # EOB region: corrections only
+                        if zz[b, k] != 0:
+                            correct(b, k)
+                        k += 1
+                    eobrun -= 1
+
+    # the scan's entropy data is fully consumed; any unconsumed pure-pad
+    # byte materialized as stuffed FF00 — skip to the next marker
+    p = br.pos
+    while p + 1 < len(data) and data[p] == 0xFF and data[p + 1] == 0x00:
+        p += 2
+    return p
+
+
 # --------------------------------------------------------------------------
 # Decoder
 # --------------------------------------------------------------------------
@@ -460,8 +833,9 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_gray(data: bytes) -> np.ndarray:
-    """Decode a single-component sequential JPEG — baseline SOF0 (8-bit)
-    or extended sequential SOF1 (8/12-bit) — to a 2-D array: uint8 for
+    """Decode a single-component DCT JPEG — baseline SOF0 (8-bit),
+    extended sequential SOF1 (8/12-bit), or progressive SOF2 (spectral
+    selection + successive approximation) — to a 2-D array: uint8 for
     8-bit precision, uint16 (values 0..4095) for 12-bit."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
@@ -473,6 +847,8 @@ def decode_gray(data: bytes) -> np.ndarray:
     restart_interval = 0
     comp_q = comp_dc = comp_ac = 0
     sof_seen = False
+    progressive = False
+    zz: np.ndarray | None = None  # progressive: accumulates across scans
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -482,6 +858,8 @@ def decode_gray(data: bytes) -> np.ndarray:
             pos += 1
             continue
         if marker == 0xD9:  # EOI
+            if progressive and zz is not None:
+                break  # all scans consumed
             raise ValueError("reached EOI without a scan")
         if marker == 0x01:  # TEM — standalone, no length field (T.81 §B.1.1.3)
             pos += 2
@@ -519,7 +897,7 @@ def decode_gray(data: bytes) -> np.ndarray:
                 vals = list(body[off + 17 : off + 17 + n])
                 htables[(tc, th)] = _decode_table(bits, vals)
                 off += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             prec, h, w, nf = struct.unpack_from(">BHHB", body, 0)
             if marker == 0xC0 and prec != 8:
                 raise ValueError(
@@ -538,15 +916,25 @@ def decode_gray(data: bytes) -> np.ndarray:
             if hv != 0x11:
                 raise NotImplementedError(f"subsampled JPEG (HV={hv:#x})")
             sof_seen = True
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            if marker == 0xC2:
+                progressive = True
+                nb = ((h + 7) // 8) * ((w + 7) // 8)
+                zz = np.zeros((nb, 64), dtype=np.int64)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"non-sequential-DCT JPEG frame (SOF marker FF{marker:02X})"
+                f"non-DCT-Huffman JPEG frame (SOF marker FF{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
             if not sof_seen:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
+            if progressive:
+                # one of possibly many scans; coefficients accumulate
+                pos = _progressive_scan(
+                    data, body, pos, zz, htables, restart_interval
+                )
+                continue
             ns = body[0]
             if ns != 1:
                 raise NotImplementedError(f"{ns}-component scan")
@@ -554,13 +942,18 @@ def decode_gray(data: bytes) -> np.ndarray:
             break
         # else: APPn/COM — skip
 
+    q = qtables.get(comp_q)
+    if q is None:
+        raise ValueError("scan references missing quant table")
+    nby, nbx = (h + 7) // 8, (w + 7) // 8
+    if progressive:
+        return _reconstruct(zz, q, prec, nby, nbx, h, w)
+
     dc_tbl = htables.get((0, comp_dc))
     ac_tbl = htables.get((1, comp_ac))
-    q = qtables.get(comp_q)
-    if dc_tbl is None or ac_tbl is None or q is None:
-        raise ValueError("scan references missing Huffman/quant table")
+    if dc_tbl is None or ac_tbl is None:
+        raise ValueError("scan references missing Huffman table")
 
-    nby, nbx = (h + 7) // 8, (w + 7) // 8
     zz = np.zeros((nby * nbx, 64), dtype=np.int64)
     br = _BitReader(data, pos)
     prev_dc = 0
@@ -593,6 +986,14 @@ def decode_gray(data: bytes) -> np.ndarray:
             zz[b, k] = _extend(br.bits(size), size)
             k += 1
 
+    return _reconstruct(zz, q, prec, nby, nbx, h, w)
+
+
+def _reconstruct(
+    zz: np.ndarray, q: np.ndarray, prec: int, nby: int, nbx: int, h: int, w: int
+) -> np.ndarray:
+    """Dequantize + IDCT + level shift — shared by the sequential and
+    progressive paths (progressive differs only in how ``zz`` filled)."""
     coefs = np.zeros((nby * nbx, 64), dtype=np.float64)
     coefs[:, ZIGZAG] = zz  # un-zigzag
     coefs = coefs.reshape(-1, 8, 8) * q.reshape(8, 8)

@@ -1,9 +1,10 @@
 """Vendored minimal ZISRAW (Zeiss CZI) container codec — pure Python;
-uncompressed, zstd (modes 5/6, incl. hi-lo byte planing) and sequential
-JPEG (mode 1, via the vendored :mod:`jpegcodec` — baseline gray8 AND
-12-bit SOF1 gray16, with restart intervals) subblocks decode
-in-container.  Only JPEG-XR (mode 4) and the remaining JPEG flavors
-(progressive, multi-component) still require czifile + imagecodecs.
+uncompressed, zstd (modes 5/6, incl. hi-lo byte planing) and Huffman-DCT
+JPEG (mode 1, via the vendored :mod:`jpegcodec` — baseline gray8,
+12-bit SOF1 gray16, PROGRESSIVE SOF2, restart intervals) subblocks
+decode in-container.  Only JPEG-XR (mode 4) and the exotic JPEG flavors
+(arithmetic, lossless, multi-component) still require czifile +
+imagecodecs.
 
 Why this exists: the production slab reader (``czi.py::_read_slab_czifile``,
 mirroring ``read_slices_czi``, reference ``utils/utils.py:284-395``) needs a
@@ -33,12 +34,13 @@ fallback backend when ``czifile`` is absent.
 
 Compression-mode support matrix (in-container, no extra packages):
 mode 0 (uncompressed), modes 5/6 (zstd0/zstd1, including the zstd1
-hi-lo byte-planing header), and mode 1 (sequential JPEG via the
+hi-lo byte-planing header), and mode 1 (Huffman-DCT JPEG via the
 vendored T.81 codec in :mod:`jpegcodec` — baseline gray8, 12-bit SOF1
-gray16, restart intervals, 8/16-bit DQT) decode HERE; mode 4 (JPEG-XR)
-and the remaining JPEG flavors (progressive SOF2, multi-component,
-subsampled) raise ``NotImplementedError`` with a clear message and
-require the ``czifile`` + ``imagecodecs`` backend when installed.
+gray16, progressive SOF2, restart intervals, 8/16-bit DQT) decode HERE;
+mode 4 (JPEG-XR) and the exotic JPEG flavors (arithmetic SOF9-11,
+lossless SOF3, multi-component, subsampled) raise
+``NotImplementedError`` with a clear message and require the
+``czifile`` + ``imagecodecs`` backend when installed.
 
 :func:`write_czi` is the matching spec-conformant writer used by tests and
 fixture tooling to produce real binary CZI files (one subblock per z-plane,
@@ -68,10 +70,10 @@ _PIXEL_TYPE_TO_DTYPE = {0: "uint8", 1: "uint16", 4: "float32"}
 _DTYPE_TO_PIXEL_TYPE = {v: k for k, v in _PIXEL_TYPE_TO_DTYPE.items()}
 
 _COMPRESSION_NONE = 0
-#: public ZISRAW / libCZI compression mode ids: 1 = JPEG (sequential
-#: DCT decodes HERE via the vendored T.81 codec in jpegcodec.py —
-#: baseline gray8 and 12-bit SOF1 gray16, restart intervals included;
-#: progressive/multi-component flavors raise), 4 = JPEG-XR (needs
+#: public ZISRAW / libCZI compression mode ids: 1 = JPEG (Huffman-DCT
+#: decodes HERE via the vendored T.81 codec in jpegcodec.py — baseline
+#: gray8, 12-bit SOF1 gray16, progressive SOF2, restart intervals;
+#: arithmetic/lossless/multi-component raise), 4 = JPEG-XR (needs
 #: imagecodecs — a far larger spec, still gated), 5 = zstd raw frame,
 #: 6 = zstd with a small preprocessing header (optional hi/lo byte
 #: planing of 16-bit pixels before compression).

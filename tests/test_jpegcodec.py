@@ -97,14 +97,15 @@ def test_lossy_quality_still_close_on_smooth_data():
     assert np.mean(np.abs(dec.astype(int) - img.astype(int))) < 8
 
 
-def test_rejects_non_jpeg_and_progressive():
+def test_rejects_non_jpeg_and_arithmetic_lossless_frames():
     with pytest.raises(ValueError, match="SOI"):
         decode_gray(b"\x00\x01")
-    enc = bytearray(encode_gray(np.zeros((8, 8), np.uint8)))
-    sof = enc.find(b"\xff\xc0")
-    enc[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="non-sequential"):
-        decode_gray(bytes(enc))
+    for sof_marker in (0xC3, 0xC9, 0xCB):  # lossless / arithmetic DCT
+        enc = bytearray(encode_gray(np.zeros((8, 8), np.uint8)))
+        sof = enc.find(b"\xff\xc0")
+        enc[sof + 1] = sof_marker
+        with pytest.raises(NotImplementedError, match="non-DCT-Huffman"):
+            decode_gray(bytes(enc))
 
 
 def test_rejects_bad_inputs():
@@ -312,3 +313,60 @@ def test_roundtrip_property_12bit_any_shape_any_interval(h, w, interval, seed):
             decode_gray(encode_gray12(img, 100, restart_interval=interval)),
             plain,
         )
+
+
+def test_progressive_tables_canonical_and_cover_eob_symbols():
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        ACP_BITS,
+        ACP_VALS,
+    )
+
+    assert sum(ACP_BITS) == len(ACP_VALS)
+    need = (
+        {r << 4 for r in range(15)}  # EOB1..EOB15 run symbols
+        | {0xF0}
+        | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    )
+    assert set(ACP_VALS) == need
+    codes = _canonical_codes(ACP_BITS, ACP_VALS)
+    lengths = {l for _, l in codes.values()}
+    assert lengths == {8}
+    assert 0xFF not in {c for c, _ in codes.values()}  # all-ones unused
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 48),
+    w=st.integers(1, 48),
+    quality=st.integers(10, 100),
+    seed=st.integers(0, 2**31),
+)
+def test_progressive_equals_sequential_property(h, w, quality, seed):
+    """The 6-scan progressive script (DC first/refine, two AC bands each
+    first+successive-approximation refine) must reconstruct the EXACT
+    coefficient array of the sequential encoding — decoded pixels are
+    bit-identical, for any shape and quality."""
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        encode_gray_progressive,
+    )
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_gray(encode_gray_progressive(img, quality)),
+        decode_gray(encode_gray(img, quality)),
+    )
+
+
+def test_progressive_eobrun_spans_many_blocks():
+    """A large flat image makes whole AC bands zero across hundreds of
+    blocks — the EOBn run-length symbols (absent from sequential JPEG)
+    must round-trip the run count exactly."""
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        encode_gray_progressive,
+    )
+
+    img = np.full((256, 256), 201, np.uint8)
+    prog = encode_gray_progressive(img, 50)
+    seq = encode_gray(img, 50)
+    np.testing.assert_array_equal(decode_gray(prog), decode_gray(seq))
+    assert len(prog) < len(seq) + 2000  # EOB runs keep the scans compact

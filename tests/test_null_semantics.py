@@ -174,3 +174,51 @@ def test_stream_user_totals_skips_null_not_nan(spark, tmp_path):
 
     rows = STREAM_QUERIES["stream_user_totals"](spark, str(dst)).collect()
     assert rows  # completes; per-user totals emitted
+
+
+def test_kmv_distinct_keeps_the_null_group(spark, tmp_path):
+    """r9 NULL probe: agg_kmv_distinct's threshold-pruned bottom-k joins
+    survivors/counts/ranks on the group key — plain equi-joins DROP the
+    NULL event_type group the oracle's GROUP BY keeps. The internal
+    non-null surrogate key must carry it through every join and restore
+    NULL in the output."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", fx / f"{t}.parquet")
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    ev.withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("event_type")
+        ),
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "ev_out"))
+    import glob
+    import os
+
+    part = glob.glob(str(tmp_path / "ev_out" / "*.parquet"))[0]
+    os.replace(part, fx / "events.parquet")
+
+    from aind_hcr_data_transformation_spark.operators.relational import (
+        agg_kmv_distinct,
+    )
+
+    rows = {r.event_type: r for r in agg_kmv_distinct(spark, str(fx)).collect()}
+    assert None in rows, "NULL event_type group must survive the pruning joins"
+    null_row = rows[None]
+    # the NULL group's sketch is computed like any other group's
+    assert null_row.n_exact > 0 and null_row.kmv_est > 0
+    # and the overall group count = distinct non-null types + NULL + ALL
+    n_types = (
+        spark.read.parquet(str(fx / "events.parquet"))
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_types + 1  # + the merged 'ALL' union sketch
