@@ -2760,7 +2760,15 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the plain ``count(DISTINCT ...)`` the bitmap must equal.
     Pure integer bit arithmetic.
     """
-    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    # NULL user_id is not a user: count(DISTINCT) ignores NULLs, and a
+    # bitmap has no bit for "unknown" — without this filter the NULL
+    # rows form a NULL-bucket level-1 group that inflates n_words
+    # (caught by the r10 user_id NULL-probe stage)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .where(F.col("user_id").isNotNull())
+    )
     words = e.groupBy(
         "event_type", F.expr(f"user_id DIV {_BMP_BITS}").alias("bucket")
     ).agg(
@@ -2908,8 +2916,18 @@ def bitmap_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation. The oracle computes the same cardinalities with
     INTERSECT/EXCEPT/UNION over raw id sets — the identity the bitmap
     algebra must reproduce exactly.
+
+    NULL user_id is excluded on BOTH sides by explicit contract: a
+    bitmap has no bit for "unknown", while SQL set ops (unlike
+    count(DISTINCT)) treat NULL as a matchable member — left implicit,
+    the two engines legitimately disagree the day the column carries
+    NULLs (caught by the r10 user_id NULL-probe stage).
     """
-    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .where(F.col("user_id").isNotNull())
+    )
     words = (
         e.filter(F.col("event_type").isin("view", "purchase"))
         .groupBy(
@@ -2951,8 +2969,10 @@ def bitmap_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BITMAP_SET_ALGEBRA_SQL = """
-WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
-     p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+WITH v AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'view' AND user_id IS NOT NULL),
+     p AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase' AND user_id IS NOT NULL)
 SELECT
   (SELECT count(*) FROM (SELECT * FROM v INTERSECT SELECT * FROM p)) AS n_both,
   (SELECT count(*) FROM (SELECT * FROM v UNION SELECT * FROM p)) AS n_either,

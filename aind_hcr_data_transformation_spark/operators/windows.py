@@ -460,12 +460,22 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics).  Shape: per-user min (first week), distinct
     (user, week) activity, one join, one aggregate — all
     user_id-partitioned shuffles; the cohort-size join is a broadcast
-    (cohort count is tiny by construction)."""
+    (cohort count is tiny by construction).
+
+    NULL user_id is excluded by explicit contract (both sides): an
+    anonymous event belongs to no cohort. Left implicit, the engines
+    split subtly — Spark's ``countDistinct`` cohort size ignored the
+    NULL user while the oracle's ``count(*)`` over first-weeks counted
+    it (caught by the r10 user_id NULL-probe stage)."""
     # integer `div`, not `/`: float division of a ~1.7e15 micros epoch
     # can land a boundary quotient one ulp off the true integer
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.expr("unix_micros(ts) div 604800000000").alias("wk"),
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div 604800000000").alias("wk"),
+        )
     )
     first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
     active = ev.distinct()
@@ -495,7 +505,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_RETENTION_SQL = """
 WITH ev AS (
   SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 604800000000 AS wk
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ),
 first AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id),
 ret AS (

@@ -103,10 +103,18 @@ def _convert_pyramid(
     stacks: dict[str, tuple[int, int, int]],
     dtype: str,
     paths: dict[str, str] | None = None,
+    fault=None,
 ) -> dict[str, str]:
     """Fused leveled pyramid write (the engine core shared by both
     converters): one Spark job, one action; each stage writes level k
     for every still-alive stack AND emits the pooled level k+1 tiles.
+
+    ``fault`` (None in production) is the chaos hook behind
+    ``tools/chaos_probe.py``: called as ``fault(level, stack_name)``
+    after every region write inside the task, so the probe can kill
+    first task attempts mid-write and assert the retried job's arrays
+    are byte-equal to a clean run's (the idempotence contract the
+    paragraph below claims).
 
     Group nodes and ``.zattrs`` must already exist; level arrays are
     initialized here (driver) and their metas ship to tasks via the
@@ -192,6 +200,7 @@ def _convert_pyramid(
             _gen=(lvl == 0),
             _dtype=dtype,
             _paths=paths or {},
+            _fault=fault,
         ):
             import pandas as pd
 
@@ -232,6 +241,8 @@ def _convert_pyramid(
                         arr,
                         meta=_metas[row.stack_name],
                     )
+                    if _fault is not None:
+                        _fault(_lvl, row.stack_name)
                     if row.stack_name not in _pool:
                         continue
                     red = windowed_mean_nd(

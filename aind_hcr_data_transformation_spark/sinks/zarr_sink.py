@@ -185,11 +185,22 @@ def write_blocks_to_zarr(
     dtype: str,
     compressor: str = "zlib",
     compressor_kwargs: dict[str, Any] | None = None,
+    fault=None,
 ) -> int:
     """Distributed write: every block row lands in its region; one Spark
     action replaces the reference's sequential block loop
     (``zarr_writer.py:188-213``), the scheduler bounding concurrency
     instead of hand-serialization. Returns the number of blocks written.
+
+    Retry idempotence: a retried task re-derives the same chunk keys
+    from the same block rows and re-writes byte-identical compressed
+    chunks (chunk-aligned regions never shared across rows), so a task
+    killed mid-region leaves only chunks its retry overwrites —
+    exactly-once OUTPUT without any coordination. ``fault`` (None in
+    production) is the chaos hook: called as ``fault(rows_written)``
+    after every region write inside the task, it lets
+    ``tools/chaos_probe.py`` kill first attempts mid-flight and assert
+    the retried job's array is byte-equal to a clean run's.
 
     Implemented as an Arrow ``mapInArrow`` side-effect writer, NOT
     ``foreachPartition``: the latter funnels rows through the RDD pickle
@@ -233,6 +244,8 @@ def write_blocks_to_zarr(
                     meta=meta,
                 )
                 n += 1
+                if fault is not None:
+                    fault(n)
         yield pa.RecordBatch.from_pydict(
             {"n_written": [n]},
             schema=pa.schema([("n_written", pa.int64())]),

@@ -16,23 +16,29 @@ intervals and 16-bit DQT; JPEG-XR remains gated on imagecodecs — that
 codec is a different, far larger spec).
 
 Scope (and loud errors beyond it):
-* decode: Huffman DCT, ONE component — baseline 8-bit (SOF0), extended
-  sequential (SOF1) at 8- or 12-bit sample precision (the
-  microscopy-relevant gray12 camera depth), and PROGRESSIVE (SOF2:
+* decode: Huffman DCT — single-component baseline 8-bit (SOF0),
+  extended sequential (SOF1) at 8- or 12-bit sample precision (the
+  microscopy-relevant gray12 camera depth), PROGRESSIVE (SOF2:
   spectral selection, successive approximation, EOBRUN, correction
-  bits — T.81 §G.1.2); 8- and 16-bit quantization tables; restart
+  bits — T.81 §G.1.2), and (r10) MULTI-COMPONENT sequential via
+  :func:`decode_image`: 3-component JFIF YCbCr with arbitrary divisor
+  sampling factors (4:4:4 / 4:2:2 / 4:2:0 and friends), interleaved or
+  per-component scans, libjpeg-faithful fancy upsampling + fixed-point
+  color conversion; 8- and 16-bit quantization tables; restart
   intervals (DRI + RSTn with modulo-sequence verification). Arithmetic
-  coding (SOF9-11), lossless (SOF3), multi-component and subsampled
-  streams raise ``NotImplementedError``.
-* encode: the matching single-component writers used by tests/fixture
-  tooling — ``encode_gray`` (8-bit, Annex K quantization + Huffman
-  tables, libjpeg quality scaling), ``encode_gray12`` (12-bit SOF1) and
+  coding (SOF9-11), lossless (SOF3), CMYK/2-component layouts, 12-bit
+  color, and multi-component progressive raise ``NotImplementedError``.
+* encode: the matching writers used by tests/fixture tooling —
+  ``encode_gray`` (8-bit, Annex K quantization + Huffman tables,
+  libjpeg quality scaling), ``encode_gray12`` (12-bit SOF1),
   ``encode_gray_progressive`` (6-scan SOF2 script covering every scan
-  type, bit-identical pixels to the sequential encoding); the non-K
-  tables are fixed uniform-length canonical codes — valid, deliberately
-  simple, and they travel in DHT so any decoder reads them. This is
-  what lets CI decode REAL entropy-coded scans through the production
-  branch instead of monkeypatching.
+  type, bit-identical pixels to the sequential encoding) and (r10)
+  ``encode_color`` (3-component YCbCr, Annex K luma+chroma quant,
+  interleaved or per-component scans); the non-K tables are fixed
+  uniform-length canonical codes — valid, deliberately simple, and
+  they travel in DHT so any decoder reads them. This is what lets CI
+  decode REAL entropy-coded scans through the production branch
+  instead of monkeypatching.
 
 Numerics: the DCT/IDCT use the orthonormal DCT-II basis as a single
 ``C @ B @ C.T`` matrix product per 8×8 block (vectorized over all blocks
@@ -79,6 +85,21 @@ QTABLE_LUMA = np.array(
         24, 35, 55, 64, 81, 104, 113, 92,
         49, 64, 78, 87, 103, 121, 120, 101,
         72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+
+#: Annex K.2 chrominance quantization table (row-major)
+QTABLE_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
     ],
     dtype=np.int64,
 )
@@ -175,12 +196,13 @@ _AC12_ENC = _canonical_codes(AC12_BITS, AC12_VALS)
 _ACP_ENC = _canonical_codes(ACP_BITS, ACP_VALS)
 
 
-def quant_table(quality: int) -> np.ndarray:
-    """Annex K luminance table at libjpeg quality scaling (1..100)."""
+def quant_table(quality: int, base: np.ndarray | None = None) -> np.ndarray:
+    """Annex K table (luminance by default, pass ``QTABLE_CHROMA`` for
+    the chroma planes) at libjpeg quality scaling (1..100)."""
     if not 1 <= quality <= 100:
         raise ValueError(f"quality {quality} outside 1..100")
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
-    q = (QTABLE_LUMA * scale + 50) // 100
+    q = ((QTABLE_LUMA if base is None else base) * scale + 50) // 100
     return np.clip(q, 1, 255).astype(np.int64)
 
 
@@ -305,14 +327,16 @@ def _amplitude(v: int, size: int) -> int:
 
 
 def _quantized_zigzag(
-    img: np.ndarray, prec: int, quality: int
+    img: np.ndarray, prec: int, quality: int, q: np.ndarray | None = None
 ) -> np.ndarray:
     """(nblocks, 64) zig-zag-ordered quantized DCT coefficients — the
-    shared front half of every encoder (sequential and progressive)."""
+    shared front half of every encoder (sequential and progressive).
+    ``q`` overrides the luma quant table (chroma planes)."""
     h, w = img.shape
     if h == 0 or w == 0:
         raise ValueError("empty image")
-    q = quant_table(quality)
+    if q is None:
+        q = quant_table(quality)
     level = float(1 << (prec - 1))
     ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
     padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
@@ -910,11 +934,15 @@ def decode_gray(data: bytes) -> np.ndarray:
                 )
             if nf != 1:
                 raise NotImplementedError(
-                    f"{nf}-component JPEG (CZI grayscale subblocks are 1)"
+                    f"{nf}-component JPEG: decode_gray handles the CZI "
+                    f"grayscale case (1 component); use decode_image for "
+                    f"multi-component/subsampled streams"
                 )
-            hv, comp_q = body[7], body[8]
-            if hv != 0x11:
-                raise NotImplementedError(f"subsampled JPEG (HV={hv:#x})")
+            # HV is inert in a single-component frame (T.81 A.2.4: the
+            # sole component's dims equal the frame dims regardless of
+            # its sampling factors, and non-interleaved scans ignore
+            # them) — accept any value
+            comp_q = body[8]
             sof_seen = True
             if marker == 0xC2:
                 progressive = True
@@ -1005,3 +1033,493 @@ def _reconstruct(
         out.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
     )
     return full[:h, :w]
+
+
+# --------------------------------------------------------------------------
+# Multi-component / subsampled sequential decode (r10: the last two
+# vendored-codec matrix rows). The reference decodes these through
+# czifile+imagecodecs (reference pyproject.toml:25); this is the
+# spec-derived in-container path.
+# --------------------------------------------------------------------------
+
+
+class _Comp:
+    """Per-component frame state (T.81 A.1.1): sampling factors, quant
+    table id, padded-to-MCU block grid, coefficient store."""
+
+    __slots__ = ("cid", "h", "v", "tq", "bw", "bh", "nbx", "nby", "zz",
+                 "scanned")
+
+    def __init__(self, cid: int, h: int, v: int, tq: int):
+        self.cid, self.h, self.v, self.tq = cid, h, v, tq
+        self.scanned = False
+
+
+def _decode_seq_block(br: _BitReader, dc_tbl, ac_tbl, zz_row, pred: int) -> int:
+    """One sequential 8×8 block (F.2.2): returns the new DC predictor."""
+    s = _read_huff_symbol(br, dc_tbl)
+    pred += _extend(br.bits(s), s)
+    zz_row[0] = pred
+    k = 1
+    while k < 64:
+        sym = _read_huff_symbol(br, ac_tbl)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        k += run
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        zz_row[k] = _extend(br.bits(size), size)
+        k += 1
+    return pred
+
+
+def _h2v1_fancy(p: np.ndarray) -> np.ndarray:
+    """libjpeg h2v1 fancy (triangular) upsample: 2× horizontally.
+    out[2i] = (3·in[i] + in[i−1] + 1) >> 2, out[2i+1] mirrors with +2
+    rounding; edge columns copy (jdsample.c contract, matched so the
+    cross-decoder tests compare within IDCT rounding)."""
+    p = p.astype(np.int32)
+    prev = np.concatenate([p[:, :1], p[:, :-1]], axis=1)
+    nxt = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+    out = np.empty((p.shape[0], 2 * p.shape[1]), dtype=np.int32)
+    out[:, 0::2] = (3 * p + prev + 1) >> 2
+    out[:, 1::2] = (3 * p + nxt + 2) >> 2
+    out[:, 0] = p[:, 0]
+    out[:, -1] = p[:, -1]
+    return out
+
+
+def _h2v2_fancy(p: np.ndarray) -> np.ndarray:
+    """libjpeg h2v2 fancy upsample: 2× both axes. Each input row feeds
+    two output rows (paired with the row above / below via the 3:1
+    column sum), then the same triangular filter runs horizontally with
+    the 8/7 rounding split of jdsample.c."""
+    p = p.astype(np.int32)
+    rows, n = p.shape
+    up = np.concatenate([p[:1], p[:-1]], axis=0)
+    down = np.concatenate([p[1:], p[-1:]], axis=0)
+    out = np.empty((2 * rows, 2 * n), dtype=np.int32)
+    for adj, off in ((up, 0), (down, 1)):
+        colsum = 3 * p + adj
+        prev = np.concatenate([colsum[:, :1], colsum[:, :-1]], axis=1)
+        nxt = np.concatenate([colsum[:, 1:], colsum[:, -1:]], axis=1)
+        o = np.empty((rows, 2 * n), dtype=np.int32)
+        o[:, 0::2] = (3 * colsum + prev + 8) >> 4
+        o[:, 1::2] = (3 * colsum + nxt + 7) >> 4
+        o[:, 0] = (colsum[:, 0] * 4 + 8) >> 4
+        o[:, -1] = (colsum[:, -1] * 4 + 7) >> 4
+        out[off::2] = o
+    return out
+
+
+def _upsample(plane: np.ndarray, sx: int, sy: int, w: int, h: int) -> np.ndarray:
+    """Upsample a decoded component plane to frame dims: libjpeg fancy
+    for the 4:2:2 / 4:2:0 factors, replication otherwise."""
+    if (sx, sy) == (1, 1):
+        out = plane
+    elif (sx, sy) == (2, 1):
+        out = _h2v1_fancy(plane)
+    elif (sx, sy) == (2, 2):
+        out = _h2v2_fancy(plane)
+    else:
+        out = np.repeat(np.repeat(plane, sy, axis=0), sx, axis=1)
+    return out[:h, :w]
+
+
+def _ycc_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """JFIF YCbCr→RGB with libjpeg's fixed-point arithmetic (jdcolor.c
+    SCALEBITS=16 tables) so decoded pixels match libjpeg bit-for-bit up
+    to IDCT rounding."""
+
+    def fix(x: float) -> int:
+        return int(x * 65536 + 0.5)
+
+    y = y.astype(np.int64)
+    cb = cb.astype(np.int64) - 128
+    cr = cr.astype(np.int64) - 128
+    r = y + ((fix(1.40200) * cr + 32768) >> 16)
+    b = y + ((fix(1.77200) * cb + 32768) >> 16)
+    g = y + ((-fix(0.34414) * cb - fix(0.71414) * cr + 32768) >> 16)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _rgb_to_ycc(rgb: np.ndarray):
+    """Forward BT.601 full-range RGB→YCbCr (encoder side; float + round
+    — the forward transform has no cross-decoder matching constraint)."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    clip = lambda p: np.clip(np.round(p), 0, 255).astype(np.uint8)  # noqa: E731
+    return clip(y), clip(cb), clip(cr)
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """General sequential-DCT JPEG decode: 1 or 3 components, arbitrary
+    T.81 sampling factors (1–4, divisors of the max), interleaved or
+    per-component scans, restart intervals, 8/16-bit DQT.
+
+    Returns a 2-D array for single-component streams (delegating to
+    :func:`decode_gray`, which additionally handles progressive), or an
+    ``(h, w, 3)`` RGB uint8 array for 3-component streams (JFIF YCbCr,
+    libjpeg fixed-point conversion + fancy upsampling — see
+    ``_ycc_to_rgb`` / ``_h2v2_fancy``). Other component counts (CMYK
+    etc.), 12-bit color, and multi-component progressive raise with an
+    actionable message.
+    """
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    comps: list[_Comp] = []
+    h = w = 0
+    restart_interval = 0
+    sof_seen = False
+
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
+            if comps and all(c.scanned for c in comps):
+                break
+            raise ValueError("reached EOI with undecoded components")
+        if marker == 0x01:
+            pos += 2
+            continue
+        if 0xD0 <= marker <= 0xD7:
+            raise ValueError(f"stray restart marker FF{marker:02X} outside scan")
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG stream (marker without length)")
+        length = struct.unpack_from(">H", data, pos + 2)[0]
+        body = data[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq == 0:
+                    tbl = np.frombuffer(
+                        body[off + 1 : off + 65], np.uint8
+                    ).astype(np.int64)
+                    off += 65
+                elif pq == 1:
+                    tbl = np.frombuffer(
+                        body[off + 1 : off + 129], ">u2"
+                    ).astype(np.int64)
+                    off += 129
+                else:
+                    raise ValueError(f"invalid DQT precision Pq={pq}")
+                qtables[tq] = tbl[_UNZIGZAG]
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                htables[(tc, th)] = _decode_table(bits, vals)
+                off += 17 + n
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
+            prec, h, w, nf = struct.unpack_from(">BHHB", body, 0)
+            if nf == 1:
+                # single-component (incl. progressive, 12-bit):
+                # decode_gray is the complete implementation
+                return decode_gray(data)
+            if marker == 0xC2:
+                raise NotImplementedError(
+                    f"{nf}-component progressive JPEG (multi-component "
+                    f"decode here is sequential; use the [codecs] extra "
+                    f"for progressive color)"
+                )
+            if prec != 8:
+                raise NotImplementedError(
+                    f"{prec}-bit {nf}-component JPEG (color decode here "
+                    f"is 8-bit)"
+                )
+            if len(body) < 6 + 3 * nf:
+                raise ValueError("SOF length inconsistent with Nf")
+            for ci in range(nf):
+                cid, hvb, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(_Comp(cid, hvb >> 4, hvb & 0x0F, tq))
+            hmax = max(c.h for c in comps)
+            vmax = max(c.v for c in comps)
+            if not all(
+                1 <= c.h <= 4 and 1 <= c.v <= 4
+                and hmax % c.h == 0 and vmax % c.v == 0
+                for c in comps
+            ):
+                raise NotImplementedError(
+                    "non-divisor sampling factors "
+                    f"{[(c.h, c.v) for c in comps]}"
+                )
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                c.bw, c.bh = mcux * c.h, mcuy * c.v  # padded MCU grid
+                cw = -(-w * c.h // hmax)
+                ch = -(-h * c.v // vmax)
+                c.nbx, c.nby = -(-cw // 8), -(-ch // 8)  # real blocks
+                c.zz = np.zeros((c.bh * c.bw, 64), dtype=np.int64)
+            sof_seen = True
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"non-DCT-Huffman JPEG frame (SOF marker FF{marker:02X})"
+            )
+        elif marker == 0xDD:
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            if not sof_seen:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            by_id = {c.cid: c for c in comps}
+            scan = []
+            for si in range(ns):
+                cid, tt = body[1 + 2 * si], body[2 + 2 * si]
+                c = by_id.get(cid)
+                if c is None:
+                    raise ValueError(f"scan references unknown component {cid}")
+                dc_tbl = htables.get((0, tt >> 4))
+                ac_tbl = htables.get((1, tt & 0x0F))
+                if dc_tbl is None or ac_tbl is None:
+                    raise ValueError("scan references missing Huffman table")
+                scan.append((c, dc_tbl, ac_tbl))
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            if (ss, se, ahal) != (0, 63, 0):
+                raise ValueError(
+                    "progressive scan header in a sequential frame"
+                )
+            br = _BitReader(data, pos)
+            preds = {c.cid: 0 for c, _, _ in scan}
+            rst_expect = 0
+
+            def maybe_restart(unit: int) -> None:
+                nonlocal rst_expect
+                if restart_interval and unit and unit % restart_interval == 0:
+                    n = br.restart()
+                    if n != rst_expect & 0x07:
+                        raise ValueError(
+                            f"restart marker out of sequence: RST{n}, "
+                            f"expected RST{rst_expect & 0x07}"
+                        )
+                    rst_expect += 1
+                    for cid in preds:
+                        preds[cid] = 0
+
+            if ns == 1:
+                # non-interleaved: the component's own (unpadded) block
+                # grid in raster order, stored at the padded stride
+                c, dc_tbl, ac_tbl = scan[0]
+                unit = 0
+                for brow in range(c.nby):
+                    for bcol in range(c.nbx):
+                        maybe_restart(unit)
+                        preds[c.cid] = _decode_seq_block(
+                            br, dc_tbl, ac_tbl,
+                            c.zz[brow * c.bw + bcol], preds[c.cid],
+                        )
+                        unit += 1
+            else:
+                # interleaved: frame MCU raster order, per component
+                # v×h blocks per MCU (T.81 A.2.3)
+                for m in range(mcux * mcuy):
+                    maybe_restart(m)
+                    my, mx = divmod(m, mcux)
+                    for c, dc_tbl, ac_tbl in scan:
+                        for vi in range(c.v):
+                            for hi in range(c.h):
+                                bidx = (
+                                    (my * c.v + vi) * c.bw + mx * c.h + hi
+                                )
+                                preds[c.cid] = _decode_seq_block(
+                                    br, dc_tbl, ac_tbl, c.zz[bidx],
+                                    preds[c.cid],
+                                )
+            for c, _, _ in scan:
+                c.scanned = True
+            p = br.pos
+            while p + 1 < len(data) and data[p] == 0xFF and data[p + 1] == 0x00:
+                p += 2
+            pos = p
+        # else: APPn/COM — skip
+
+    if not comps:
+        raise ValueError("no frame header in stream")
+    if len(comps) != 3:
+        raise NotImplementedError(
+            f"{len(comps)}-component JPEG (1 = grayscale, 3 = YCbCr; "
+            f"CMYK/unknown layouts need the [codecs] extra)"
+        )
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    planes = []
+    for c in comps:
+        q = qtables.get(c.tq)
+        if q is None:
+            raise ValueError("component references missing quant table")
+        cw = -(-w * c.h // hmax)
+        ch = -(-h * c.v // vmax)
+        plane = _reconstruct(c.zz, q, 8, c.bh, c.bw, ch, cw)
+        planes.append(_upsample(plane, hmax // c.h, vmax // c.v, w, h))
+    return _ycc_to_rgb(*planes)
+
+
+def encode_color(
+    img: np.ndarray,
+    quality: int = 100,
+    subsampling: str = "4:2:0",
+    restart_interval: int = 0,
+    interleaved: bool = True,
+) -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 RGB array as 3-component baseline
+    JPEG (SOF0, JFIF YCbCr): Annex K luma + chroma quantization,
+    ``subsampling`` one of ``4:4:4`` / ``4:2:2`` / ``4:2:0`` (chroma box
+    mean), interleaved single scan (the universal encoder layout) or —
+    for decoder-coverage fixtures — three per-component scans.
+    ``restart_interval`` counts MCUs (interleaved) / blocks."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError(f"need (h, w, 3) uint8, got {img.shape} {img.dtype}")
+    try:
+        hs, vs = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}[
+            subsampling
+        ]
+    except KeyError:
+        raise ValueError(f"unknown subsampling {subsampling!r}") from None
+    h, w = img.shape[:2]
+    y, cb, cr = _rgb_to_ycc(img)
+
+    def boxdown(p: np.ndarray) -> np.ndarray:
+        if (hs, vs) == (1, 1):
+            return p
+        ph, pw = -(-h // vs) * vs, -(-w // hs) * hs
+        p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        return (
+            p.reshape(ph // vs, vs, pw // hs, hs)
+            .mean(axis=(1, 3))
+            .round()
+            .astype(np.uint8)
+        )
+
+    mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
+    qluma = quant_table(quality)
+    qchroma = quant_table(quality, QTABLE_CHROMA)
+
+    def pad_to(p: np.ndarray, bh: int, bw: int) -> np.ndarray:
+        return np.pad(
+            p, ((0, bh * 8 - p.shape[0]), (0, bw * 8 - p.shape[1])),
+            mode="edge",
+        )
+
+    # (comp id, h, v, tq, padded-grid zigzag blocks, real nbx, nby)
+    comps = []
+    for cid, plane, ch_, cv_, tq, q in (
+        (1, y, hs, vs, 0, qluma),
+        (2, boxdown(cb), 1, 1, 1, qchroma),
+        (3, boxdown(cr), 1, 1, 1, qchroma),
+    ):
+        bw_, bh_ = mcux * ch_, mcuy * cv_
+        nbx = -(-plane.shape[1] // 8)
+        nby = -(-plane.shape[0] // 8)
+        zz = _quantized_zigzag(pad_to(plane, bh_, bw_), 8, quality, q=q)
+        comps.append((cid, ch_, cv_, tq, zz, bw_, nbx, nby))
+
+    def enc_block(bw: _BitWriter, blk: np.ndarray, pred: int) -> int:
+        dc = int(blk[0])
+        diff = dc - pred
+        s = _category(diff)
+        code, ln = _DC_ENC[s]
+        bw.write(code, ln)
+        bw.write(_amplitude(diff, s), s)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for i in range(1, last + 1):
+            v = int(blk[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = _AC_ENC[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = _AC_ENC[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(_amplitude(v, s), s)
+            run = 0
+        if last < 63:
+            code, ln = _AC_ENC[0x00]
+            bw.write(code, ln)
+        return dc
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(  # JFIF APP0 (density 1:1, no thumbnail)
+        0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    out += seg(0xFFDB, bytes([0x00]) + bytes(qluma[ZIGZAG].tolist()))
+    out += seg(0xFFDB, bytes([0x01]) + bytes(qchroma[ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, ch_, cv_, tq, *_ in comps:
+        sof += bytes([cid, (ch_ << 4) | cv_, tq])
+    out += seg(0xFFC0, sof)
+    # one DHT pair (Annex K luma), referenced by every component — any
+    # tables are legal as long as DHT carries them
+    out += seg(0xFFC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+
+    if interleaved:
+        bw = _BitWriter()
+        preds = {cid: 0 for cid, *_ in comps}
+        rst = 0
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                bw.marker(0xD0 + (rst & 0x07))
+                rst += 1
+                preds = {cid: 0 for cid in preds}
+            my, mx = divmod(m, mcux)
+            for cid, ch_, cv_, tq, zz, bw_stride, nbx, nby in comps:
+                for vi in range(cv_):
+                    for hi in range(ch_):
+                        bidx = (my * cv_ + vi) * bw_stride + mx * ch_ + hi
+                        preds[cid] = enc_block(bw, zz[bidx], preds[cid])
+        sos = bytes([3])
+        for cid, *_ in comps:
+            sos += bytes([cid, 0x00])
+        out += seg(0xFFDA, sos + bytes([0, 63, 0]))
+        out += bw.flush()
+    else:
+        for cid, ch_, cv_, tq, zz, bw_stride, nbx, nby in comps:
+            bw = _BitWriter()
+            pred = 0
+            rst = 0
+            unit = 0
+            for brow in range(nby):
+                for bcol in range(nbx):
+                    if (
+                        restart_interval and unit
+                        and unit % restart_interval == 0
+                    ):
+                        bw.marker(0xD0 + (rst & 0x07))
+                        rst += 1
+                        pred = 0
+                    pred = enc_block(bw, zz[brow * bw_stride + bcol], pred)
+                    unit += 1
+            out += seg(0xFFDA, bytes([1, cid, 0x00, 0, 63, 0]))
+            out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -491,6 +491,84 @@ QUERIES["stream_sessions"] = stream_sessions
 ORACLES["stream_sessions"] = EVW_SESSION_SQL
 
 
+def make_upsert_merger(store_dir: str, fault=None):
+    """Build the ``foreachBatch`` MERGE for update-mode per-key counts —
+    the production sink body, extracted so the fault-injection probe
+    (``tools/chaos_probe.py``) drives the EXACT shipped code.
+
+    Replay idempotence (the exactly-once contract): update mode emits
+    the updated CUMULATIVE aggregate per changed key, so the merge is
+    **latest-batch-wins** (``coalesce(n_new, n_old)``), which reapplies
+    to the same store state. r10's chaos-probe design review caught the
+    previous implementation ADDING ``n_old + n_new`` — correct only
+    while every run is a single never-replayed micro-batch; a batch
+    replayed after a crash between the store swap and the checkpoint
+    commit double-counted every key it touched.
+
+    Crash-safe swap: write tmp → rename store→old → rename tmp→store →
+    rm old, with a recovery preamble that repairs every kill window
+    (store missing + old present → restore old; both present → the swap
+    completed, drop old). At cluster scale the swap is a transactional
+    table commit (Delta/Iceberg MERGE) with the same replay contract.
+
+    ``fault(point)`` — optional chaos hook (``"after_write"``,
+    ``"between_renames"``, ``"after_swap"``), None in production.
+    """
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        old = store_dir + "_old"
+        # recovery preamble: repair a previous attempt's partial swap
+        if os.path.isdir(old):
+            if not os.path.isdir(store_dir):
+                os.rename(old, store_dir)  # died between the renames
+            else:
+                shutil.rmtree(old)  # died after the swap completed
+        new = batch_df.withColumnRenamed("count", "n_new")
+        if os.path.isdir(store_dir):
+            cur = sess.read.parquet(store_dir).withColumnRenamed(
+                "n_events", "n_old"
+            )
+            # eqNullSafe: a plain equi MERGE key never matches the NULL
+            # group, so an update to it would land as a SECOND NULL row
+            # instead of replacing the first (the agg_kmv_distinct NULL
+            # class, r9) — GROUP BY upstream keeps NULL as one key, the
+            # store must too
+            merged = (
+                cur.join(
+                    new, cur["user_id"].eqNullSafe(new["user_id"]),
+                    "full_outer",
+                )
+                .select(
+                    F.coalesce(new["user_id"], cur["user_id"]).alias(
+                        "user_id"
+                    ),
+                    # latest-batch-wins: n_new is already cumulative
+                    F.coalesce(new["n_new"], cur["n_old"]).alias(
+                        "n_events"
+                    ),
+                )
+            )
+        else:
+            merged = new.select(
+                "user_id", F.col("n_new").alias("n_events")
+            )
+        tmp = store_dir + f"_b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if fault is not None:
+            fault("after_write")
+        if os.path.isdir(store_dir):
+            os.rename(store_dir, old)
+        if fault is not None:
+            fault("between_renames")
+        os.rename(tmp, store_dir)
+        if fault is not None:
+            fault("after_swap")
+        shutil.rmtree(old, ignore_errors=True)
+
+    return merge_batch
+
+
 def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION sink for update-mode aggregates, made real:
     ``foreachBatch`` merges each micro-batch's per-user event counts
@@ -498,11 +576,13 @@ def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     MERGE INTO every lakehouse sink runs), instead of the memory-sink
     harness the other update-mode queries use for result transport.
 
-    Each batch: read the store, full-outer merge on ``user_id`` summing
-    counts, atomically swap the store directory. At cluster scale the
-    swap becomes a transactional table commit (Delta/Iceberg MERGE) and
-    the merge is a key-partitioned join bounded by batch size, not
-    stream history — exactly the shape ``upsert_scd1`` pins for batch.
+    Each batch: read the store, full-outer latest-wins merge on
+    ``user_id``, crash-safe-swap the store directory (see
+    ``make_upsert_merger`` for the replay-idempotence contract the
+    chaos probe pins). At cluster scale the swap becomes a
+    transactional table commit (Delta/Iceberg MERGE) and the merge is
+    a key-partitioned join bounded by batch size, not stream history —
+    exactly the shape ``upsert_scd1`` pins for batch.
 
     Run bounded (availableNow), the final store equals the batch
     aggregate, so the whole sink path — foreachBatch, merge, swap,
@@ -515,35 +595,7 @@ def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"upsert_store_{uuid.uuid4().hex[:8]}"
     )
     checkpoint = store_dir + "_ckpt"
-
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        new = batch_df.withColumnRenamed("count", "n_new")
-        if os.path.isdir(store_dir):
-            cur = sess.read.parquet(store_dir).withColumnRenamed(
-                "n_events", "n_old"
-            )
-            merged = (
-                cur.join(new, "user_id", "full_outer")
-                .select(
-                    "user_id",
-                    (
-                        F.coalesce("n_old", F.lit(0))
-                        + F.coalesce("n_new", F.lit(0))
-                    ).alias("n_events"),
-                )
-            )
-        else:
-            merged = new.select(
-                "user_id", F.col("n_new").alias("n_events")
-            )
-        tmp = store_dir + f"_b{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = store_dir + "_old"
-        if os.path.isdir(store_dir):
-            os.rename(store_dir, old)
-        os.rename(tmp, store_dir)
-        shutil.rmtree(old, ignore_errors=True)
+    merge_batch = make_upsert_merger(store_dir)
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")

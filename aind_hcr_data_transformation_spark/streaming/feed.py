@@ -47,6 +47,7 @@ streaming contract (pyspark.sql.datasource, Spark 4).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import tempfile
@@ -128,8 +129,8 @@ def _pid_table(path: str, nparts: int, pid: int):
     sorted, cached per (file, layout) per worker process. At test scale
     this is an in-memory topic partition; at broker scale the fetch
     replaces this function and nothing above it changes."""
-    import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     key = (path, os.path.getmtime(path), nparts, pid)
@@ -147,7 +148,12 @@ def _pid_table(path: str, nparts: int, pid: int):
             ]
         )
     )
-    uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+    # NULL keys go to a fixed partition (0) — a keyed producer with no
+    # key still publishes the record; dropping it would make the feed
+    # diverge from the file source and the oracle on null user_id
+    uid = pc.fill_null(tbl.column("user_id"), 0).to_numpy(
+        zero_copy_only=False
+    )
     tbl = tbl.filter(pa.array(uid % nparts == pid))
     tbl = tbl.sort_by([("ts", "ascending"), ("event_id", "ascending")])
     tbl = tbl.combine_chunks()
@@ -170,9 +176,15 @@ class EventFeedStreamReader(DataSourceStreamReader):
         self._cuts = _feed_plan(
             self._path, int(options.get("feed_target_batches", 6))
         )
+        # default progress dir keyed by a STABLE digest — str hash() is
+        # per-process randomized (PYTHONHASHSEED), so a restarted driver
+        # would otherwise compute a different dir and the documented
+        # consumer-group resume would never find its committed cutoff
+        group = hashlib.sha1(
+            f"{self._path}|{self._nparts}".encode()
+        ).hexdigest()[:16]
         self._progress = options.get("progress_dir") or os.path.join(
-            tempfile.gettempdir(),
-            f"event_feed_{abs(hash((self._path, self._nparts))):x}",
+            tempfile.gettempdir(), f"event_feed_{group}"
         )
         os.makedirs(self._progress, exist_ok=True)
         self._cur = self._load_committed()

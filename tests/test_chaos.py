@@ -1,0 +1,66 @@
+"""Fault-injection suite wrapper: runs ``tools/chaos_probe.py`` — the
+exactly-once / idempotent-retry demonstrations under REAL mid-flight
+kills (VERDICT r9 task 1) — in a subprocess, because the probe needs
+its own SparkSession with ``master=local[8,3]`` (three task attempts;
+the shared test session's scheduler would fail the job on the first
+injected death).
+
+Stages (see the probe docstring): zarr/pyramid task kills after
+partial chunk writes repaired by Spark task retry; the broker-shaped
+feed killed mid-``read()`` and inside consumer ``commit()``; the
+foreachBatch MERGE killed after its store swap (batch replay) and
+inside the swap's rename window (recovery preamble) — plus a control
+proving the probe detects the pre-r10 additive-merge bug.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+def test_chaos_probe_all_stages_green(tmp_path):
+    out = tmp_path / "chaos.json"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "tools/chaos_probe.py",
+            SF_DIR,
+            "--json",
+            str(out),
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    # the probe writes its JSON relative to the repo root
+    doc = json.loads((REPO / str(out)).read_text()) if (
+        REPO / str(out)
+    ).exists() else json.loads(out.read_text())
+    failed = {
+        name: {k: v for k, v in res.items() if k != "error"}
+        for name, res in doc["stages"].items()
+        if not res["ok"]
+    }
+    assert proc.returncode == 0 and not failed, (
+        f"chaos stages failed: {failed}\n"
+        f"stderr tail: {proc.stderr[-2000:]}"
+    )
+    assert set(doc["stages"]) == {
+        "zarr_task_retry",
+        "pyramid_task_retry",
+        "feed_read_retry",
+        "feed_commit_kill",
+        "foreach_swap_kill",
+        "foreach_between_renames_kill",
+    }
+    # the probe must also prove its own sensitivity: the pre-r10
+    # additive merge diverges under the replayed batch
+    assert doc["stages"]["foreach_swap_kill"]["control_additive_diverged"]

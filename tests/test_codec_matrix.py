@@ -97,17 +97,45 @@ def test_unsupported_precision_gates():
         decode_gray(data)
 
 
-def test_multi_component_gates():
+def test_multi_component_routes_to_decode_image():
+    """decode_gray stays the 1-component CZI API: a real 3-component
+    stream is refused with a pointer to decode_image, which decodes it
+    (r10: the multi-component matrix row flipped to 'decodes here' —
+    round-trip pins live in tests/test_jpeg_color.py)."""
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        decode_image,
+        encode_color,
+    )
+
+    rgb = np.stack([_img(), _img(), _img()], axis=-1)
+    data = encode_color(rgb, quality=90)
+    with pytest.raises(NotImplementedError, match="decode_image"):
+        decode_gray(data)
+    assert decode_image(data).shape == (*rgb.shape[:2], 3)
+
+
+def test_multi_component_count_claim_without_specs_is_malformed():
+    """The old gate fixture — a 1-component stream whose SOF merely
+    CLAIMS Nf=3 — is malformed (missing two component specs) and must
+    fail loudly in the general decoder, not decode garbage."""
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        decode_image,
+    )
+
     data = _patch(encode_gray(_img()), 0xC0, 5, 3)
-    with pytest.raises(NotImplementedError, match="3-component JPEG"):
-        decode_gray(data)
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_image(data)
 
 
-def test_subsampled_gates():
-    # component spec: id(1) HV(1) tq(1) at body offsets 6..8
-    data = _patch(encode_gray(_img()), 0xC0, 7, 0x22)
-    with pytest.raises(NotImplementedError, match="subsampled"):
-        decode_gray(data)
+def test_subsampling_factors_inert_in_single_component_frame():
+    """T.81 A.2.4: a single-component frame's dims equal the frame dims
+    whatever its sampling factors, and non-interleaved scans ignore
+    them — HV=0x22 must decode identically to HV=0x11 (r10: the
+    'subsampled raises' row removed; multi-component subsampling pins
+    live in tests/test_jpeg_color.py)."""
+    base = encode_gray(_img(), quality=100)
+    patched = _patch(base, 0xC0, 7, 0x22)
+    np.testing.assert_array_equal(decode_gray(patched), decode_gray(base))
 
 
 def test_16bit_quant_table_decodes():

@@ -334,3 +334,74 @@ def test_rate_source_unbounded_windows_smoke(spark, tmp_path):
     assert got >= 8
     lanes = {r["lane"] for r in spark.table(sink).collect()}
     assert lanes <= {0, 1, 2, 3} and lanes
+
+
+def test_null_user_id_rows_are_not_dropped(tmp_path):
+    """r9 advisor finding: `uid % nparts == pid` silently dropped
+    NULL-keyed rows (NaN == pid is false for every pid). A keyed
+    producer with no key still publishes the record — NULL keys land
+    on a fixed partition and every row survives the partitioner."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from aind_hcr_data_transformation_spark.streaming.feed import (
+        _pid_table,
+    )
+
+    src = pq.read_table(EVENTS).slice(0, 500)
+    eid = src.column("event_id").to_numpy(zero_copy_only=False)
+    mask = pa.array(eid % 23 == 0)
+    n_null = int(pc.sum(mask).as_py())
+    assert n_null > 0
+    idx = src.schema.get_field_index("user_id")
+    src = src.set_column(
+        idx,
+        "user_id",
+        pc.if_else(mask, pa.scalar(None, pa.int64()), src.column("user_id")),
+    )
+    path = str(tmp_path / "events_nullkey.parquet")
+    pq.write_table(src, path)
+
+    nparts = 4
+    total = sum(
+        _pid_table(path, nparts, pid).num_rows for pid in range(nparts)
+    )
+    assert total == src.num_rows, (
+        f"feed partitioner lost {src.num_rows - total} NULL-keyed rows"
+    )
+    # and the NULL-keyed rows all landed on the fixed partition 0
+    p0 = _pid_table(path, nparts, 0)
+    assert p0.column("user_id").null_count == n_null
+
+
+def test_default_progress_dir_is_process_stable():
+    """r9 advisor finding: the default progress dir hashed the path
+    with str hash(), which PYTHONHASHSEED randomizes per process — a
+    restarted driver would compute a different dir and the documented
+    consumer-group resume would never find its committed cutoff. The
+    dir must be a pure function of (path, feed_partitions)."""
+    import subprocess
+    import sys
+
+    prog = """
+from aind_hcr_data_transformation_spark.streaming.feed import (
+    EventFeedStreamReader,
+)
+r = EventFeedStreamReader(
+    {"path": %r, "feed_partitions": "4", "feed_target_batches": "2"}
+)
+print(r._progress)
+""" % (EVENTS,)
+    dirs = set()
+    for seed in ("1", "2"):
+        env = dict(os.environ, PYTHONHASHSEED=seed)
+        out = subprocess.run(
+            [sys.executable, "-c", prog],
+            capture_output=True,
+            text=True,
+            env=env,
+            check=True,
+        )
+        dirs.add(out.stdout.strip())
+    assert len(dirs) == 1, f"progress dir varies across processes: {dirs}"

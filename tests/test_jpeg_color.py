@@ -1,0 +1,147 @@
+"""Multi-component / subsampled JPEG (r10, VERDICT task 2): the last
+two vendored-codec matrix rows, flipped from "raises" to "decodes
+here". Round-trip property pins for ``encode_color``/``decode_image``
+(``sources/jpegcodec.py``): 3-component YCbCr at 4:4:4 / 4:2:2 / 4:2:0,
+interleaved and per-component scans, restart intervals, odd dims.
+
+Reference parity cite: the reference decodes these through
+czifile+imagecodecs (reference ``pyproject.toml:25``,
+``compress/czi_to_zarr.py:517``); cross-decoder conformance against a
+real libjpeg runs in the codecs CI leg (test_jpeg_crossdecoder.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+    _rgb_to_ycc,
+    _ycc_to_rgb,
+    decode_image,
+    encode_color,
+    encode_gray,
+)
+
+
+def _rgb(h: int = 40, w: int = 56, seed: int = 3) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = 100 + 60 * np.sin(yy / 7.0) + rng.normal(0, 5, (h, w))
+    g = 120 + 50 * np.cos(xx / 9.0) + rng.normal(0, 5, (h, w))
+    b = 90 + 40 * np.sin((xx + yy) / 11.0)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def test_color_transform_pair_is_tight():
+    """RGB→YCbCr→RGB alone (no DCT) is within ±2: pins both transforms
+    before any codec loss enters."""
+    img = _rgb()
+    back = _ycc_to_rgb(*(p.astype(np.int64) for p in _rgb_to_ycc(img)))
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_444_roundtrip_q100_is_near_lossless():
+    """4:4:4 at q100: only color-transform (±2) and coefficient
+    rounding (±2) remain."""
+    img = _rgb()
+    dec = decode_image(encode_color(img, quality=100, subsampling="4:4:4"))
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+
+@pytest.mark.parametrize("sub", ["4:2:2", "4:2:0"])
+def test_subsampled_roundtrip_fidelity(sub):
+    """Chroma subsampling is lossy by design; on a natural-statistics
+    image the luma must stay DCT-tight and the chroma error bounded."""
+    img = _rgb()
+    dec = decode_image(encode_color(img, quality=100, subsampling=sub))
+    assert dec.shape == img.shape
+    y0, *_ = _rgb_to_ycc(img)
+    y1, *_ = _rgb_to_ycc(dec)
+    assert np.abs(y1.astype(int) - y0.astype(int)).max() <= 5, "luma drifted"
+    d = np.abs(dec.astype(int) - img.astype(int))
+    assert d.max() <= 24 and d.mean() < 4.0, (d.max(), d.mean())
+
+
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:2", "4:2:0"])
+def test_noninterleaved_scans_decode_identically(sub):
+    """Per-component scans carry the same coefficients as the
+    interleaved scan — decoded pixels must be bit-identical."""
+    img = _rgb()
+    a = decode_image(encode_color(img, 90, sub, interleaved=True))
+    b = decode_image(encode_color(img, 90, sub, interleaved=False))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("interleaved", [True, False])
+def test_restart_intervals_are_inert_in_color(interleaved):
+    img = _rgb()
+    a = decode_image(
+        encode_color(img, 90, "4:2:0", interleaved=interleaved)
+    )
+    b = decode_image(
+        encode_color(
+            img, 90, "4:2:0", restart_interval=2, interleaved=interleaved
+        )
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("dims", [(37, 33), (16, 16), (17, 16), (8, 9)])
+def test_odd_dimensions_all_subsamplings(dims):
+    """Partial MCUs on the right/bottom edges at every sampling
+    geometry — the classic off-by-one surface."""
+    h, w = dims
+    img = _rgb(h, w, seed=11)
+    for sub in ("4:4:4", "4:2:2", "4:2:0"):
+        dec = decode_image(encode_color(img, 95, sub))
+        assert dec.shape == (h, w, 3), (sub, dec.shape)
+        y0, *_ = _rgb_to_ycc(img)
+        y1, *_ = _rgb_to_ycc(dec)
+        assert np.abs(y1.astype(int) - y0.astype(int)).max() <= 6, sub
+
+
+def test_decode_image_delegates_single_component():
+    """decode_image on a grayscale stream returns decode_gray's 2-D
+    output — one public entry point covers the whole matrix."""
+    g = _rgb()[:, :, 0].copy()
+    dec = decode_image(encode_gray(g, quality=100))
+    assert dec.ndim == 2 and dec.shape == g.shape
+    assert np.abs(dec.astype(int) - g.astype(int)).max() <= 2
+
+
+def test_flat_color_is_exact_after_roundtrip():
+    """A flat color field has one nonzero coefficient per block — any
+    indexing/predictor bug shows up as block seams."""
+    img = np.full((32, 48, 3), (200, 64, 120), dtype=np.uint8)
+    dec = decode_image(encode_color(img, 100, "4:2:0"))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_unknown_subsampling_and_bad_input_raise():
+    img = _rgb()
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_color(img, subsampling="4:1:1?")
+    with pytest.raises(ValueError, match="uint8"):
+        encode_color(img.astype(np.uint16))
+
+
+def test_four_component_still_gates():
+    """CMYK-class streams keep an actionable refusal: patch the SOF of
+    a 3-component stream to claim Nf=4 — malformed or gated, never
+    silently decoded."""
+    data = bytearray(encode_color(_rgb(), 90))
+    # find SOF0 and bump Nf (body offset 5)
+    import struct
+
+    pos = 2
+    while pos < len(data):
+        marker = data[pos + 1]
+        ln = struct.unpack_from(">H", data, pos + 2)[0]
+        if marker == 0xC0:
+            data[pos + 4 + 5] = 4
+            break
+        pos += 2 + ln
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_image(bytes(data))

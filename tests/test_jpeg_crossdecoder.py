@@ -1,0 +1,266 @@
+"""Cross-decoder JPEG conformance (r9 advisor): the vendored codec's
+progressive/restart/baseline paths were previously validated only
+against this repo's OWN encoder (fixed uniform tables, one 6-scan
+script, Al<=1) — a shared spec misunderstanding would be invisible.
+
+These tests cross the implementation boundary in both directions:
+
+- streams ENCODED here must decode identically under libjpeg
+  (via imagecodecs.jpeg8_decode);
+- streams encoded by LIBJPEG (via Pillow: optimized Huffman tables,
+  libjpeg's default grayscale progressive script with successive
+  approximation to Al=2, restart markers) must decode here.
+
+"Identically" allows for IDCT rounding freedom: T.81 Annex A does not
+mandate one IDCT, and libjpeg's integer islow IDCT may differ from
+this codec's float IDCT by ±1 on a small fraction of pixels. The
+assertions therefore pin max |diff| <= 2 with >99% of pixels within 1
+— tight enough that any entropy-coding or scan-script misreading
+(which corrupts whole blocks, not low bits) fails loudly.
+
+Both libs are optional extras absent from the base container; the
+codecs-extra CI leg installs them and FAILS if these tests skip
+(.github/workflows/codecs.yml), same contract as the JPEG-XR e2e.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+import pytest
+
+from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+    decode_gray,
+    encode_gray,
+    encode_gray_progressive,
+)
+
+imagecodecs = pytest.importorskip(
+    "imagecodecs", reason="optional [codecs] extra not installed"
+)
+PIL_Image = pytest.importorskip(
+    "PIL.Image", reason="pillow not installed (codecs CI leg provides it)"
+)
+
+
+def _test_image(h: int = 72, w: int = 88, seed: int = 7) -> np.ndarray:
+    """Deterministic gray image with smooth gradients + hard edges +
+    texture — the mix that exercises DC prediction, long AC runs, EOB
+    runs, and refinement correction bits all at once."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (
+        96.0
+        + 80.0 * np.sin(yy / 9.0) * np.cos(xx / 13.0)
+        + 40.0 * ((xx // 16 + yy // 16) % 2)  # checkerboard edges
+        + rng.normal(0.0, 6.0, (h, w))
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _assert_close(a: np.ndarray, b: np.ndarray, what: str) -> None:
+    assert a.shape == b.shape and a.dtype == b.dtype == np.uint8, (
+        f"{what}: shape/dtype mismatch {a.shape}/{a.dtype} vs "
+        f"{b.shape}/{b.dtype}"
+    )
+    diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+    frac_gt1 = float((diff > 1).mean())
+    assert diff.max() <= 2 and frac_gt1 < 0.01, (
+        f"{what}: decoders disagree beyond IDCT rounding "
+        f"(max |diff|={diff.max()}, {frac_gt1:.2%} pixels differ by >1)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# direction 1: vendored encoder -> libjpeg decoder
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("quality", [100, 90, 75])
+def test_libjpeg_decodes_our_baseline(quality):
+    img = _test_image()
+    data = encode_gray(img, quality=quality)
+    _assert_close(
+        imagecodecs.jpeg8_decode(data),
+        decode_gray(data),
+        f"baseline q{quality}",
+    )
+
+
+def test_libjpeg_decodes_our_restart_intervals():
+    img = _test_image()
+    data = encode_gray(img, quality=90, restart_interval=3)
+    _assert_close(
+        imagecodecs.jpeg8_decode(data),
+        decode_gray(data),
+        "baseline + DRI/RSTn",
+    )
+
+
+@pytest.mark.parametrize("quality", [100, 85])
+def test_libjpeg_decodes_our_progressive(quality):
+    img = _test_image()
+    data = encode_gray_progressive(img, quality=quality)
+    _assert_close(
+        imagecodecs.jpeg8_decode(data),
+        decode_gray(data),
+        f"progressive q{quality}",
+    )
+
+
+# ---------------------------------------------------------------------------
+# direction 2: libjpeg (Pillow) encoder -> vendored decoder
+# ---------------------------------------------------------------------------
+
+
+def _pil_encode(img: np.ndarray, **save_kw) -> bytes:
+    buf = io.BytesIO()
+    PIL_Image.fromarray(img, mode="L").save(buf, format="JPEG", **save_kw)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("quality", [95, 80])
+def test_we_decode_libjpeg_baseline_optimized_tables(quality):
+    """Optimized (per-image) Huffman tables — never produced by this
+    repo's encoder, which always writes Annex K tables."""
+    img = _test_image()
+    data = _pil_encode(img, quality=quality, optimize=True)
+    _assert_close(
+        imagecodecs.jpeg8_decode(data),
+        decode_gray(data),
+        f"libjpeg baseline optimize q{quality}",
+    )
+
+
+@pytest.mark.parametrize("quality", [95, 80])
+def test_we_decode_libjpeg_progressive_default_script(quality):
+    """libjpeg's default grayscale progressive script: DC(Al=1) ->
+    AC 1-5 / 6-63 first at Al=2 -> refine Al=1 -> DC refine -> refine
+    Al=0 — deeper successive approximation and different banding than
+    this repo's encoder ever emits."""
+    img = _test_image()
+    data = _pil_encode(img, quality=quality, optimize=True, progressive=True)
+    _assert_close(
+        imagecodecs.jpeg8_decode(data),
+        decode_gray(data),
+        f"libjpeg progressive q{quality}",
+    )
+
+
+def test_we_decode_libjpeg_progressive_with_restarts():
+    img = _test_image()
+    try:
+        data = _pil_encode(
+            img, quality=90, progressive=True, restart_marker_blocks=2
+        )
+    except TypeError:
+        pytest.skip("Pillow too old for restart_marker_blocks")
+    _assert_close(
+        imagecodecs.jpeg8_decode(data),
+        decode_gray(data),
+        "libjpeg progressive + restarts",
+    )
+
+
+def test_we_decode_libjpeg_odd_dimensions():
+    """Partial right/bottom MCUs through a foreign encoder's padding."""
+    img = _test_image(h=61, w=77, seed=11)
+    data = _pil_encode(img, quality=92, progressive=True, optimize=True)
+    _assert_close(
+        imagecodecs.jpeg8_decode(data),
+        decode_gray(data),
+        "libjpeg odd-size progressive",
+    )
+
+
+# ---------------------------------------------------------------------------
+# color (r10: multi-component + subsampled rows)
+# ---------------------------------------------------------------------------
+
+
+def _test_rgb(h: int = 48, w: int = 64, seed: int = 5) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = 100 + 70 * np.sin(yy / 8.0) + rng.normal(0, 5, (h, w))
+    g = 110 + 60 * np.cos(xx / 10.0) + rng.normal(0, 5, (h, w))
+    b = 96 + 48 * ((xx // 16) % 2)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def test_libjpeg_decodes_our_color_444():
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        decode_image,
+        encode_color,
+    )
+
+    img = _test_rgb()
+    data = encode_color(img, quality=95, subsampling="4:4:4")
+    _assert_close(
+        imagecodecs.jpeg8_decode(data),
+        decode_image(data),
+        "our color 4:4:4 vs libjpeg",
+    )
+
+
+def test_libjpeg_decodes_our_color_420():
+    """Same bitstream through both decoders: our fancy upsample +
+    fixed-point color conversion reimplement libjpeg's defaults, so the
+    only slack is IDCT rounding."""
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        decode_image,
+        encode_color,
+    )
+
+    img = _test_rgb()
+    data = encode_color(img, quality=90, subsampling="4:2:0")
+    _assert_close(
+        imagecodecs.jpeg8_decode(data),
+        decode_image(data),
+        "our color 4:2:0 vs libjpeg",
+    )
+
+
+@pytest.mark.parametrize(
+    "pil_sub,label", [(0, "4:4:4"), (1, "4:2:2"), (2, "4:2:0")]
+)
+def test_we_decode_libjpeg_color(pil_sub, label):
+    """libjpeg-encoded color (Pillow: optimized tables, its own chroma
+    downsampling) through our general decoder vs its own decoder."""
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        decode_image,
+    )
+
+    img = _test_rgb(h=45, w=59, seed=9)  # odd dims: partial MCUs
+    buf = io.BytesIO()
+    PIL_Image.fromarray(img, mode="RGB").save(
+        buf, format="JPEG", quality=92, optimize=True, subsampling=pil_sub
+    )
+    data = buf.getvalue()
+    _assert_close(
+        imagecodecs.jpeg8_decode(data),
+        decode_image(data),
+        f"libjpeg color {label}",
+    )
+
+
+def test_we_decode_libjpeg_color_with_restarts():
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        decode_image,
+    )
+
+    img = _test_rgb()
+    buf = io.BytesIO()
+    try:
+        PIL_Image.fromarray(img, mode="RGB").save(
+            buf, format="JPEG", quality=90, subsampling=2,
+            restart_marker_blocks=2,
+        )
+    except TypeError:
+        pytest.skip("Pillow too old for restart_marker_blocks")
+    data = buf.getvalue()
+    _assert_close(
+        imagecodecs.jpeg8_decode(data),
+        decode_image(data),
+        "libjpeg color 4:2:0 + restarts",
+    )

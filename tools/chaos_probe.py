@@ -1,0 +1,641 @@
+"""Fault-injection differential (VERDICT r9 task 1): the exactly-once /
+idempotent-retry claims, demonstrated under REAL mid-flight failure
+instead of clean restart.
+
+Every 100 TB scale argument this engine makes ultimately leans on two
+properties that only matter when something dies:
+
+- **task-retry idempotence** — a Spark task killed after PARTIAL side
+  effects (some zarr chunk files written, some not) must leave output a
+  retry silently repairs, because at 1000 executors preemptions and
+  OOM-kills are routine, not exceptional;
+- **exactly-once streaming** — a micro-batch killed between "data
+  read/applied" and "progress committed" must not double- or drop-count
+  on restart, because that window is where every crash lands
+  eventually.
+
+Until r10 both were tested only under clean conditions
+(``tests/test_streaming_recovery.py`` checkpoint restarts,
+``test_pipeline.py`` resume). This probe injects the failures the
+advisor/verdict named and diffs the recovered output against a clean
+run:
+
+1. ``zarr_task_retry`` — ``write_blocks_to_zarr`` tasks throw on their
+   first attempt AFTER writing a region (partial chunk-file output on
+   disk); the job must succeed via Spark task retry (``local[8,3]``)
+   and the final chunk TREE must be byte-identical to a clean run's.
+2. ``pyramid_task_retry`` — same kill inside ``_convert_pyramid``'s
+   fused multi-level chain (the engine core): first attempts die
+   mid-level on even partitions at EVERY pyramid level; retried output
+   tree must hash-equal the clean run.
+3. ``feed_read_retry`` — the broker-shaped feed's ``read()`` dies
+   mid-iteration on its first attempt for partition 0 of every
+   micro-batch; the parquet sink must end with every event exactly
+   once.
+4. ``feed_commit_kill`` — the feed's consumer-group ``commit()`` dies
+   after a batch is fully processed (the read-applied/not-committed
+   window); the restarted query must resume from Spark's checkpoint
+   and the sink must hold every event exactly once.
+5. ``foreach_swap_kill`` — the ``foreachBatch`` MERGE dies right AFTER
+   its atomic store swap but BEFORE Spark's commit log records the
+   batch; the restart REPLAYS the applied batch, so the merge must be
+   replay-idempotent (latest-batch-wins). A control run with the
+   pre-r10 ADDITIVE merge must FAIL here — the probe proving it can
+   see the bug it was built for (``streaming/events.py``
+   ``make_upsert_merger`` docstring).
+6. ``foreach_between_renames_kill`` — the same MERGE dies inside the
+   two-rename swap window (store absent, ``_old`` present); the
+   recovery preamble must restore and replay.
+
+Each stage records ok/fail + detail; the probe exits 1 on any failure.
+
+Usage::
+
+    python tools/chaos_probe.py [sf_dir] [--json CHAOS_PROBE.json]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import traceback
+import uuid
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.datasource import DataSource  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# fault injectors (module-level: pickled into task closures)
+# ---------------------------------------------------------------------------
+
+
+class KillFirstTaskAttempt:
+    """Raise on a task's FIRST attempt after ``after`` side-effect
+    writes, for even-numbered partitions (mixing killed and clean tasks
+    in one stage). Subsequent attempts run clean — pure
+    ``TaskContext.attemptNumber()`` logic, no shared state."""
+
+    def __init__(self, after: int = 1):
+        self.after = after
+
+    def __call__(self, *args) -> None:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        if tc is None:
+            return
+        n = args[0] if args and isinstance(args[0], int) else self.after
+        if (
+            tc.attemptNumber() == 0
+            and tc.partitionId() % 2 == 0
+            and n >= self.after
+        ):
+            raise RuntimeError(
+                f"chaos: killing attempt 0 of partition "
+                f"{tc.partitionId()} after {n} region writes"
+            )
+
+
+class RaiseOncePerPoint:
+    """foreachBatch fault: raise the first time ``point`` is hit on the
+    given batch; a marker file remembers the kill across the query
+    restart (driver-side, same process)."""
+
+    def __init__(self, marker_dir: str, point: str, batch_id: int):
+        self.marker_dir, self.point, self.batch_id = (
+            marker_dir,
+            point,
+            batch_id,
+        )
+        self.armed_batch = None  # set per merge invocation
+
+    def __call__(self, point: str) -> None:
+        if point != self.point or self.armed_batch != self.batch_id:
+            return
+        marker = os.path.join(self.marker_dir, f"kill_{point}")
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            raise RuntimeError(f"chaos: died at {point}")
+
+
+# ---------------------------------------------------------------------------
+# chaos feed source (subclasses the shipped reader; by-value pickled)
+# ---------------------------------------------------------------------------
+
+
+def _chaos_feed_classes():
+    """Build the chaos DataSource subclasses lazily (after sys.path is
+    set) so the module also imports under pytest collection."""
+    from aind_hcr_data_transformation_spark.streaming.feed import (
+        _FEED_SCHEMA,
+        EventFeedStreamReader,
+    )
+
+    class ChaosReadReader(EventFeedStreamReader):
+        """``read()`` dies mid-iteration on its FIRST attempt for feed
+        partition 0 of every batch; a marker file (visible across local
+        worker processes) flips the retry clean."""
+
+        def __init__(self, options):
+            super().__init__(options)
+            self._chaos_dir = options.get("chaos_marker_dir")
+
+        def read(self, partition):
+            it = super().read(partition)
+            if self._chaos_dir and partition.pid == 0:
+                m = os.path.join(
+                    self._chaos_dir,
+                    f"read_{partition.lo}_{partition.hi}_{partition.pid}",
+                )
+                if not os.path.exists(m):
+                    open(m, "w").close()
+                    emitted = False
+                    for batch in it:
+                        if emitted:
+                            raise RuntimeError(
+                                "chaos: task killed mid-read after one "
+                                "Arrow batch"
+                            )
+                        emitted = True
+                        yield batch
+                    raise RuntimeError("chaos: task killed at end of read")
+            yield from it
+
+    class ChaosCommitReader(EventFeedStreamReader):
+        """``commit()`` dies once, AFTER the batch is fully processed —
+        the applied/not-consumer-committed window."""
+
+        def __init__(self, options):
+            super().__init__(options)
+            self._chaos_dir = options.get("chaos_marker_dir")
+
+        def commit(self, end):
+            m = os.path.join(self._chaos_dir, "commit_killed")
+            if not os.path.exists(m):
+                open(m, "w").close()
+                raise RuntimeError(
+                    "chaos: driver died inside consumer-group commit"
+                )
+            super().commit(end)
+
+    class ChaosReadFeed(DataSource):
+        @classmethod
+        def name(cls):
+            return "event_feed_chaos_read"
+
+        def schema(self):
+            return _FEED_SCHEMA
+
+        def streamReader(self, schema):
+            return ChaosReadReader(self.options)
+
+    class ChaosCommitFeed(DataSource):
+        @classmethod
+        def name(cls):
+            return "event_feed_chaos_commit"
+
+        def schema(self):
+            return _FEED_SCHEMA
+
+        def streamReader(self, schema):
+            return ChaosCommitReader(self.options)
+
+    return ChaosReadFeed, ChaosCommitFeed
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def tree_hash(root: str) -> str:
+    """Order-independent digest of a directory tree's (relpath, bytes)."""
+    h = hashlib.sha256()
+    for p in sorted(Path(root).rglob("*")):
+        if p.is_file():
+            h.update(str(p.relative_to(root)).encode())
+            h.update(p.read_bytes())
+    return h.hexdigest()
+
+
+def _drain_to_parquet(df, sink: str, ckpt: str, timeout_s: float = 120.0):
+    """Run a stream into a parquet file sink under a continuous trigger
+    until drained (same observed-drain loop as feed.run_feed_bounded),
+    then stop. Returns normally on drain; lets stream failures raise."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + timeout_s
+    idle = 0
+    try:
+        while time.time() < deadline:
+            if not q.isActive:
+                q.awaitTermination()  # surface the error
+                raise RuntimeError("stream terminated before draining")
+            st = q.status
+            if (
+                not st["isDataAvailable"]
+                and not st["isTriggerActive"]
+                and q.lastProgress is not None
+            ):
+                idle += 1
+                if idle >= 3:
+                    break
+            else:
+                idle = 0
+            time.sleep(0.1)
+        else:
+            raise TimeoutError(f"stream did not drain in {timeout_s}s")
+    finally:
+        if q.isActive:
+            q.stop()
+    q.awaitTermination()
+
+
+def _exactly_once_check(spark, sink: str, events_path: str) -> dict:
+    """sink (streaming parquet dir, read back THROUGH the commit log)
+    must hold each event_id exactly once and all of them."""
+    import pyarrow.parquet as pq
+
+    expected = pq.read_metadata(events_path).num_rows
+    got = spark.read.parquet(sink)
+    total = got.count()
+    dupes = (
+        got.groupBy("event_id").count().where(F.col("count") > 1).count()
+    )
+    return {
+        "expected_rows": expected,
+        "sink_rows": total,
+        "duplicated_event_ids": dupes,
+        "ok": total == expected and dupes == 0,
+    }
+
+
+# ---------------------------------------------------------------------------
+# stages
+# ---------------------------------------------------------------------------
+
+
+def stage_zarr_task_retry(spark, sf_dir: str) -> dict:
+    from aind_hcr_data_transformation_spark.sinks.zarr_sink import (
+        write_blocks_to_zarr,
+    )
+    from aind_hcr_data_transformation_spark.sources.czi import (
+        block_index,
+        read_blocks,
+    )
+
+    catalog = spark.createDataFrame(
+        [("chaos_stack", 48, 64, 64)],
+        "stack_name string, z_extent int, y_extent int, x_extent int",
+    )
+    blocks = read_blocks(
+        block_index(catalog, (16, 32, 32)).repartition(6), "synthetic"
+    )
+    shape, chunks = (1, 1, 48, 64, 64), (1, 1, 16, 32, 32)
+    base = tempfile.mkdtemp(prefix="chaos_zarr_")
+    clean_url = os.path.join(base, "clean")
+    chaos_url = os.path.join(base, "chaos")
+    try:
+        n_clean = write_blocks_to_zarr(
+            blocks, clean_url, shape, chunks, "uint16"
+        )
+        n_chaos = write_blocks_to_zarr(
+            blocks, chaos_url, shape, chunks, "uint16",
+            fault=KillFirstTaskAttempt(after=1),
+        )
+        return {
+            "blocks_written": [n_clean, n_chaos],
+            "hash_clean": tree_hash(clean_url),
+            "hash_chaos": tree_hash(chaos_url),
+            "ok": n_clean == n_chaos
+            and tree_hash(clean_url) == tree_hash(chaos_url),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def stage_pyramid_task_retry(spark, sf_dir: str) -> dict:
+    from aind_hcr_data_transformation_spark.config import (
+        ZarrConversionSettings,
+    )
+    from aind_hcr_data_transformation_spark.pipeline import _convert_pyramid
+
+    base = tempfile.mkdtemp(prefix="chaos_pyr_")
+    stacks = {"stack_a": (32, 64, 64), "stack_b": (16, 32, 32)}
+    out = {}
+    try:
+        for mode, fault in (
+            ("clean", None),
+            ("chaos", KillFirstTaskAttempt(after=2)),
+        ):
+            settings = ZarrConversionSettings(
+                output_directory=os.path.join(base, mode),
+                chunk_size=(16, 32, 32),
+                scale_factor=(2, 2, 2),
+                downsample_levels=3,
+            )
+            _convert_pyramid(spark, settings, stacks, "uint16", fault=fault)
+            out[mode] = tree_hash(settings.output_directory)
+        return {
+            "hash_clean": out["clean"],
+            "hash_chaos": out["chaos"],
+            "ok": out["clean"] == out["chaos"],
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def stage_feed_read_retry(spark, sf_dir: str) -> dict:
+    ChaosReadFeed, _ = _chaos_feed_classes()
+    spark.dataSource.register(ChaosReadFeed)
+    base = tempfile.mkdtemp(prefix="chaos_feedread_")
+    marker = os.path.join(base, "markers")
+    os.makedirs(marker)
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    events = f"{sf_dir}/events.parquet"
+    try:
+        df = (
+            spark.readStream.format("event_feed_chaos_read")
+            .option("path", events)
+            .option("feed_partitions", "4")
+            .option("feed_target_batches", "4")
+            .option("progress_dir", os.path.join(base, "prog"))
+            .option("chaos_marker_dir", marker)
+            .load()
+        )
+        _drain_to_parquet(df, sink, ckpt)
+        res = _exactly_once_check(spark, sink, events)
+        res["killed_attempts"] = len(os.listdir(marker))
+        res["ok"] = res["ok"] and res["killed_attempts"] >= 4
+        return res
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def stage_feed_commit_kill(spark, sf_dir: str) -> dict:
+    _, ChaosCommitFeed = _chaos_feed_classes()
+    spark.dataSource.register(ChaosCommitFeed)
+    base = tempfile.mkdtemp(prefix="chaos_feedcommit_")
+    marker = os.path.join(base, "markers")
+    os.makedirs(marker)
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    events = f"{sf_dir}/events.parquet"
+
+    def open_feed():
+        return (
+            spark.readStream.format("event_feed_chaos_commit")
+            .option("path", events)
+            .option("feed_partitions", "4")
+            .option("feed_target_batches", "4")
+            .option("progress_dir", os.path.join(base, "prog"))
+            .option("chaos_marker_dir", marker)
+            .load()
+        )
+
+    try:
+        died = False
+        try:
+            _drain_to_parquet(open_feed(), sink, ckpt)
+        except Exception as exc:  # the injected commit death
+            died = "chaos" in str(exc) or "commit" in str(exc).lower()
+            if not died:
+                raise
+        # restart from Spark's checkpoint — the consumer-group progress
+        # file was never written for the killed batch; partitions()'s
+        # forward-sync must keep the replay from rewinding
+        _drain_to_parquet(open_feed(), sink, ckpt)
+        res = _exactly_once_check(spark, sink, events)
+        res["query_died_on_commit"] = died
+        res["ok"] = res["ok"] and died
+        return res
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _split_events(spark, sf_dir: str, base: str, nfiles: int = 3) -> str:
+    """Copy the events table into ``nfiles`` parquet files so the file
+    stream (maxFilesPerTrigger=1) yields a REAL multi-batch run."""
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    out = os.path.join(base, "events_split")
+    os.makedirs(out)
+    step = -(-src.num_rows // nfiles)
+    for i in range(nfiles):
+        pq.write_table(
+            src.slice(i * step, step), os.path.join(out, f"part_{i}.parquet")
+        )
+    return out
+
+
+def _run_upsert(spark, split_dir: str, store_dir: str, ckpt: str, merger):
+    schema = spark.read.parquet(split_dir).schema
+    counts = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(split_dir)
+        .groupBy("user_id")
+        .count()
+    )
+    q = (
+        counts.writeStream.foreachBatch(merger)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _foreach_kill_stage(spark, sf_dir: str, point: str) -> dict:
+    from aind_hcr_data_transformation_spark.streaming.events import (
+        make_upsert_merger,
+    )
+
+    base = tempfile.mkdtemp(prefix=f"chaos_upsert_{point}_")
+    split = _split_events(spark, sf_dir, base)
+    oracle = [
+        (r["user_id"], r["n_events"])
+        for r in spark.read.parquet(split)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+        .collect()
+    ]
+
+    def run(store, ckpt, merge_fn):
+        """availableNow run; on the injected death, restart once."""
+        died = False
+        try:
+            _run_upsert(spark, split, store, ckpt, merge_fn)
+        except Exception as exc:
+            if "chaos" not in str(exc):
+                raise
+            died = True
+            _run_upsert(spark, split, store, ckpt, merge_fn)  # restart
+        rows = [
+            (r["user_id"], r["n_events"])
+            for r in spark.read.parquet(store).orderBy("user_id").collect()
+        ]
+        return died, rows
+
+    try:
+        # shipped merger under the kill: must die once, then match
+        store, ckpt = os.path.join(base, "store"), os.path.join(base, "ck")
+        fault = RaiseOncePerPoint(base, point, batch_id=1)
+        shipped = make_upsert_merger(store, fault=fault)
+
+        def merge_with_arm(batch_df, batch_id):
+            fault.armed_batch = batch_id
+            shipped(batch_df, batch_id)
+
+        died, rows = run(store, ckpt, merge_with_arm)
+
+        # control (swap-kill only): the pre-r10 ADDITIVE merge under the
+        # same replayed batch must DIVERGE — the probe can see the bug
+        control_diverged = None
+        if point == "after_swap":
+            store2, ckpt2 = os.path.join(base, "s2"), os.path.join(base, "k2")
+            fault2 = RaiseOncePerPoint(
+                os.path.join(base, "m2"), point, batch_id=1
+            )
+            os.makedirs(os.path.join(base, "m2"))
+
+            def additive_merge(batch_df, batch_id):
+                fault2.armed_batch = batch_id
+                sess = batch_df.sparkSession
+                new = batch_df.withColumnRenamed("count", "n_new")
+                if os.path.isdir(store2):
+                    cur = sess.read.parquet(store2).withColumnRenamed(
+                        "n_events", "n_old"
+                    )
+                    merged = cur.join(new, "user_id", "full_outer").select(
+                        "user_id",
+                        (
+                            F.coalesce("n_old", F.lit(0))
+                            + F.coalesce("n_new", F.lit(0))
+                        ).alias("n_events"),
+                    )
+                else:
+                    merged = new.select(
+                        "user_id", F.col("n_new").alias("n_events")
+                    )
+                tmp = store2 + f"_b{batch_id}"
+                merged.write.mode("overwrite").parquet(tmp)
+                old = store2 + "_old"
+                # (not in the pre-r10 code: clear a leftover _old so the
+                # control COMPLETES and demonstrates the double-count
+                # divergence instead of crashing on the rename)
+                shutil.rmtree(old, ignore_errors=True)
+                if os.path.isdir(store2):
+                    os.rename(store2, old)
+                os.rename(tmp, store2)
+                fault2("after_swap")
+                shutil.rmtree(old, ignore_errors=True)
+
+            _, control_rows = run(store2, ckpt2, additive_merge)
+            control_diverged = control_rows != oracle
+
+        ok = died and rows == oracle
+        if control_diverged is not None:
+            ok = ok and control_diverged
+        return {
+            "query_died": died,
+            "rows_match_oracle": rows == oracle,
+            "n_keys": len(rows),
+            "control_additive_diverged": control_diverged,
+            "ok": ok,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def stage_foreach_swap_kill(spark, sf_dir: str) -> dict:
+    return _foreach_kill_stage(spark, sf_dir, "after_swap")
+
+
+def stage_foreach_between_renames_kill(spark, sf_dir: str) -> dict:
+    return _foreach_kill_stage(spark, sf_dir, "between_renames")
+
+
+STAGES = {
+    "zarr_task_retry": stage_zarr_task_retry,
+    "pyramid_task_retry": stage_pyramid_task_retry,
+    "feed_read_retry": stage_feed_read_retry,
+    "feed_commit_kill": stage_feed_commit_kill,
+    "foreach_swap_kill": stage_foreach_swap_kill,
+    "foreach_between_renames_kill": stage_foreach_between_renames_kill,
+}
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    json_out = "CHAOS_PROBE.json"
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+
+    from aind_hcr_data_transformation_spark.session import get_spark
+
+    # local[8,3]: 8 threads, THREE task attempts — the probe's whole
+    # point is that first attempts die and retries repair
+    spark = get_spark(
+        "chaos-probe",
+        master="local[8,3]",
+        extra_conf={"spark.sql.shuffle.partitions": "8"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results, any_fail = {}, False
+    for name, fn in STAGES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            res = fn(spark, sf_dir)
+        except Exception:
+            res = {"ok": False, "error": traceback.format_exc(limit=8)}
+        res["sec"] = round(time.time() - t0, 2)
+        results[name] = res
+        any_fail = any_fail or not res["ok"]
+        print(f"[{name}] {'PASS' if res['ok'] else 'FAIL'} "
+              f"({res['sec']}s)", flush=True)
+        if not res["ok"]:
+            print(json.dumps(res, indent=2, default=str), flush=True)
+
+    out = {
+        "sf_dir": sf_dir,
+        "task_max_failures": 3,
+        "stages": results,
+        "ok": not any_fail,
+    }
+    with open(REPO / json_out, "w") as fh:
+        json.dump(out, fh, indent=2, default=str)
+    print(f"chaos probe: {'OK' if not any_fail else 'FAILURES'} -> {json_out}")
+    return 1 if any_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -95,6 +95,11 @@ MUTATIONS = {
     "value": ("events", "event_id", "value", 11, None),
     "event_type": ("events", "event_id", "event_type", 17, None),
     "props": ("events", "event_id", "props", 13, None),
+    # r9 advisor: the feed partitioner's `uid % nparts == pid` dropped
+    # NULL-keyed rows (NaN == pid is false for every partition) while
+    # the file source and oracle kept them — same class as the
+    # agg_kmv_distinct NULL-group bug; this stage keeps the column hot
+    "user_id": ("events", "event_id", "user_id", 23, None),
     "empty_text": ("documents", "doc_id", "text", 19, ""),
 }
 
@@ -128,6 +133,11 @@ def main() -> int:
         i = argv.index("--json")
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
     src = argv[0] if argv else "/root/testdata/sf0.001"
 
     stages = {}
@@ -137,6 +147,8 @@ def main() -> int:
         for m, (t, k, c, mod, v) in MUTATIONS.items()
     }
     descs["tiny"] = "truncate every table to TINY_ROWS slices"
+    if only:
+        descs = {m: d for m, d in descs.items() if m in only}
     for mutation, desc in descs.items():
         dst = tempfile.mkdtemp(prefix=f"sfnull_{mutation}_")
         try:
