@@ -121,21 +121,22 @@ def _feed_plan(path: str, target_batches: int) -> list[int]:
 
 
 _PLAN_CACHE: dict = {}
+_TABLE_CACHE: dict = {}
 _SLICE_CACHE: dict = {}
 
 
-def _pid_table(path: str, nparts: int, pid: int):
-    """Worker-side: feed partition ``pid``'s full slice, (ts, event_id)-
-    sorted, cached per (file, layout) per worker process. At test scale
-    this is an in-memory topic partition; at broker scale the fetch
-    replaces this function and nothing above it changes."""
+def _full_table(path: str, mtime: float):
+    """Worker-side: the whole topic file, read + typed ONCE per worker
+    process whatever partition/batch the task serves — Spark gives no
+    pid→worker affinity, so slicing from a shared cache is what keeps
+    a long run at one parquet read per worker instead of one per
+    (worker, pid, batch) miss."""
     import pyarrow as pa
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    key = (path, os.path.getmtime(path), nparts, pid)
-    if key in _SLICE_CACHE:
-        return _SLICE_CACHE[key]
+    key = (path, mtime)
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     tbl = pq.read_table(path, columns=_FEED_COLS)
     tbl = tbl.cast(
         pa.schema(
@@ -148,6 +149,23 @@ def _pid_table(path: str, nparts: int, pid: int):
             ]
         )
     )
+    _TABLE_CACHE[key] = tbl
+    return tbl
+
+
+def _pid_table(path: str, nparts: int, pid: int):
+    """Worker-side: feed partition ``pid``'s full slice, (ts, event_id)-
+    sorted, cached per (file, layout) per worker process. At test scale
+    this is an in-memory topic partition; at broker scale the fetch
+    replaces this function and nothing above it changes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    mtime = os.path.getmtime(path)
+    key = (path, mtime, nparts, pid)
+    if key in _SLICE_CACHE:
+        return _SLICE_CACHE[key]
+    tbl = _full_table(path, mtime)
     # NULL keys go to a fixed partition (0) — a keyed producer with no
     # key still publishes the record; dropping it would make the feed
     # diverge from the file source and the oracle on null user_id
@@ -301,6 +319,16 @@ def run_feed_bounded(
             .trigger(processingTime="0 seconds")
             .start()
         )
+        # block until every available offset is committed —
+        # processAllAvailable is the JVM-side drain barrier, replacing
+        # driver-side status polling DURING the data batches (the
+        # py4j status chatter measurably stretched inter-batch gaps:
+        # 7.8 s vs 4.2 s warm on the same query, r10 task 4)
+        q.processAllAvailable()
+        # ...then the observed-drain loop below only has to see out the
+        # watermark-flush no-data batch MicroBatchExecution schedules
+        # after the last data batch (stateful append queries emit their
+        # final closed windows there)
         deadline = time.time() + timeout_s
         idle = 0
         while time.time() < deadline:
@@ -322,7 +350,7 @@ def run_feed_bounded(
                     break
             else:
                 idle = 0
-            time.sleep(0.1)
+            time.sleep(0.05)
         else:
             raise TimeoutError(f"feed stream did not drain in {timeout_s}s")
         q.stop()
@@ -356,11 +384,15 @@ def stream_feed_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     progress_dir = os.path.join(
         tempfile.gettempdir(), f"feedprog_{uuid.uuid4().hex[:8]}"
     )
+    # 3 batches: enough to accumulate window state ACROSS micro-batches
+    # (the property this query exists to pin) at ~60% of the 5-batch
+    # wall — per-batch cost is trigger machinery, not compute (r9
+    # verdict task 4)
     feed = read_feed(
         spark,
         sf_dir,
         feed_partitions=4,
-        feed_target_batches=5,
+        feed_target_batches=3,
         progress_dir=progress_dir,
     )
     windowed = (

@@ -307,6 +307,69 @@ def _bench_czi_decode(spark) -> dict[str, float]:
     }
 
 
+def _warm_datasource_streaming(spark) -> None:
+    """One trivial streaming micro-batch through a synthetic Python
+    DataSource: spins the registration machinery, the schema-resolution
+    runner, and the streaming-source runner processes (~8 s cold on
+    this host) so the one DataSource-backed registry query measures its
+    own work. The source is 10 literal rows — it shares no code, scan,
+    or plan with ``event_feed``."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _WarmReader(DataSourceStreamReader):
+        def initialOffset(self):
+            return {"i": 0}
+
+        def latestOffset(self):
+            return {"i": 1}
+
+        def partitions(self, start, end):
+            return [] if end["i"] <= start["i"] else [InputPartition(0)]
+
+        def read(self, p):
+            import pyarrow as pa
+
+            yield from pa.table({"x": list(range(10))}).to_batches()
+
+        def commit(self, end):
+            pass
+
+    class _WarmSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "bench_warm_stream"
+
+        def schema(self):
+            return T.StructType([T.StructField("x", T.LongType())])
+
+        def streamReader(self, schema):
+            return _WarmReader()
+
+    spark.dataSource.register(_WarmSource)
+    ckpt = tempfile.mkdtemp(prefix="bench_warm_ds_")
+    try:
+        q = (
+            spark.readStream.format("bench_warm_stream")
+            .load()
+            .writeStream.format("memory")
+            .queryName("bench_warm_stream_sink")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def main(attribute: str | None = None) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repo = Path(__file__).resolve().parent
@@ -330,6 +393,13 @@ def main(attribute: str | None = None) -> None:
     spark.range(1000).mapInPandas(
         lambda it: (b for b in it), "id long"
     ).write.format("noop").mode("overwrite").save()
+    # ...and the Python DataSource STREAMING runtime: registration
+    # machinery, the schema-resolution runner, and the streaming-source
+    # runner process cost ~8 s on first use and would land entirely on
+    # stream_feed_windowed (the one DataSource-backed query). The
+    # warm-up source below is a 10-row synthetic that resembles no
+    # registry query — same methodology as the two warm-ups above.
+    _warm_datasource_streaming(spark)
     # ...and the kernel classes the vector/dedup families lean on — HOF
     # zip_with/aggregate folds, md5-explode signatures, and wide
     # DECIMAL(30,10) aggregation. C2-compiling them here keeps the
