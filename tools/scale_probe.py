@@ -284,6 +284,17 @@ def main() -> int:
     sf_small = _opt("--small", sf_small)
     sf_big = _opt("--big", sf_big)
     growth = float(_opt("--growth", growth))
+    # --conf k=v (repeatable): pin a plan choice across both SFs — e.g.
+    # spark.sql.autoBroadcastJoinThreshold=-1 isolates a BHJ→SMJ
+    # threshold step from genuine growth (r10: the rec_item_cosine
+    # sf3→sf10 flag was exactly such a step; explicit broadcast() hints
+    # still apply, so vocabulary-sized dims stay broadcast)
+    extra_conf: dict[str, str] = {}
+    while "--conf" in argv:
+        i = argv.index("--conf")
+        k, _, v = argv[i + 1].partition("=")
+        extra_conf[k] = v
+        del argv[i : i + 2]
     full = "--full" in argv
     if full:
         argv = [a for a in argv if a != "--full"]
@@ -303,6 +314,7 @@ def main() -> int:
             "spark.eventLog.dir": log_dir.as_uri(),
             "spark.eventLog.compress": "false",
             "spark.eventLog.rolling.enabled": "false",
+            **extra_conf,
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
