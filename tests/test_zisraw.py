@@ -752,3 +752,46 @@ def test_convert_zstd_czi_stack_e2e(spark, tmp_path, no_czifile):
     assert stack_is_complete(group)
     golden = synthetic_ramp_block(0, nz, 0, y, 0, x)
     np.testing.assert_array_equal(read_array(f"{group}/0")[0, 0], golden)
+
+
+def test_jpeg_subblock_with_sampling_factors_decodes(tmp_path):
+    """r10 (VERDICT task 2 closing note): a mode-1 subblock whose SOF
+    declares sampling factors HV=0x22 decodes voxel-identically — T.81
+    A.2.4 makes HV inert in a single-component frame, so a scope/writer
+    that stamps factors on grayscale no longer hits a gate. The patch
+    targets the SOF segment (FF C0 cannot occur inside entropy-coded
+    data: in-scan FF bytes are always stuffed as FF 00)."""
+    from aind_hcr_data_transformation_spark.sources import zisraw as Z
+
+    yy, xx = np.mgrid[0:32, 0:24]
+    planes = {
+        z: ((yy * 3 + xx * 5 + z * 11) % 256).astype(np.uint8)
+        for z in range(3)
+    }
+    comp = str(tmp_path / "jpeg.czi")
+    patched = str(tmp_path / "jpeg_hv22.czi")
+    write_czi(comp, planes, compression=Z._COMPRESSION_JPEG)
+
+    raw = bytearray(open(comp, "rb").read())
+    sof_prefix = b"\xff\xc0\x00\x0b\x08"  # SOF0, len 11, 8-bit
+    n_patched = 0
+    i = raw.find(sof_prefix)
+    while i != -1:
+        assert raw[i + 11] == 0x11, "expected 1x1 factors in fixture"
+        raw[i + 11] = 0x22
+        n_patched += 1
+        i = raw.find(sof_prefix, i + 1)
+    assert n_patched == len(planes)
+    open(patched, "wb").write(bytes(raw))
+
+    with MiniCziFile(comp) as a, MiniCziFile(patched) as b:
+        subs_a = sorted(
+            a.filtered_subblock_directory,
+            key=lambda e: e.start[e.axes.index("Z")],
+        )
+        subs_b = sorted(
+            b.filtered_subblock_directory,
+            key=lambda e: e.start[e.axes.index("Z")],
+        )
+        for sa, sb in zip(subs_a, subs_b):
+            np.testing.assert_array_equal(sa.data(), sb.data())
