@@ -802,3 +802,148 @@ FROM img
 
 QUERIES["multimodal_jpeg_decode"] = multimodal_jpeg_decode
 ORACLES["multimodal_jpeg_decode"] = MULTIMODAL_JPEG_DECODE_SQL
+
+
+def multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR JPEG decode through the vendored general decoder
+    (``sources/jpegcodec.py::decode_image`` — the r10 multi-component
+    matrix row), hash-exact against an oracle that never sees a JPEG.
+
+    Same lossless-by-construction fixture family as
+    ``multimodal_jpeg_decode``, extended to three channels: each 8×8
+    block holds one CONSTANT RGB triple taken from three consecutive
+    bytes of the doc's printable-ASCII text. The full chain is then
+    bit-exact at 4:4:4 quality 100:
+
+    - forward RGB→YCbCr uses floor(x+0.5) half-up rounding (plain SQL
+      reproduces it, unlike numpy's default half-to-even), and in the
+      ASCII byte range [32,126] no channel ever clips;
+    - a constant block's DCT is one integer DC coefficient under the
+      all-ones q100 tables (luma AND chroma scale to 1), so quantize →
+      dequantize → IDCT is exact;
+    - the decoder's YCbCr→RGB is libjpeg's fixed-point arithmetic
+      (SCALEBITS=16), which the oracle replicates as integer algebra
+      with floor(x/65536.0) (DuckDB ``//`` truncates, the C arithmetic
+      shift floors).
+
+    The emitted stats (dims, per-image pixel sum over all channels, md5
+    of the decoded interleaved-RGB HEX string) come from the DECODED
+    array, so any defect in the interleaved-MCU entropy coding,
+    per-component DC prediction, quant-table routing, upsampling
+    identity, or color conversion breaks the hash.
+
+    Scale: one mapInPandas pass, no shuffle before the tiny result.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    media = docs.filter(F.length("text") >= 1).select(
+        "doc_id",
+        F.encode(
+            F.regexp_replace(F.col("text"), "[^ -~]", "?"), "utf-8"
+        ).alias("payload"),
+    )
+    return media.mapInPandas(_jpeg_color_roundtrip, PNG_DECODE_SCHEMA)
+
+
+def _jpeg_color_roundtrip(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ..sources.jpegcodec import decode_image, encode_color
+
+    nb = _JPEG_BLOCKS
+    side = nb * 8
+    kidx = np.arange(nb * nb)
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        ids, sums, digests = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(payload, np.uint8)
+            # block k's RGB = bytes (k, k+1, k+2) of the tiled text
+            tri = np.stack(
+                [b[(kidx + c) % len(b)] for c in range(3)], axis=-1
+            ).reshape(nb, nb, 3)
+            img = np.repeat(np.repeat(tri, 8, axis=0), 8, axis=1)
+            arr = decode_image(
+                encode_color(img, quality=100, subsampling="4:4:4")
+            )
+            ids.append(doc_id)
+            sums.append(int(arr.astype(np.int64).sum()))
+            digests.append(
+                hashlib.md5(arr.tobytes().hex().encode()).hexdigest()
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, np.int64),
+                "width": np.full(n, side, np.int32),
+                "height": np.full(n, side, np.int32),
+                "pix_sum": np.asarray(sums, np.int64),
+                "pix_md5": digests,
+            }
+        )
+
+
+_NB2 = _JPEG_BLOCKS * _JPEG_BLOCKS
+
+MULTIMODAL_JPEG_COLOR_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(text, '[^ -~]', '?', 'g') AS text
+  FROM documents WHERE octet_length(encode(text)) >= 1
+),
+bc AS (  -- tile to {_NB2}+2 chars so block k can read bytes k, k+1, k+2
+  SELECT doc_id, length(text) AS L,
+         substr(repeat(text,
+                       CAST(({_NB2} + 2) // length(text) + 1 AS INTEGER)),
+                1, {_NB2} + 2) AS chars
+  FROM d
+),
+blocks AS (
+  SELECT doc_id,
+         CAST(t.bk // {_JPEG_BLOCKS} AS INTEGER) AS br,
+         CAST(t.bk % {_JPEG_BLOCKS} AS INTEGER) AS bx,
+         -- byte (k + c) mod L of the original text == char ((k+c) % L)+1
+         ascii(substr(chars, CAST((t.bk + 0) % L + 1 AS INTEGER), 1)) AS r,
+         ascii(substr(chars, CAST((t.bk + 1) % L + 1 AS INTEGER), 1)) AS g,
+         ascii(substr(chars, CAST((t.bk + 2) % L + 1 AS INTEGER), 1)) AS b
+  FROM bc, unnest(range(0, {_NB2})) t(bk)
+),
+ycc AS (  -- forward half-up (floor(x+0.5)), clip-free in [32,126]
+  SELECT doc_id, br, bx,
+    CAST(floor(0.299*r + 0.587*g + 0.114*b + 0.5) AS BIGINT) AS y,
+    CAST(floor(128 - 0.168735892*r - 0.331264108*g + 0.5*b + 0.5) AS BIGINT) AS cb,
+    CAST(floor(128 + 0.5*r - 0.418687589*g - 0.081312411*b + 0.5) AS BIGINT) AS cr
+  FROM blocks
+),
+rgb AS (  -- libjpeg fixed-point inverse; floor(x/65536.0) = C >> 16
+  SELECT doc_id, br, bx,
+    y + CAST(floor((91881 * (cr - 128) + 32768) / 65536.0) AS BIGINT) AS r2,
+    y + CAST(floor((-22554 * (cb - 128) - 46802 * (cr - 128) + 32768)
+                   / 65536.0) AS BIGINT) AS g2,
+    y + CAST(floor((116130 * (cb - 128) + 32768) / 65536.0) AS BIGINT) AS b2
+  FROM ycc
+),
+rows_ AS (  -- one block-row of hex pixels, each block 8 px wide
+  SELECT doc_id, br,
+         string_agg(repeat(printf('%02x%02x%02x', r2, g2, b2), 8),
+                    '' ORDER BY bx) AS rowhex,
+         sum(r2 + g2 + b2) AS row_block_sum
+  FROM rgb GROUP BY doc_id, br
+),
+img AS (
+  SELECT doc_id,
+         string_agg(repeat(rowhex, 8), '' ORDER BY br) AS imagehex,
+         sum(row_block_sum) AS block_sum
+  FROM rows_ GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({_JPEG_BLOCKS * 8} AS INTEGER) AS width,
+       CAST({_JPEG_BLOCKS * 8} AS INTEGER) AS height,
+       CAST(block_sum * 64 AS BIGINT) AS pix_sum,
+       md5(imagehex) AS pix_md5
+FROM img
+"""
+
+QUERIES["multimodal_jpeg_color"] = multimodal_jpeg_color
+ORACLES["multimodal_jpeg_color"] = MULTIMODAL_JPEG_COLOR_SQL

@@ -1148,15 +1148,19 @@ def _ycc_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
 
 
 def _rgb_to_ycc(rgb: np.ndarray):
-    """Forward BT.601 full-range RGB→YCbCr (encoder side; float + round
-    — the forward transform has no cross-decoder matching constraint)."""
+    """Forward BT.601 full-range RGB→YCbCr (encoder side; the forward
+    transform has no cross-decoder matching constraint, so the only
+    requirement is determinism — floor(x+0.5) half-up rounding, which
+    plain SQL reproduces exactly, unlike numpy's half-to-even)."""
     r = rgb[..., 0].astype(np.float64)
     g = rgb[..., 1].astype(np.float64)
     b = rgb[..., 2].astype(np.float64)
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
     cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
-    clip = lambda p: np.clip(np.round(p), 0, 255).astype(np.uint8)  # noqa: E731
+    clip = lambda p: np.clip(  # noqa: E731
+        np.floor(p + 0.5), 0, 255
+    ).astype(np.uint8)
     return clip(y), clip(cb), clip(cr)
 
 
