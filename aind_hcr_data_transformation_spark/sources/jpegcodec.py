@@ -20,14 +20,16 @@ Scope (and loud errors beyond it):
   extended sequential (SOF1) at 8- or 12-bit sample precision (the
   microscopy-relevant gray12 camera depth), PROGRESSIVE (SOF2:
   spectral selection, successive approximation, EOBRUN, correction
-  bits — T.81 §G.1.2), and (r10) MULTI-COMPONENT sequential via
-  :func:`decode_image`: 3-component JFIF YCbCr with arbitrary divisor
-  sampling factors (4:4:4 / 4:2:2 / 4:2:0 and friends), interleaved or
+  bits — T.81 §G.1.2), and (r10) MULTI-COMPONENT via
+  :func:`decode_image`: 3-component JFIF YCbCr, sequential AND
+  progressive (interleaved DC scans + per-component spectral/
+  successive-approximation AC scans), with arbitrary divisor sampling
+  factors (4:4:4 / 4:2:2 / 4:2:0 and friends), interleaved or
   per-component scans, libjpeg-faithful fancy upsampling + fixed-point
   color conversion; 8- and 16-bit quantization tables; restart
   intervals (DRI + RSTn with modulo-sequence verification). Arithmetic
-  coding (SOF9-11), lossless (SOF3), CMYK/2-component layouts, 12-bit
-  color, and multi-component progressive raise ``NotImplementedError``.
+  coding (SOF9-11), lossless (SOF3), CMYK/2-component layouts, and
+  12-bit color raise ``NotImplementedError``.
 * encode: the matching writers used by tests/fixture tooling —
   ``encode_gray`` (8-bit, Annex K quantization + Huffman tables,
   libjpeg quality scaling), ``encode_gray12`` (12-bit SOF1),
@@ -693,16 +695,24 @@ def _progressive_scan(
     zz: "np.ndarray",
     htables: dict,
     restart_interval: int,
+    seq: "np.ndarray | None" = None,
 ) -> int:
     """Decode ONE progressive scan into ``zz``; returns the stream
-    position of the next marker."""
+    position of the next marker.
+
+    ``seq`` (r10, multi-component frames): optional map from the scan's
+    block order to row indices of ``zz`` — a non-interleaved scan over
+    a subsampled component walks its UNPADDED raster while the
+    coefficients live on the padded MCU-grid stride. ``None`` (the
+    single-component path) is the identity over all rows."""
     ns = body[0]
     if ns != 1:
         raise NotImplementedError(f"{ns}-component scan")
     td, ta = body[2] >> 4, body[2] & 0x0F
     ss, se = body[3], body[4]
     ah, al = body[5] >> 4, body[5] & 0x0F
-    nblocks = zz.shape[0]
+    nblocks = zz.shape[0] if seq is None else len(seq)
+    ix = (lambda b: b) if seq is None else (lambda b: int(seq[b]))
     br = _BitReader(data, pos)
     rst_expect = 0
 
@@ -732,11 +742,11 @@ def _progressive_scan(
                     prev = 0
                 s = _read_huff_symbol(br, tbl)
                 prev += _extend(br.bits(s), s)
-                zz[b, 0] = prev << al
+                zz[ix(b), 0] = prev << al
         else:  # refinement: one raw bit appends to the approximation
             for b in range(nblocks):
                 maybe_restart(b)
-                zz[b, 0] += br.bit() << al
+                zz[ix(b), 0] += br.bit() << al
     else:  # AC scan over band [ss, se]
         if not 1 <= ss <= se <= 63:
             raise ValueError(f"invalid spectral band [{ss},{se}]")
@@ -751,6 +761,7 @@ def _progressive_scan(
                 if eobrun:
                     eobrun -= 1
                     continue
+                bi = ix(b)
                 k = ss
                 while k <= se:
                     sym = _read_huff_symbol(br, tbl)
@@ -766,7 +777,7 @@ def _progressive_scan(
                     k += r
                     if k > se:
                         raise ValueError("AC run overflows band")
-                    zz[b, k] = _extend(br.bits(s), s) << al
+                    zz[bi, k] = _extend(br.bits(s), s) << al
                     k += 1
         else:  # refinement (G.1.2.3)
             p1, m1 = 1 << al, -(1 << al)
@@ -782,6 +793,7 @@ def _progressive_scan(
             for b in range(nblocks):
                 if maybe_restart(b):
                     eobrun = 0
+                bi = ix(b)
                 k = ss
                 if not eobrun:
                     while k <= se:
@@ -803,8 +815,8 @@ def _progressive_scan(
                             )
                         skip = 15 if s == 0 else r
                         while k <= se:
-                            if zz[b, k] != 0:
-                                correct(b, k)
+                            if zz[bi, k] != 0:
+                                correct(bi, k)
                             else:
                                 if skip == 0:
                                     break
@@ -813,12 +825,12 @@ def _progressive_scan(
                         if newval:
                             if k > se:
                                 raise ValueError("refine overflows band")
-                            zz[b, k] = newval
+                            zz[bi, k] = newval
                         k += 1
                 if eobrun:
                     while k <= se:  # EOB region: corrections only
-                        if zz[b, k] != 0:
-                            correct(b, k)
+                        if zz[bi, k] != 0:
+                            correct(bi, k)
                         k += 1
                     eobrun -= 1
 
@@ -1116,6 +1128,101 @@ def _h2v2_fancy(p: np.ndarray) -> np.ndarray:
     return out
 
 
+def _comp_seq(c: "_Comp") -> np.ndarray:
+    """A component's non-interleaved scan order (its UNPADDED raster,
+    T.81 A.2.2) as row indices into its padded-stride ``zz``."""
+    return (
+        np.arange(c.nby)[:, None] * c.bw + np.arange(c.nbx)
+    ).ravel()
+
+
+def _progressive_scan_mc(
+    data: bytes,
+    body: bytes,
+    pos: int,
+    comps: list,
+    htables: dict,
+    restart_interval: int,
+    mcux: int,
+    mcuy: int,
+) -> int:
+    """One progressive scan of a MULTI-component frame (r10).
+
+    Non-interleaved scans (every AC scan, and single-component DC
+    scans) delegate to :func:`_progressive_scan` with the component's
+    unpadded→padded index map — same entropy logic as grayscale
+    progressive, different block walk. Only the interleaved DC scan
+    (ns>1, MCU order, per-component predictors — T.81 G.1.1/A.2.3) is
+    new code. Returns the stream position of the next marker; marks
+    components ``scanned`` when a DC scan covers them."""
+    ns = body[0]
+    by_id = {c.cid: c for c in comps}
+    scan = []
+    for si in range(ns):
+        cid, tt = body[1 + 2 * si], body[2 + 2 * si]
+        c = by_id.get(cid)
+        if c is None:
+            raise ValueError(f"scan references unknown component {cid}")
+        scan.append((c, tt >> 4, tt & 0x0F))
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ahal = body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+
+    if ns == 1:
+        c, _td, _ta = scan[0]
+        nxt = _progressive_scan(
+            data, body, pos, c.zz, htables, restart_interval,
+            seq=_comp_seq(c),
+        )
+        if ss == 0:
+            c.scanned = True
+        return nxt
+
+    # interleaved scan: progressive allows it for DC only (G.1.1)
+    if ss != 0 or se != 0:
+        raise ValueError(
+            "interleaved progressive scan must be DC-only (Ss=Se=0)"
+        )
+    tbls = {}
+    if ah == 0:
+        for c, td, _ta in scan:
+            t = htables.get((0, td))
+            if t is None:
+                raise ValueError("DC scan references missing Huffman table")
+            tbls[c.cid] = t
+    br = _BitReader(data, pos)
+    preds = {c.cid: 0 for c, _, _ in scan}
+    rst_expect = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            n = br.restart()
+            if n != rst_expect & 0x07:
+                raise ValueError(
+                    f"restart marker out of sequence: RST{n}, expected "
+                    f"RST{rst_expect & 0x07}"
+                )
+            rst_expect += 1
+            for cid in preds:
+                preds[cid] = 0
+        my, mx = divmod(m, mcux)
+        for c, _td, _ta in scan:
+            for vi in range(c.v):
+                for hi in range(c.h):
+                    i = (my * c.v + vi) * c.bw + mx * c.h + hi
+                    if ah == 0:
+                        s = _read_huff_symbol(br, tbls[c.cid])
+                        preds[c.cid] += _extend(br.bits(s), s)
+                        c.zz[i, 0] = preds[c.cid] << al
+                    else:
+                        c.zz[i, 0] += br.bit() << al
+    for c, _, _ in scan:
+        c.scanned = True
+    p = br.pos
+    while p + 1 < len(data) and data[p] == 0xFF and data[p + 1] == 0x00:
+        p += 2
+    return p
+
+
 def _upsample(plane: np.ndarray, sx: int, sy: int, w: int, h: int) -> np.ndarray:
     """Upsample a decoded component plane to frame dims: libjpeg fancy
     for the 4:2:2 / 4:2:0 factors, replication otherwise."""
@@ -1165,17 +1272,18 @@ def _rgb_to_ycc(rgb: np.ndarray):
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """General sequential-DCT JPEG decode: 1 or 3 components, arbitrary
-    T.81 sampling factors (1–4, divisors of the max), interleaved or
-    per-component scans, restart intervals, 8/16-bit DQT.
+    """General DCT JPEG decode: 1 or 3 components, sequential (SOF0/1)
+    or progressive (SOF2), arbitrary T.81 sampling factors (1–4,
+    divisors of the max), interleaved or per-component scans, restart
+    intervals, 8/16-bit DQT.
 
     Returns a 2-D array for single-component streams (delegating to
-    :func:`decode_gray`, which additionally handles progressive), or an
-    ``(h, w, 3)`` RGB uint8 array for 3-component streams (JFIF YCbCr,
-    libjpeg fixed-point conversion + fancy upsampling — see
-    ``_ycc_to_rgb`` / ``_h2v2_fancy``). Other component counts (CMYK
-    etc.), 12-bit color, and multi-component progressive raise with an
-    actionable message.
+    :func:`decode_gray`), or an ``(h, w, 3)`` RGB uint8 array for
+    3-component streams (JFIF YCbCr, libjpeg fixed-point conversion +
+    fancy upsampling — see ``_ycc_to_rgb`` / ``_h2v2_fancy``;
+    progressive scans via ``_progressive_scan_mc``). Other component
+    counts (CMYK etc.) and 12-bit color raise with an actionable
+    message.
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
@@ -1186,6 +1294,8 @@ def decode_image(data: bytes) -> np.ndarray:
     h = w = 0
     restart_interval = 0
     sof_seen = False
+    progressive = False
+    mcux = mcuy = 0
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -1240,12 +1350,7 @@ def decode_image(data: bytes) -> np.ndarray:
                 # single-component (incl. progressive, 12-bit):
                 # decode_gray is the complete implementation
                 return decode_gray(data)
-            if marker == 0xC2:
-                raise NotImplementedError(
-                    f"{nf}-component progressive JPEG (multi-component "
-                    f"decode here is sequential; use the [codecs] extra "
-                    f"for progressive color)"
-                )
+            progressive = marker == 0xC2
             if prec != 8:
                 raise NotImplementedError(
                     f"{prec}-bit {nf}-component JPEG (color decode here "
@@ -1285,6 +1390,12 @@ def decode_image(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if not sof_seen:
                 raise ValueError("SOS before SOF")
+            if progressive:
+                pos = _progressive_scan_mc(
+                    data, body, pos, comps, htables, restart_interval,
+                    mcux, mcuy,
+                )
+                continue
             ns = body[0]
             by_id = {c.cid: c for c in comps}
             scan = []
@@ -1378,19 +1489,11 @@ def decode_image(data: bytes) -> np.ndarray:
     return _ycc_to_rgb(*planes)
 
 
-def encode_color(
-    img: np.ndarray,
-    quality: int = 100,
-    subsampling: str = "4:2:0",
-    restart_interval: int = 0,
-    interleaved: bool = True,
-) -> bytes:
-    """Encode an ``(h, w, 3)`` uint8 RGB array as 3-component baseline
-    JPEG (SOF0, JFIF YCbCr): Annex K luma + chroma quantization,
-    ``subsampling`` one of ``4:4:4`` / ``4:2:2`` / ``4:2:0`` (chroma box
-    mean), interleaved single scan (the universal encoder layout) or —
-    for decoder-coverage fixtures — three per-component scans.
-    ``restart_interval`` counts MCUs (interleaved) / blocks."""
+def _color_comps(img: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder prep: RGB→YCbCr, chroma box-downsample, per-plane
+    MCU-grid padding and quantized zigzag blocks. Returns
+    ``(comps, qluma, qchroma, mcux, mcuy)`` where each comp is
+    ``(cid, h, v, tq, zz, stride, nbx, nby)``."""
     if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
         raise ValueError(f"need (h, w, 3) uint8, got {img.shape} {img.dtype}")
     try:
@@ -1424,7 +1527,6 @@ def encode_color(
             mode="edge",
         )
 
-    # (comp id, h, v, tq, padded-grid zigzag blocks, real nbx, nby)
     comps = []
     for cid, plane, ch_, cv_, tq, q in (
         (1, y, hs, vs, 0, qluma),
@@ -1436,6 +1538,26 @@ def encode_color(
         nby = -(-plane.shape[0] // 8)
         zz = _quantized_zigzag(pad_to(plane, bh_, bw_), 8, quality, q=q)
         comps.append((cid, ch_, cv_, tq, zz, bw_, nbx, nby))
+    return comps, qluma, qchroma, mcux, mcuy
+
+
+def encode_color(
+    img: np.ndarray,
+    quality: int = 100,
+    subsampling: str = "4:2:0",
+    restart_interval: int = 0,
+    interleaved: bool = True,
+) -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 RGB array as 3-component baseline
+    JPEG (SOF0, JFIF YCbCr): Annex K luma + chroma quantization,
+    ``subsampling`` one of ``4:4:4`` / ``4:2:2`` / ``4:2:0`` (chroma box
+    mean), interleaved single scan (the universal encoder layout) or —
+    for decoder-coverage fixtures — three per-component scans.
+    ``restart_interval`` counts MCUs (interleaved) / blocks."""
+    comps, qluma, qchroma, mcux, mcuy = _color_comps(
+        img, quality, subsampling
+    )
+    h, w = img.shape[:2]
 
     def enc_block(bw: _BitWriter, blk: np.ndarray, pred: int) -> int:
         dc = int(blk[0])
@@ -1525,5 +1647,92 @@ def encode_color(
                     unit += 1
             out += seg(0xFFDA, bytes([1, cid, 0x00, 0, 63, 0]))
             out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _enc_dc_mc(comps, al: int, first: bool, bw: _BitWriter,
+               mcux: int, mcuy: int) -> None:
+    """Interleaved progressive DC scan over all components in MCU order
+    (T.81 G.1.1 + A.2.3): ``first`` emits Huffman-coded point-
+    transformed diffs with per-component predictors; refinement emits
+    one raw bit per block."""
+    preds = {c[0]: 0 for c in comps}
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for cid, ch_, cv_, _tq, zz, stride, _nbx, _nby in comps:
+            for vi in range(cv_):
+                for hi in range(ch_):
+                    i = (my * cv_ + vi) * stride + mx * ch_ + hi
+                    v = int(zz[i, 0]) >> al
+                    if first:
+                        diff = v - preds[cid]
+                        preds[cid] = v
+                        s = _category(diff)
+                        code, ln = _DC_ENC[s]
+                        bw.write(code, ln)
+                        bw.write(_amplitude(diff, s), s)
+                    else:
+                        bw.write(v & 1, 1)
+
+
+def encode_color_progressive(
+    img: np.ndarray, quality: int = 100, subsampling: str = "4:2:0"
+) -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 RGB array as 3-component
+    PROGRESSIVE JPEG (SOF2) with an 8-scan script covering every scan
+    type the multi-component decoder implements: an INTERLEAVED DC
+    first scan (Al=1) + interleaved DC refinement, then per component
+    an AC first scan over 1–63 at Al=1 and its successive-approximation
+    refinement to Al=0. Carries the same coefficients as the
+    sequential ``encode_color`` at the same settings — decoded pixels
+    are bit-identical (the property the tests pin)."""
+    comps, qluma, qchroma, mcux, mcuy = _color_comps(
+        img, quality, subsampling
+    )
+    h, w = img.shape[:2]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def sos(scan_comps: list[int], ss: int, se: int, ah: int, al: int,
+            emit) -> bytes:
+        head = bytes([len(scan_comps)])
+        for cid in scan_comps:
+            head += bytes([cid, 0x00])
+        head += bytes([ss, se, (ah << 4) | al])
+        bw = _BitWriter()
+        emit(bw)
+        return seg(0xFFDA, head) + bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    out += seg(0xFFDB, bytes([0x00]) + bytes(qluma[ZIGZAG].tolist()))
+    out += seg(0xFFDB, bytes([0x01]) + bytes(qchroma[ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, ch_, cv_, tq, *_ in comps:
+        sof += bytes([cid, (ch_ << 4) | cv_, tq])
+    out += seg(0xFFC2, sof)  # SOF2: progressive
+    out += seg(0xFFC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(ACP_BITS) + bytes(ACP_VALS))
+
+    all_ids = [c[0] for c in comps]
+    out += sos(all_ids, 0, 0, 0, 1,
+               lambda bw: _enc_dc_mc(comps, 1, True, bw, mcux, mcuy))
+    out += sos(all_ids, 0, 0, 1, 0,
+               lambda bw: _enc_dc_mc(comps, 0, False, bw, mcux, mcuy))
+    for cid, _ch, _cv, _tq, zz, stride, nbx, nby in comps:
+        # non-interleaved AC scans walk the UNPADDED raster
+        idx = (np.arange(nby)[:, None] * stride + np.arange(nbx)).ravel()
+        view = zz[idx]
+        out += sos([cid], 1, 63, 0, 1,
+                   lambda bw, v=view: _enc_ac_first(v, 1, 63, 1, bw))
+    for cid, _ch, _cv, _tq, zz, stride, nbx, nby in comps:
+        idx = (np.arange(nby)[:, None] * stride + np.arange(nbx)).ravel()
+        view = zz[idx]
+        out += sos([cid], 1, 63, 1, 0,
+                   lambda bw, v=view: _enc_ac_refine(v, 1, 63, 0, bw))
     out += b"\xff\xd9"
     return bytes(out)

@@ -145,3 +145,49 @@ def test_four_component_still_gates():
         pos += 2 + ln
     with pytest.raises((ValueError, NotImplementedError)):
         decode_image(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# progressive color (r10: the multi-component progressive row)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:2", "4:2:0"])
+def test_progressive_color_equals_sequential(sub):
+    """The 8-scan progressive script (interleaved DC first+refine,
+    per-component AC first+refine) carries the same coefficient array
+    as the sequential encoding — decoded pixels are bit-identical, so
+    every scan type of the multi-component progressive decoder is
+    pinned against an independent in-repo ground truth."""
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        encode_color_progressive,
+    )
+
+    img = _rgb()
+    seq = decode_image(encode_color(img, 90, sub))
+    prog = decode_image(encode_color_progressive(img, 90, sub))
+    np.testing.assert_array_equal(seq, prog)
+
+
+def test_progressive_color_odd_dims_partial_mcus():
+    """4:2:0 progressive with partial MCUs: the interleaved DC scan
+    walks the PADDED MCU grid while the AC scans walk each component's
+    UNPADDED raster — the index-mapping seam this pins."""
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        encode_color_progressive,
+    )
+
+    img = _rgb(37, 33, seed=11)
+    seq = decode_image(encode_color(img, 95, "4:2:0"))
+    prog = decode_image(encode_color_progressive(img, 95, "4:2:0"))
+    np.testing.assert_array_equal(seq, prog)
+
+
+def test_progressive_color_roundtrip_quality():
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        encode_color_progressive,
+    )
+
+    img = _rgb()
+    dec = decode_image(encode_color_progressive(img, 100, "4:4:4"))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4

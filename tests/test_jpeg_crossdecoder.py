@@ -264,3 +264,44 @@ def test_we_decode_libjpeg_color_with_restarts():
         decode_image(data),
         "libjpeg color 4:2:0 + restarts",
     )
+
+
+@pytest.mark.parametrize("pil_sub,label", [(0, "4:4:4"), (2, "4:2:0")])
+def test_we_decode_libjpeg_progressive_color(pil_sub, label):
+    """libjpeg's default COLOR progressive script (interleaved DC scan,
+    per-component spectral-band AC scans with successive approximation
+    to Al=2, optimized tables) through our multi-component progressive
+    decoder vs libjpeg's own."""
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        decode_image,
+    )
+
+    img = _test_rgb(h=45, w=59, seed=13)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(img, mode="RGB").save(
+        buf, format="JPEG", quality=90, optimize=True, progressive=True,
+        subsampling=pil_sub,
+    )
+    data = buf.getvalue()
+    _assert_close(
+        imagecodecs.jpeg8_decode(data),
+        decode_image(data),
+        f"libjpeg progressive color {label}",
+    )
+
+
+def test_libjpeg_decodes_our_progressive_color():
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        encode_color_progressive,
+    )
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        decode_image,
+    )
+
+    img = _test_rgb()
+    data = encode_color_progressive(img, quality=90, subsampling="4:2:0")
+    _assert_close(
+        imagecodecs.jpeg8_decode(data),
+        decode_image(data),
+        "our progressive color 4:2:0 vs libjpeg",
+    )
