@@ -27,9 +27,11 @@ Scope (and loud errors beyond it):
   factors (4:4:4 / 4:2:2 / 4:2:0 and friends), interleaved or
   per-component scans, libjpeg-faithful fancy upsampling + fixed-point
   color conversion; 8- and 16-bit quantization tables; restart
-  intervals (DRI + RSTn with modulo-sequence verification). Arithmetic
-  coding (SOF9-11), lossless (SOF3), CMYK/2-component layouts, and
-  12-bit color raise ``NotImplementedError``.
+  intervals (DRI + RSTn with modulo-sequence verification); plus (r10)
+  LOSSLESS (SOF3, Annex H DPCM — predictors 1-7, point transform,
+  2-16 bit, bit-exact) via :func:`decode_lossless`. Arithmetic coding
+  (SOF9-11), CMYK/2-component layouts, and 12-bit color raise
+  ``NotImplementedError``.
 * encode: the matching writers used by tests/fixture tooling —
   ``encode_gray`` (8-bit, Annex K quantization + Huffman tables,
   libjpeg quality scaling), ``encode_gray12`` (12-bit SOF1),
@@ -960,7 +962,9 @@ def decode_gray(data: bytes) -> np.ndarray:
                 progressive = True
                 nb = ((h + 7) // 8) * ((w + 7) // 8)
                 zz = np.zeros((nb, 64), dtype=np.int64)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC3:  # lossless (Annex H): own decode path, r10
+            return decode_lossless(data)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"non-DCT-Huffman JPEG frame (SOF marker FF{marker:02X})"
             )
@@ -1381,7 +1385,9 @@ def decode_image(data: bytes) -> np.ndarray:
                 c.nbx, c.nby = -(-cw // 8), -(-ch // 8)  # real blocks
                 c.zz = np.zeros((c.bh * c.bw, 64), dtype=np.int64)
             sof_seen = True
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC3:  # lossless (Annex H): own decode path
+            return decode_lossless(data)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"non-DCT-Huffman JPEG frame (SOF marker FF{marker:02X})"
             )
@@ -1734,5 +1740,249 @@ def encode_color_progressive(
         view = zz[idx]
         out += sos([cid], 1, 63, 1, 0,
                    lambda bw, v=view: _enc_ac_refine(v, 1, 63, 0, bw))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Lossless JPEG (SOF3, T.81 Annex H) — r10: Huffman-coded DPCM over the
+# seven spatial predictors; the flavor DICOM and some scientific
+# writers emit. Single-component scope (microscopy/grayscale), 2-16
+# bit precision, point transform, restart intervals.
+# --------------------------------------------------------------------------
+
+#: lossless encoder difference-category table: categories 0..16 (16 =>
+#: diff 32768, no extra bits) as fixed uniform 5-bit canonical codes
+#: (17 of 32; all-ones unused per C.2) — same construction as the
+#: 12-bit DCT tables; travels in DHT so any decoder reads it.
+DCL_BITS = [0, 0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+DCL_VALS = list(range(17))
+
+
+def _lossless_predict(
+    recon: np.ndarray, row: int, col: int, sel: int, default: int
+) -> int:
+    """T.81 H.1.2.1 sample prediction. ``recon`` is the reconstruction
+    surface filled in raster order; first-row/first-column special
+    cases per H.2.1 (restart resets are handled by the caller passing
+    row/col relative to the restart point)."""
+    if row == 0 and col == 0:
+        return default
+    if row == 0:
+        return int(recon[0, col - 1])  # first line: Ra
+    if col == 0:
+        return int(recon[row - 1, 0])  # first column: Rb
+    a = int(recon[row, col - 1])
+    b = int(recon[row - 1, col])
+    c = int(recon[row - 1, col - 1])
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    if sel == 7:
+        return (a + b) >> 1
+    raise ValueError(f"invalid lossless predictor {sel}")
+
+
+def decode_lossless(data: bytes) -> np.ndarray:
+    """Decode a single-component lossless JPEG (SOF3): Huffman DPCM,
+    predictors 1-7, point transform, restart intervals (each restart
+    interval re-enters the start-of-scan prediction state, H.2.1.3).
+    Returns uint8 for precision <= 8, uint16 otherwise — bit-exact by
+    construction."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    htables: dict[tuple[int, int], dict] = {}
+    h = w = 0
+    prec = 0
+    restart_interval = 0
+    sof_seen = False
+
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+            raise ValueError("unexpected marker before lossless scan")
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG stream (marker without length)")
+        length = struct.unpack_from(">H", data, pos + 2)[0]
+        body = data[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                htables[(tc, th)] = _decode_table(bits, vals)
+                off += 17 + n
+        elif marker == 0xC3:  # SOF3
+            prec, h, w, nf = struct.unpack_from(">BHHB", body, 0)
+            if not 2 <= prec <= 16:
+                raise ValueError(f"lossless precision {prec} outside 2..16")
+            if nf != 1:
+                raise NotImplementedError(
+                    f"{nf}-component lossless JPEG (grayscale scope)"
+                )
+            sof_seen = True
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB):
+            raise ValueError(
+                "decode_lossless expects an SOF3 frame "
+                f"(got FF{marker:02X})"
+            )
+        elif marker == 0xDD:
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            if not sof_seen:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            if ns != 1:
+                raise NotImplementedError(f"{ns}-component lossless scan")
+            td = body[2] >> 4
+            sel, _se, pt = body[3], body[4], body[5] & 0x0F
+            if not 1 <= sel <= 7:
+                raise ValueError(f"invalid lossless predictor Ss={sel}")
+            tbl = htables.get((0, td))
+            if tbl is None:
+                raise ValueError("scan references missing Huffman table")
+            br = _BitReader(data, pos)
+            default = 1 << (prec - pt - 1)
+            out = np.zeros((h, w), dtype=np.int64)
+            rst_expect = 0
+            # restart geometry: intervals count SAMPLES (lossless MCU =
+            # one sample); each interval re-enters start-of-scan state,
+            # so prediction rows/cols are RELATIVE to the restart point
+            r0 = c0 = 0  # scan position where the current interval began
+            n_samples = h * w
+            for s_i in range(n_samples):
+                row, col = divmod(s_i, w)
+                if (
+                    restart_interval
+                    and s_i
+                    and s_i % restart_interval == 0
+                ):
+                    n = br.restart()
+                    if n != rst_expect & 0x07:
+                        raise ValueError(
+                            f"restart marker out of sequence: RST{n}, "
+                            f"expected RST{rst_expect & 0x07}"
+                        )
+                    rst_expect += 1
+                    r0, c0 = row, col
+                # rows/cols relative to the restart origin decide the
+                # first-line / first-column prediction rules
+                if row == r0 and col == c0:
+                    px = default
+                elif row == r0:
+                    px = int(out[row, col - 1])  # Ra
+                elif col == 0:
+                    px = int(out[row - 1, 0])  # Rb
+                else:
+                    px = _lossless_predict(out, row, col, sel, default)
+                ssss = _read_huff_symbol(br, tbl)
+                if ssss == 16:
+                    diff = 32768
+                elif ssss == 0:
+                    diff = 0
+                else:
+                    diff = _extend(br.bits(ssss), ssss)
+                out[row, col] = (px + diff) & 0xFFFF
+            arr = (out << pt) & ((1 << prec) - 1) if pt else out
+            arr = arr & ((1 << prec) - 1)
+            dtype = np.uint8 if prec <= 8 else np.uint16
+            return arr.astype(dtype)
+        # else: APPn/COM — skip
+    raise ValueError("reached end of stream without a lossless scan")
+
+
+_DCL_ENC = _canonical_codes(DCL_BITS, DCL_VALS)
+
+
+def encode_gray_lossless(
+    img: np.ndarray,
+    predictor: int = 4,
+    point_transform: int = 0,
+    restart_interval: int = 0,
+    precision: int | None = None,
+) -> bytes:
+    """Encode a 2-D uint8/uint16 array as single-component LOSSLESS
+    JPEG (SOF3, Annex H): DPCM with the chosen predictor (1-7), optional
+    point transform (encodes ``img >> Pt``) and restart intervals
+    (sample-counted). Decode side is :func:`decode_lossless`; the round
+    trip is bit-exact on ``img >> Pt``."""
+    if img.ndim != 2 or img.dtype not in (np.uint8, np.uint16):
+        raise ValueError(
+            f"need 2-D uint8/uint16, got {img.shape} {img.dtype}"
+        )
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor {predictor} outside 1..7")
+    prec = precision or (8 if img.dtype == np.uint8 else 16)
+    if int(img.max(initial=0)) >> point_transform >= 1 << (
+        prec - point_transform
+    ):
+        raise ValueError(f"samples exceed {prec}-bit precision")
+    pt = point_transform
+    x = (img.astype(np.int64) >> pt) if pt else img.astype(np.int64)
+    h, w = x.shape
+    default = 1 << (prec - pt - 1)
+
+    bw = _BitWriter()
+    rst = 0
+    r0 = c0 = 0
+    for s_i in range(h * w):
+        row, col = divmod(s_i, w)
+        if restart_interval and s_i and s_i % restart_interval == 0:
+            bw.marker(0xD0 + (rst & 0x07))
+            rst += 1
+            r0, c0 = row, col
+        if row == r0 and col == c0:
+            px = default
+        elif row == r0:
+            px = int(x[row, col - 1])
+        elif col == 0:
+            px = int(x[row - 1, 0])
+        else:
+            px = _lossless_predict(x, row, col, predictor, default)
+        diff = (int(x[row, col]) - px) & 0xFFFF
+        if diff >= 32768:
+            diff -= 65536  # mod-2^16 signed representative
+        if diff == -32768 or diff == 32768:
+            code, ln = _DCL_ENC[16]
+            bw.write(code, ln)
+            continue
+        s = _category(diff)
+        code, ln = _DCL_ENC[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(_amplitude(diff, s), s)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xFFC3, struct.pack(">BHHB", prec, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    out += seg(0xFFC4, bytes([0x00]) + bytes(DCL_BITS) + bytes(DCL_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    out += seg(0xFFDA, bytes([1, 1, 0x00, predictor, 0, pt]))
+    out += scan
     out += b"\xff\xd9"
     return bytes(out)

@@ -305,3 +305,37 @@ def test_libjpeg_decodes_our_progressive_color():
         decode_image(data),
         "our progressive color 4:2:0 vs libjpeg",
     )
+
+
+# ---------------------------------------------------------------------------
+# lossless SOF3 (r10)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("predictor", [1, 4, 7])
+def test_ljpeg_decodes_our_lossless(predictor):
+    """Our SOF3 streams through imagecodecs' Cornell LJPEG decoder:
+    lossless is bit-exact by definition, so this is full array
+    equality, the strongest cross-decoder statement in the suite."""
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        encode_gray_lossless,
+    )
+
+    if not hasattr(imagecodecs, "ljpeg_decode"):
+        pytest.skip("imagecodecs build lacks ljpeg_decode")
+    img = _test_image(h=33, w=41, seed=21)
+    data = encode_gray_lossless(img, predictor=predictor)
+    np.testing.assert_array_equal(imagecodecs.ljpeg_decode(data), img)
+
+
+def test_ljpeg_decodes_our_lossless_16bit():
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        encode_gray_lossless,
+    )
+
+    if not hasattr(imagecodecs, "ljpeg_decode"):
+        pytest.skip("imagecodecs build lacks ljpeg_decode")
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 65536, size=(21, 19), dtype=np.uint16)
+    data = encode_gray_lossless(img, predictor=4)
+    np.testing.assert_array_equal(imagecodecs.ljpeg_decode(data), img)

@@ -97,15 +97,22 @@ def test_lossy_quality_still_close_on_smooth_data():
     assert np.mean(np.abs(dec.astype(int) - img.astype(int))) < 8
 
 
-def test_rejects_non_jpeg_and_arithmetic_lossless_frames():
+def test_rejects_non_jpeg_and_arithmetic_frames():
     with pytest.raises(ValueError, match="SOI"):
         decode_gray(b"\x00\x01")
-    for sof_marker in (0xC3, 0xC9, 0xCB):  # lossless / arithmetic DCT
+    for sof_marker in (0xC9, 0xCB):  # arithmetic DCT
         enc = bytearray(encode_gray(np.zeros((8, 8), np.uint8)))
         sof = enc.find(b"\xff\xc0")
         enc[sof + 1] = sof_marker
         with pytest.raises(NotImplementedError, match="non-DCT-Huffman"):
             decode_gray(bytes(enc))
+    # SOF3 routes to decode_lossless (r10) — a DCT stream merely
+    # RELABELED lossless is malformed there, not silently decoded
+    enc = bytearray(encode_gray(np.zeros((8, 8), np.uint8)))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 1] = 0xC3
+    with pytest.raises(ValueError, match="predictor"):
+        decode_gray(bytes(enc))
 
 
 def test_rejects_bad_inputs():
