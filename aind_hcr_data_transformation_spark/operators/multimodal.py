@@ -947,3 +947,90 @@ FROM img
 
 QUERIES["multimodal_jpeg_color"] = multimodal_jpeg_color
 ORACLES["multimodal_jpeg_color"] = MULTIMODAL_JPEG_COLOR_SQL
+
+
+def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS JPEG (SOF3, T.81 Annex H) round trip through the
+    vendored DPCM codec — r10. Unlike the DCT twins, lossless is
+    bit-exact on ARBITRARY pixels, so the fixture needs no
+    block-constant construction: the doc's printable-ASCII bytes tile
+    DIRECTLY into a 64×64 image, every pixel different from its
+    neighbors — the hardest DPCM case (predictor 4, two-dimensional).
+    The oracle md5s the same tiled character string; any defect in
+    prediction, mod-2^16 difference coding, or the category table
+    breaks the hash on every row.
+
+    Scale: one mapInPandas pass, no shuffle before the tiny result.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    media = docs.filter(F.length("text") >= 1).select(
+        "doc_id",
+        F.encode(
+            F.regexp_replace(F.col("text"), "[^ -~]", "?"), "utf-8"
+        ).alias("payload"),
+    )
+    return media.mapInPandas(_jpeg_lossless_roundtrip, PNG_DECODE_SCHEMA)
+
+
+def _jpeg_lossless_roundtrip(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ..sources.jpegcodec import decode_lossless, encode_gray_lossless
+
+    side = _JPEG_BLOCKS * 8
+    kidx = np.arange(side * side)
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        ids, sums, digests = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(payload, np.uint8)
+            img = b[kidx % len(b)].reshape(side, side)
+            arr = decode_lossless(encode_gray_lossless(img, predictor=4))
+            ids.append(doc_id)
+            sums.append(int(arr.astype(np.int64).sum()))
+            digests.append(hashlib.md5(arr.tobytes()).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, np.int64),
+                "width": np.full(n, side, np.int32),
+                "height": np.full(n, side, np.int32),
+                "pix_sum": np.asarray(sums, np.int64),
+                "pix_md5": digests,
+            }
+        )
+
+
+_SIDE2 = (_JPEG_BLOCKS * 8) * (_JPEG_BLOCKS * 8)
+
+MULTIMODAL_JPEG_LOSSLESS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(text, '[^ -~]', '?', 'g') AS text
+  FROM documents WHERE octet_length(encode(text)) >= 1
+),
+img AS (  -- the raw image IS the tiled text: {_SIDE2} single-byte chars
+  SELECT doc_id,
+         substr(repeat(text,
+                       CAST({_SIDE2} // length(text) + 1 AS INTEGER)),
+                1, {_SIDE2}) AS image
+  FROM d
+),
+px AS (
+  SELECT doc_id,
+         sum(ascii(substr(image, CAST(t.k + 1 AS INTEGER), 1))) AS pix_sum
+  FROM img, unnest(range(0, {_SIDE2})) t(k)
+  GROUP BY doc_id
+)
+SELECT i.doc_id,
+       CAST({_JPEG_BLOCKS * 8} AS INTEGER) AS width,
+       CAST({_JPEG_BLOCKS * 8} AS INTEGER) AS height,
+       CAST(p.pix_sum AS BIGINT) AS pix_sum,
+       md5(i.image) AS pix_md5
+FROM img i JOIN px p USING (doc_id)
+"""
+
+QUERIES["multimodal_jpeg_lossless"] = multimodal_jpeg_lossless
+ORACLES["multimodal_jpeg_lossless"] = MULTIMODAL_JPEG_LOSSLESS_SQL
