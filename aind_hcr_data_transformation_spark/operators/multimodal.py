@@ -815,9 +815,12 @@ def multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes of the doc's printable-ASCII text. The full chain is then
     bit-exact at 4:4:4 quality 100:
 
-    - forward RGB→YCbCr uses floor(x+0.5) half-up rounding (plain SQL
-      reproduces it, unlike numpy's default half-to-even), and in the
-      ASCII byte range [32,126] no channel ever clips;
+    - forward RGB→YCbCr is PURE INTEGER half-up arithmetic (scaled
+      BT.601 coefficients) on both sides — a float formulation
+      diverges on exact decimal ties (the sf0.1 differential caught
+      y = 104.5 landing one ulp below .5 in doubles but ON it in
+      DuckDB's decimal literals); in the ASCII byte range [32,126] no
+      channel ever clips;
     - a constant block's DCT is one integer DC coefficient under the
       all-ones q100 tables (luma AND chroma scale to 1), so quantize →
       dequantize → IDCT is exact;
@@ -904,16 +907,24 @@ blocks AS (
          CAST(t.bk // {_JPEG_BLOCKS} AS INTEGER) AS br,
          CAST(t.bk % {_JPEG_BLOCKS} AS INTEGER) AS bx,
          -- byte (k + c) mod L of the original text == char ((k+c) % L)+1
-         ascii(substr(chars, CAST((t.bk + 0) % L + 1 AS INTEGER), 1)) AS r,
-         ascii(substr(chars, CAST((t.bk + 1) % L + 1 AS INTEGER), 1)) AS g,
-         ascii(substr(chars, CAST((t.bk + 2) % L + 1 AS INTEGER), 1)) AS b
+         -- (BIGINT: the scaled-coefficient products below overflow
+         -- 32-bit integers)
+         CAST(ascii(substr(chars, CAST((t.bk + 0) % L + 1 AS INTEGER), 1)) AS BIGINT) AS r,
+         CAST(ascii(substr(chars, CAST((t.bk + 1) % L + 1 AS INTEGER), 1)) AS BIGINT) AS g,
+         CAST(ascii(substr(chars, CAST((t.bk + 2) % L + 1 AS INTEGER), 1)) AS BIGINT) AS b
   FROM bc, unnest(range(0, {_NB2})) t(bk)
 ),
-ycc AS (  -- forward half-up (floor(x+0.5)), clip-free in [32,126]
+ycc AS (  -- forward transform: PURE INTEGER half-up (scaled BT.601
+          -- coefficients), matching the encoder exactly — a float
+          -- formulation diverges on decimal ties (y = 104.5 exactly)
+          -- because doubles land one ulp below .5 while DuckDB's
+          -- decimal literals land ON it; clip-free in [32,126]
   SELECT doc_id, br, bx,
-    CAST(floor(0.299*r + 0.587*g + 0.114*b + 0.5) AS BIGINT) AS y,
-    CAST(floor(128 - 0.168735892*r - 0.331264108*g + 0.5*b + 0.5) AS BIGINT) AS cb,
-    CAST(floor(128 + 0.5*r - 0.418687589*g - 0.081312411*b + 0.5) AS BIGINT) AS cr
+    (299*r + 587*g + 114*b + 500) // 1000 AS y,
+    (128000000000 - 168735892*r - 331264108*g + 500000000*b
+     + 500000000) // 1000000000 AS cb,
+    (128000000000 + 500000000*r - 418687589*g - 81312411*b
+     + 500000000) // 1000000000 AS cr
   FROM blocks
 ),
 rgb AS (  -- libjpeg fixed-point inverse; floor(x/65536.0) = C >> 16

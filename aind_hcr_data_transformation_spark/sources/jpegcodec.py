@@ -1261,17 +1261,31 @@ def _ycc_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
 def _rgb_to_ycc(rgb: np.ndarray):
     """Forward BT.601 full-range RGB→YCbCr (encoder side; the forward
     transform has no cross-decoder matching constraint, so the only
-    requirement is determinism — floor(x+0.5) half-up rounding, which
-    plain SQL reproduces exactly, unlike numpy's half-to-even)."""
-    r = rgb[..., 0].astype(np.float64)
-    g = rgb[..., 1].astype(np.float64)
-    b = rgb[..., 2].astype(np.float64)
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
-    clip = lambda p: np.clip(  # noqa: E731
-        np.floor(p + 0.5), 0, 255
-    ).astype(np.uint8)
+    requirement is engine-portable determinism). Pure INTEGER half-up
+    arithmetic — scaled BT.601 coefficients, no floating point: a
+    double evaluation lands ties like 0.299·97+0.587·109+0.114·101 =
+    104.5 one ulp BELOW .5 while exact decimal lands ON it (caught by
+    the sf0.1 differential), so the only portable definition is the
+    exact one."""
+    r = rgb[..., 0].astype(np.int64)
+    g = rgb[..., 1].astype(np.int64)
+    b = rgb[..., 2].astype(np.int64)
+    y = (299 * r + 587 * g + 114 * b + 500) // 1000
+    cb = (
+        128_000_000_000
+        - 168_735_892 * r
+        - 331_264_108 * g
+        + 500_000_000 * b
+        + 500_000_000
+    ) // 1_000_000_000
+    cr = (
+        128_000_000_000
+        + 500_000_000 * r
+        - 418_687_589 * g
+        - 81_312_411 * b
+        + 500_000_000
+    ) // 1_000_000_000
+    clip = lambda p: np.clip(p, 0, 255).astype(np.uint8)  # noqa: E731
     return clip(y), clip(cb), clip(cr)
 
 
