@@ -983,6 +983,14 @@ def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(_jpeg_lossless_roundtrip, PNG_DECODE_SCHEMA)
 
 
+#: lossless-query image side: DPCM decode is inherently per-sample
+#: sequential Python, so the registry query uses a 16x16 tile (256
+#: samples exercises every predictor path incl. row seams) rather
+#: than the DCT twins' 64x64 - the r10 bench measured the 64x64
+#: variant at 18.6 s for 5000 docs, all of it interpreter loop
+_LOSSLESS_SIDE = 16
+
+
 def _jpeg_lossless_roundtrip(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
@@ -990,7 +998,7 @@ def _jpeg_lossless_roundtrip(
 
     from ..sources.jpegcodec import decode_lossless, encode_gray_lossless
 
-    side = _JPEG_BLOCKS * 8
+    side = _LOSSLESS_SIDE
     kidx = np.arange(side * side)
     for pdf in batches:
         n = len(pdf)
@@ -1015,7 +1023,7 @@ def _jpeg_lossless_roundtrip(
         )
 
 
-_SIDE2 = (_JPEG_BLOCKS * 8) * (_JPEG_BLOCKS * 8)
+_SIDE2 = _LOSSLESS_SIDE * _LOSSLESS_SIDE
 
 MULTIMODAL_JPEG_LOSSLESS_SQL = f"""
 WITH d AS (
@@ -1036,8 +1044,8 @@ px AS (
   GROUP BY doc_id
 )
 SELECT i.doc_id,
-       CAST({_JPEG_BLOCKS * 8} AS INTEGER) AS width,
-       CAST({_JPEG_BLOCKS * 8} AS INTEGER) AS height,
+       CAST({_LOSSLESS_SIDE} AS INTEGER) AS width,
+       CAST({_LOSSLESS_SIDE} AS INTEGER) AS height,
        CAST(p.pix_sum AS BIGINT) AS pix_sum,
        md5(i.image) AS pix_md5
 FROM img i JOIN px p USING (doc_id)
