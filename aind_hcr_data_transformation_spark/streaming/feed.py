@@ -137,6 +137,13 @@ def _full_table(path: str, mtime: float):
     key = (path, mtime)
     if key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
+    # a new mtime for the same path supersedes the old table (and its
+    # sorted slices) — without eviction a long-lived worker serving many
+    # rewritten temp feed files holds every historical generation forever
+    for stale in [k for k in _TABLE_CACHE if k[0] == path and k != key]:
+        del _TABLE_CACHE[stale]
+    for stale in [k for k in _SLICE_CACHE if k[0] == path and k[1] != mtime]:
+        del _SLICE_CACHE[stale]
     tbl = pq.read_table(path, columns=_FEED_COLS)
     tbl = tbl.cast(
         pa.schema(
@@ -323,8 +330,29 @@ def run_feed_bounded(
         # processAllAvailable is the JVM-side drain barrier, replacing
         # driver-side status polling DURING the data batches (the
         # py4j status chatter measurably stretched inter-batch gaps:
-        # 7.8 s vs 4.2 s warm on the same query, r10 task 4)
-        q.processAllAvailable()
+        # 7.8 s vs 4.2 s warm on the same query, r10 task 4).
+        # It has no timeout of its own, so run it on a watchdog thread:
+        # a hung micro-batch must still surface as the TimeoutError this
+        # function's deadline promises, not hang the caller forever
+        import threading
+
+        drained = threading.Event()
+        drain_err: list[BaseException] = []
+
+        def _drain() -> None:
+            try:
+                q.processAllAvailable()
+            except BaseException as exc:  # surfaced below on the caller
+                drain_err.append(exc)
+            finally:
+                drained.set()
+
+        threading.Thread(target=_drain, daemon=True).start()
+        if not drained.wait(timeout_s):
+            q.stop()  # unblocks processAllAvailable in the drain thread
+            raise TimeoutError(f"feed stream did not drain in {timeout_s}s")
+        if drain_err:
+            raise drain_err[0]
         # ...then the observed-drain loop below only has to see out the
         # watermark-flush no-data batch MicroBatchExecution schedules
         # after the last data batch (stateful append queries emit their
