@@ -82,7 +82,11 @@ def _run_to_memory_sink(df: DataFrame, prefix: str, output_mode: str):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     sink_name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # 4, not 8: each state-store instance pays per-batch checkpoint churn,
+    # and the r11 trigger-floor audit measured 8->4 saving ~0.3-0.7 s per
+    # stateful query at test scale with identical answers (partition count
+    # is pinned inside each run's fresh checkpoint, so restarts are safe)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             df.writeStream.format("memory")

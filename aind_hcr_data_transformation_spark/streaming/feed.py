@@ -316,7 +316,12 @@ def run_feed_bounded(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{sink}")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # 4, not 8: state-store checkpoint churn is per (partition, batch) and
+    # the feed deliberately runs several time-aligned batches — the r11
+    # trigger-floor audit measured the smaller store count faster at test
+    # scale with identical answers (a real cluster raises this with
+    # executor count; the admission plan is partition-count-independent)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             df.writeStream.format("memory")
