@@ -1053,3 +1053,141 @@ FROM img i JOIN px p USING (doc_id)
 
 QUERIES["multimodal_jpeg_lossless"] = multimodal_jpeg_lossless
 ORACLES["multimodal_jpeg_lossless"] = MULTIMODAL_JPEG_LOSSLESS_SQL
+
+
+def multimodal_jpeg_cmyk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-component YCCK JPEG decode through the vendored general
+    decoder (``sources/jpegcodec.py::decode_image`` — the r11 CMYK
+    matrix row), hash-exact against an oracle that never sees a JPEG.
+
+    Same lossless-by-construction family as ``multimodal_jpeg_color``,
+    extended to the CMYK layout libjpeg writes for JCS_YCCK input
+    (Adobe APP14 transform=2): each 8×8 block holds one CONSTANT CMYK
+    quad from four consecutive printable-ASCII bytes, so at quality
+    100 (all-ones quant tables) the whole chain is bit-exact —
+
+    - inversion C/M/Y → R/G/B is ``255 - x`` (exact integers),
+    - forward RGB→YCbCr is the pure-integer half-up transform shared
+      with the color twin (no channel clips: inputs land in
+      [129, 223]),
+    - decode reverses with libjpeg's fixed-point arithmetic, which the
+      oracle replicates as integer algebra with floor(x/65536.0),
+      then re-inverts to CMY; K rides through untouched.
+
+    Any defect in the 4-component interleaved scan (T.81's Ns=4
+    ceiling), the Adobe APP14 transform resolution, or the inverted
+    conversion breaks the md5 on every row.
+
+    Scale: one mapInPandas pass, no shuffle before the tiny result.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    media = docs.filter(F.length("text") >= 1).select(
+        "doc_id",
+        F.encode(
+            F.regexp_replace(F.col("text"), "[^ -~]", "?"), "utf-8"
+        ).alias("payload"),
+    )
+    return media.mapInPandas(_jpeg_cmyk_roundtrip, PNG_DECODE_SCHEMA)
+
+
+def _jpeg_cmyk_roundtrip(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ..sources.jpegcodec import decode_image, encode_cmyk
+
+    nb = _JPEG_BLOCKS
+    side = nb * 8
+    kidx = np.arange(nb * nb)
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        ids, sums, digests = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(payload, np.uint8)
+            quad = np.stack(
+                [b[(kidx + c) % len(b)] for c in range(4)], axis=-1
+            ).reshape(nb, nb, 4)
+            img = np.repeat(np.repeat(quad, 8, axis=0), 8, axis=1)
+            arr = decode_image(encode_cmyk(img, quality=100, transform=2))
+            ids.append(doc_id)
+            sums.append(int(arr.astype(np.int64).sum()))
+            digests.append(
+                hashlib.md5(arr.tobytes().hex().encode()).hexdigest()
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, np.int64),
+                "width": np.full(n, side, np.int32),
+                "height": np.full(n, side, np.int32),
+                "pix_sum": np.asarray(sums, np.int64),
+                "pix_md5": digests,
+            }
+        )
+
+
+MULTIMODAL_JPEG_CMYK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(text, '[^ -~]', '?', 'g') AS text
+  FROM documents WHERE octet_length(encode(text)) >= 1
+),
+bc AS (  -- tile to {_NB2}+3 chars so block k can read bytes k..k+3
+  SELECT doc_id, length(text) AS L,
+         substr(repeat(text,
+                       CAST(({_NB2} + 3) // length(text) + 1 AS INTEGER)),
+                1, {_NB2} + 3) AS chars
+  FROM d
+),
+blocks AS (
+  SELECT doc_id,
+         CAST(t.bk // {_JPEG_BLOCKS} AS INTEGER) AS br,
+         CAST(t.bk % {_JPEG_BLOCKS} AS INTEGER) AS bx,
+         -- inverted CMY -> RGB feeds the forward transform; K rides raw
+         255 - CAST(ascii(substr(chars, CAST((t.bk + 0) % L + 1 AS INTEGER), 1)) AS BIGINT) AS r,
+         255 - CAST(ascii(substr(chars, CAST((t.bk + 1) % L + 1 AS INTEGER), 1)) AS BIGINT) AS g,
+         255 - CAST(ascii(substr(chars, CAST((t.bk + 2) % L + 1 AS INTEGER), 1)) AS BIGINT) AS b,
+         CAST(ascii(substr(chars, CAST((t.bk + 3) % L + 1 AS INTEGER), 1)) AS BIGINT) AS k
+  FROM bc, unnest(range(0, {_NB2})) t(bk)
+),
+ycc AS (  -- same pure-integer forward transform as the color twin
+  SELECT doc_id, br, bx, k,
+    (299*r + 587*g + 114*b + 500) // 1000 AS y,
+    (128000000000 - 168735892*r - 331264108*g + 500000000*b
+     + 500000000) // 1000000000 AS cb,
+    (128000000000 + 500000000*r - 418687589*g - 81312411*b
+     + 500000000) // 1000000000 AS cr
+  FROM blocks
+),
+cmyk AS (  -- libjpeg fixed-point inverse, re-inverted to stored CMY
+  SELECT doc_id, br, bx, k,
+    255 - (y + CAST(floor((91881 * (cr - 128) + 32768) / 65536.0) AS BIGINT)) AS c2,
+    255 - (y + CAST(floor((-22554 * (cb - 128) - 46802 * (cr - 128) + 32768)
+                   / 65536.0) AS BIGINT)) AS m2,
+    255 - (y + CAST(floor((116130 * (cb - 128) + 32768) / 65536.0) AS BIGINT)) AS y2
+  FROM ycc
+),
+rows_ AS (
+  SELECT doc_id, br,
+         string_agg(repeat(printf('%02x%02x%02x%02x', c2, m2, y2, k), 8),
+                    '' ORDER BY bx) AS rowhex,
+         sum(c2 + m2 + y2 + k) AS row_block_sum
+  FROM cmyk GROUP BY doc_id, br
+),
+img AS (
+  SELECT doc_id,
+         string_agg(repeat(rowhex, 8), '' ORDER BY br) AS imagehex,
+         sum(row_block_sum) AS block_sum
+  FROM rows_ GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({_JPEG_BLOCKS * 8} AS INTEGER) AS width,
+       CAST({_JPEG_BLOCKS * 8} AS INTEGER) AS height,
+       CAST(block_sum * 64 AS BIGINT) AS pix_sum,
+       md5(imagehex) AS pix_md5
+FROM img
+"""
+
+QUERIES["multimodal_jpeg_cmyk"] = multimodal_jpeg_cmyk
+ORACLES["multimodal_jpeg_cmyk"] = MULTIMODAL_JPEG_CMYK_SQL

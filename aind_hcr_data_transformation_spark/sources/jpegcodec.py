@@ -29,8 +29,12 @@ Scope (and loud errors beyond it):
   color conversion; 8- and 16-bit quantization tables; restart
   intervals (DRI + RSTn with modulo-sequence verification); plus (r10)
   LOSSLESS (SOF3, Annex H DPCM — predictors 1-7, point transform,
-  2-16 bit, bit-exact) via :func:`decode_lossless`. Arithmetic coding
-  (SOF9-11), CMYK/2-component layouts, and 12-bit color raise
+  2-16 bit, bit-exact) via :func:`decode_lossless`; plus (r11)
+  4-component CMYK/YCCK with Adobe APP14 transform resolution
+  (libjpeg's jdmarker heuristic: transform byte wins, else component
+  ids, else JFIF YCbCr / raw CMYK defaults), stored-RGB passthrough,
+  and 12-bit 3-component color (SOF1, CENTERJSAMPLE=2048 conversion).
+  Arithmetic coding (SOF9-11) and 2-component layouts raise
   ``NotImplementedError``.
 * encode: the matching writers used by tests/fixture tooling —
   ``encode_gray`` (8-bit, Annex K quantization + Huffman tables,
@@ -1241,24 +1245,29 @@ def _upsample(plane: np.ndarray, sx: int, sy: int, w: int, h: int) -> np.ndarray
     return out[:h, :w]
 
 
-def _ycc_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+def _ycc_to_rgb(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, maxval: int = 255
+) -> np.ndarray:
     """JFIF YCbCr→RGB with libjpeg's fixed-point arithmetic (jdcolor.c
     SCALEBITS=16 tables) so decoded pixels match libjpeg bit-for-bit up
-    to IDCT rounding."""
+    to IDCT rounding. ``maxval`` 255 (8-bit) or 4095 (12-bit,
+    CENTERJSAMPLE scaling per jdcolor.c's MAXJSAMPLE build constant)."""
 
     def fix(x: float) -> int:
         return int(x * 65536 + 0.5)
 
+    center = (maxval + 1) >> 1
     y = y.astype(np.int64)
-    cb = cb.astype(np.int64) - 128
-    cr = cr.astype(np.int64) - 128
+    cb = cb.astype(np.int64) - center
+    cr = cr.astype(np.int64) - center
     r = y + ((fix(1.40200) * cr + 32768) >> 16)
     b = y + ((fix(1.77200) * cb + 32768) >> 16)
     g = y + ((-fix(0.34414) * cb - fix(0.71414) * cr + 32768) >> 16)
-    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+    dtype = np.uint8 if maxval <= 255 else np.uint16
+    return np.clip(np.stack([r, g, b], axis=-1), 0, maxval).astype(dtype)
 
 
-def _rgb_to_ycc(rgb: np.ndarray):
+def _rgb_to_ycc(rgb: np.ndarray, maxval: int = 255):
     """Forward BT.601 full-range RGB→YCbCr (encoder side; the forward
     transform has no cross-decoder matching constraint, so the only
     requirement is engine-portable determinism). Pure INTEGER half-up
@@ -1266,26 +1275,29 @@ def _rgb_to_ycc(rgb: np.ndarray):
     double evaluation lands ties like 0.299·97+0.587·109+0.114·101 =
     104.5 one ulp BELOW .5 while exact decimal lands ON it (caught by
     the sf0.1 differential), so the only portable definition is the
-    exact one."""
+    exact one. ``maxval`` 255 or 4095 shifts the chroma center the way
+    libjpeg's CENTERJSAMPLE build constant does."""
+    center = (maxval + 1) >> 1
     r = rgb[..., 0].astype(np.int64)
     g = rgb[..., 1].astype(np.int64)
     b = rgb[..., 2].astype(np.int64)
     y = (299 * r + 587 * g + 114 * b + 500) // 1000
     cb = (
-        128_000_000_000
+        center * 1_000_000_000
         - 168_735_892 * r
         - 331_264_108 * g
         + 500_000_000 * b
         + 500_000_000
     ) // 1_000_000_000
     cr = (
-        128_000_000_000
+        center * 1_000_000_000
         + 500_000_000 * r
         - 418_687_589 * g
         - 81_312_411 * b
         + 500_000_000
     ) // 1_000_000_000
-    clip = lambda p: np.clip(p, 0, 255).astype(np.uint8)  # noqa: E731
+    dtype = np.uint8 if maxval <= 255 else np.uint16
+    clip = lambda p: np.clip(p, 0, maxval).astype(dtype)  # noqa: E731
     return clip(y), clip(cb), clip(cr)
 
 
@@ -1296,12 +1308,19 @@ def decode_image(data: bytes) -> np.ndarray:
     intervals, 8/16-bit DQT.
 
     Returns a 2-D array for single-component streams (delegating to
-    :func:`decode_gray`), or an ``(h, w, 3)`` RGB uint8 array for
-    3-component streams (JFIF YCbCr, libjpeg fixed-point conversion +
-    fancy upsampling — see ``_ycc_to_rgb`` / ``_h2v2_fancy``;
-    progressive scans via ``_progressive_scan_mc``). Other component
-    counts (CMYK etc.) and 12-bit color raise with an actionable
-    message.
+    :func:`decode_gray`), an ``(h, w, 3)`` RGB array for 3-component
+    streams, or an ``(h, w, 4)`` CMYK array for 4-component streams.
+    Sample precision 8 (uint8) or 12 (uint16, SOF1) — other precisions
+    raise with an actionable message.
+
+    Color-space resolution follows libjpeg's jdmarker/jdcolor
+    heuristic: an Adobe APP14 ``transform`` byte wins (0 = stored
+    RGB/CMYK passthrough, 1 = YCbCr, 2 = YCCK → CMYK via the inverted
+    fixed-point YCC conversion); without it, 3-component frames with
+    ids ``R``/``G``/``B`` pass through and everything else decodes as
+    JFIF YCbCr (``_ycc_to_rgb`` + fancy upsampling — ``_h2v2_fancy``;
+    progressive scans via ``_progressive_scan_mc``), while 4-component
+    frames default to raw CMYK.
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
@@ -1310,9 +1329,11 @@ def decode_image(data: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}
     comps: list[_Comp] = []
     h = w = 0
+    prec = 8
     restart_interval = 0
     sof_seen = False
     progressive = False
+    adobe_transform: int | None = None
     mcux = mcuy = 0
 
     while pos < len(data):
@@ -1369,10 +1390,15 @@ def decode_image(data: bytes) -> np.ndarray:
                 # decode_gray is the complete implementation
                 return decode_gray(data)
             progressive = marker == 0xC2
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(
-                    f"{prec}-bit {nf}-component JPEG (color decode here "
-                    f"is 8-bit)"
+                    f"{prec}-bit {nf}-component JPEG (multi-component "
+                    f"decode here is 8- or 12-bit)"
+                )
+            if nf not in (3, 4):
+                raise NotImplementedError(
+                    f"{nf}-component JPEG (1 = grayscale, 3 = RGB/YCbCr, "
+                    f"4 = CMYK/YCCK)"
                 )
             if len(body) < 6 + 3 * nf:
                 raise ValueError("SOF length inconsistent with Nf")
@@ -1407,6 +1433,9 @@ def decode_image(data: bytes) -> np.ndarray:
             )
         elif marker == 0xDD:
             restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xEE:  # APP14: Adobe color-transform declaration
+            if len(body) >= 12 and body[:5] == b"Adobe":
+                adobe_transform = body[11]
         elif marker == 0xDA:  # SOS
             if not sof_seen:
                 raise ValueError("SOS before SOF")
@@ -1490,13 +1519,10 @@ def decode_image(data: bytes) -> np.ndarray:
 
     if not comps:
         raise ValueError("no frame header in stream")
-    if len(comps) != 3:
-        raise NotImplementedError(
-            f"{len(comps)}-component JPEG (1 = grayscale, 3 = YCbCr; "
-            f"CMYK/unknown layouts need the [codecs] extra)"
-        )
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
+    maxval = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
     planes = []
     for c in comps:
         q = qtables.get(c.tq)
@@ -1504,9 +1530,35 @@ def decode_image(data: bytes) -> np.ndarray:
             raise ValueError("component references missing quant table")
         cw = -(-w * c.h // hmax)
         ch = -(-h * c.v // vmax)
-        plane = _reconstruct(c.zz, q, 8, c.bh, c.bw, ch, cw)
+        plane = _reconstruct(c.zz, q, prec, c.bh, c.bw, ch, cw)
         planes.append(_upsample(plane, hmax // c.h, vmax // c.v, w, h))
-    return _ycc_to_rgb(*planes)
+
+    def raw(ps) -> np.ndarray:
+        # fancy upsampling works in int32; re-clip for the passthrough
+        # layouts (YCC paths clip inside _ycc_to_rgb)
+        return np.stack(
+            [np.clip(p, 0, maxval).astype(dtype) for p in ps], axis=-1
+        )
+
+    if len(comps) == 3:
+        ids = tuple(c.cid for c in comps)
+        if adobe_transform == 0 or (
+            adobe_transform is None and ids == (0x52, 0x47, 0x42)
+        ):
+            return raw(planes)  # stored RGB, no conversion
+        if adobe_transform == 2:
+            raise ValueError("Adobe YCCK transform on a 3-component frame")
+        return _ycc_to_rgb(*planes, maxval=maxval)
+    # 4 components: CMYK family
+    if adobe_transform == 2:  # YCCK: inverted-CMY YCbCr + passthrough K
+        rgb = _ycc_to_rgb(planes[0], planes[1], planes[2], maxval=maxval)
+        cmyk = np.empty(rgb.shape[:2] + (4,), dtype=dtype)
+        cmyk[..., :3] = maxval - rgb
+        cmyk[..., 3] = np.clip(planes[3], 0, maxval).astype(dtype)
+        return cmyk
+    if adobe_transform == 1:
+        raise ValueError("Adobe YCbCr transform on a 4-component frame")
+    return raw(planes)  # stored CMYK, no conversion
 
 
 def _color_comps(img: np.ndarray, quality: int, subsampling: str):
@@ -1754,6 +1806,165 @@ def encode_color_progressive(
         view = zz[idx]
         out += sos([cid], 1, 63, 1, 0,
                    lambda bw, v=view: _enc_ac_refine(v, 1, 63, 0, bw))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _enc_seq_block(
+    bw: _BitWriter, blk: np.ndarray, pred: int, dc_enc: dict, ac_enc: dict
+) -> int:
+    """Sequential entropy-encode one zigzag block against ``pred``;
+    returns the new DC predictor. Table-parametrized twin of the
+    baseline ``enc_block`` closures (the CMYK and 12-bit writers feed
+    it the fixed extended-precision tables)."""
+    dc = int(blk[0])
+    diff = dc - pred
+    s = _category(diff)
+    code, ln = dc_enc[s]
+    bw.write(code, ln)
+    bw.write(_amplitude(diff, s), s)
+    run = 0
+    nz = np.nonzero(blk[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for i in range(1, last + 1):
+        v = int(blk[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_enc[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_enc[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(_amplitude(v, s), s)
+        run = 0
+    if last < 63:
+        code, ln = ac_enc[0x00]
+        bw.write(code, ln)
+    return dc
+
+
+def _adobe_app14(transform: int) -> bytes:
+    """Adobe APP14 payload (version 100, zero flags) carrying the
+    color-transform byte — the declaration libjpeg's jdmarker reads to
+    pick RGB/YCbCr/YCCK handling."""
+    return b"Adobe\x00\x64\x00\x00\x00\x00" + bytes([transform])
+
+
+def encode_cmyk(
+    img: np.ndarray, quality: int = 100, transform: int = 2
+) -> bytes:
+    """Encode an ``(h, w, 4)`` uint8 CMYK array as 4-component baseline
+    JPEG (SOF0) with an Adobe APP14 declaration — ``transform`` 2
+    stores YCCK (YCbCr of the inverted CMY + passthrough K, the layout
+    libjpeg writes for JCS_YCCK) and 0 stores raw CMYK. All components
+    1×1 (T.81 caps an interleaved scan at Ns=4, which a 4-component
+    frame only meets unsubsampled), one interleaved scan.
+
+    The reference reads CMYK JPEGs through czifile→imagecodecs
+    (reference pyproject.toml:25); this writer exists so the vendored
+    :func:`decode_image` CMYK path has in-container round-trip coverage
+    plus an independent cross-decoder pin in the codecs CI leg."""
+    if img.ndim != 3 or img.shape[2] != 4 or img.dtype != np.uint8:
+        raise ValueError(f"need (h, w, 4) uint8, got {img.shape} {img.dtype}")
+    if transform not in (0, 2):
+        raise ValueError(f"transform must be 0 (CMYK) or 2 (YCCK), got "
+                         f"{transform}")
+    h, w = img.shape[:2]
+    qluma = quant_table(quality)
+    qchroma = quant_table(quality, QTABLE_CHROMA)
+    if transform == 2:
+        rgb = (255 - img[..., :3].astype(np.int64)).astype(np.uint8)
+        y, cb, cr = _rgb_to_ycc(rgb)
+        planes = [(1, y, 0, qluma), (2, cb, 1, qchroma),
+                  (3, cr, 1, qchroma), (4, img[..., 3], 0, qluma)]
+    else:
+        planes = [
+            (i + 1, img[..., i], 0, qluma) for i in range(4)
+        ]
+    comps = [
+        (cid, _quantized_zigzag(p, 8, quality, q=q), tq)
+        for cid, p, tq, q in planes
+    ]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFEE, _adobe_app14(transform))
+    out += seg(0xFFDB, bytes([0x00]) + bytes(qluma[ZIGZAG].tolist()))
+    if transform == 2:
+        out += seg(0xFFDB, bytes([0x01]) + bytes(qchroma[ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, 4)
+    for cid, _zz, tq in comps:
+        sof += bytes([cid, 0x11, tq])
+    out += seg(0xFFC0, sof)
+    out += seg(0xFFC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    bw = _BitWriter()
+    preds = {cid: 0 for cid, _zz, _tq in comps}
+    nblocks = -(-h // 8) * -(-w // 8)
+    for m in range(nblocks):  # 1×1 everywhere: MCU raster = block raster
+        for cid, zz, _tq in comps:
+            preds[cid] = _enc_seq_block(bw, zz[m], preds[cid], _DC_ENC, _AC_ENC)
+    sos = bytes([4])
+    for cid, _zz, _tq in comps:
+        sos += bytes([cid, 0x00])
+    out += seg(0xFFDA, sos + bytes([0, 63, 0]))
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_color12(img: np.ndarray, quality: int = 100) -> bytes:
+    """Encode an ``(h, w, 3)`` uint16 array of 12-bit RGB samples
+    (0..4095) as 3-component extended sequential JPEG (SOF1, 12-bit,
+    4:4:4 YCbCr) — composing the existing 12-bit grayscale machinery
+    (fixed uniform DC12/AC12 tables, ``encode_gray12``) with the
+    multi-component interleaved layout of :func:`encode_color`."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint16:
+        raise ValueError(f"need (h, w, 3) uint16, got {img.shape} {img.dtype}")
+    if img.size and int(img.max()) > 4095:
+        raise ValueError(
+            f"12-bit JPEG samples must be <= 4095, max is {int(img.max())}"
+        )
+    h, w = img.shape[:2]
+    qluma = quant_table(quality)
+    qchroma = quant_table(quality, QTABLE_CHROMA)
+    y, cb, cr = _rgb_to_ycc(img, maxval=4095)
+    comps = [
+        (1, _quantized_zigzag(y, 12, quality, q=qluma), 0),
+        (2, _quantized_zigzag(cb, 12, quality, q=qchroma), 1),
+        (3, _quantized_zigzag(cr, 12, quality, q=qchroma), 1),
+    ]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([0x00]) + bytes(qluma[ZIGZAG].tolist()))
+    out += seg(0xFFDB, bytes([0x01]) + bytes(qchroma[ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 12, h, w, 3)
+    for cid, _zz, tq in comps:
+        sof += bytes([cid, 0x11, tq])
+    out += seg(0xFFC1, sof)
+    out += seg(0xFFC4, bytes([0x00]) + bytes(DC12_BITS) + bytes(DC12_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(AC12_BITS) + bytes(AC12_VALS))
+    bw = _BitWriter()
+    preds = {cid: 0 for cid, _zz, _tq in comps}
+    nblocks = -(-h // 8) * -(-w // 8)
+    for m in range(nblocks):
+        for cid, zz, _tq in comps:
+            preds[cid] = _enc_seq_block(
+                bw, zz[m], preds[cid], _DC12_ENC, _AC12_ENC
+            )
+    sos = bytes([3])
+    for cid, _zz, _tq in comps:
+        sos += bytes([cid, 0x00])
+    out += seg(0xFFDA, sos + bytes([0, 63, 0]))
+    out += bw.flush()
     out += b"\xff\xd9"
     return bytes(out)
 

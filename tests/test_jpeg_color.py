@@ -127,10 +127,10 @@ def test_unknown_subsampling_and_bad_input_raise():
         encode_color(img.astype(np.uint16))
 
 
-def test_four_component_still_gates():
-    """CMYK-class streams keep an actionable refusal: patch the SOF of
-    a 3-component stream to claim Nf=4 — malformed or gated, never
-    silently decoded."""
+def test_inconsistent_nf_still_rejected():
+    """A SOF that claims more components than its header carries is
+    malformed — rejected, never silently decoded (this was the old
+    CMYK gate probe; CMYK itself now decodes, below)."""
     data = bytearray(encode_color(_rgb(), 90))
     # find SOF0 and bump Nf (body offset 5)
     import struct
@@ -145,6 +145,176 @@ def test_four_component_still_gates():
         pos += 2 + ln
     with pytest.raises((ValueError, NotImplementedError)):
         decode_image(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# CMYK / YCCK (r11, VERDICT r10 task 2) + Adobe transform resolution
+# ---------------------------------------------------------------------------
+
+
+def _cmyk(h: int = 24, w: int = 35, seed: int = 5) -> np.ndarray:
+    """Blocky CMYK field: 8×8-constant regions keep q=100 DCT loss at
+    the rounding floor so round-trip asserts can be tight."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (-(-h // 8), -(-w // 8), 4)).astype(float)
+    return np.kron(base, np.ones((8, 8, 1)))[:h, :w].round().astype(np.uint8)
+
+
+def test_cmyk_ycck_roundtrip():
+    """Adobe transform=2 (YCCK): inverted-CMY YCbCr + passthrough K —
+    the layout libjpeg writes for JCS_YCCK input."""
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        encode_cmyk,
+    )
+
+    img = _cmyk()
+    out = decode_image(encode_cmyk(img, 100, transform=2))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_cmyk_raw_roundtrip_is_exact_on_blocks():
+    """Adobe transform=0 stores CMYK planes directly: no color
+    transform in the loop, so blocky input survives q=100 exactly."""
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        encode_cmyk,
+    )
+
+    img = _cmyk(32, 40, seed=11)
+    out = decode_image(encode_cmyk(img, 100, transform=0))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_cmyk_without_adobe_marker_defaults_to_raw():
+    """No APP14 on a 4-component frame → raw CMYK (libjpeg's
+    default_decompress_parms default)."""
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        encode_cmyk,
+    )
+
+    img = _cmyk(16, 16, seed=2)
+    data = bytearray(encode_cmyk(img, 100, transform=0))
+    # strip the APP14 segment (SOI + APP14 is the head of our layout)
+    import struct
+
+    assert data[2:4] == b"\xff\xee"
+    ln = struct.unpack_from(">H", data, 4)[0]
+    del data[2 : 4 + ln]
+    np.testing.assert_array_equal(decode_image(bytes(data)), img)
+
+
+def test_cmyk_invalid_transform_rejected():
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        encode_cmyk,
+    )
+
+    with pytest.raises(ValueError, match="transform"):
+        encode_cmyk(_cmyk(), transform=1)
+    # a stream claiming YCbCr (1) on 4 components is contradictory
+    data = bytearray(encode_cmyk(_cmyk(16, 16), 100, transform=0))
+    assert data[2:4] == b"\xff\xee"
+    data[2 + 4 + 11] = 1  # transform byte inside the APP14 body
+    with pytest.raises(ValueError, match="4-component"):
+        decode_image(bytes(data))
+
+
+def test_rgb_passthrough_component_ids():
+    """3-component frame with ids R,G,B and no Adobe/JFIF hint decodes
+    as stored RGB (libjpeg jdmarker id heuristic) — pinned by building
+    the stream from raw per-channel planes."""
+    import struct
+
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        _AC_ENC,
+        _DC_ENC,
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        ZIGZAG,
+        _BitWriter,
+        _enc_seq_block,
+        _quantized_zigzag,
+        quant_table,
+    )
+
+    img = _cmyk(16, 24, seed=9)[..., :3]  # blocky → exact at q=100
+    h, w = img.shape[:2]
+    q = quant_table(100)
+    comps = [
+        (cid, _quantized_zigzag(img[..., i], 8, 100, q=q))
+        for i, cid in enumerate((0x52, 0x47, 0x42))
+    ]
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([0x00]) + bytes(q[ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, _zz in comps:
+        sof += bytes([cid, 0x11, 0])
+    out += seg(0xFFC0, sof)
+    out += seg(
+        0xFFC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+    )
+    out += seg(
+        0xFFC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS)
+    )
+    bw = _BitWriter()
+    preds = {cid: 0 for cid, _ in comps}
+    for m in range((h // 8) * (w // 8)):
+        for cid, zz in comps:
+            preds[cid] = _enc_seq_block(bw, zz[m], preds[cid], _DC_ENC, _AC_ENC)
+    out += seg(
+        0xFFDA,
+        bytes([3]) + b"".join(bytes([cid, 0]) for cid, _ in comps)
+        + bytes([0, 63, 0]),
+    )
+    out += bw.flush()
+    out += b"\xff\xd9"
+    np.testing.assert_array_equal(decode_image(bytes(out)), img)
+
+
+# ---------------------------------------------------------------------------
+# 12-bit 3-component color (r11, VERDICT r10 task 3)
+# ---------------------------------------------------------------------------
+
+
+def test_color12_roundtrip():
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        encode_color12,
+    )
+
+    rng = np.random.default_rng(13)
+    base = rng.integers(0, 4096, (3, 4, 3)).astype(float)
+    img = np.kron(base, np.ones((8, 8, 1)))[:21, :27].round().astype(np.uint16)
+    out = decode_image(encode_color12(img, 100))
+    assert out.shape == img.shape and out.dtype == np.uint16
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_color12_flat_field_tight():
+    """A flat 12-bit field isolates the CENTERJSAMPLE=2048 conversion
+    pair from DCT loss."""
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        encode_color12,
+    )
+
+    img = np.full((16, 16, 3), (3000, 512, 2048), dtype=np.uint16)
+    out = decode_image(encode_color12(img, 100))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_color12_range_and_dtype_validated():
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        encode_color12,
+    )
+
+    with pytest.raises(ValueError, match="4095"):
+        encode_color12(np.full((8, 8, 3), 5000, dtype=np.uint16))
+    with pytest.raises(ValueError, match="uint16"):
+        encode_color12(np.zeros((8, 8, 3), dtype=np.uint8))
 
 
 # ---------------------------------------------------------------------------

@@ -339,3 +339,115 @@ def test_ljpeg_decodes_our_lossless_16bit():
     img = rng.integers(0, 65536, size=(21, 19), dtype=np.uint16)
     data = encode_gray_lossless(img, predictor=4)
     np.testing.assert_array_equal(imagecodecs.ljpeg_decode(data), img)
+
+
+# ---------------------------------------------------------------------------
+# CMYK / YCCK + Adobe transform (r11, VERDICT r10 task 2)
+# ---------------------------------------------------------------------------
+
+
+def _test_cmyk(h: int = 48, w: int = 61, seed: int = 31) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    c = 90 + 70 * np.sin(yy / 8.0) + rng.normal(0, 5, (h, w))
+    m = 120 + 60 * np.cos(xx / 11.0) + rng.normal(0, 5, (h, w))
+    y = 100 + 48 * ((xx // 16) % 2)
+    k = 60 + 40 * np.sin((xx + yy) / 9.0)
+    return np.clip(np.stack([c, m, y, k], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _assert_close4(a: np.ndarray, b: np.ndarray, what: str) -> None:
+    assert a.shape == b.shape, f"{what}: {a.shape} vs {b.shape}"
+    diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+    frac_gt1 = float((diff > 1).mean())
+    assert diff.max() <= 2 and frac_gt1 < 0.01, (
+        f"{what}: decoders disagree beyond IDCT rounding "
+        f"(max |diff|={diff.max()}, {frac_gt1:.2%} pixels differ by >1)"
+    )
+
+
+@pytest.mark.parametrize("transform", [0, 2])
+def test_libjpeg_decodes_our_cmyk(transform):
+    """Our 4-component streams (Adobe APP14 transform 0 = raw CMYK,
+    2 = YCCK) through libjpeg vs our decoder — pins both the marker
+    layout and the inverted-YCC conversion against the implementation
+    the reference inherits (czifile→imagecodecs)."""
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        decode_image,
+        encode_cmyk,
+    )
+
+    img = _test_cmyk()
+    data = encode_cmyk(img, quality=95, transform=transform)
+    _assert_close4(
+        imagecodecs.jpeg8_decode(data),
+        decode_image(data),
+        f"our CMYK transform={transform} vs libjpeg",
+    )
+
+
+def test_we_decode_pil_cmyk():
+    """A CMYK JPEG written by libjpeg itself (via Pillow; whatever
+    Adobe transform convention it picks) decodes here to the same
+    stored values libjpeg's own decoder reports — convention-free
+    same-bytes comparison."""
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        decode_image,
+    )
+
+    img = _test_cmyk(h=40, w=53, seed=37)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(img, mode="CMYK").save(
+        buf, format="JPEG", quality=92
+    )
+    data = buf.getvalue()
+    _assert_close4(
+        imagecodecs.jpeg8_decode(data),
+        decode_image(data),
+        "libjpeg-written CMYK",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 12-bit extended-sequential color (r11, VERDICT r10 task 3)
+# ---------------------------------------------------------------------------
+
+
+def _jpeg12_decode(data: bytes):
+    """imagecodecs' 12-bit entry point moved across versions: probe the
+    unified jpeg_decode (libjpeg-turbo 3 runtime precision) then the
+    dedicated jpeg12_decode build."""
+    last: Exception | None = None
+    for name, kw in (("jpeg_decode", {"bitspersample": 12}),
+                     ("jpeg_decode", {}), ("jpeg12_decode", {})):
+        fn = getattr(imagecodecs, name, None)
+        if fn is None:
+            continue
+        try:
+            return fn(data, **kw)
+        except Exception as exc:  # noqa: BLE001 - probe chain
+            last = exc
+    pytest.skip(f"imagecodecs build lacks 12-bit JPEG decode ({last!r})")
+
+
+def test_libjpeg_decodes_our_color12():
+    """Our SOF1 12-bit 3-component stream through libjpeg's 12-bit
+    decoder vs ours: pins the CENTERJSAMPLE=2048 color conversion and
+    the 12-bit multi-component entropy layout."""
+    from aind_hcr_data_transformation_spark.sources.jpegcodec import (
+        decode_image,
+        encode_color12,
+    )
+
+    rng = np.random.default_rng(41)
+    base = rng.integers(0, 4096, (6, 8, 3)).astype(float)
+    img = np.kron(base, np.ones((8, 8, 1)))[:45, :59].round().astype(np.uint16)
+    data = encode_color12(img, quality=95)
+    theirs = np.asarray(_jpeg12_decode(data))
+    ours = decode_image(data)
+    assert theirs.shape == ours.shape, (theirs.shape, ours.shape)
+    diff = np.abs(theirs.astype(np.int64) - ours.astype(np.int64))
+    # 12-bit IDCT rounding freedom scales with the wider sample range
+    assert diff.max() <= 32 and float((diff > 8).mean()) < 0.01, (
+        f"12-bit color: max |diff|={diff.max()}"
+    )
