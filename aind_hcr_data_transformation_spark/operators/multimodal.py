@@ -1191,3 +1191,112 @@ FROM img
 
 QUERIES["multimodal_jpeg_cmyk"] = multimodal_jpeg_cmyk
 ORACLES["multimodal_jpeg_cmyk"] = MULTIMODAL_JPEG_CMYK_SQL
+
+
+#: arithmetic-query image side: the QM coder is per-symbol Python, so
+#: the registry query uses a 2x2-block (16x16) tile — the property
+#: pinned (Annex D coder + Annex F model round trip, exact on
+#: block-constant input at q100) is size-independent
+_ARITH_BLOCKS = 2
+
+
+def multimodal_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARITHMETIC-coded JPEG (SOF9) round trip through the vendored
+    T.81 Annex D/F coder (``sources/jpegarith.py`` — the r11 codec
+    matrix row), hash-exact against an oracle that never sees a JPEG.
+
+    Same per-block-constant construction as ``multimodal_jpeg_decode``
+    (each 8×8 block one text byte, exact at quality 100); only the
+    entropy layer differs — QM probability-estimation state machine,
+    DC conditioning contexts, carry/stuffing byte discipline — so any
+    defect there breaks the md5 on every row while the DCT math stays
+    pinned by the Huffman twin.
+
+    Scale: one mapInPandas pass, no shuffle before the tiny result.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    media = docs.filter(F.length("text") >= 1).select(
+        "doc_id",
+        F.encode(
+            F.regexp_replace(F.col("text"), "[^ -~]", "?"), "utf-8"
+        ).alias("payload"),
+    )
+    return media.mapInPandas(_jpeg_arith_roundtrip, PNG_DECODE_SCHEMA)
+
+
+def _jpeg_arith_roundtrip(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ..sources.jpegarith import decode_arith, encode_arith
+
+    nb = _ARITH_BLOCKS
+    side = nb * 8
+    kidx = np.arange(nb * nb)
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        ids, sums, digests = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(payload, np.uint8)
+            blocks = b[kidx % len(b)].reshape(nb, nb)
+            img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+            arr = decode_arith(encode_arith(img, quality=100))
+            ids.append(doc_id)
+            sums.append(int(arr.astype(np.int64).sum()))
+            digests.append(hashlib.md5(arr.tobytes()).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, np.int64),
+                "width": np.full(n, side, np.int32),
+                "height": np.full(n, side, np.int32),
+                "pix_sum": np.asarray(sums, np.int64),
+                "pix_md5": digests,
+            }
+        )
+
+
+_ANB2 = _ARITH_BLOCKS * _ARITH_BLOCKS
+
+MULTIMODAL_JPEG_ARITH_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(text, '[^ -~]', '?', 'g') AS text
+  FROM documents WHERE octet_length(encode(text)) >= 1
+),
+bc AS (
+  SELECT doc_id,
+         substr(repeat(text,
+                       CAST({_ANB2} // length(text) + 1 AS INTEGER)),
+                1, {_ANB2}) AS chars
+  FROM d
+),
+blocks AS (
+  SELECT doc_id,
+         CAST(t.bk // {_ARITH_BLOCKS} AS INTEGER) AS br,
+         CAST(t.bk % {_ARITH_BLOCKS} AS INTEGER) AS bx,
+         substr(chars, CAST(t.bk + 1 AS INTEGER), 1) AS ch
+  FROM bc, unnest(range(0, {_ANB2})) t(bk)
+),
+rows_ AS (
+  SELECT doc_id, br, string_agg(repeat(ch, 8), '' ORDER BY bx) AS rowstr,
+         sum(ascii(ch)) AS row_block_sum
+  FROM blocks GROUP BY doc_id, br
+),
+img AS (
+  SELECT doc_id,
+         string_agg(repeat(rowstr, 8), '' ORDER BY br) AS image,
+         sum(row_block_sum) AS block_sum
+  FROM rows_ GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({_ARITH_BLOCKS * 8} AS INTEGER) AS width,
+       CAST({_ARITH_BLOCKS * 8} AS INTEGER) AS height,
+       CAST(block_sum * 64 AS BIGINT) AS pix_sum,
+       md5(image) AS pix_md5
+FROM img
+"""
+
+QUERIES["multimodal_jpeg_arith"] = multimodal_jpeg_arith
+ORACLES["multimodal_jpeg_arith"] = MULTIMODAL_JPEG_ARITH_SQL

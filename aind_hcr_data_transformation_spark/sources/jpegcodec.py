@@ -33,8 +33,11 @@ Scope (and loud errors beyond it):
   4-component CMYK/YCCK with Adobe APP14 transform resolution
   (libjpeg's jdmarker heuristic: transform byte wins, else component
   ids, else JFIF YCbCr / raw CMYK defaults), stored-RGB passthrough,
-  and 12-bit 3-component color (SOF1, CENTERJSAMPLE=2048 conversion).
-  Arithmetic coding (SOF9-11) and 2-component layouts raise
+  and 12-bit 3-component color (SOF1, CENTERJSAMPLE=2048 conversion);
+  plus (r11) ARITHMETIC sequential (SOF9) via the vendored T.81 Annex
+  D/F coder in :mod:`.jpegarith` (libjpeg-cross-pinned both
+  directions). Arithmetic progressive/lossless (SOF10/11),
+  differential frames, and 2-component layouts raise
   ``NotImplementedError``.
 * encode: the matching writers used by tests/fixture tooling —
   ``encode_gray`` (8-bit, Annex K quantization + Huffman tables,
@@ -968,9 +971,14 @@ def decode_gray(data: bytes) -> np.ndarray:
                 zz = np.zeros((nb, 64), dtype=np.int64)
         elif marker == 0xC3:  # lossless (Annex H): own decode path, r10
             return decode_lossless(data)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC9:  # arithmetic sequential: own decode path, r11
+            from .jpegarith import decode_arith
+
+            return decode_arith(data)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"non-DCT-Huffman JPEG frame (SOF marker FF{marker:02X})"
+                f"unsupported JPEG frame (SOF marker FF{marker:02X}: "
+                f"differential or arithmetic-progressive/lossless)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
@@ -1427,9 +1435,14 @@ def decode_image(data: bytes) -> np.ndarray:
             sof_seen = True
         elif marker == 0xC3:  # lossless (Annex H): own decode path
             return decode_lossless(data)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC9:  # arithmetic sequential: own decode path, r11
+            from .jpegarith import decode_arith
+
+            return decode_arith(data)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"non-DCT-Huffman JPEG frame (SOF marker FF{marker:02X})"
+                f"unsupported JPEG frame (SOF marker FF{marker:02X}: "
+                f"differential or arithmetic-progressive/lossless)"
             )
         elif marker == 0xDD:
             restart_interval = struct.unpack_from(">H", body, 0)[0]
@@ -1519,6 +1532,21 @@ def decode_image(data: bytes) -> np.ndarray:
 
     if not comps:
         raise ValueError("no frame header in stream")
+    return _assemble_image(comps, qtables, prec, h, w, adobe_transform)
+
+
+def _assemble_image(
+    comps: list["_Comp"],
+    qtables: dict[int, np.ndarray],
+    prec: int,
+    h: int,
+    w: int,
+    adobe_transform: int | None,
+) -> np.ndarray:
+    """Dequantize/IDCT every component, upsample to frame dims, and
+    resolve the output color layout (shared by the Huffman and
+    arithmetic decode paths — the entropy coder is the only thing that
+    differs between SOF0/1/2 and SOF9)."""
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
     maxval = (1 << prec) - 1
@@ -1540,6 +1568,8 @@ def decode_image(data: bytes) -> np.ndarray:
             [np.clip(p, 0, maxval).astype(dtype) for p in ps], axis=-1
         )
 
+    if len(comps) == 1:
+        return np.clip(planes[0], 0, maxval).astype(dtype)
     if len(comps) == 3:
         ids = tuple(c.cid for c in comps)
         if adobe_transform == 0 or (
