@@ -10,7 +10,10 @@ partial chunk writes repaired by Spark task retry; the broker-shaped
 feed killed mid-``read()`` and inside consumer ``commit()``; the
 foreachBatch MERGE killed after its store swap (batch replay) and
 inside the swap's rename window (recovery preamble) — plus a control
-proving the probe detects the pre-r10 additive-merge bug.
+proving the probe detects the pre-r10 additive-merge bug. r11 adds
+the two DRIVER-PROCESS kills (``os._exit(137)`` mid-upsert-swap and
+mid-feed-stream) recovered by fresh driver processes from the on-disk
+checkpoints, each with its own sensitivity controls.
 """
 
 from __future__ import annotations
@@ -60,6 +63,8 @@ def test_chaos_probe_all_stages_green(tmp_path):
         "feed_commit_kill",
         "foreach_swap_kill",
         "foreach_between_renames_kill",
+        "driver_kill_upsert",
+        "driver_kill_feed",
     }
     # the probe must also prove its own sensitivity: the pre-r10
     # additive merge diverges under the replayed batch

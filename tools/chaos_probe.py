@@ -46,12 +46,31 @@ run:
 6. ``foreach_between_renames_kill`` — the same MERGE dies inside the
    two-rename swap window (store absent, ``_old`` present); the
    recovery preamble must restore and replay.
+7. ``driver_kill_upsert`` (r11) — stages 5/6 kill the merge with an
+   exception the SAME driver process survives; this one runs the
+   upsert in a SUBPROCESS whose driver calls ``os._exit(137)`` right
+   after the store swap (before Spark's commit log records the
+   batch), then restarts a FRESH driver process from the same
+   checkpoint. The store must oracle-match; the pre-r10 additive
+   merge under the identical kill must diverge (sensitivity control).
+8. ``driver_kill_feed`` (r11) — a subprocess driver consuming the
+   broker-shaped feed is hard-killed (``os._exit(137)`` on the driver
+   listener thread) right after its FIRST data micro-batch reports
+   progress, mid-stream with batches still unread; a fresh driver
+   process resumes from the checkpoint and the parquet sink's
+   committed view must hold every event exactly once. Controls: (A) a
+   fresh-checkpoint/fresh-consumer-group rerun into the SAME sink
+   replays the topic from zero and the file sink's batch-id log must
+   swallow it (committed view unchanged); (B) the duplicate detector
+   must FIRE on a forged physical duplicate read through the
+   metadata-blind glob a naive consumer would use.
 
 Each stage records ok/fail + detail; the probe exits 1 on any failure.
 
 Usage::
 
     python tools/chaos_probe.py [sf_dir] [--json CHAOS_PROBE.json]
+    python tools/chaos_probe.py --child MODE BASE SF_DIR   # internal
 """
 
 from __future__ import annotations
@@ -573,6 +592,288 @@ def stage_foreach_between_renames_kill(spark, sf_dir: str) -> dict:
     return _foreach_kill_stage(spark, sf_dir, "between_renames")
 
 
+# ---------------------------------------------------------------------------
+# driver-kill stages (r11): the fault is a SIGKILL-equivalent of the
+# whole driver process, not an exception — recovery must come from a
+# fresh process reading the on-disk checkpoint, never from in-memory
+# state that survived the failure.
+# ---------------------------------------------------------------------------
+
+
+class _ExitOnceAfterSwap:
+    """fault hook for make_upsert_merger: hard-kill the DRIVER PROCESS
+    (``os._exit(137)``, no interpreter cleanup — the closest in-process
+    stand-in for SIGKILL) at ``after_swap`` of batch 1, once per marker
+    file (the marker lives on disk, so the restarted process runs
+    clean)."""
+
+    def __init__(self, marker: str):
+        self.marker = marker
+        self.armed_batch = None
+
+    def __call__(self, point: str) -> None:
+        if point != "after_swap" or self.armed_batch != 1:
+            return
+        if not os.path.exists(self.marker):
+            open(self.marker, "w").close()
+            sys.stdout.flush()
+            os._exit(137)
+
+
+def _additive_merge_fn(store: str, fault):
+    """The pre-r10 ADDITIVE merge (control twin of the shipped
+    latest-batch-wins merger) with the same crash-safe swap + recovery
+    preamble, so the only difference under replay is the arithmetic."""
+
+    def merge(batch_df, batch_id):
+        fault.armed_batch = batch_id
+        sess = batch_df.sparkSession
+        old = store + "_old"
+        if os.path.isdir(old):
+            if not os.path.isdir(store):
+                os.rename(old, store)
+            else:
+                shutil.rmtree(old)
+        new = batch_df.withColumnRenamed("count", "n_new")
+        if os.path.isdir(store):
+            cur = sess.read.parquet(store).withColumnRenamed(
+                "n_events", "n_old"
+            )
+            merged = cur.join(new, "user_id", "full_outer").select(
+                "user_id",
+                (
+                    F.coalesce("n_old", F.lit(0))
+                    + F.coalesce("n_new", F.lit(0))
+                ).alias("n_events"),
+            )
+        else:
+            merged = new.select("user_id", F.col("n_new").alias("n_events"))
+        tmp = store + f"_b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(store):
+            os.rename(store, old)
+        os.rename(tmp, store)
+        fault("after_swap")
+        shutil.rmtree(old, ignore_errors=True)
+
+    return merge
+
+
+def _kill_on_first_progress_listener(marker: str):
+    """Driver-side StreamingQueryListener that hard-kills THIS process
+    (``os._exit(137)``) right after the first data-carrying
+    micro-batch reports progress — mid-stream, with the sink partially
+    filled and more feed batches still unread. (The feed source's own
+    ``commit()`` runs in the Python DataSource runner process, not the
+    driver, so an exit there would only sever the source — the
+    listener bus is the in-driver hook.) The marker survives on disk,
+    so the restarted process runs clean."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class KillOnFirstProgress(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            if event.progress.numInputRows > 0 and not os.path.exists(
+                marker
+            ):
+                open(marker, "w").close()
+                sys.stdout.flush()
+                os._exit(137)
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    return KillOnFirstProgress()
+
+
+def _child_main(mode: str, base: str, sf_dir: str) -> int:
+    """The subprocess 'driver' the driver-kill stages murder. Builds
+    its OWN SparkSession; any state that matters for recovery must
+    therefore live in the on-disk checkpoint/store, which is the
+    property under test."""
+    from aind_hcr_data_transformation_spark.session import get_spark
+
+    spark = get_spark(
+        f"chaos-child-{mode}",
+        extra_conf={"spark.sql.shuffle.partitions": "4"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if mode in ("upsert", "upsert_additive"):
+        split = os.path.join(base, "events_split")
+        suffix = "_add" if mode == "upsert_additive" else ""
+        store = os.path.join(base, "store" + suffix)
+        ckpt = os.path.join(base, "ckpt" + suffix)
+        exiter = _ExitOnceAfterSwap(os.path.join(base, "killed" + suffix))
+        if mode == "upsert":
+            from aind_hcr_data_transformation_spark.streaming.events import (
+                make_upsert_merger,
+            )
+
+            shipped = make_upsert_merger(store, fault=exiter)
+
+            def merge(batch_df, batch_id):
+                exiter.armed_batch = batch_id
+                shipped(batch_df, batch_id)
+
+        else:
+            merge = _additive_merge_fn(store, exiter)
+        _run_upsert(spark, split, store, ckpt, merge)
+        return 0
+    if mode in ("feed", "feed_fresh"):
+        from aind_hcr_data_transformation_spark.streaming.feed import (
+            EventFeedDataSource,
+        )
+
+        spark.dataSource.register(EventFeedDataSource)
+        events = os.path.join(sf_dir, "events.parquet")
+        sink = os.path.join(base, "sink")
+        if mode == "feed":
+            ckpt = os.path.join(base, "ckpt")
+            progress = os.path.join(base, "progress")
+            spark.streams.addListener(
+                _kill_on_first_progress_listener(
+                    os.path.join(base, "driver_killed")
+                )
+            )
+        else:
+            # control: fresh checkpoint AND fresh consumer group into
+            # the SAME sink — must double every already-sunk event
+            tag = uuid.uuid4().hex[:6]
+            ckpt = os.path.join(base, f"ckpt_fresh_{tag}")
+            progress = os.path.join(base, f"progress_fresh_{tag}")
+        df = (
+            spark.readStream.format("event_feed")
+            .option("path", events)
+            .option("feed_partitions", "4")
+            .option("feed_target_batches", "4")
+            .option("progress_dir", progress)
+            .load()
+        )
+        _drain_to_parquet(df, sink, ckpt)
+        return 0
+    raise SystemExit(f"unknown child mode {mode!r}")
+
+
+def _run_child(mode: str, base: str, sf_dir: str) -> int:
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, str(Path(__file__).resolve()),
+         "--child", mode, base, sf_dir],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    if proc.returncode not in (0, 137):
+        raise RuntimeError(
+            f"child {mode} rc={proc.returncode}:\n"
+            f"{proc.stdout[-1500:]}\n{proc.stderr[-1500:]}"
+        )
+    return proc.returncode
+
+
+def stage_driver_kill_upsert(spark, sf_dir: str) -> dict:
+    base = tempfile.mkdtemp(prefix="chaos_driver_upsert_")
+    try:
+        split = _split_events(spark, sf_dir, base)
+        oracle = [
+            (r["user_id"], r["n_events"])
+            for r in spark.read.parquet(split)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .orderBy("user_id")
+            .collect()
+        ]
+
+        def run_twice(mode, store):
+            rc1 = _run_child(mode, base, sf_dir)
+            rc2 = _run_child(mode, base, sf_dir) if rc1 == 137 else None
+            rows = [
+                (r["user_id"], r["n_events"])
+                for r in spark.read.parquet(store).orderBy("user_id").collect()
+            ]
+            return rc1, rc2, rows
+
+        rc1, rc2, rows = run_twice("upsert", os.path.join(base, "store"))
+        crc1, crc2, crows = run_twice(
+            "upsert_additive", os.path.join(base, "store_add")
+        )
+        control_diverged = crows != oracle
+        ok = (
+            rc1 == 137 and rc2 == 0 and rows == oracle
+            and crc1 == 137 and crc2 == 0 and control_diverged
+        )
+        return {
+            "first_run_rc": rc1,
+            "restart_rc": rc2,
+            "rows_match_oracle": rows == oracle,
+            "n_keys": len(rows),
+            "control_first_rc": crc1,
+            "control_restart_rc": crc2,
+            "control_additive_diverged": control_diverged,
+            "ok": ok,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def stage_driver_kill_feed(spark, sf_dir: str) -> dict:
+    base = tempfile.mkdtemp(prefix="chaos_driver_feed_")
+    try:
+        events = os.path.join(sf_dir, "events.parquet")
+        sink = os.path.join(base, "sink")
+        rc1 = _run_child("feed", base, sf_dir)
+        rc2 = _run_child("feed", base, sf_dir) if rc1 == 137 else None
+        check = _exactly_once_check(spark, sink, events)
+        # control A (sink replay idempotence): a FRESH query — fresh
+        # checkpoint, fresh consumer group — into the SAME sink re-reads
+        # the topic from offset zero, but the file sink's batch-id
+        # commit log must swallow the replay: the committed view stays
+        # exactly-once. (This is the property that makes the restart
+        # above safe no matter where the kill lands.)
+        rc3 = _run_child("feed_fresh", base, sf_dir)
+        recheck = _exactly_once_check(spark, sink, events)
+        # control B (detector sensitivity): the exactly-once check must
+        # FIRE when duplicates really exist — forge one by physically
+        # duplicating a committed part file in a copy of the sink and
+        # reading RAW (the metadata-blind glob a naive downstream
+        # consumer would use).
+        forged = os.path.join(base, "forged")
+        shutil.copytree(sink, forged)
+        part = next(
+            p for p in sorted(Path(forged).glob("part-*.parquet"))
+        )
+        shutil.copy(part, part.with_name("part-forged-dup.parquet"))
+        raw = spark.read.parquet(*[
+            str(p) for p in Path(forged).glob("part-*.parquet")
+        ])
+        forged_dupes = (
+            raw.groupBy("event_id").count().where(F.col("count") > 1).count()
+        )
+        ok = (
+            rc1 == 137 and rc2 == 0 and check["ok"]
+            and rc3 == 0 and recheck["ok"]
+            and forged_dupes > 0
+        )
+        return {
+            "first_run_rc": rc1,
+            "restart_rc": rc2,
+            **{k: v for k, v in check.items() if k != "ok"},
+            "exactly_once": check["ok"],
+            "control_fresh_rerun_rc": rc3,
+            "control_replay_still_exactly_once": recheck["ok"],
+            "control_forged_duplicates_detected": int(forged_dupes),
+            "ok": ok,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 STAGES = {
     "zarr_task_retry": stage_zarr_task_retry,
     "pyramid_task_retry": stage_pyramid_task_retry,
@@ -580,11 +881,15 @@ STAGES = {
     "feed_commit_kill": stage_feed_commit_kill,
     "foreach_swap_kill": stage_foreach_swap_kill,
     "foreach_between_renames_kill": stage_foreach_between_renames_kill,
+    "driver_kill_upsert": stage_driver_kill_upsert,
+    "driver_kill_feed": stage_driver_kill_feed,
 }
 
 
 def main() -> int:
     argv = sys.argv[1:]
+    if argv[:1] == ["--child"]:
+        return _child_main(argv[1], argv[2], argv[3])
     json_out = "CHAOS_PROBE.json"
     if "--json" in argv:
         i = argv.index("--json")
