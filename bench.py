@@ -201,7 +201,13 @@ def _bench_pipeline(spark) -> dict[str, object]:
     default N=8 → 2 GiB), chunk 128³ (the reference default), 3 pyramid
     levels, written to a throwaway local zarr store. Sized by
     ``SPARK_GRAFT_PIPE_GB`` (0 disables). Best-of-2 (3 on disagreement)
-    like the query spike guard — see ``_robust_timed``."""
+    like the query spike guard — see ``_robust_timed``.
+
+    The in-sweep number is heap-/page-cache-sensitive (dips to
+    191-365 MiB/s observed at the end of a 226-query session on code
+    that holds 430-470 controlled); adjudicate dips against the
+    ISOLATED floor in ``BASELINE.md`` (``tools/pipe_baseline.py``),
+    never against mixed-session samples."""
     import shutil
     import tempfile
 
@@ -490,7 +496,17 @@ def main(attribute: str | None = None) -> None:
         # the MEDIAN is the quotable per-query number, and the verdict
         # column says whether the median exceeds the host-normalized
         # sticky prior ("real") or sits within it ("noise").
-        mods = {m.strip() for m in attribute.split(",") if m.strip()}
+        # tokens may be MODULE names or individual QUERY names (r11:
+        # the verdict's unadjudicated-regression list is query-grained)
+        tokens = {m.strip() for m in attribute.split(",") if m.strip()}
+        mods = tokens & {
+            m.__name__.rsplit(".", 1)[-1] for m in entrymod._MODULES
+        }
+        qnames = tokens & set(bench_queries)
+        unknown = tokens - mods - qnames
+        if unknown:
+            print(f"--attribute: unknown tokens {sorted(unknown)}",
+                  file=sys.stderr)
         mod_of = {}
         for mod in entrymod._MODULES:
             mname = mod.__name__.rsplit(".", 1)[-1]
@@ -500,10 +516,13 @@ def main(attribute: str | None = None) -> None:
                 mod_of[qname] = mname
         out: dict[str, dict] = {}
         for name, fn in bench_queries.items():
-            if name in _CALIBRATION_ONLY or mod_of.get(name) not in mods:
+            if name in _CALIBRATION_ONLY or (
+                mod_of.get(name) not in mods and name not in qnames
+            ):
                 continue
             best, samples = _robust_timed(
-                lambda: run_once(name, fn), min_runs=3
+                lambda: run_once(name, fn),
+                min_runs=int(os.environ.get("SPARK_GRAFT_ATTR_SAMPLES", "3")),
             )
             med = _median(samples)
             scale = host_scale(name)
@@ -526,7 +545,7 @@ def main(attribute: str | None = None) -> None:
             print(f"{name}: {samples} -> median {med}", file=sys.stderr)
         doc = {
             "mode": "attribution",
-            "modules": sorted(mods),
+            "modules": sorted(tokens),
             "sf": sf_val,
             "calib_sec": calib_sec,
             "calib_ref": calib_ref,
