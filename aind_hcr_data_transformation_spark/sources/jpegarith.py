@@ -1,5 +1,6 @@
-"""Arithmetic-coded sequential JPEG (SOF9) — T.81 Annex D coder +
-Annex F statistical model, vendored (r11, VERDICT r10 task 8).
+"""Arithmetic-coded JPEG — T.81 Annex D coder + Annex F/G statistical
+models, vendored (r11, VERDICT r10 task 8): SOF9 (extended
+sequential) AND SOF10 (progressive successive approximation).
 
 The reference pipeline reads arithmetic-coded CZI subblocks through
 czifile→imagecodecs→libjpeg (reference ``pyproject.toml:25``); this is
@@ -33,11 +34,13 @@ encoder defers 0xFF bytes (a later carry may overflow them to 0x00)
 and trailing zero bytes (droppable — the decoder's zero-feed
 convention reproduces them).
 
-Scope: SOF9 (extended sequential DCT, 8/12-bit, 1-4 components,
+Scope: SOF9 (extended sequential DCT, 8-bit, 1-4 components,
 interleaved or per-component scans, restart intervals, DAC
-conditioning limits). Arithmetic progressive (SOF10) and arithmetic
-lossless (SOF11) remain gated with actionable errors in
-``jpegcodec.decode_image``.
+conditioning limits) and SOF10 (progressive: DC first/refine, AC
+first/refine over arbitrary spectral bands and successive-
+approximation depths — libjpeg's default Al=2 script decodes here).
+Arithmetic lossless (SOF11) and 12-bit arithmetic remain gated with
+actionable errors (no independent encoder to pin them).
 """
 
 from __future__ import annotations
@@ -466,26 +469,36 @@ def _decode_dc(dec: ArithDecoder, st: _DCStats) -> int:
     return st.last
 
 
+def _pt(coef: int, al: int) -> tuple[int, int]:
+    """AC point transform (G.1.3.1: divide toward zero by 2^Al):
+    returns (shifted magnitude, sign)."""
+    if coef >= 0:
+        return coef >> al, 0
+    return (-coef) >> al, 1
+
+
 def _encode_ac(enc: ArithEncoder, zz: np.ndarray, st: _ACStats,
-               fixed: _FixedBank) -> None:
-    """zz: one block's zigzag coefficients (indices 1..63 used)."""
+               fixed: _FixedBank, ss: int = 1, se: int = 63,
+               al: int = 0) -> None:
+    """One block's AC band [ss, se] at successive-approximation ``al``
+    (sequential = the full band at al=0); ``zz`` in zigzag order."""
     bank = st.bank
-    ke = 63
-    while ke > 0 and zz[ke] == 0:
+    ke = se
+    while ke > 0 and _pt(int(zz[ke]), al)[0] == 0:
         ke -= 1
-    k = 1
+    k = ss
     while k <= ke:
         base = 3 * (k - 1)
         enc.encode(bank, base, 0)  # not EOB
-        while zz[k] == 0:
+        while True:
+            mag, sign = _pt(int(zz[k]), al)
+            if mag:
+                break
             enc.encode(bank, base + 1, 0)
             base += 3
             k += 1
         enc.encode(bank, base + 1, 1)
-        coef = int(zz[k])
-        sign = 1 if coef < 0 else 0
         enc.encode(fixed, 0, sign)
-        mag = -coef if sign else coef
         base += 2
         m = 0
         v = mag - 1
@@ -506,23 +519,26 @@ def _encode_ac(enc: ArithEncoder, zz: np.ndarray, st: _ACStats,
         while m := m >> 1:
             enc.encode(bank, base, 1 if v & m else 0)
         k += 1
-    if ke < 63:
-        enc.encode(bank, 3 * ke, 1)  # EOB
+    if ke < se:
+        # k is now max(ss, ke+1): the position the decoder's next EOB
+        # decision reads (an empty band encodes EOB at ss itself)
+        enc.encode(bank, 3 * (k - 1), 1)
 
 
 def _decode_ac(dec: ArithDecoder, zz: np.ndarray, st: _ACStats,
-               fixed: _FixedBank) -> None:
+               fixed: _FixedBank, ss: int = 1, se: int = 63,
+               al: int = 0) -> None:
     bank = st.bank
-    k = 1
-    while k <= 63:
+    k = ss
+    while k <= se:
         base = 3 * (k - 1)
         if dec.decode(bank, base):
             return  # EOB
         while dec.decode(bank, base + 1) == 0:
             base += 3
             k += 1
-            if k > 63:
-                raise ValueError("arithmetic AC run overflows block")
+            if k > se:
+                raise ValueError("arithmetic AC run overflows band")
         sign = dec.decode(fixed, 0)
         base += 2
         m = dec.decode(bank, base)
@@ -543,7 +559,74 @@ def _decode_ac(dec: ArithDecoder, zz: np.ndarray, st: _ACStats,
             if dec.decode(bank, base):
                 v |= m
         v += 1
-        zz[k] = -v if sign else v
+        zz[k] = -(v << al) if sign else (v << al)
+        k += 1
+
+
+def _encode_ac_refine(enc: ArithEncoder, zz: np.ndarray, st: _ACStats,
+                      fixed: _FixedBank, ss: int, se: int,
+                      al: int) -> None:
+    """Successive-approximation AC refinement scan (G.1.3.3 /
+    Figure G.10): correction bits for previously-significant
+    coefficients at context SE+2, newly-significant coefficients as
+    magnitude-1 with a fixed-bin sign, EOB decisions only past the
+    PREVIOUS scan's end-of-block index."""
+    bank = st.bank
+    ke = se
+    while ke > 0 and _pt(int(zz[ke]), al)[0] == 0:
+        ke -= 1
+    kex = ke
+    while kex > 0 and _pt(int(zz[kex]), al + 1)[0] == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        base = 3 * (k - 1)
+        if k > kex:
+            enc.encode(bank, base, 0)  # not EOB (this position is new)
+        while True:
+            mag, sign = _pt(int(zz[k]), al)
+            if mag:
+                if mag >> 1:  # previously significant: correction bit
+                    enc.encode(bank, base + 2, mag & 1)
+                else:  # newly significant: magnitude 1 + sign
+                    enc.encode(bank, base + 1, 1)
+                    enc.encode(fixed, 0, sign)
+                break
+            enc.encode(bank, base + 1, 0)
+            base += 3
+            k += 1
+        k += 1
+    if k <= se:
+        enc.encode(bank, 3 * (k - 1), 1)  # EOB
+
+
+def _decode_ac_refine(dec: ArithDecoder, zz: np.ndarray, st: _ACStats,
+                      fixed: _FixedBank, ss: int, se: int,
+                      al: int) -> None:
+    bank = st.bank
+    p1 = 1 << al
+    m1 = -1 << al
+    kex = se
+    while kex > 0 and _pt(int(zz[kex]), al + 1)[0] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex and dec.decode(bank, base):
+            return  # EOB
+        while True:
+            coef = int(zz[k])
+            if coef:  # previously significant: correction bit
+                if dec.decode(bank, base + 2):
+                    zz[k] = coef + (m1 if coef < 0 else p1)
+                break
+            if dec.decode(bank, base + 1):  # newly significant
+                zz[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            base += 3
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic AC refine overflows band")
         k += 1
 
 
@@ -632,7 +715,7 @@ def decode_arith(data: bytes) -> np.ndarray:
                         raise ValueError(f"invalid AC conditioning Kx={cs}")
                     ac_cond[tb] = cs
                 off += 2
-        elif marker == 0xC9:  # SOF9
+        elif marker in (0xC9, 0xCA):  # SOF9 / SOF10 (progressive)
             prec, h, w, nf = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(
@@ -665,11 +748,11 @@ def decode_arith(data: bytes) -> np.ndarray:
                 ch = -(-h * c.v // vmax)
                 c.nbx, c.nby = -(-cw // 8), -(-ch // 8)
                 c.zz = np.zeros((c.bh * c.bw, 64), dtype=np.int64)
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                        0xCA, 0xCB):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xCB):
             raise ValueError(
-                f"decode_arith got a non-SOF9 frame (FF{marker:02X}); "
-                f"route through jpegcodec.decode_image"
+                f"decode_arith got an unsupported frame (FF{marker:02X}); "
+                f"Huffman frames route through jpegcodec.decode_image, "
+                f"SOF11 arithmetic lossless stays gated"
             )
         elif marker == 0xDD:
             restart_interval = struct.unpack_from(">H", body, 0)[0]
@@ -701,8 +784,11 @@ def _arith_scan(
     mcux: int,
     mcuy: int,
 ) -> int:
-    """One sequential arithmetic scan; returns the position after its
-    entropy data (and any terminating fill bytes)."""
+    """One arithmetic scan — sequential (Ss=0, Se=63, Ah=Al=0) or any
+    of the four progressive kinds (DC first/refine, AC first/refine;
+    T.81 Annex G.2's model over the Annex D coder). Statistics are
+    zeroed per scan and at every restart marker. Returns the position
+    after the scan's entropy data."""
     ns = body[0]
     by_id = {c.cid: c for c in comps}
     scan = []
@@ -720,6 +806,17 @@ def _arith_scan(
         if ta not in ac_stats:
             ac_stats[ta] = _ACStats(ac_cond.get(ta, AC_KX_DEFAULT))
         scan.append((c, td, ta))
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ahal = body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if ss == 0 and se not in (0, 63):
+        raise ValueError(f"invalid spectral band [{ss},{se}]")
+    dc_scan = ss == 0
+    refine = ah != 0
+    if not dc_scan and ns != 1:
+        raise ValueError(
+            "progressive AC scans must be single-component (G.1.1)"
+        )
     # per-COMPONENT DC predictors/contexts share the table's bank but
     # not the predictor: T.81 keeps last_dc per component. Model: one
     # _DCStats per component, sharing conditioning; bank shared per
@@ -760,6 +857,20 @@ def _arith_scan(
         fixed.reset()
         dec = ArithDecoder(data, p + 2)
 
+    def decode_block(c: _Comp, ta: int, zz: np.ndarray) -> None:
+        if dc_scan and se == 63:  # sequential: DC + full AC band
+            zz[0] = _decode_dc(dec, comp_dc[c.cid])
+            _decode_ac(dec, zz, ac_stats[ta], fixed)
+        elif dc_scan and not refine:  # progressive DC first
+            zz[0] = _decode_dc(dec, comp_dc[c.cid]) << al
+        elif dc_scan:  # progressive DC refine (G.2: one fixed-bin bit)
+            if dec.decode(fixed, 0):
+                zz[0] |= 1 << al
+        elif not refine:  # progressive AC first
+            _decode_ac(dec, zz, ac_stats[ta], fixed, ss, se, al)
+        else:  # progressive AC refine
+            _decode_ac_refine(dec, zz, ac_stats[ta], fixed, ss, se, al)
+
     if ns == 1:
         c, td, ta = scan[0]
         unit = 0
@@ -767,9 +878,7 @@ def _arith_scan(
             for bcol in range(c.nbx):
                 if restart_interval and unit and unit % restart_interval == 0:
                     restart()
-                zz = c.zz[brow * c.bw + bcol]
-                zz[0] = _decode_dc(dec, comp_dc[c.cid])
-                _decode_ac(dec, zz, ac_stats[ta], fixed)
+                decode_block(c, ta, c.zz[brow * c.bw + bcol])
                 unit += 1
     else:
         for m in range(mcux * mcuy):
@@ -780,11 +889,10 @@ def _arith_scan(
                 for vi in range(c.v):
                     for hi in range(c.h):
                         bidx = (my * c.v + vi) * c.bw + mx * c.h + hi
-                        zz = c.zz[bidx]
-                        zz[0] = _decode_dc(dec, comp_dc[c.cid])
-                        _decode_ac(dec, zz, ac_stats[ta], fixed)
-    for c, _td, _ta in scan:
-        c.scanned = True
+                        decode_block(c, ta, c.zz[bidx])
+    if dc_scan:
+        for c, _td, _ta in scan:
+            c.scanned = True
     return dec.sync_to_marker()
 
 
@@ -893,5 +1001,102 @@ def encode_arith(
         sos += bytes([cid, (ta << 4) | ta])
     out += _seg(0xFFDA, sos + bytes([0, 63, 0]))
     out += scan_bytes
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_arith_progressive(img: np.ndarray, quality: int = 100) -> bytes:
+    """Encode 2-D uint8 grayscale or (h, w, 3) uint8 RGB (4:4:4) as
+    ARITHMETIC-coded progressive JPEG (SOF10): a 4-scan successive-
+    approximation script — interleaved DC first (Al=1), per-component
+    AC 1-63 first (Al=1), interleaved DC refine, per-component AC
+    refine — carrying the same quantized coefficients as
+    :func:`encode_arith`, so decoded pixels are bit-identical (the
+    in-container ground truth the tests pin)."""
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError(f"need 2-D or (h, w, 3) uint8, got "
+                         f"{img.shape} {img.dtype}")
+    h, w = img.shape[:2]
+    qluma = quant_table(quality)
+    if img.ndim == 2:
+        planes = [(1, _quantized_zigzag(img, 8, quality, q=qluma), 0, 0)]
+        qsegs = [(0, qluma)]
+    else:
+        if img.shape[2] != 3:
+            raise ValueError(f"need 3 channels, got {img.shape[2]}")
+        from .jpegcodec import QTABLE_CHROMA
+
+        qchroma = quant_table(quality, QTABLE_CHROMA)
+        y, cb, cr = _rgb_to_ycc(img)
+        planes = [
+            (1, _quantized_zigzag(y, 8, quality, q=qluma), 0, 0),
+            (2, _quantized_zigzag(cb, 8, quality, q=qchroma), 1, 1),
+            (3, _quantized_zigzag(cr, 8, quality, q=qchroma), 1, 1),
+        ]
+        qsegs = [(0, qluma), (1, qchroma)]
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in qsegs:
+        out += _seg(0xFFDB, bytes([tq]) + bytes(q[ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for cid, _zz, tq, _ta in planes:
+        sof += bytes([cid, 0x11, tq])
+    out += _seg(0xFFCA, sof)
+    tabs = sorted({(0, ta) for _c, _z, _q, ta in planes}
+                  | {(1, ta) for _c, _z, _q, ta in planes})
+    out += _dac(tabs)
+    nblocks = -(-h // 8) * -(-w // 8)
+
+    def sos_header(scan_comps: list[tuple[int, int]], ss: int, se: int,
+                   ah: int, al: int) -> bytes:
+        body = bytes([len(scan_comps)])
+        for cid, ta in scan_comps:
+            body += bytes([cid, (ta << 4) | ta])
+        return _seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: interleaved DC first, Al=1 (fresh coder + stats per scan)
+    enc = ArithEncoder()
+    dc_banks: dict[int, _Bank] = {}
+    comp_dc: dict[int, _DCStats] = {}
+    for cid, _zz, _tq, ta in planes:
+        bank = dc_banks.setdefault(ta, _Bank(64))
+        st = _DCStats(DC_L_DEFAULT, DC_U_DEFAULT)
+        st.bank = bank
+        comp_dc[cid] = st
+    for m in range(nblocks):
+        for cid, zz, _tq, _ta in planes:
+            _encode_dc(enc, int(zz[m][0]) >> 1, comp_dc[cid])
+    out += sos_header([(cid, ta) for cid, _z, _q, ta in planes], 0, 0, 0, 1)
+    out += enc.flush()
+
+    # scans 2..: per-component AC first, Al=1
+    for cid, zz, _tq, ta in planes:
+        enc = ArithEncoder()
+        fixed = _FixedBank()
+        st = _ACStats(AC_KX_DEFAULT)
+        for m in range(nblocks):
+            _encode_ac(enc, zz[m], st, fixed, 1, 63, 1)
+        out += sos_header([(cid, ta)], 1, 63, 0, 1)
+        out += enc.flush()
+
+    # DC refine: one fixed-bin bit per block (G.2 — not DPCM)
+    enc = ArithEncoder()
+    fixed = _FixedBank()
+    for m in range(nblocks):
+        for cid, zz, _tq, _ta in planes:
+            enc.encode(fixed, 0, int(zz[m][0]) & 1)
+    out += sos_header([(cid, ta) for cid, _z, _q, ta in planes], 0, 0, 1, 0)
+    out += enc.flush()
+
+    # per-component AC refine, Ah=1 -> Al=0
+    for cid, zz, _tq, ta in planes:
+        enc = ArithEncoder()
+        fixed = _FixedBank()
+        st = _ACStats(AC_KX_DEFAULT)
+        for m in range(nblocks):
+            _encode_ac_refine(enc, zz[m], st, fixed, 1, 63, 0)
+        out += sos_header([(cid, ta)], 1, 63, 1, 0)
+        out += enc.flush()
+
     out += b"\xff\xd9"
     return bytes(out)

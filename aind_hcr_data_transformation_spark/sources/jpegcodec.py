@@ -34,10 +34,10 @@ Scope (and loud errors beyond it):
   (libjpeg's jdmarker heuristic: transform byte wins, else component
   ids, else JFIF YCbCr / raw CMYK defaults), stored-RGB passthrough,
   and 12-bit 3-component color (SOF1, CENTERJSAMPLE=2048 conversion);
-  plus (r11) ARITHMETIC sequential (SOF9) via the vendored T.81 Annex
-  D/F coder in :mod:`.jpegarith` (libjpeg-cross-pinned both
-  directions). Arithmetic progressive/lossless (SOF10/11),
-  differential frames, and 2-component layouts raise
+  plus (r11) ARITHMETIC sequential (SOF9) and progressive (SOF10)
+  via the vendored T.81 Annex D/F/G coder in :mod:`.jpegarith`
+  (libjpeg-cross-pinned both directions). Arithmetic lossless
+  (SOF11), differential frames, and 2-component layouts raise
   ``NotImplementedError``.
 * encode: the matching writers used by tests/fixture tooling —
   ``encode_gray`` (8-bit, Annex K quantization + Huffman tables,
@@ -971,14 +971,14 @@ def decode_gray(data: bytes) -> np.ndarray:
                 zz = np.zeros((nb, 64), dtype=np.int64)
         elif marker == 0xC3:  # lossless (Annex H): own decode path, r10
             return decode_lossless(data)
-        elif marker == 0xC9:  # arithmetic sequential: own decode path, r11
+        elif marker in (0xC9, 0xCA):  # arithmetic seq/progressive, r11
             from .jpegarith import decode_arith
 
             return decode_arith(data)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB):
             raise NotImplementedError(
                 f"unsupported JPEG frame (SOF marker FF{marker:02X}: "
-                f"differential or arithmetic-progressive/lossless)"
+                f"differential or arithmetic-lossless)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
@@ -1435,14 +1435,14 @@ def decode_image(data: bytes) -> np.ndarray:
             sof_seen = True
         elif marker == 0xC3:  # lossless (Annex H): own decode path
             return decode_lossless(data)
-        elif marker == 0xC9:  # arithmetic sequential: own decode path, r11
+        elif marker in (0xC9, 0xCA):  # arithmetic seq/progressive, r11
             from .jpegarith import decode_arith
 
             return decode_arith(data)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB):
             raise NotImplementedError(
                 f"unsupported JPEG frame (SOF marker FF{marker:02X}: "
-                f"differential or arithmetic-progressive/lossless)"
+                f"differential or arithmetic-lossless)"
             )
         elif marker == 0xDD:
             restart_interval = struct.unpack_from(">H", body, 0)[0]

@@ -127,20 +127,98 @@ def test_relabeled_huffman_stream_is_loud():
 
 
 def test_remaining_arithmetic_flavors_still_gate():
-    """SOF10 (arithmetic progressive) and SOF11 (arithmetic lossless)
-    keep actionable refusals; 12-bit arithmetic likewise (no
-    independent encoder to pin it)."""
+    """SOF11 (arithmetic lossless) keeps an actionable refusal; 12-bit
+    arithmetic likewise (no independent encoder to pin either)."""
     enc = bytearray(encode_arith(_gray(16, 16), quality=90))
     sof = enc.find(b"\xff\xc9")
-    for marker in (0xCA, 0xCB):
-        enc2 = bytearray(enc)
-        enc2[sof + 1] = marker
-        with pytest.raises(NotImplementedError, match="unsupported"):
-            decode_image(bytes(enc2))
+    enc2 = bytearray(enc)
+    enc2[sof + 1] = 0xCB
+    with pytest.raises(NotImplementedError, match="unsupported"):
+        decode_image(bytes(enc2))
     enc12 = bytearray(enc)
     enc12[sof + 4] = 12  # precision byte of the SOF payload
     with pytest.raises(NotImplementedError, match="12-bit"):
         decode_arith(bytes(enc12))
+
+
+# ---------------------------------------------------------------------------
+# arithmetic PROGRESSIVE (SOF10, Annex G.2 model over the Annex D coder)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("quality", [100, 90, 75])
+def test_arith_progressive_equals_sequential_gray(quality):
+    """The 4-scan successive-approximation script carries the same
+    quantized coefficients as the sequential arithmetic encoding —
+    decoded pixels bit-identical, pinning every progressive scan kind
+    (DC first/refine, AC first/refine) against in-repo ground truth."""
+    from aind_hcr_data_transformation_spark.sources.jpegarith import (
+        encode_arith_progressive,
+    )
+
+    img = _gray()
+    seq = decode_arith(encode_arith(img, quality=quality))
+    prog = decode_arith(encode_arith_progressive(img, quality=quality))
+    np.testing.assert_array_equal(seq, prog)
+
+
+def test_arith_progressive_equals_sequential_color_odd_dims():
+    from aind_hcr_data_transformation_spark.sources.jpegarith import (
+        encode_arith_progressive,
+    )
+
+    img = _rgb(h=45, w=59)
+    seq = decode_arith(encode_arith(img, quality=90))
+    prog = decode_arith(encode_arith_progressive(img, quality=90))
+    np.testing.assert_array_equal(seq, prog)
+    np.testing.assert_array_equal(
+        decode_image(encode_arith_progressive(img, quality=90)), prog
+    )
+
+
+def test_libjpeg_decodes_our_arith_progressive(jpegref):
+    from aind_hcr_data_transformation_spark.sources.jpegarith import (
+        encode_arith_progressive,
+    )
+
+    img = _gray(h=61, w=77, seed=17)
+    data = encode_arith_progressive(img, quality=90)
+    assert b"\xff\xca" in data
+    _assert_idct_close(
+        _ref_decode(jpegref, data), decode_arith(data),
+        "our prog-arith gray vs libjpeg",
+    )
+    rgb = _rgb(h=45, w=59, seed=19)
+    data = encode_arith_progressive(rgb, quality=92)
+    _assert_idct_close(
+        _ref_decode(jpegref, data), decode_arith(data),
+        "our prog-arith color vs libjpeg", maxdiff=3,
+    )
+
+
+@pytest.mark.parametrize("quality", [95, 80])
+def test_we_decode_libjpeg_arith_progressive(jpegref, quality):
+    """libjpeg's DEFAULT progressive script under arithmetic coding —
+    banded spectral selection (1-5/6-63), successive approximation to
+    Al=2, interleaved DC scans: a far richer scan mix than this repo's
+    encoder emits."""
+    img = _gray(h=61, w=77, seed=11)
+    data = _ref_encode_prog(jpegref, img, quality)
+    assert b"\xff\xca" in data  # really arithmetic progressive
+    _assert_idct_close(
+        _ref_decode(jpegref, data), decode_arith(data),
+        f"libjpeg prog-arith gray q{quality} through ours",
+    )
+
+
+def test_we_decode_libjpeg_arith_progressive_color(jpegref):
+    img = _rgb(h=45, w=59, seed=9)
+    data = _ref_encode_prog(jpegref, img, 92)
+    assert b"\xff\xca" in data
+    _assert_idct_close(
+        _ref_decode(jpegref, data), decode_arith(data),
+        "libjpeg prog-arith color through ours", maxdiff=3,
+    )
 
 
 def test_encoder_validates_input():
@@ -221,6 +299,25 @@ def _ref_encode(exe: str, img: np.ndarray, quality: int) -> bytes:
         subprocess.run(
             [exe, "encode", inp, str(img.shape[1]), str(img.shape[0]),
              str(ncomp), str(quality), "1", out],
+            check=True,
+            capture_output=True,
+        )
+        return Path(out).read_bytes()
+    finally:
+        for p in (inp, out):
+            Path(p).unlink(missing_ok=True)
+
+
+def _ref_encode_prog(exe: str, img: np.ndarray, quality: int) -> bytes:
+    ncomp = 1 if img.ndim == 2 else img.shape[2]
+    with tempfile.NamedTemporaryFile(suffix=".raw", delete=False) as f:
+        f.write(img.tobytes())
+        inp = f.name
+    out = inp + ".jpg"
+    try:
+        subprocess.run(
+            [exe, "encode", inp, str(img.shape[1]), str(img.shape[0]),
+             str(ncomp), str(quality), "1", out, "1"],
             check=True,
             capture_output=True,
         )

@@ -100,21 +100,21 @@ def test_lossy_quality_still_close_on_smooth_data():
 def test_rejects_non_jpeg_and_unsupported_frames():
     with pytest.raises(ValueError, match="SOI"):
         decode_gray(b"\x00\x01")
-    for sof_marker in (0xCA, 0xCB):  # arithmetic progressive / lossless
-        enc = bytearray(encode_gray(np.zeros((8, 8), np.uint8)))
-        sof = enc.find(b"\xff\xc0")
-        enc[sof + 1] = sof_marker
-        with pytest.raises(NotImplementedError, match="unsupported"):
-            decode_gray(bytes(enc))
-    # SOF9 routes to decode_arith (r11) — a Huffman stream merely
+    enc = bytearray(encode_gray(np.zeros((8, 8), np.uint8)))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 1] = 0xCB  # arithmetic lossless: still gated
+    with pytest.raises(NotImplementedError, match="unsupported"):
+        decode_gray(bytes(enc))
+    # SOF9/SOF10 route to decode_arith (r11) — a Huffman stream merely
     # RELABELED arithmetic is malformed there, not silently decoded
     # (its DHT segments are not DAC conditioning and its entropy data
     # is not a QM stream; any of several loud errors is acceptable)
-    enc = bytearray(encode_gray(np.zeros((8, 8), np.uint8)))
-    sof = enc.find(b"\xff\xc0")
-    enc[sof + 1] = 0xC9
-    with pytest.raises((ValueError, NotImplementedError)):
-        decode_gray(bytes(enc))
+    for sof_marker in (0xC9, 0xCA):
+        enc = bytearray(encode_gray(np.zeros((8, 8), np.uint8)))
+        sof = enc.find(b"\xff\xc0")
+        enc[sof + 1] = sof_marker
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_gray(bytes(enc))
     # SOF3 routes to decode_lossless (r10) — a DCT stream merely
     # RELABELED lossless is malformed there, not silently decoded
     enc = bytearray(encode_gray(np.zeros((8, 8), np.uint8)))

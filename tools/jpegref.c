@@ -5,6 +5,7 @@
  *
  *   jpegref decode <in.jpg>  <out.raw>   # writes w h ncomp header line
  *   jpegref encode <in.raw> <w> <h> <ncomp> <quality> <arith 0|1> <out.jpg>
+ *                  [progressive 0|1]
  *
  * Raw pixel layout: interleaved row-major 8-bit samples.
  */
@@ -45,7 +46,7 @@ static int decode(const char *inpath, const char *outpath)
 }
 
 static int encode(const char *inpath, int w, int h, int ncomp, int quality,
-                  int arith, const char *outpath)
+                  int arith, const char *outpath, int progressive)
 {
   struct jpeg_compress_struct cinfo;
   struct jpeg_error_mgr jerr;
@@ -62,6 +63,8 @@ static int encode(const char *inpath, int w, int h, int ncomp, int quality,
   jpeg_set_defaults(&cinfo);
   jpeg_set_quality(&cinfo, quality, TRUE);
   cinfo.arith_code = arith ? TRUE : FALSE;
+  if (progressive)
+    jpeg_simple_progression(&cinfo);
   if (ncomp == 3) {  /* keep tests simple: 4:4:4 */
     cinfo.comp_info[0].h_samp_factor = 1;
     cinfo.comp_info[0].v_samp_factor = 1;
@@ -88,7 +91,8 @@ int main(int argc, char **argv)
     return decode(argv[2], argv[3]);
   if (argc >= 9 && strcmp(argv[1], "encode") == 0)
     return encode(argv[2], atoi(argv[3]), atoi(argv[4]), atoi(argv[5]),
-                  atoi(argv[6]), atoi(argv[7]), argv[8]);
+                  atoi(argv[6]), atoi(argv[7]), argv[8],
+                  argc > 9 ? atoi(argv[9]) : 0);
   fprintf(stderr, "usage: jpegref decode in.jpg out.raw | "
                   "jpegref encode in.raw w h ncomp quality arith out.jpg\n");
   return 1;
