@@ -66,7 +66,9 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _run_to_memory_sink(df: DataFrame, prefix: str, output_mode: str):
+def _run_to_memory_sink(
+    df: DataFrame, prefix: str, output_mode: str, nparts: int = 4
+):
     """Run a bounded stream (availableNow) into a memory sink and return
     the result table.
 
@@ -82,11 +84,15 @@ def _run_to_memory_sink(df: DataFrame, prefix: str, output_mode: str):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     sink_name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
-    # 4, not 8: each state-store instance pays per-batch checkpoint churn,
-    # and the r11 trigger-floor audit measured 8->4 saving ~0.3-0.7 s per
-    # stateful query at test scale with identical answers (partition count
-    # is pinned inside each run's fresh checkpoint, so restarts are safe)
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # default 4, not 8: each state-store instance pays per-batch
+    # checkpoint churn, and the r11 trigger-floor audit measured 8->4
+    # saving ~0.3-0.7 s per JVM-stateful query at test scale with
+    # identical answers (partition count is pinned inside each run's
+    # fresh checkpoint, so restarts are safe). applyInPandasWithState
+    # queries pass nparts=8: their state processing runs in PYTHON
+    # workers, and the same audit measured 4 partitions ~1 s SLOWER
+    # there (fewer concurrent workers outweighs the store churn).
+    spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
     try:
         q = (
             df.writeStream.format("memory")
@@ -276,7 +282,7 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return _run_to_memory_sink(totals, "stream_user_totals", "update").select(
+    return _run_to_memory_sink(totals, "stream_user_totals", "update", nparts=8).select(
         "user_id", "n_events", "sum_value"
     )
 
@@ -946,7 +952,7 @@ def stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory_sink(matched, "stream_cep", "update")
+    return _run_to_memory_sink(matched, "stream_cep", "update", nparts=8)
 
 
 def _stream_pattern_oracle() -> str:
@@ -1045,7 +1051,7 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory_sink(enriched, "stream_asof", "append")
+    return _run_to_memory_sink(enriched, "stream_asof", "append", nparts=8)
 
 
 # bit-exact passthrough oracle: same window algebra as the batch
@@ -1224,7 +1230,7 @@ def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory_sink(drift, "stream_cusum", "update").select(
+    return _run_to_memory_sink(drift, "stream_cusum", "update", nparts=8).select(
         "user_id", "n_events", "peak_pos", "peak_ts", "peak_drift"
     )
 
