@@ -461,6 +461,25 @@ def main(attribute: str | None = None) -> None:
         ).save()
     calib_sec = round((time.perf_counter() - t0) / 3, 3)
 
+    # python-path calibration floor (r11): the JVM shuffle calib above
+    # does NOT track the Arrow/pandas worker path's speed — the
+    # pandas-UDF-bound queries (udaf_user_median, multimodal decode
+    # kernels, grouped_zscore) vary ~2x across runs whose JVM calib is
+    # identical, which is how their sticky-minimum priors keep
+    # flagging phantom regressions (r10 task 1 / r11 adjudication in
+    # BENCH_ATTRIBUTION.json). Recorded alongside so future rounds can
+    # normalize python-bound queries against the right floor.
+    pycalib_df = spark.range(200_000)
+    pycalib_df.mapInPandas(
+        lambda it: (b for b in it), "id long"
+    ).write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        pycalib_df.mapInPandas(
+            lambda it: (b for b in it), "id long"
+        ).write.format("noop").mode("overwrite").save()
+    pycalib_sec = round((time.perf_counter() - t0) / 3, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -548,6 +567,7 @@ def main(attribute: str | None = None) -> None:
             "modules": sorted(tokens),
             "sf": sf_val,
             "calib_sec": calib_sec,
+            "pycalib_sec": pycalib_sec,
             "calib_ref": calib_ref,
             "queries": out,
             "module_medians": {
@@ -675,6 +695,7 @@ def main(attribute: str | None = None) -> None:
         "regressions_host_normalized": host_normalized,
         "accepted_regressions": accepted,
         "calib_sec": calib_sec,
+        "pycalib_sec": pycalib_sec,
         "calib_ref": calib_ref,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
@@ -687,6 +708,7 @@ def main(attribute: str | None = None) -> None:
                     "module_subtotals": module_subtotals,
                     "sf": sf_val,
                     "calib_sec": calib_sec,
+                    "pycalib_sec": pycalib_sec,
                     "ts": detail["ts"],
                     **(
                         {"pipe_mib_per_s": pipe["mib_per_s"]} if pipe else {}
