@@ -405,3 +405,73 @@ print(r._progress)
         )
         dirs.add(out.stdout.strip())
     assert len(dirs) == 1, f"progress dir varies across processes: {dirs}"
+
+
+def test_table_cache_evicts_stale_generations(tmp_path):
+    """r10 advisor finding: _TABLE_CACHE kept every (path, mtime)
+    generation forever (plus the per-pid slices), roughly doubling
+    memory per feed file and growing unboundedly across rewrites in
+    long-lived workers. A new mtime for the same path must supersede
+    the old table AND its sorted slices."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from aind_hcr_data_transformation_spark.streaming import feed
+
+    src = pq.read_table(EVENTS).slice(0, 200)
+    path = str(tmp_path / "events_gen.parquet")
+    pq.write_table(src, path)
+    feed._pid_table(path, 4, 0)
+    feed._pid_table(path, 4, 1)
+    gen1_tables = [k for k in feed._TABLE_CACHE if k[0] == path]
+    gen1_slices = [k for k in feed._SLICE_CACHE if k[0] == path]
+    assert len(gen1_tables) == 1 and len(gen1_slices) == 2
+
+    # rewrite the file (force a different mtime even on coarse clocks)
+    pq.write_table(src.slice(0, 150), path)
+    mt = os.path.getmtime(path)
+    os.utime(path, (mt + 2, mt + 2))
+    feed._pid_table(path, 4, 0)
+    tables = [k for k in feed._TABLE_CACHE if k[0] == path]
+    slices = [k for k in feed._SLICE_CACHE if k[0] == path]
+    assert len(tables) == 1 and tables[0][1] == os.path.getmtime(path), (
+        "stale table generation retained"
+    )
+    assert len(slices) == 1 and slices[0][1] == os.path.getmtime(path), (
+        f"stale slices retained: {slices}"
+    )
+
+
+def test_bounded_drain_times_out_instead_of_hanging(spark):
+    """r10 advisor finding: run_feed_bounded moved the drain onto
+    q.processAllAvailable(), which blocks forever on a hung micro-batch
+    — the timeout_s deadline must still surface as TimeoutError (the
+    watchdog thread), not an indefinite hang."""
+    import pytest
+
+    from aind_hcr_data_transformation_spark.streaming.feed import (
+        read_feed,
+        run_feed_bounded,
+    )
+
+    sf_dir = os.path.dirname(EVENTS)
+    df = read_feed(
+        spark, sf_dir, feed_partitions=2, feed_target_batches=3
+    )
+    # a python UDF-side stall: every batch sleeps far past the deadline
+    import pyspark.sql.functions as F
+
+    @F.udf("long")
+    def stall(x):
+        import time as _t
+
+        _t.sleep(30)
+        return x
+
+    slow = df.withColumn("slow", stall(F.col("event_id")))
+    t0 = time.time()
+    with pytest.raises(TimeoutError, match="did not drain"):
+        run_feed_bounded(slow, "stall_probe", "append", timeout_s=8.0)
+    assert time.time() - t0 < 25, "watchdog did not bound the drain"
