@@ -52,7 +52,6 @@ import numpy as np
 from .jpegcodec import (
     ZIGZAG,
     _UNZIGZAG,
-    _adobe_app14,
     _assemble_image,
     _Comp,
     _quantized_zigzag,
@@ -770,6 +769,11 @@ def decode_arith(data: bytes) -> np.ndarray:
 
     if not comps:
         raise ValueError("no frame header in stream")
+    if not all(c.scanned for c in comps):
+        raise ValueError(
+            "truncated JPEG stream (ends before every component is "
+            "scanned)"
+        )
     return _assemble_image(comps, qtables, prec, h, w, adobe_transform)
 
 

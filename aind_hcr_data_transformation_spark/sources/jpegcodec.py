@@ -891,6 +891,7 @@ def decode_gray(data: bytes) -> np.ndarray:
     prec = 8
     restart_interval = 0
     comp_q = comp_dc = comp_ac = 0
+    scans_done = 0
     sof_seen = False
     progressive = False
     zz: np.ndarray | None = None  # progressive: accumulates across scans
@@ -990,6 +991,7 @@ def decode_gray(data: bytes) -> np.ndarray:
                 pos = _progressive_scan(
                     data, body, pos, zz, htables, restart_interval
                 )
+                scans_done += 1
                 continue
             ns = body[0]
             if ns != 1:
@@ -1003,6 +1005,10 @@ def decode_gray(data: bytes) -> np.ndarray:
         raise ValueError("scan references missing quant table")
     nby, nbx = (h + 7) // 8, (w + 7) // 8
     if progressive:
+        if scans_done == 0:
+            raise ValueError(
+                "truncated JPEG stream (progressive frame with no scans)"
+            )
         return _reconstruct(zz, q, prec, nby, nbx, h, w)
 
     dc_tbl = htables.get((0, comp_dc))
@@ -1532,6 +1538,11 @@ def decode_image(data: bytes) -> np.ndarray:
 
     if not comps:
         raise ValueError("no frame header in stream")
+    if not all(c.scanned for c in comps):
+        raise ValueError(
+            "truncated JPEG stream (ends before every component is "
+            "scanned)"
+        )
     return _assemble_image(comps, qtables, prec, h, w, adobe_transform)
 
 

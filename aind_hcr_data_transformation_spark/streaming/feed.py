@@ -352,6 +352,10 @@ def run_feed_bounded(
             finally:
                 drained.set()
 
+        # ONE overall deadline shared by both phases: the watchdog wait
+        # below and the watermark-flush polling loop after it (granting
+        # each phase its own timeout_s would let the promise slip to 2x)
+        deadline = time.time() + timeout_s
         threading.Thread(target=_drain, daemon=True).start()
         if not drained.wait(timeout_s):
             q.stop()  # unblocks processAllAvailable in the drain thread
@@ -362,7 +366,6 @@ def run_feed_bounded(
         # watermark-flush no-data batch MicroBatchExecution schedules
         # after the last data batch (stateful append queries emit their
         # final closed windows there)
-        deadline = time.time() + timeout_s
         idle = 0
         while time.time() < deadline:
             if not q.isActive:

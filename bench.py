@@ -524,8 +524,13 @@ def main(attribute: str | None = None) -> None:
         qnames = tokens & set(bench_queries)
         unknown = tokens - mods - qnames
         if unknown:
-            print(f"--attribute: unknown tokens {sorted(unknown)}",
-                  file=sys.stderr)
+            # a typo'd token must not produce a success exit with an
+            # empty attribution artifact that downstream adjudication
+            # reads as "nothing regressed"
+            raise SystemExit(
+                f"--attribute: unknown module/query tokens "
+                f"{sorted(unknown)}"
+            )
         mod_of = {}
         for mod in entrymod._MODULES:
             mname = mod.__name__.rsplit(".", 1)[-1]

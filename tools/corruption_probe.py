@@ -169,10 +169,13 @@ def stage_jpeg_truncated() -> dict:
 def stage_jpeg_entropy_fuzz() -> dict:
     """Deterministic bit flips through every vendored JPEG flavor's
     FULL byte range (headers AND entropy data). Contract per flip:
-    decode terminates (bounded time enforced by the caller's wall
-    budget) and either raises one of the loud types or returns an
-    ndarray — corrupted pixels are allowed (no checksum exists inside
-    a JPEG scan), a hang/crash/wrong-type is not."""
+    decode terminates within a per-flip SIGALRM budget and either
+    raises one of the loud types or returns an ndarray — corrupted
+    pixels are allowed (no checksum exists inside a JPEG scan), a
+    hang/crash/wrong-type is not. Each flavor additionally gets a
+    truncated-before-SOS case, which must RAISE (the r11 review found
+    the marker loop falling through to a fabricated flat image
+    there)."""
     from aind_hcr_data_transformation_spark.sources.jpegarith import (
         encode_arith,
         encode_arith_progressive,
@@ -202,28 +205,62 @@ def stage_jpeg_entropy_fuzz() -> dict:
         "arith": encode_arith(img, 90),
         "arith_prog": encode_arith_progressive(img, 90),
     }
+    import signal
+
+    class _FlipHang(Exception):
+        pass
+
+    def _alarm(_sig, _frm):
+        raise _FlipHang
+
     n_flips = 40
     results = {}
     bad = []
-    for name, data in streams.items():
-        raised = decoded = 0
-        for i in range(n_flips):
-            # spread flips deterministically over the whole stream,
-            # offset by a per-flavor stride so runs are reproducible
-            bit = (i * 2654435761 + 12345) % (len(data) * 8)
+    can_alarm = hasattr(signal, "SIGALRM")
+    if can_alarm:
+        prev_handler = signal.signal(signal.SIGALRM, _alarm)
+    try:
+        for name, data in streams.items():
+            raised = decoded = 0
+            cases = [
+                _flip(data, (i * 2654435761 + 12345) % (len(data) * 8))
+                for i in range(n_flips)
+            ]
+            for i, case in enumerate(cases):
+                if can_alarm:
+                    signal.alarm(10)  # the hang budget the contract names
+                try:
+                    out = decode_image(case)
+                except LOUD:
+                    raised += 1
+                    continue
+                except _FlipHang:
+                    bad.append(f"{name}: flip {i} exceeded 10s — hang")
+                    continue
+                except RecursionError:
+                    bad.append(f"{name}: flip {i} recursion")
+                    continue
+                finally:
+                    if can_alarm:
+                        signal.alarm(0)
+                if isinstance(out, np.ndarray):
+                    decoded += 1
+                else:
+                    bad.append(f"{name}: flip {i} returned {type(out)}")
+            # a stream cut before its (first) SOS must raise, never
+            # fabricate an image from the zero-initialized coefficients
+            cut = data[: data.find(b"\xff\xda")]
             try:
-                out = decode_image(_flip(data, bit))
+                out = decode_image(cut)
+                bad.append(f"{name}: pre-SOS truncation returned "
+                           f"{type(out).__name__} silently")
             except LOUD:
-                raised += 1
-                continue
-            except RecursionError:
-                bad.append(f"{name}: flip {i} recursion")
-                continue
-            if isinstance(out, np.ndarray):
-                decoded += 1
-            else:
-                bad.append(f"{name}: flip {i} returned {type(out)}")
-        results[name] = {"raised": raised, "decoded": decoded}
+                pass
+            results[name] = {"raised": raised, "decoded": decoded}
+    finally:
+        if can_alarm:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, prev_handler)
     return {"flips_per_flavor": n_flips, "flavors": results,
             "violations": bad, "ok": not bad}
 
