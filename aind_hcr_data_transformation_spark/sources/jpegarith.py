@@ -842,6 +842,13 @@ def _arith_scan(
         p = dec.sync_to_marker()
         if p + 1 >= len(data) or data[p] != 0xFF:
             raise ValueError("missing restart marker in arithmetic scan")
+        # B.1.1.2: a marker may be preceded by any number of 0xFF fill
+        # bytes; sync_to_marker stops on the FIRST 0xFF of the run, so
+        # collapse it here the same way _next_byte does in the data path
+        while p + 1 < len(data) and data[p + 1] == 0xFF:
+            p += 1
+        if p + 1 >= len(data):
+            raise ValueError("missing restart marker in arithmetic scan")
         n = data[p + 1]
         if not 0xD0 <= n <= 0xD7:
             raise ValueError(f"expected RSTn, found FF{n:02X}")
@@ -894,7 +901,11 @@ def _arith_scan(
                     for hi in range(c.h):
                         bidx = (my * c.v + vi) * c.bw + mx * c.h + hi
                         decode_block(c, ta, c.zz[bidx])
-    if dc_scan:
+    if dc_scan and not refine:
+        # only a DC FIRST scan (sequential, or progressive Ah=0)
+        # establishes the component's data — a refine-only stream must
+        # still trip the all-scanned truncation check, not decode the
+        # zero coefficients it refined as a real image
         for c, _td, _ta in scan:
             c.scanned = True
     return dec.sync_to_marker()

@@ -366,8 +366,17 @@ def run_feed_bounded(
         # watermark-flush no-data batch MicroBatchExecution schedules
         # after the last data batch (stateful append queries emit their
         # final closed windows there)
+        # the flush phase gets whatever the drain left of the shared
+        # deadline, but never less than a small fixed grace — a drain
+        # that legitimately ate ~all of timeout_s on a slow host must
+        # not turn the no-data watermark-flush batch into a spurious
+        # TimeoutError (the grace is bounded, so the ≤2x-promise slip
+        # the shared deadline prevents stays bounded too)
+        flush_deadline = max(
+            deadline, time.time() + min(5.0, timeout_s / 4.0)
+        )
         idle = 0
-        while time.time() < deadline:
+        while time.time() < flush_deadline:
             if not q.isActive:
                 # surface the stream's own error instead of spinning to
                 # the timeout below and masking it
@@ -388,6 +397,9 @@ def run_feed_bounded(
                 idle = 0
             time.sleep(0.05)
         else:
+            # mirror the watchdog path: stop the query BEFORE raising so
+            # the finally-block checkpoint rmtree never races a live run
+            q.stop()
             raise TimeoutError(f"feed stream did not drain in {timeout_s}s")
         q.stop()
         q.awaitTermination()

@@ -15,8 +15,13 @@ written to ``BENCH_DETAIL.json`` next to this file and appended to
 regression tracking; per-query progress goes to stderr.
 
 Regression visibility: any query slower than 1.5x its best prior
-recording (from parsed BENCH_r*.json or BENCH_HISTORY.jsonl) is listed
-under ``regressions`` (name -> [prior, now]).
+recording (from parsed BENCH_r*.json or BENCH_HISTORY.jsonl) is
+ADJUDICATED in-run (r12): measurements inside the query's historical
+min-max band are recorded as noise; out-of-band ones get a 4-sample
+re-measure whose median must stay out of band (under the host- and
+python-path-scaled gate) to surface under ``regressions``
+(name -> [prior, median]). Per-flag verdicts land in
+``BENCH_DETAIL.json.adjudications``.
 """
 
 from __future__ import annotations
@@ -62,6 +67,28 @@ def _regressed(t: float, best: float, scale: float = 1.0) -> bool:
     )
 
 
+def _pandas_bound(q: str, module: str) -> bool:
+    """Queries whose wall-clock is dominated by the Arrow/pandas worker
+    path rather than JVM execution: the whole multimodal module (binary
+    decode kernels run in mapInPandas) plus the deliberate UDF/UDAF/UDTF
+    surface queries. These adjudicate against the ``pycalib_sec`` floor,
+    not just the JVM shuffle calib (r11 BENCH_ATTRIBUTION readjudication:
+    the python path varies ~2x across identical-JVM-calib runs)."""
+    return module == "multimodal" or q in {
+        "grouped_zscore",
+        "udaf_user_median",
+        "udtf_doc_bigrams",
+    }
+
+
+def _in_band(t: float, band: tuple[float, float, int] | None) -> bool:
+    """Is a measurement inside its historical min-max band? A small
+    tolerance (5%) absorbs the rounding of recorded history values; a
+    band needs >= 4 recordings to adjudicate (a 1-2 sample 'band' is
+    just the prior again and proves nothing)."""
+    return band is not None and band[2] >= 4 and t <= band[1] * 1.05
+
+
 _ACCEPTED_REGRESSIONS = {
     "pipe_partition_roundrobin": (
         "r4 (VERDICT r3 task 2): two-phase scale-safe global ordinal "
@@ -98,7 +125,13 @@ _CALIBRATION_ONLY = {"agg_approx_quantiles"}
 
 def _load_prior(
     repo: Path, sf_val: object
-) -> tuple[dict[str, float], dict[str, float | None], float | None]:
+) -> tuple[
+    dict[str, float],
+    dict[str, float | None],
+    float | None,
+    dict[str, tuple[float, float, int]],
+    float | None,
+]:
     """Best prior per-query timing from earlier recordings AT THE SAME
     scale factor (cross-sf comparison would flag phantom regressions).
 
@@ -108,14 +141,22 @@ def _load_prior(
     smallest recording is under 2/3 of the second-smallest it is treated
     as the outlier and the second-smallest becomes the baseline.
 
-    Returns ``(prior, prior_calib, calib_ref)``: per-query baseline
-    time, the calibration floor of the RUN each baseline came from
-    (None for pre-calibration history), and a low-quartile reference
-    calib over all recordings — the fallback host speed to normalize
-    against when the baseline run predates calib recording (a low
-    quantile, because sticky minima skew toward the fastest hosts)."""
+    Returns ``(prior, prior_calib, calib_ref, bands, pycalib_ref)``:
+    per-query baseline time; the calibration floor of the RUN each
+    baseline came from (None for pre-calibration history); a
+    low-quartile reference calib over all recordings — the fallback
+    host speed to normalize against when the baseline run predates
+    calib recording (a low quantile, because sticky minima skew toward
+    the fastest hosts); the per-query HISTORICAL BAND
+    ``(min, max, n_recordings)`` the r12 in-band adjudication gate
+    compares flagged measurements against (for three rounds running a
+    human checked every flagged query against BENCH_HISTORY by hand —
+    this is that check, automated); and the low-quartile
+    ``pycalib_sec`` reference for normalizing pandas-UDF-bound
+    queries (the JVM calib does not track Python-worker speed)."""
     seen: dict[str, list[tuple[float, float | None]]] = {}
     calibs: list[float] = []
+    pycalibs: list[float] = []
 
     def absorb(doc: object) -> None:
         if not isinstance(doc, dict) or doc.get("sf") != sf_val:
@@ -127,6 +168,9 @@ def _load_prior(
         calib = float(calib) if isinstance(calib, (int, float)) else None
         if calib:
             calibs.append(calib)
+        pycalib = doc.get("pycalib_sec")
+        if isinstance(pycalib, (int, float)) and pycalib > 0:
+            pycalibs.append(float(pycalib))
         for q, t in qmap.items():
             if isinstance(t, (int, float)):
                 seen.setdefault(q, []).append((float(t), calib))
@@ -148,6 +192,7 @@ def _load_prior(
                 continue
     prior: dict[str, float] = {}
     prior_calib: dict[str, float | None] = {}
+    bands: dict[str, tuple[float, float, int]] = {}
     for q, vals in seen.items():
         vals.sort(key=lambda tc: tc[0])
         pick = (
@@ -156,9 +201,12 @@ def _load_prior(
             else vals[0]
         )
         prior[q], prior_calib[q] = pick
+        bands[q] = (vals[0][0], vals[-1][0], len(vals))
     calibs.sort()
     calib_ref = calibs[len(calibs) // 4] if calibs else None
-    return prior, prior_calib, calib_ref
+    pycalibs.sort()
+    pycalib_ref = pycalibs[len(pycalibs) // 4] if pycalibs else None
+    return prior, prior_calib, calib_ref, bands, pycalib_ref
 
 
 def _robust_timed(
@@ -485,7 +533,19 @@ def main(attribute: str | None = None) -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    prior, prior_calib, calib_ref = _load_prior(repo, sf_val)
+    prior, prior_calib, calib_ref, bands, pycalib_ref = _load_prior(
+        repo, sf_val
+    )
+
+    # which module owns each query: used for subtotals, --attribute
+    # token resolution, and the pandas-bound adjudication floor
+    mod_of = {}
+    for mod in entrymod._MODULES:
+        mname = mod.__name__.rsplit(".", 1)[-1]
+        for qname in getattr(mod, "QUERIES", {}):
+            mod_of[qname] = mname
+        for qname in getattr(mod, "PRODUCTION_QUERIES", {}):
+            mod_of[qname] = mname
 
     def host_scale(q: str) -> float:
         """calib_now / calib of the run that set q's sticky prior,
@@ -495,6 +555,19 @@ def main(attribute: str | None = None) -> None:
         if not ref or calib_sec <= ref:
             return 1.0
         return min(calib_sec / ref, 2.0)
+
+    def adjudication_scale(q: str) -> float:
+        """host_scale, widened by the PYTHON-path calib ratio for
+        queries whose wall-clock is Arrow/pandas-worker bound (the JVM
+        shuffle calib does not track python-worker speed — r11's
+        phantom flags were exactly this class). Only the adjudication
+        re-measure uses this wider floor; the first-pass flag gate
+        stays on the stricter JVM scale."""
+        scale = host_scale(q)
+        if _pandas_bound(q, mod_of.get(q, "")) and pycalib_ref:
+            if pycalib_sec > pycalib_ref:
+                scale = max(scale, min(pycalib_sec / pycalib_ref, 2.0))
+        return scale
 
     def run_once(name: str, fn) -> float:
         t0 = time.perf_counter()
@@ -531,13 +604,6 @@ def main(attribute: str | None = None) -> None:
                 f"--attribute: unknown module/query tokens "
                 f"{sorted(unknown)}"
             )
-        mod_of = {}
-        for mod in entrymod._MODULES:
-            mname = mod.__name__.rsplit(".", 1)[-1]
-            for qname in getattr(mod, "QUERIES", {}):
-                mod_of[qname] = mname
-            for qname in getattr(mod, "PRODUCTION_QUERIES", {}):
-                mod_of[qname] = mname
         out: dict[str, dict] = {}
         for name, fn in bench_queries.items():
             if name in _CALIBRATION_ONLY or (
@@ -567,6 +633,42 @@ def main(attribute: str | None = None) -> None:
                 ),
             }
             print(f"{name}: {samples} -> median {med}", file=sys.stderr)
+        # MERGE with any existing attribution artifact instead of
+        # overwriting it (r11 footgun: running --attribute twice in a
+        # round silently dropped the first pass's adjudications). Each
+        # pass's queries land under "queries" (same-name re-runs
+        # superseded by the newest pass); pass metadata accumulates
+        # under "passes".
+        art = repo / "BENCH_ATTRIBUTION.json"
+        prev_queries: dict = {}
+        prev_passes: list = []
+        if art.exists():
+            try:
+                old = json.loads(art.read_text())
+                if isinstance(old, dict) and old.get("mode") == "attribution":
+                    if isinstance(old.get("queries"), dict):
+                        prev_queries = old["queries"]
+                    if isinstance(old.get("passes"), list):
+                        prev_passes = old["passes"]
+                    elif old.get("ts"):
+                        # legacy single-pass artifact: keep its identity
+                        prev_passes = [
+                            {
+                                "modules": old.get("modules", []),
+                                "calib_sec": old.get("calib_sec"),
+                                "pycalib_sec": old.get("pycalib_sec"),
+                                "ts": old.get("ts"),
+                            }
+                        ]
+            except (json.JSONDecodeError, OSError):
+                pass
+        merged = {**prev_queries, **out}
+        this_pass = {
+            "modules": sorted(tokens),
+            "calib_sec": calib_sec,
+            "pycalib_sec": pycalib_sec,
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
         doc = {
             "mode": "attribution",
             "modules": sorted(tokens),
@@ -574,7 +676,8 @@ def main(attribute: str | None = None) -> None:
             "calib_sec": calib_sec,
             "pycalib_sec": pycalib_sec,
             "calib_ref": calib_ref,
-            "queries": out,
+            "queries": merged,
+            "passes": prev_passes + [this_pass],
             "module_medians": {
                 m: round(
                     sum(v["median"] for v in out.values() if v["module"] == m),
@@ -582,9 +685,9 @@ def main(attribute: str | None = None) -> None:
                 )
                 for m in sorted(mods)
             },
-            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "ts": this_pass["ts"],
         }
-        (repo / "BENCH_ATTRIBUTION.json").write_text(json.dumps(doc, indent=1))
+        art.write_text(json.dumps(doc, indent=1))
         print(
             json.dumps(
                 {
@@ -644,14 +747,47 @@ def main(attribute: str | None = None) -> None:
     if czi:
         print(f"pipe_czi_decode: {czi}", file=sys.stderr)
 
-    regressions = {
-        q: [prior[q], t]
+    flagged = {
+        q: t
         for q, t in timings.items()
         if q in prior
         and prior[q] > 0.05
         and _regressed(t, prior[q], host_scale(q))
         and q not in _ACCEPTED_REGRESSIONS
     }
+    # automated adjudication (VERDICT r11 task 1): every flagged query
+    # is checked against its historical band, and anything OUT of band
+    # gets the 4-sample cooldown re-measure that used to be a manual
+    # post-round step — so the ``regressions`` map the driver records
+    # carries only medians confirmed outside everything this host has
+    # ever recorded, each with its verdict attached in BENCH_DETAIL.
+    regressions: dict[str, list[float]] = {}
+    adjudications: dict[str, dict] = {}
+    for q, t in flagged.items():
+        band = bands.get(q)
+        entry: dict = {
+            "prior_best": prior[q],
+            "now": t,
+            "band": list(band[:2]) if band else None,
+            "n_history": band[2] if band else 0,
+            "in_band": _in_band(t, band),
+        }
+        if entry["in_band"]:
+            entry["verdict"] = "noise_in_band"
+        else:
+            samples = [run_once(q, bench_queries[q]) for _ in range(4)]
+            med = _median(samples)
+            entry["samples"] = samples
+            entry["median"] = round(med, 3)
+            scale = adjudication_scale(q)
+            entry["adjudication_scale"] = round(scale, 2)
+            if _in_band(med, band) or not _regressed(med, prior[q], scale):
+                entry["verdict"] = "noise_remeasured"
+            else:
+                entry["verdict"] = "real_out_of_band"
+                regressions[q] = [prior[q], round(med, 3)]
+        adjudications[q] = entry
+        print(f"adjudicate {q}: {entry}", file=sys.stderr)
     # transparency: what the UNNORMALIZED gate would have flagged —
     # recorded in BENCH_DETAIL so a slow host never silently absorbs a
     # borderline real regression (each entry carries the scale applied)
@@ -673,13 +809,6 @@ def main(attribute: str | None = None) -> None:
     # per-module subtotals: at 200+ queries the per-query sub-second
     # numbers are mostly Python-worker spin-up noise (2-4x run-to-run);
     # the module aggregates are where real regressions surface
-    mod_of = {}
-    for mod in entrymod._MODULES:
-        mname = mod.__name__.rsplit(".", 1)[-1]
-        for qname in getattr(mod, "QUERIES", {}):
-            mod_of[qname] = mname
-        for qname in getattr(mod, "PRODUCTION_QUERIES", {}):
-            mod_of[qname] = mname
     module_subtotals: dict[str, float] = {}
     for qname, t in timings.items():
         mname = mod_of.get(qname, "other")
@@ -697,6 +826,7 @@ def main(attribute: str | None = None) -> None:
         },
         "sf": sf_val,
         "regressions": regressions,
+        "adjudications": adjudications,
         "regressions_host_normalized": host_normalized,
         "accepted_regressions": accepted,
         "calib_sec": calib_sec,
@@ -746,6 +876,11 @@ def _final_line(
         "calib_sec": detail["calib_sec"],
         "module_subtotals": detail.get("module_subtotals", {}),
         "regressions": regressions,
+        "adjudicated_noise": sum(
+            1
+            for v in detail.get("adjudications", {}).values()
+            if v.get("verdict") != "real_out_of_band"
+        ),
         "detail": "BENCH_DETAIL.json",
     }
     if pipe:

@@ -67,11 +67,17 @@ def test_load_prior_keeps_best_timing_at_matching_sf(tmp_path):
         + "\n"
         + "not json\n"  # tolerated
     )
-    prior, prior_calib, calib_ref = bench._load_prior(tmp_path, 0.1)
+    prior, prior_calib, calib_ref, bands, pycalib_ref = bench._load_prior(
+        tmp_path, 0.1
+    )
     assert prior == {"q1": 1.5, "q2": 1.0, "q3": 4.0}
     # no recording carried calib_sec -> no per-query calib, no reference
     assert prior_calib == {"q1": None, "q2": None, "q3": None}
     assert calib_ref is None
+    assert pycalib_ref is None
+    # the band spans every recording at the matching sf, with its count
+    assert bands["q1"] == (1.5, 2.0, 3)
+    assert bands["q2"] == (1.0, 1.0, 1)
 
 
 def test_accepted_regressions_reasons_are_nonempty():
@@ -90,9 +96,56 @@ def test_load_prior_rejects_outlier_minimum(tmp_path):
         + json.dumps({"sf": 0.1, "queries": {"q": 1.6, "s": 1.1}})
         + "\n"
     )
-    prior, _, _ = bench._load_prior(tmp_path, 0.1)
+    prior, _, _, _, _ = bench._load_prior(tmp_path, 0.1)
     assert prior["q"] == 1.5  # 0.2 < 2/3 * 1.5 -> second-smallest wins
     assert prior["s"] == 0.9  # 0.9 corroborated by 1.0 -> min kept
+
+
+def test_in_band_adjudication_rules():
+    """The r12 automated band check: in-band flags are noise without a
+    re-measure; bands need >= 4 recordings to adjudicate; a 5%
+    tolerance absorbs recorded-value rounding."""
+    band = (1.0, 2.0, 6)
+    assert bench._in_band(1.9, band)
+    assert bench._in_band(2.09, band)  # within the 5% tolerance
+    assert not bench._in_band(2.2, band)
+    assert not bench._in_band(1.9, (1.0, 2.0, 3))  # too little history
+    assert not bench._in_band(1.9, None)
+
+
+def test_pandas_bound_classification():
+    assert bench._pandas_bound("multimodal_jpeg_cmyk", "multimodal")
+    assert bench._pandas_bound("udaf_user_median", "whatever")
+    assert not bench._pandas_bound("q1_pricing_summary", "tpch")
+
+
+def test_load_prior_collects_pycalib_reference(tmp_path):
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        json.dumps(
+            {"sf": 0.1, "calib_sec": 0.3, "pycalib_sec": 0.8,
+             "queries": {"q": 1.0}}
+        )
+        + "\n"
+        + json.dumps(
+            {"sf": 0.1, "calib_sec": 0.5, "pycalib_sec": 1.6,
+             "queries": {"q": 1.2}}
+        )
+        + "\n"
+    )
+    *_, pycalib_ref = bench._load_prior(tmp_path, 0.1)
+    assert pycalib_ref == 0.8  # low quartile of [0.8, 1.6]
+
+
+def test_final_line_counts_adjudicated_noise():
+    detail = _detail()
+    detail["adjudications"] = {
+        "a": {"verdict": "noise_in_band"},
+        "b": {"verdict": "noise_remeasured"},
+        "c": {"verdict": "real_out_of_band"},
+    }
+    doc = json.loads(bench._final_line(detail, {"c": [1.0, 3.0]}, {}, {}))
+    assert doc["adjudicated_noise"] == 2
+    assert doc["regressions"] == {"c": [1.0, 3.0]}
 
 
 def test_load_prior_carries_the_baseline_runs_calib(tmp_path):
@@ -105,7 +158,7 @@ def test_load_prior_carries_the_baseline_runs_calib(tmp_path):
         + json.dumps({"sf": 0.1, "calib_sec": 0.6, "queries": {"q": 1.4}})
         + "\n"
     )
-    prior, prior_calib, calib_ref = bench._load_prior(tmp_path, 0.1)
+    prior, prior_calib, calib_ref, _, _ = bench._load_prior(tmp_path, 0.1)
     assert prior == {"q": 1.0}
     assert prior_calib == {"q": 0.3}  # the 1.0 came from the 0.3 run
     assert calib_ref == 0.3  # low quartile of [0.3, 0.6]

@@ -109,6 +109,47 @@ def test_arith_restart_intervals_roundtrip():
     )
 
 
+def test_arith_restart_fill_bytes_are_legal():
+    """B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+    Inject runs of fill bytes before every RSTn in an arithmetic scan —
+    the decode must be unchanged (r12 advisor fix: restart() used to
+    reject the run as 'FFFF')."""
+    img = _gray(h=40, w=40, seed=11)
+    data = encode_arith(img, quality=90, restart_interval=3)
+    padded = bytearray()
+    i = 0
+    while i < len(data):
+        if (
+            data[i] == 0xFF
+            and i + 1 < len(data)
+            and 0xD0 <= data[i + 1] <= 0xD7
+        ):
+            padded += b"\xff\xff\xff"  # fill run, then the marker itself
+        padded.append(data[i])
+        i += 1
+    np.testing.assert_array_equal(
+        decode_arith(bytes(padded)), decode_arith(data)
+    )
+
+
+def test_arith_refine_only_stream_is_loud():
+    """A SOF10 stream whose DC FIRST scan was stripped (leaving only
+    AC + refine scans) has no established coefficients — it must trip
+    the all-scanned truncation check, not decode refined zeros as a
+    real image (r12 advisor fix)."""
+    from aind_hcr_data_transformation_spark.sources.jpegarith import (
+        encode_arith_progressive,
+    )
+
+    data = encode_arith_progressive(_gray(16, 16), quality=90)
+    first = data.find(b"\xff\xda")
+    second = data.find(b"\xff\xda", first + 2)
+    assert 0 < first < second
+    clipped = data[:first] + data[second:]
+    with pytest.raises(ValueError, match="truncated|scanned|undecoded"):
+        decode_arith(clipped)
+
+
 def test_decode_image_routes_sof9():
     img = _gray(h=24, w=24)
     data = encode_arith(img, quality=95)
