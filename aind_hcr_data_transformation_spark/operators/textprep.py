@@ -1110,13 +1110,19 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the navigation-chrome/cookie-banner cleanup pass that runs before
     dedup in web-corpus pipelines.
 
-    Scale shape: one aggregation over exploded bigrams builds the
-    document-frequency table (map-side combine; key cardinality is the
-    bigram vocabulary, far below the corpus size); the boilerplate set
-    (frequency ≥ cut) is small by construction and BROADCASTS back
-    against the bigram stream, so the corpus text itself is never
-    shuffled — only (doc_id, position) pairs after the match, then one
-    per-doc window-free aggregation re-assembles survivors. Reference
+    Scale shape (r12 rework, VERDICT r11 task 3): one aggregation over
+    exploded bigrams builds the document-frequency table (map-side
+    combine; key cardinality is the bigram vocabulary, far below the
+    corpus size); the boilerplate set (frequency ≥ cut) is small by
+    construction and BROADCASTS back against the bigram stream. Only
+    the MATCHED occurrences' (doc_id, position) pairs then shuffle —
+    once, into a per-doc covered-position set — and each document is
+    re-assembled by a higher-order ``filter`` over its (never-exploded,
+    never-shuffled) token array. The pre-r12 plan anti-joined EVERY
+    token row against the covered set and re-assembled with a
+    collect_list regroup — two corpus-sized token shuffles this plan
+    does not have (measured ~2x at sf1: 17.5 s -> 8.9 s median at equal
+    calib, r12). Reference
     analog: none (the reference never rewrites payloads conditionally);
     closest is the keep/drop block predicate (``czi_to_zarr.py:300-316``)
     applied at token rather than block granularity."""
@@ -1127,9 +1133,6 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.split(F.col("text"), " ").alias("t")
         )
     )
-    toks = docs.select(
-        "doc_id", F.posexplode("t").alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).alias("p"), "tok")
     grams = persist_tracked(
         docs.filter(F.size("t") >= 2)
         .select(
@@ -1150,34 +1153,29 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= cut)
         .select("gram")
     )
+    # per-doc covered positions (1-based): ONLY matched occurrences
+    # enter this shuffle — the token stream itself never does
     covered = (
         grams.join(F.broadcast(boiler), "gram")
         .select(
             "doc_id",
             F.explode(F.array(F.col("gpos"), F.col("gpos") + 1)).alias("p"),
         )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("cov"))
     )
-    kept = toks.join(covered, ["doc_id", "p"], "left_anti")
-    cleaned = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_after"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("cleaned_text"),
+    kept = F.filter(
+        F.col("t"),
+        lambda tok, i: ~F.array_contains(
+            F.coalesce(F.col("cov"), F.array().cast("array<int>")),
+            (i + 1).cast("int"),
+        ),
     )
-    return (
-        docs.select("doc_id", F.size("t").alias("n_before"))
-        .join(cleaned, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_before",
-            F.coalesce(F.col("n_after"), F.lit(0).cast("long")).alias("n_after"),
-            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
-        )
+    return docs.join(covered, "doc_id", "left").select(
+        "doc_id",
+        F.size("t").alias("n_before"),
+        F.size(kept).cast("long").alias("n_after"),
+        F.array_join(kept, " ").alias("cleaned_text"),
     )
 
 

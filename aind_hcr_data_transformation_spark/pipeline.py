@@ -206,6 +206,9 @@ def _convert_pyramid(
 
             cols = [f.name for f in BLOCK_SCHEMA.fields]
             slab_cache: list = [None, None]  # [(path, z0), decoded slab]
+            # per-array chunk digests, flushed as ONE manifest shard per
+            # (task, array) after all of this task's chunks are durable
+            digests: dict[str, dict[str, str]] = {}
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
                     if _gen:
@@ -240,6 +243,7 @@ def _convert_pyramid(
                         (t, c, row.z0, row.y0, row.x0),
                         arr,
                         meta=_metas[row.stack_name],
+                        record=digests.setdefault(row.stack_name, {}),
                     )
                     if _fault is not None:
                         _fault(_lvl, row.stack_name)
@@ -269,6 +273,12 @@ def _convert_pyramid(
                         ],
                         columns=cols,
                     )
+            from .sinks.zarr_sink import write_checksum_shard
+
+            for name, rec in digests.items():
+                write_checksum_shard(
+                    os.path.join(_out, f"{name}.zarr", _lvl), rec
+                )
 
         pooled = blocks.mapInPandas(write_and_pool, BLOCK_SCHEMA)
         if not pool:

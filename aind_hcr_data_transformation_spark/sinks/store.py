@@ -47,6 +47,17 @@ class LocalStore:
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
 
+    def list_dir(self, path: str) -> list[str]:
+        if not os.path.isdir(path):
+            return []
+        return sorted(os.listdir(path))
+
+    def delete(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
     def join(self, *parts: str) -> str:
         return os.path.join(*parts)
 
@@ -84,6 +95,19 @@ class MemoryStore:
 
     def exists(self, path: str) -> bool:
         return path in self._data
+
+    def list_dir(self, path: str) -> list[str]:
+        prefix = path.rstrip("/") + "/"
+        with self._lock:
+            return sorted(
+                k[len(prefix) :]
+                for k in self._data
+                if k.startswith(prefix) and "/" not in k[len(prefix) :]
+            )
+
+    def delete(self, path: str) -> None:
+        with self._lock:
+            self._data.pop(path, None)
 
     def join(self, *parts: str) -> str:
         return "/".join(p.strip("/") for p in parts if p)
@@ -127,6 +151,19 @@ class FsspecStore:
 
     def exists(self, path: str) -> bool:
         return self.fs.exists(f"{self.scheme}://{path}")
+
+    def list_dir(self, path: str) -> list[str]:
+        url = f"{self.scheme}://{path.rstrip('/')}"
+        if not self.fs.exists(url):
+            return []
+        return sorted(
+            e.rsplit("/", 1)[-1] for e in self.fs.ls(url, detail=False)
+        )
+
+    def delete(self, path: str) -> None:
+        url = f"{self.scheme}://{path}"
+        if self.fs.exists(url):
+            self.fs.rm(url)
 
     def join(self, *parts: str) -> str:
         return "/".join(p.strip("/") for p in parts if p)

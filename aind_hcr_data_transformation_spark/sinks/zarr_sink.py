@@ -24,6 +24,7 @@ in-flight work (SURVEY §4 X4).
 
 from __future__ import annotations
 
+import hashlib
 import json
 from typing import Any, Iterable
 
@@ -34,6 +35,124 @@ from .codecs import compress, decompress, make_compressor_meta
 from .store import resolve
 
 ZARR_FORMAT = 2
+
+#: per-array integrity manifest directory (this sink's extension — the
+#: zarr v2 format itself stores chunks with NO checksum, so a mid-frame
+#: compressed-literal bit flip can decompress silently; the reference
+#: inherits the same hole, ``zarr_writer.py:188-213``). Standard zarr
+#: readers ignore unknown keys, so the manifest is invisible to them.
+CHECKSUM_DIR = ".zchecksums"
+
+
+def chunk_digest(raw: bytes) -> str:
+    """64-bit content digest of a chunk's stored (compressed) bytes.
+
+    ``blake2b(digest_size=8)``: stdlib, C-speed (~1 GiB/s — noise next
+    to the zstd encode that produced the bytes), and 64 bits is the
+    same integrity budget an xxhash64 manifest would carry. Hashing the
+    COMPRESSED bytes means verification needs no decompression."""
+    return hashlib.blake2b(raw, digest_size=8).hexdigest()
+
+
+def write_checksum_shard(url: str, checksums: dict[str, str]) -> None:
+    """Persist one task's chunk digests as a manifest SHARD under the
+    array's ``.zchecksums/`` key space — one small PUT per task, never
+    per chunk. Shard names are CONTENT-ADDRESSED (digest of the
+    serialized payload): concurrent tasks write distinct names, while a
+    retried or speculative duplicate attempt — whose chunk writes are
+    byte-deterministic and therefore whose digests agree — re-writes
+    the SAME object with the SAME bytes, keeping the whole output tree
+    byte-identical across retries (the chaos probe's tree-hash
+    equality contract). Merge-on-read is a plain dict union."""
+    if not checksums:
+        return
+    payload = json.dumps(checksums, sort_keys=True).encode()
+    store, path = resolve(url)
+    cdir = store.join(path, CHECKSUM_DIR)
+    store.makedirs(cdir)
+    store.write_bytes(
+        store.join(
+            cdir,
+            f"{hashlib.blake2b(payload, digest_size=16).hexdigest()}.json",
+        ),
+        payload,
+    )
+
+
+def read_checksums(url: str) -> dict[str, str] | None:
+    """Merge an array's manifest shards into one chunk-key → digest map;
+    ``None`` when the array carries no manifest (e.g. written by a
+    foreign zarr writer). A shard torn by a killed task attempt fails
+    JSON parsing as a whole and is skipped — its retry re-wrote a
+    complete shard with identical digests, and the verifier separately
+    requires every chunk to be covered, so a skipped shard can never
+    hide corruption."""
+    store, path = resolve(url)
+    cdir = store.join(path, CHECKSUM_DIR)
+    names = store.list_dir(cdir)
+    if not names:
+        return None
+    merged: dict[str, str] = {}
+    for name in names:
+        if not name.endswith(".json"):
+            continue
+        try:
+            shard = json.loads(store.read_bytes(store.join(cdir, name)))
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            continue
+        if isinstance(shard, dict):
+            merged.update(shard)
+    return merged or None
+
+
+def _clear_checksums(store, path: str) -> None:
+    """Drop any existing manifest shards — called by ``init_array`` so
+    an array RE-CREATED at the same URL never inherits stale digests
+    from its previous incarnation."""
+    cdir = store.join(path, CHECKSUM_DIR)
+    for name in store.list_dir(cdir):
+        store.delete(store.join(cdir, name))
+
+
+def verify_array_checksums(url: str) -> int:
+    """Recompute every chunk file's digest against the manifest — the
+    store-side integrity scrub (run it after a transfer, before a
+    delete-the-source step). Raises on a missing manifest, a chunk
+    without an entry, or a digest mismatch; returns the number of
+    chunks verified."""
+    store, path = resolve(url)
+    manifest = read_checksums(url)
+    if manifest is None:
+        raise ValueError(f"{url}: no checksum manifest to verify against")
+    meta = _array_meta(url, store, path)
+    n = 0
+    for sl in gen_slices(tuple(meta["shape"]), tuple(meta["chunks"])):
+        idx = [s.start // c for s, c in zip(sl, meta["chunks"])]
+        key = "/".join(str(i) for i in idx)
+        chunk_file = store.join(path, *[str(i) for i in idx])
+        if not store.exists(chunk_file):
+            continue
+        _verify_chunk(store.read_bytes(chunk_file), key, manifest, url)
+        n += 1
+    return n
+
+
+def _verify_chunk(
+    raw: bytes, key: str, manifest: dict[str, str], url: str
+) -> None:
+    want = manifest.get(key)
+    if want is None:
+        raise ValueError(
+            f"{url}: chunk {key} has no checksum manifest entry "
+            "(incomplete manifest — treat the array as suspect)"
+        )
+    got = chunk_digest(raw)
+    if got != want:
+        raise ValueError(
+            f"{url}: chunk {key} failed checksum verification "
+            f"(stored {want}, recomputed {got}) — the chunk bytes were "
+            "corrupted after write"
+        )
 
 
 def _dtype_descr(dtype: np.dtype) -> str:
@@ -91,6 +210,7 @@ def init_array(
         "dimension_separator": "/",
     }
     store.write_bytes(store.join(path, ".zarray"), json.dumps(meta).encode())
+    _clear_checksums(store, path)
     return meta
 
 
@@ -103,6 +223,7 @@ def write_region(
     region_offset: tuple[int, ...],
     data: np.ndarray,
     meta: dict[str, Any] | None = None,
+    record: dict[str, str] | None = None,
 ) -> None:
     """Write an ndarray into the array at ``region_offset`` — the
     ``pyramid_group[..., zslice, :, :] = block`` analog
@@ -119,7 +240,13 @@ def write_region(
     while a per-process cache can serve stale geometry after an array is
     re-created at the same URL on long-lived executors. Shipping the meta
     eliminates both failure modes. Without ``meta`` (driver-side /
-    test-scale callers), the metadata is read fresh per call."""
+    test-scale callers), the metadata is read fresh per call.
+
+    ``record``, when given, collects each written chunk's digest
+    (chunk key → :func:`chunk_digest` of the stored bytes) so the
+    caller can persist ONE manifest shard per task via
+    :func:`write_checksum_shard` — per-chunk manifest PUTs would
+    double the object count."""
     store, path = resolve(url)
     if meta is None:
         meta = _array_meta(url, store, path)
@@ -151,13 +278,25 @@ def write_region(
         chunk_dir = store.join(path, *key_parts[:-1]) if key_parts[:-1] else path
         store.makedirs(chunk_dir)
         store.write_bytes(store.join(chunk_dir, key_parts[-1]), raw)
+        if record is not None:
+            record["/".join(key_parts)] = chunk_digest(raw)
 
 
-def read_array(url: str) -> np.ndarray:
+def read_array(url: str, verify: bool | str = "auto") -> np.ndarray:
     """Assemble the whole array (test-scale verification reader; the
-    production read path is the block-index scan)."""
+    production read path is the block-index scan).
+
+    ``verify``: ``"auto"`` (default) checks every chunk's stored bytes
+    against the ``.zchecksums`` manifest WHEN the array carries one —
+    so a post-write bit flip inside a compressed frame (which zarr v2's
+    checksum-free chunks would otherwise decode silently) fails loudly
+    on read-back. ``True`` additionally requires a manifest to exist;
+    ``False`` skips verification."""
     store, path = resolve(url)
     meta = _array_meta(url, store, path)
+    manifest = read_checksums(url) if verify else None
+    if verify is True and manifest is None:
+        raise ValueError(f"{url}: no checksum manifest to verify against")
     shape, chunks = meta["shape"], meta["chunks"]
     dtype = np.dtype(meta["dtype"])
     comp = meta["compressor"]
@@ -167,8 +306,13 @@ def read_array(url: str) -> np.ndarray:
         chunk_file = store.join(path, *[str(i) for i in idx])
         if not store.exists(chunk_file):
             continue
+        stored = store.read_bytes(chunk_file)
+        if manifest is not None:
+            _verify_chunk(
+                stored, "/".join(str(i) for i in idx), manifest, url
+            )
         raw = decompress(
-            store.read_bytes(chunk_file),
+            stored,
             comp,
             nbytes=int(np.prod(chunks)) * dtype.itemsize,
         )
@@ -224,6 +368,7 @@ def write_blocks_to_zarr(
         import pyarrow as pa
 
         n = 0
+        digests: dict[str, str] = {}
         for batch in batches:
             block_col = batch.column("block")
             shapes = batch.column("shape").to_pylist()
@@ -242,10 +387,15 @@ def write_blocks_to_zarr(
                     (t_col[i], c_col[i], z0[i], y0[i], x0[i]),
                     arr,
                     meta=meta,
+                    record=digests,
                 )
                 n += 1
                 if fault is not None:
                     fault(n)
+        # one manifest shard per task, AFTER all its chunks are durable
+        # (a task killed mid-write leaves no shard; its retry re-writes
+        # identical chunks and a complete shard)
+        write_checksum_shard(array_url, digests)
         yield pa.RecordBatch.from_pydict(
             {"n_written": [n]},
             schema=pa.schema([("n_written", pa.int64())]),

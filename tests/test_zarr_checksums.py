@@ -1,0 +1,196 @@
+"""Per-chunk integrity manifest for the zarr sink (VERDICT r11 task 2).
+
+Zarr v2 chunks carry NO checksum — a bit flip inside a compressed
+frame's literal section can decompress silently (the one silent-
+corruption path CORRUPTION_PROBE documented in r11; the reference
+shares the hole, ``zarr_writer.py:188-213`` writes unchecksummed
+chunks). The sink now records a 64-bit digest of every stored chunk in
+content-addressed ``.zchecksums/`` manifest shards (one PUT per task,
+not per chunk), and readers verify stored bytes against the manifest
+before decompressing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from aind_hcr_data_transformation_spark.sinks.zarr_sink import (
+    CHECKSUM_DIR,
+    chunk_digest,
+    init_array,
+    read_array,
+    read_checksums,
+    verify_array_checksums,
+    write_checksum_shard,
+    write_region,
+)
+
+
+def _make_array(tmp_path, name: str = "a") -> str:
+    url = str(tmp_path / name)
+    init_array(url, (4, 6), (2, 3), "uint16")
+    rec: dict[str, str] = {}
+    write_region(
+        url, (0, 0), np.arange(24, dtype=np.uint16).reshape(4, 6), record=rec
+    )
+    write_checksum_shard(url, rec)
+    return url
+
+
+def test_manifest_roundtrip(tmp_path):
+    url = _make_array(tmp_path)
+    manifest = read_checksums(url)
+    assert manifest is not None and len(manifest) == 4  # 2x2 chunk grid
+    assert set(manifest) == {"0/0", "0/1", "1/0", "1/1"}
+    assert verify_array_checksums(url) == 4
+    np.testing.assert_array_equal(
+        read_array(url, verify=True),
+        np.arange(24, dtype=np.uint16).reshape(4, 6),
+    )
+
+
+def test_midframe_bit_flip_fails_loudly(tmp_path):
+    """The exact hole the manifest closes: a flip in the INTERIOR of a
+    compressed chunk (where zlib/zstd may decode silently) must now
+    raise on every read path."""
+    url = _make_array(tmp_path)
+    chunk = Path(url) / "0" / "0"
+    raw = bytearray(chunk.read_bytes())
+    raw[len(raw) // 2] ^= 0x10
+    chunk.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="failed checksum"):
+        read_array(url)  # default verify="auto" sees the manifest
+    with pytest.raises(ValueError, match="failed checksum"):
+        verify_array_checksums(url)
+
+
+def test_chunk_without_manifest_entry_fails(tmp_path):
+    """Coverage is part of the contract: a chunk file the manifest does
+    not know about (e.g. written by a crashed run whose shard never
+    landed) is treated as suspect, not silently trusted."""
+    url = _make_array(tmp_path)
+    # forge a 5th chunk... the 2x2 grid is full, so instead drop one
+    # manifest entry by rewriting the shard without it
+    cdir = Path(url) / CHECKSUM_DIR
+    shard = next(cdir.iterdir())
+    manifest = json.loads(shard.read_text())
+    manifest.pop("1/1")
+    shard.write_text(json.dumps(manifest))
+    with pytest.raises(ValueError, match="no checksum manifest entry"):
+        verify_array_checksums(url)
+    with pytest.raises(ValueError, match="no checksum manifest entry"):
+        read_array(url)
+
+
+def test_foreign_array_without_manifest_still_reads(tmp_path):
+    """Arrays written by other zarr writers carry no manifest: the
+    default auto mode reads them unchanged; verify=True refuses."""
+    url = str(tmp_path / "foreign")
+    init_array(url, (4, 4), (2, 2), "uint8")
+    write_region(url, (0, 0), np.ones((4, 4), dtype=np.uint8))  # no record
+    assert read_checksums(url) is None
+    np.testing.assert_array_equal(
+        read_array(url), np.ones((4, 4), dtype=np.uint8)
+    )
+    with pytest.raises(ValueError, match="no checksum manifest"):
+        read_array(url, verify=True)
+    with pytest.raises(ValueError, match="no checksum manifest"):
+        verify_array_checksums(url)
+
+
+def test_init_array_clears_stale_shards(tmp_path):
+    """An array re-created at the same URL must not inherit the previous
+    incarnation's digests (they describe chunks that no longer exist)."""
+    url = _make_array(tmp_path)
+    assert read_checksums(url)
+    init_array(url, (4, 6), (2, 3), "uint16")
+    assert read_checksums(url) is None
+
+
+def test_torn_shard_skipped_but_coverage_enforced(tmp_path):
+    """A shard torn by a killed task attempt fails JSON parsing and is
+    skipped; verification still demands every chunk be covered by some
+    parseable shard."""
+    url = _make_array(tmp_path)
+    cdir = Path(url) / CHECKSUM_DIR
+    (cdir / "deadbeef.json").write_bytes(b'{"0/0": "tru')  # torn write
+    assert verify_array_checksums(url) == 4  # intact shard covers all
+    # now ONLY the torn shard remains -> nothing is covered
+    for p in cdir.iterdir():
+        if p.name != "deadbeef.json":
+            p.unlink()
+    with pytest.raises(ValueError, match="no checksum manifest"):
+        verify_array_checksums(url)
+
+
+def test_shards_are_content_addressed(tmp_path):
+    """Identical digests (what a retried attempt produces) re-write the
+    SAME shard object — output trees stay byte-identical across
+    retries, which the chaos probe's tree-hash equality relies on."""
+    url = _make_array(tmp_path)
+    manifest = read_checksums(url)
+    write_checksum_shard(url, manifest)  # the "retry"
+    shards = list((Path(url) / CHECKSUM_DIR).iterdir())
+    assert len(shards) == 1
+
+
+def test_digest_is_of_stored_bytes():
+    raw = b"some compressed chunk bytes"
+    d = chunk_digest(raw)
+    assert len(d) == 16 and d == chunk_digest(raw)
+    assert d != chunk_digest(raw + b"\x00")
+
+
+def test_distributed_writer_emits_manifest(spark, tmp_path):
+    """write_blocks_to_zarr writes one shard per task and the read-back
+    verifies; pipeline conversion covers every pyramid level."""
+    from aind_hcr_data_transformation_spark.sinks.zarr_sink import (
+        write_blocks_to_zarr,
+    )
+    from aind_hcr_data_transformation_spark.sources.czi import (
+        block_index,
+        read_blocks,
+    )
+
+    catalog = spark.createDataFrame(
+        [("s", 8, 16, 16)],
+        "stack_name string, z_extent int, y_extent int, x_extent int",
+    )
+    blocks = read_blocks(block_index(catalog, (4, 8, 8)))
+    url = str(tmp_path / "dist")
+    n = write_blocks_to_zarr(
+        blocks, url, (1, 1, 8, 16, 16), (1, 1, 4, 8, 8), "uint16"
+    )
+    assert n == 8
+    assert verify_array_checksums(url) == 8
+    read_array(url, verify=True)
+
+
+def test_pipeline_levels_all_verify(spark, tmp_path):
+    from aind_hcr_data_transformation_spark.config import (
+        ZarrConversionSettings,
+    )
+    from aind_hcr_data_transformation_spark.pipeline import (
+        convert_synthetic_stack,
+    )
+
+    settings = ZarrConversionSettings(
+        output_directory=str(tmp_path),
+        chunk_size=(8, 16, 16),
+        scale_factor=(2, 2, 2),
+        downsample_levels=3,
+    )
+    group = convert_synthetic_stack(spark, settings, "chk", 16, 32, 32)
+    levels = sorted(
+        p.name for p in Path(group).iterdir() if p.name.isdigit()
+    )
+    assert levels == ["0", "1", "2"]
+    for lvl in levels:
+        url = os.path.join(group, lvl)
+        assert verify_array_checksums(url) > 0
+        read_array(url, verify=True)

@@ -33,7 +33,10 @@ Stages:
   zisraw_truncated      CZI cut inside a subblock raises actionably
   zisraw_bad_magic      wrong file magic raises (not misparsed)
   zarr_chunk_corruption truncated / header-flipped zstd chunk raises;
-                        the zarr-v2 no-checksum limit is documented
+                        codec-level scope documented
+  zarr_manifest_bitflip r12: a codec-SILENT interior flip (the one
+                        path zarr v2 leaves open) fails loudly via the
+                        sink's per-chunk .zchecksums manifest
 
 Usage::
 
@@ -321,14 +324,14 @@ def stage_zarr_chunk_corruption(spark) -> dict:
     """Truncated or header-corrupted zstd zarr chunks must raise on
     read-back; the pristine twin must round-trip.
 
-    Scope note, recorded rather than hidden: zarr v2 chunks carry NO
-    content checksum (the format's limitation, not this writer's), so
-    a bit flip inside a zstd LITERAL section can decompress silently
-    to altered voxels — exactly why production deployments put these
-    chunks behind a checksumming store (S3 ETag/SHA, zfs) or add a
-    checksum filter. What the ENGINE can promise: structural damage
-    (truncation, frame-header corruption, wrong decompressed size)
-    raises instead of returning resized garbage."""
+    Scope note: zarr v2 chunks carry NO content checksum (the format's
+    limitation, not this writer's), so a bit flip inside a zstd LITERAL
+    section can decompress silently at the CODEC level. This stage pins
+    what the codec alone promises (structural damage — truncation,
+    frame-header corruption, wrong decompressed size — raises); the
+    r12 ``zarr_manifest_bitflip`` stage pins the stronger sink-level
+    guarantee that closes the literal-flip hole via the per-chunk
+    ``.zchecksums`` manifest."""
     from aind_hcr_data_transformation_spark.sinks.zarr_sink import (
         init_array,
         write_region,
@@ -373,6 +376,105 @@ def stage_zarr_chunk_corruption(spark) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def stage_zarr_manifest_bitflip() -> dict:
+    """r12 (VERDICT r11 task 2): the per-chunk checksum manifest must
+    catch the ONE corruption class the codec layer cannot — a bit flip
+    the decompressor accepts silently.
+
+    Two sub-cases, both required:
+    - an UNCOMPRESSED chunk (every interior flip is codec-silent by
+      construction) must fail read-back via the manifest;
+    - a zstd chunk: scan interior flip positions for one the codec
+      decompresses without error (the r11-documented silent path); when
+      found, the manifest must still fail it loudly. The probe records
+      whether a codec-silent position existed in this stream (zstd
+      streams vary; absence just means THIS stream had no silent flip,
+      and the manifest check is exercised regardless)."""
+    from aind_hcr_data_transformation_spark.sinks.zarr_sink import (
+        init_array,
+        read_array,
+        verify_array_checksums,
+        write_checksum_shard,
+        write_region,
+    )
+
+    def chunk_file(root: str) -> Path:
+        return next(
+            p
+            for p in Path(root).rglob("*")
+            if p.is_file()
+            and not p.name.startswith(".")
+            and ".zchecksums" not in p.parts
+        )
+
+    def build(root: str, compressor: str) -> np.ndarray:
+        arr = (np.arange(4 * 8 * 8) % 1000).astype(np.uint16).reshape(4, 8, 8)
+        init_array(root, (4, 8, 8), (4, 8, 8), "uint16",
+                   compressor=compressor)
+        rec: dict = {}
+        write_region(root, (0, 0, 0), arr, record=rec)
+        write_checksum_shard(root, rec)
+        return arr
+
+    base = tempfile.mkdtemp(prefix="corrupt_zmanifest_")
+    try:
+        out: dict = {}
+        # --- uncompressed: deterministic codec-silent flip
+        root = os.path.join(base, "raw.zarr", "0")
+        arr = build(root, "none")
+        out["control_verified_chunks"] = verify_array_checksums(root)
+        out["control_roundtrip"] = np.array_equal(
+            read_array(root, verify=True), arr
+        )
+        cf = chunk_file(root)
+        data = bytearray(cf.read_bytes())
+        data[len(data) // 2] ^= 0x04
+        cf.write_bytes(bytes(data))
+        raw_raises = False
+        try:
+            read_array(root)  # verify="auto" sees the manifest
+        except ValueError as exc:
+            raw_raises = "failed checksum" in str(exc)
+        out["uncompressed_flip_raises"] = raw_raises
+
+        # --- zstd: hunt for a codec-silent interior flip
+        import pyarrow as pa
+
+        root2 = os.path.join(base, "zstd.zarr", "0")
+        build(root2, "zstd")
+        cf2 = chunk_file(root2)
+        orig = cf2.read_bytes()
+        codec = pa.Codec("zstd")
+        nbytes = 4 * 8 * 8 * 2
+        silent_pos = None
+        for pos in range(8, len(orig) - 1):
+            flipped = bytearray(orig)
+            flipped[pos] ^= 0x01
+            try:
+                codec.decompress(bytes(flipped), nbytes)
+            except Exception:
+                continue
+            silent_pos = pos
+            break
+        out["zstd_codec_silent_flip_found"] = silent_pos is not None
+        flip_at = silent_pos if silent_pos is not None else len(orig) // 2
+        flipped = bytearray(orig)
+        flipped[flip_at] ^= 0x01
+        cf2.write_bytes(bytes(flipped))
+        zstd_raises = False
+        try:
+            read_array(root2)
+        except ValueError as exc:
+            zstd_raises = "failed checksum" in str(exc)
+        out["zstd_flip_raises"] = zstd_raises
+        out["ok"] = (
+            out["control_roundtrip"] and raw_raises and zstd_raises
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 STAGES = {
     "parquet_truncated": stage_parquet_truncated,
     "png_bitflip": stage_png_bitflip,
@@ -382,6 +484,7 @@ STAGES = {
     "zisraw_truncated": stage_zisraw_truncated,
     "zisraw_bad_magic": stage_zisraw_bad_magic,
     "zarr_chunk_corruption": stage_zarr_chunk_corruption,
+    "zarr_manifest_bitflip": stage_zarr_manifest_bitflip,
 }
 
 _NEEDS_SPARK = {"parquet_truncated", "zarr_chunk_corruption"}
