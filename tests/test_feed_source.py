@@ -475,3 +475,26 @@ def test_bounded_drain_times_out_instead_of_hanging(spark):
     with pytest.raises(TimeoutError, match="did not drain"):
         run_feed_bounded(slow, "stall_probe", "append", timeout_s=8.0)
     assert time.time() - t0 < 25, "watchdog did not bound the drain"
+
+
+def test_feed_throughput_floor(spark):
+    """r12 (VERDICT r11 task 5): the feed's sustained throughput is a
+    tracked property, not a hope — ``tools/feed_throughput.py`` records
+    the events/s-vs-batch-size curve into FEED_THROUGHPUT.json, and
+    this floor pins the regression class that would flatten it (a new
+    per-ROW Python crossing or a per-batch driver round-trip in the
+    hot path costs 10-100x, far below this conservative gate even on a
+    cold, loaded CI host)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import feed_throughput as ft
+
+    sf_dir = os.path.dirname(EVENTS)
+    ft.run_config(spark, sf_dir, 3, stateful=False)  # runtime warm-up
+    t0 = time.time()
+    res = ft.run_config(spark, sf_dir, 3, stateful=False)
+    wall = time.time() - t0
+    assert res["rows"] == 1000  # every event exactly once
+    assert res["rows"] / res["wall_s"] > 100, (res, wall)

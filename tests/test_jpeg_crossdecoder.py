@@ -36,12 +36,28 @@ from aind_hcr_data_transformation_spark.sources.jpegcodec import (
     encode_gray_progressive,
 )
 
-imagecodecs = pytest.importorskip(
-    "imagecodecs", reason="optional [codecs] extra not installed"
+# skipif MARKS (not module-level importorskip): importorskip aborts
+# COLLECTION of the whole module, so environments with/without the
+# [codecs] extra used to report different test totals (VERDICT r11
+# task 6 — builder 507 vs judge 502). With pytestmark the 18 tests
+# collect everywhere and report as SKIPPED where the extras are absent
+# (the codecs CI leg still fails on any skip).
+import importlib.util
+
+_HAVE_CODECS = (
+    importlib.util.find_spec("imagecodecs") is not None
+    and importlib.util.find_spec("PIL") is not None
 )
-PIL_Image = pytest.importorskip(
-    "PIL.Image", reason="pillow not installed (codecs CI leg provides it)"
+pytestmark = pytest.mark.skipif(
+    not _HAVE_CODECS,
+    reason="optional [codecs] extra not installed (CI leg provides it)",
 )
+if _HAVE_CODECS:
+    import imagecodecs
+    from PIL import Image as PIL_Image
+else:  # names still referenced at call time inside skipped tests
+    imagecodecs = None
+    PIL_Image = None
 
 
 def _test_image(h: int = 72, w: int = 88, seed: int = 7) -> np.ndarray:

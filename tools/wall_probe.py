@@ -20,9 +20,15 @@ sf0.1 (``tools/make_sf_scale.py`` — disjoint keys per replica, salted
 doc text, rolled embeddings), so "data growth = 10×" holds for every
 table a query touches.
 
+Coverage (r12, VERDICT r11 task 4): the measured set is the UNION of
+the top-``--top`` heaviest bench queries and every query whose latest
+bench time is at least ``--min-sec`` (default 1.5 s) — wall-clock is
+the user-visible metric, so every query that matters at sf0.1 gets an
+sf1 wall recording, not just the top ten.
+
 Usage::
 
-    python tools/wall_probe.py [--top 10] [--samples 3]
+    python tools/wall_probe.py [--top 10] [--min-sec 1.5] [--samples 3]
         [--sf01 /root/testdata/sf0.1] [--sf1 .sfscale/sf1]
         [--json SCALE_PROBE_WALL.json]
 """
@@ -56,6 +62,7 @@ def _opt(argv: list[str], name: str, default: str) -> str:
 def main() -> int:
     argv = sys.argv[1:]
     top_n = int(_opt(argv, "--top", "10"))
+    min_sec = float(_opt(argv, "--min-sec", "1.5"))
     samples = int(_opt(argv, "--samples", "3"))
     sf01 = _opt(argv, "--sf01", "/root/testdata/sf0.1")
     sf1 = _opt(argv, "--sf1", str(REPO / ".sfscale" / "sf1"))
@@ -67,11 +74,16 @@ def main() -> int:
         return 2
 
     detail = json.loads((REPO / "BENCH_DETAIL.json").read_text())
-    ranked = sorted(
-        detail["queries"].items(), key=lambda kv: -kv[1]
-    )[:top_n]
-    names = [q for q, _t in ranked]
-    print(f"top-{top_n} by last bench: {names}")
+    ranked = sorted(detail["queries"].items(), key=lambda kv: -kv[1])
+    names = [
+        q
+        for i, (q, t) in enumerate(ranked)
+        if i < top_n or t >= min_sec
+    ]
+    print(
+        f"top-{top_n} ∪ (>= {min_sec}s) by last bench: "
+        f"{len(names)} queries: {names}"
+    )
 
     import __spark_entry__ as entrymod
     from aind_hcr_data_transformation_spark.cache import release_persists
@@ -118,6 +130,7 @@ def main() -> int:
     doc = {
         "k_data": K_DATA,
         "tolerance": TOL,
+        "min_sec": min_sec,
         "abs_floor_s": ABS_FLOOR_S,
         "samples_per_cell": samples,
         "sf01": sf01,
