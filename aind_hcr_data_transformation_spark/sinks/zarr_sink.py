@@ -137,6 +137,25 @@ def verify_array_checksums(url: str) -> int:
     return n
 
 
+def scrub_group(group_url: str) -> dict[str, int]:
+    """Integrity-scrub every level array of an OME-Zarr group (the
+    post-transfer / pre-source-delete check an operator runs on a
+    converted stack): returns ``{level: chunks_verified}`` and raises on
+    the first missing manifest, uncovered chunk, or digest mismatch.
+    Levels are the numeric child keys the multiscales metadata points
+    at."""
+    store, path = resolve(group_url)
+    levels = [n for n in store.list_dir(path) if n.isdigit()]
+    if not levels:
+        raise ValueError(f"{group_url}: no level arrays to scrub")
+    return {
+        lvl: verify_array_checksums(
+            group_url.rstrip("/") + "/" + lvl
+        )
+        for lvl in sorted(levels, key=int)
+    }
+
+
 def _verify_chunk(
     raw: bytes, key: str, manifest: dict[str, str], url: str
 ) -> None:

@@ -58,6 +58,7 @@ def test_chaos_probe_all_stages_green(tmp_path):
     )
     assert set(doc["stages"]) == {
         "zarr_task_retry",
+        "worker_death_retry",
         "pyramid_task_retry",
         "feed_read_retry",
         "feed_commit_kill",

@@ -83,9 +83,11 @@ BUDGETS = {
     # grid-cell equi join (one side broadcast at fixture scale) + pair
     # agg + the keep-zero-matches left join
     "join_interval_overlap": (2, 1),
-    # df aggregate + covered-distinct + per-doc reassembly + final join;
-    # the boilerplate set must broadcast back against the gram stream
-    "boilerplate_strip": (4, 3),
+    # r12 plan: df aggregate + covered-position per-doc set + the final
+    # doc-level join; the boilerplate set must broadcast back against
+    # the gram stream (the r11 plan's token anti-join + collect_list
+    # regroup — one more shuffle and one more broadcast — are gone)
+    "boilerplate_strip": (3, 2),
     # ONE key-partitioned window shuffle builds the whole history
     "upsert_scd2": (1, 0),
     # history window + one key join (dimension side broadcastable at

@@ -171,6 +171,41 @@ def test_distributed_writer_emits_manifest(spark, tmp_path):
     read_array(url, verify=True)
 
 
+def test_scrub_group_covers_every_level(spark, tmp_path):
+    from aind_hcr_data_transformation_spark.config import (
+        ZarrConversionSettings,
+    )
+    from aind_hcr_data_transformation_spark.pipeline import (
+        convert_synthetic_stack,
+    )
+    from aind_hcr_data_transformation_spark.sinks.zarr_sink import (
+        scrub_group,
+    )
+
+    settings = ZarrConversionSettings(
+        output_directory=str(tmp_path),
+        chunk_size=(8, 16, 16),
+        scale_factor=(2, 2, 2),
+        downsample_levels=2,
+    )
+    group = convert_synthetic_stack(spark, settings, "scrub", 16, 32, 32)
+    per_level = scrub_group(group)
+    assert set(per_level) == {"0", "1"}
+    assert all(n > 0 for n in per_level.values())
+    # one flipped byte anywhere in the group fails the scrub
+    chunk = next(
+        p
+        for p in (Path(group) / "1").rglob("*")
+        if p.is_file() and not p.name.startswith(".")
+        and CHECKSUM_DIR not in p.parts
+    )
+    raw = bytearray(chunk.read_bytes())
+    raw[len(raw) // 2] ^= 0x01
+    chunk.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="failed checksum"):
+        scrub_group(group)
+
+
 def test_pipeline_levels_all_verify(spark, tmp_path):
     from aind_hcr_data_transformation_spark.config import (
         ZarrConversionSettings,
