@@ -1130,7 +1130,13 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = max(_BOILER_MIN, n_docs // _BOILER_DIV)
     docs = persist_tracked(
         load_table(spark, sf_dir, "documents").select(
-            "doc_id", F.split(F.col("text"), " ").alias("t")
+            "doc_id",
+            # NULL text behaves as empty (one '' token) on BOTH engines:
+            # without the coalesce, split(NULL) -> NULL makes size()
+            # return -1 and array_join return NULL (code-review r12 —
+            # latent, fixtures carry no NULL text, but the contract is
+            # part of the operator)
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("t"),
         )
     )
     grams = persist_tracked(
@@ -1184,7 +1190,7 @@ WITH pd AS (
   SELECT greatest({_BOILER_MIN}, count(*) // {_BOILER_DIV}) AS cut FROM documents
 ),
 docs AS MATERIALIZED (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents
 ),
 toks AS (
   SELECT doc_id, CAST(i AS INTEGER) AS p, t[i] AS tok

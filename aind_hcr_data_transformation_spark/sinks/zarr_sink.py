@@ -118,22 +118,33 @@ def verify_array_checksums(url: str) -> int:
     """Recompute every chunk file's digest against the manifest — the
     store-side integrity scrub (run it after a transfer, before a
     delete-the-source step). Raises on a missing manifest, a chunk
-    without an entry, or a digest mismatch; returns the number of
-    chunks verified."""
+    without an entry, a digest mismatch, or a manifest entry whose
+    chunk FILE is gone (a written chunk lost in transfer must fail the
+    scrub — a never-written chunk has no manifest entry and is
+    legitimately fill-value); returns the number of chunks verified."""
     store, path = resolve(url)
     manifest = read_checksums(url)
     if manifest is None:
         raise ValueError(f"{url}: no checksum manifest to verify against")
     meta = _array_meta(url, store, path)
     n = 0
+    seen: set[str] = set()
     for sl in gen_slices(tuple(meta["shape"]), tuple(meta["chunks"])):
         idx = [s.start // c for s, c in zip(sl, meta["chunks"])]
         key = "/".join(str(i) for i in idx)
         chunk_file = store.join(path, *[str(i) for i in idx])
         if not store.exists(chunk_file):
             continue
+        seen.add(key)
         _verify_chunk(store.read_bytes(chunk_file), key, manifest, url)
         n += 1
+    lost = sorted(set(manifest) - seen)
+    if lost:
+        raise ValueError(
+            f"{url}: {len(lost)} manifest entr"
+            f"{'y has' if len(lost) == 1 else 'ies have'} no chunk file "
+            f"(first: {lost[0]}) — written chunks were lost after write"
+        )
     return n
 
 

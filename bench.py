@@ -201,7 +201,18 @@ def _load_prior(
             else vals[0]
         )
         prior[q], prior_calib[q] = pick
-        bands[q] = (vals[0][0], vals[-1][0], len(vals))
+        # band max is TRIMMED (p90 of recordings, not raw max): a single
+        # outlier recording — one host stall, or one regressed round
+        # before its fix — must not permanently widen the band and mask
+        # every later occurrence of the same slowdown as 'noise_in_band'
+        # (code-review r12). Persistent noise (many swings) still widens
+        # the band, which is what the band is for; a persistent UNFIXED
+        # regression keeps landing out-of-band for ~n/10 rounds before
+        # its samples can move the p90, each time re-confirmed by the
+        # 4-sample re-measure.
+        n = len(vals)
+        hi = vals[-1][0] if n < 10 else vals[int(0.9 * (n - 1))][0]
+        bands[q] = (vals[0][0], hi, n)
     calibs.sort()
     calib_ref = calibs[len(calibs) // 4] if calibs else None
     pycalibs.sort()
@@ -669,9 +680,16 @@ def main(attribute: str | None = None) -> None:
             "pycalib_sec": pycalib_sec,
             "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
+        # modules + module_medians are computed over the MERGED map so
+        # the artifact stays internally consistent across passes (a
+        # consumer must never see a module's per-query rows without its
+        # median, or vice versa)
+        merged_mods = sorted(
+            {v.get("module") for v in merged.values() if v.get("module")}
+        )
         doc = {
             "mode": "attribution",
-            "modules": sorted(tokens),
+            "modules": merged_mods,
             "sf": sf_val,
             "calib_sec": calib_sec,
             "pycalib_sec": pycalib_sec,
@@ -680,10 +698,14 @@ def main(attribute: str | None = None) -> None:
             "passes": prev_passes + [this_pass],
             "module_medians": {
                 m: round(
-                    sum(v["median"] for v in out.values() if v["module"] == m),
+                    sum(
+                        v["median"]
+                        for v in merged.values()
+                        if v.get("module") == m
+                    ),
                     3,
                 )
-                for m in sorted(mods)
+                for m in merged_mods
             },
             "ts": this_pass["ts"],
         }

@@ -119,6 +119,23 @@ def test_pandas_bound_classification():
     assert not bench._pandas_bound("q1_pricing_summary", "tpch")
 
 
+def test_band_max_is_trimmed_against_outliers(tmp_path):
+    """code-review r12: one anomalously SLOW recording (host stall, or
+    a regressed round later fixed) must not permanently widen the band
+    and mask every later occurrence as noise_in_band — with >= 10
+    recordings the band max is the p90, not the raw max."""
+    rows = [{"sf": 0.1, "queries": {"q": 1.0 + 0.01 * i}} for i in range(11)]
+    rows.append({"sf": 0.1, "queries": {"q": 9.0}})  # the one outlier
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n"
+    )
+    _, _, _, bands, _ = bench._load_prior(tmp_path, 0.1)
+    lo, hi, n = bands["q"]
+    assert n == 12 and lo == 1.0
+    assert hi < 9.0  # outlier trimmed out of the band max
+    assert not bench._in_band(8.0, bands["q"])
+
+
 def test_load_prior_collects_pycalib_reference(tmp_path):
     (tmp_path / "BENCH_HISTORY.jsonl").write_text(
         json.dumps(

@@ -87,6 +87,27 @@ def test_chunk_without_manifest_entry_fails(tmp_path):
         read_array(url)
 
 
+def test_lost_chunk_file_fails_the_scrub(tmp_path):
+    """code-review r12: a WRITTEN chunk whose file is gone (lost in
+    transfer) must fail verification — the manifest holds exactly the
+    keys needed to see the loss. A never-written chunk has no manifest
+    entry and remains legitimately fill-value."""
+    url = _make_array(tmp_path)
+    (Path(url) / "1" / "1").unlink()
+    with pytest.raises(ValueError, match="no chunk file"):
+        verify_array_checksums(url)
+    # sparse-but-honest control: an array whose manifest matches its
+    # (partial) chunk set verifies fine
+    url2 = str(tmp_path / "sparse")
+    init_array(url2, (4, 6), (2, 3), "uint16")
+    rec: dict[str, str] = {}
+    write_region(
+        url2, (0, 0), np.ones((2, 6), dtype=np.uint16), record=rec
+    )  # top row of chunks only
+    write_checksum_shard(url2, rec)
+    assert verify_array_checksums(url2) == 2
+
+
 def test_foreign_array_without_manifest_still_reads(tmp_path):
     """Arrays written by other zarr writers carry no manifest: the
     default auto mode reads them unchanged; verify=True refuses."""

@@ -45,11 +45,7 @@ sys.path.insert(0, str(REPO))
 
 BATCH_LADDER = (24, 12, 6, 3)  # feed_target_batches, small -> large batches
 
-
-def _median(vals: list[float]) -> float:
-    s = sorted(vals)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+from bench import _median  # noqa: E402  (one shared helper, not a fork)
 
 
 def run_config(
@@ -77,13 +73,11 @@ def run_config(
                 .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
                 .agg(F.count(F.lit(1)).alias("n"))
             )
-            mode = "append"
         else:
             df = feed.select("event_id", "ts", "event_type")
-            mode = "append"
         t0 = time.perf_counter()
         out = run_feed_bounded(
-            df, f"tput_{uuid.uuid4().hex[:6]}", mode, timeout_s=300.0
+            df, f"tput_{uuid.uuid4().hex[:6]}", "append", timeout_s=300.0
         )
         wall = time.perf_counter() - t0
         rows = out.count()
