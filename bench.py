@@ -15,13 +15,15 @@ written to ``BENCH_DETAIL.json`` next to this file and appended to
 regression tracking; per-query progress goes to stderr.
 
 Regression visibility: any query slower than 1.5x its best prior
-recording (from parsed BENCH_r*.json or BENCH_HISTORY.jsonl) is
-ADJUDICATED in-run (r12): measurements inside the query's historical
-min-max band are recorded as noise; out-of-band ones get a 4-sample
-re-measure whose median must stay out of band (under the host- and
-python-path-scaled gate) to surface under ``regressions``
-(name -> [prior, median]). Per-flag verdicts land in
-``BENCH_DETAIL.json.adjudications``.
+recording (from parsed BENCH_r*.json or BENCH_HISTORY.jsonl) OR more
+than 1.25x above its recent-plateau band (last 8 recordings — r13:
+the all-history band alone under-flags once early slow rounds have
+widened it) is ADJUDICATED in-run (r12): measurements inside BOTH the
+all-history band and the recency band are recorded as noise;
+out-of-either ones get a 4-sample re-measure whose median must stay
+out (under the host- and python-path-scaled gate) to surface under
+``regressions`` (name -> [prior, median]). Per-flag verdicts land in
+``BENCH_DETAIL.json.adjudications`` with both bands attached.
 """
 
 from __future__ import annotations
@@ -89,6 +91,51 @@ def _in_band(t: float, band: tuple[float, float, int] | None) -> bool:
     return band is not None and band[2] >= 4 and t <= band[1] * 1.05
 
 
+#: recency window for the second band (VERDICT r12 task 2): early
+#: rounds were 2-3x slower than the current plateau, so the all-history
+#: band stays wide forever and a +44% excursion off a stable plateau
+#: (stream_feed_windowed, r12) is never flagged. The recent band covers
+#: only the last N recordings — once a query has plateaued, its recent
+#: band IS the plateau.
+_RECENT_WINDOW = 8
+
+
+def _in_both_bands(
+    t: float,
+    band: tuple[float, float, int] | None,
+    recent: tuple[float, float, int] | None,
+) -> bool:
+    """The r13 adjudication gate: a measurement counts as noise only
+    when inside BOTH the all-history band and the recency-windowed band
+    (when the latter has enough recordings to adjudicate). Out of
+    EITHER -> re-measure. The recent band only tightens: with < 4
+    recent recordings the all-history rule stands alone."""
+    if not _in_band(t, band):
+        return False
+    if recent is not None and recent[2] >= 4:
+        return t <= recent[1] * 1.05
+    return True
+
+
+def _recent_excursion(
+    t: float, recent: tuple[float, float, int] | None, scale: float = 1.0
+) -> bool:
+    """Flag gate for the UNDER-flag case (VERDICT r12 finding 2): a
+    measurement can sit below 1.5x the all-time sticky prior (so
+    ``_regressed`` never fires) yet be far above the recent plateau —
+    r12's ``stream_feed_windowed`` ran 6.46 s against a 4.43-4.69 s
+    last-4-run plateau (+44%) and escaped flagging. >1.25x the
+    host-scaled recent-band max with a real absolute excess (>0.5 s)
+    flags it for the same 4-sample re-measure; the absolute guard keeps
+    sub-second python-worker wobble (routinely 1.5-2x) out."""
+    return (
+        recent is not None
+        and recent[2] >= 4
+        and t > 1.25 * scale * recent[1]
+        and t - scale * recent[1] > 0.5
+    )
+
+
 _ACCEPTED_REGRESSIONS = {
     "pipe_partition_roundrobin": (
         "r4 (VERDICT r3 task 2): two-phase scale-safe global ordinal "
@@ -131,6 +178,7 @@ def _load_prior(
     float | None,
     dict[str, tuple[float, float, int]],
     float | None,
+    dict[str, tuple[float, float, int]],
 ]:
     """Best prior per-query timing from earlier recordings AT THE SAME
     scale factor (cross-sf comparison would flag phantom regressions).
@@ -151,10 +199,16 @@ def _load_prior(
     ``(min, max, n_recordings)`` the r12 in-band adjudication gate
     compares flagged measurements against (for three rounds running a
     human checked every flagged query against BENCH_HISTORY by hand —
-    this is that check, automated); and the low-quartile
+    this is that check, automated); the low-quartile
     ``pycalib_sec`` reference for normalizing pandas-UDF-bound
-    queries (the JVM calib does not track Python-worker speed)."""
+    queries (the JVM calib does not track Python-worker speed); and the
+    RECENCY band ``(min, max, n)`` over the last ``_RECENT_WINDOW``
+    recordings by timestamp (VERDICT r12 task 2: the all-history band
+    stays wide forever once early slow rounds are in it — the recent
+    band is the current plateau, and a measurement out of EITHER band
+    triggers the re-measure)."""
     seen: dict[str, list[tuple[float, float | None]]] = {}
+    timed: dict[str, list[tuple[str, float]]] = {}
     calibs: list[float] = []
     pycalibs: list[float] = []
 
@@ -171,9 +225,12 @@ def _load_prior(
         pycalib = doc.get("pycalib_sec")
         if isinstance(pycalib, (int, float)) and pycalib > 0:
             pycalibs.append(float(pycalib))
+        ts = doc.get("ts")
+        ts = ts if isinstance(ts, str) else ""  # ts-less docs sort oldest
         for q, t in qmap.items():
             if isinstance(t, (int, float)):
                 seen.setdefault(q, []).append((float(t), calib))
+                timed.setdefault(q, []).append((ts, float(t)))
 
     for p in sorted(repo.glob("BENCH_r*.json")):
         try:
@@ -209,15 +266,99 @@ def _load_prior(
         # the band, which is what the band is for; a persistent UNFIXED
         # regression keeps landing out-of-band for ~n/10 rounds before
         # its samples can move the p90, each time re-confirmed by the
-        # 4-sample re-measure.
+        # 4-sample re-measure. With 4-9 recordings the p90 index is the
+        # raw max again, so the SECOND-largest is the max instead (r12
+        # advisor: one stall among few recordings must not widen a
+        # young band permanently either).
         n = len(vals)
-        hi = vals[-1][0] if n < 10 else vals[int(0.9 * (n - 1))][0]
+        if n >= 10:
+            hi = vals[int(0.9 * (n - 1))][0]
+        elif n >= 4:
+            hi = vals[-2][0]
+        else:
+            hi = vals[-1][0]
         bands[q] = (vals[0][0], hi, n)
+    recent_bands: dict[str, tuple[float, float, int]] = {}
+    for q, recs in timed.items():
+        recs.sort(key=lambda tv: tv[0])  # ISO ts -> lexicographic = time
+        last = sorted(t for _, t in recs[-_RECENT_WINDOW:])
+        n = len(last)
+        # same small-n outlier rule as the all-history band: with >= 4
+        # recordings the window max drops its single largest sample
+        hi = last[-2] if n >= 4 else last[-1]
+        recent_bands[q] = (last[0], hi, n)
     calibs.sort()
     calib_ref = calibs[len(calibs) // 4] if calibs else None
     pycalibs.sort()
     pycalib_ref = pycalibs[len(pycalibs) // 4] if pycalibs else None
-    return prior, prior_calib, calib_ref, bands, pycalib_ref
+    return prior, prior_calib, calib_ref, bands, pycalib_ref, recent_bands
+
+
+def _git_head(repo: Path) -> str | None:
+    """Short HEAD hash with a ``-dirty`` suffix when the tree has
+    uncommitted changes — the identity key for the same-code run
+    envelope (VERDICT r12 task 7: two full runs on frozen code existed
+    but only one total reached BENCH_rN.json; judges had to reconstruct
+    the envelope from history by hand). ``-dirty`` runs only group with
+    other dirty runs and are labeled as such in the artifact."""
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=repo, capture_output=True, text=True, timeout=10,
+        )
+        if head.returncode != 0:
+            return None
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=repo, capture_output=True, text=True, timeout=10,
+        )
+        suffix = "-dirty" if dirty.stdout.strip() else ""
+        return head.stdout.strip() + suffix
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+def _same_code_runs(
+    repo: Path, sf_val: object, head: str | None
+) -> list[dict]:
+    """Totals of every PRIOR full-sweep history record made at the same
+    sf on the same git HEAD (clean trees only match clean trees). Only
+    records that carry ``git_head`` participate — pre-r13 history has
+    no code identity to match on."""
+    if not head:
+        return []
+    runs: list[dict] = []
+    hist = repo / "BENCH_HISTORY.jsonl"
+    if not hist.exists():
+        return runs
+    for line in hist.read_text().splitlines():
+        try:
+            doc = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if (
+            isinstance(doc, dict)
+            and doc.get("sf") == sf_val
+            and doc.get("git_head") == head
+            and isinstance(doc.get("queries"), dict)
+        ):
+            runs.append(
+                {
+                    "total": round(
+                        sum(
+                            t
+                            for t in doc["queries"].values()
+                            if isinstance(t, (int, float))
+                        ),
+                        3,
+                    ),
+                    "calib_sec": doc.get("calib_sec"),
+                    "ts": doc.get("ts"),
+                }
+            )
+    return runs
 
 
 def _robust_timed(
@@ -544,8 +685,8 @@ def main(attribute: str | None = None) -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    prior, prior_calib, calib_ref, bands, pycalib_ref = _load_prior(
-        repo, sf_val
+    prior, prior_calib, calib_ref, bands, pycalib_ref, recent_bands = (
+        _load_prior(repo, sf_val)
     )
 
     # which module owns each query: used for subtotals, --attribute
@@ -656,7 +797,14 @@ def main(attribute: str | None = None) -> None:
         if art.exists():
             try:
                 old = json.loads(art.read_text())
-                if isinstance(old, dict) and old.get("mode") == "attribution":
+                # only merge passes recorded at the SAME scale factor
+                # (r12 advisor: merging a different-sf pass mixes
+                # timings across scales under one stamped sf)
+                if (
+                    isinstance(old, dict)
+                    and old.get("mode") == "attribution"
+                    and old.get("sf") == sf_val
+                ):
                     if isinstance(old.get("queries"), dict):
                         prev_queries = old["queries"]
                     if isinstance(old.get("passes"), list):
@@ -743,7 +891,12 @@ def main(attribute: str | None = None) -> None:
             name in prior
             and name not in _ACCEPTED_REGRESSIONS
             and prior[name] > 0.05
-            and _regressed(t, prior[name], host_scale(name))
+            and (
+                _regressed(t, prior[name], host_scale(name))
+                or _recent_excursion(
+                    t, recent_bands.get(name), host_scale(name)
+                )
+            )
         ):
             retry = run_once(name, fn)
             print(f"{name}: spike {t} -> retry {retry}", file=sys.stderr)
@@ -774,8 +927,11 @@ def main(attribute: str | None = None) -> None:
         for q, t in timings.items()
         if q in prior
         and prior[q] > 0.05
-        and _regressed(t, prior[q], host_scale(q))
         and q not in _ACCEPTED_REGRESSIONS
+        and (
+            _regressed(t, prior[q], host_scale(q))
+            or _recent_excursion(t, recent_bands.get(q), host_scale(q))
+        )
     }
     # automated adjudication (VERDICT r11 task 1): every flagged query
     # is checked against its historical band, and anything OUT of band
@@ -787,12 +943,15 @@ def main(attribute: str | None = None) -> None:
     adjudications: dict[str, dict] = {}
     for q, t in flagged.items():
         band = bands.get(q)
+        recent = recent_bands.get(q)
         entry: dict = {
             "prior_best": prior[q],
             "now": t,
             "band": list(band[:2]) if band else None,
             "n_history": band[2] if band else 0,
-            "in_band": _in_band(t, band),
+            "recent_band": list(recent[:2]) if recent else None,
+            "n_recent": recent[2] if recent else 0,
+            "in_band": _in_both_bands(t, band, recent),
         }
         if entry["in_band"]:
             entry["verdict"] = "noise_in_band"
@@ -803,7 +962,10 @@ def main(attribute: str | None = None) -> None:
             entry["median"] = round(med, 3)
             scale = adjudication_scale(q)
             entry["adjudication_scale"] = round(scale, 2)
-            if _in_band(med, band) or not _regressed(med, prior[q], scale):
+            still_bad = _regressed(med, prior[q], scale) or _recent_excursion(
+                med, recent, scale
+            )
+            if _in_both_bands(med, band, recent) or not still_bad:
                 entry["verdict"] = "noise_remeasured"
             else:
                 entry["verdict"] = "real_out_of_band"
@@ -836,9 +998,27 @@ def main(attribute: str | None = None) -> None:
         mname = mod_of.get(qname, "other")
         module_subtotals[mname] = round(module_subtotals.get(mname, 0.0) + t, 3)
 
+    # same-code run envelope (VERDICT r12 task 7): when this HEAD has
+    # prior full-sweep recordings at this sf, surface every total so
+    # the judge reads the run-to-run envelope directly from the round
+    # artifact instead of reconstructing it from BENCH_HISTORY
+    git_head = _git_head(repo)
+    total_now = round(sum(timings.values()), 3)
+    ts_now = time.strftime("%Y-%m-%dT%H:%M:%S")
+    runs = _same_code_runs(repo, sf_val, git_head) + [
+        {"total": total_now, "calib_sec": calib_sec, "ts": ts_now}
+    ]
+    totals = sorted(r["total"] for r in runs)
+    runs_envelope = {
+        "n": len(totals),
+        "min": totals[0],
+        "median": round(_median(totals), 3),
+        "max": totals[-1],
+    }
+
     detail = {
         "metric": "total_query_wall_seconds",
-        "value": round(sum(timings.values()), 3),
+        "value": total_now,
         "unit": "sec",
         "queries": timings,
         "module_subtotals": module_subtotals,
@@ -854,7 +1034,10 @@ def main(attribute: str | None = None) -> None:
         "calib_sec": calib_sec,
         "pycalib_sec": pycalib_sec,
         "calib_ref": calib_ref,
-        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "git_head": git_head,
+        "runs": runs,
+        "runs_envelope": runs_envelope,
+        "ts": ts_now,
     }
     (repo / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))
     with open(repo / "BENCH_HISTORY.jsonl", "a") as fh:
@@ -866,6 +1049,7 @@ def main(attribute: str | None = None) -> None:
                     "sf": sf_val,
                     "calib_sec": calib_sec,
                     "pycalib_sec": pycalib_sec,
+                    "git_head": git_head,
                     "ts": detail["ts"],
                     **(
                         {"pipe_mib_per_s": pipe["mib_per_s"]} if pipe else {}
@@ -905,6 +1089,11 @@ def _final_line(
         ),
         "detail": "BENCH_DETAIL.json",
     }
+    # same-code run envelope: totals of every run on this HEAD at this
+    # sf (this one included) — only worth line bytes when there are >= 2
+    runs = detail.get("runs") or []
+    if len(runs) >= 2:
+        line_doc["runs"] = [r["total"] for r in runs]
     if pipe:
         line_doc["pipe_e2e_convert_sec"] = pipe["sec"]
         line_doc["pipe_e2e_convert_mib_per_s"] = pipe["mib_per_s"]

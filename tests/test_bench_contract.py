@@ -67,8 +67,8 @@ def test_load_prior_keeps_best_timing_at_matching_sf(tmp_path):
         + "\n"
         + "not json\n"  # tolerated
     )
-    prior, prior_calib, calib_ref, bands, pycalib_ref = bench._load_prior(
-        tmp_path, 0.1
+    prior, prior_calib, calib_ref, bands, pycalib_ref, recent = (
+        bench._load_prior(tmp_path, 0.1)
     )
     assert prior == {"q1": 1.5, "q2": 1.0, "q3": 4.0}
     # no recording carried calib_sec -> no per-query calib, no reference
@@ -96,7 +96,7 @@ def test_load_prior_rejects_outlier_minimum(tmp_path):
         + json.dumps({"sf": 0.1, "queries": {"q": 1.6, "s": 1.1}})
         + "\n"
     )
-    prior, _, _, _, _ = bench._load_prior(tmp_path, 0.1)
+    prior, *_ = bench._load_prior(tmp_path, 0.1)
     assert prior["q"] == 1.5  # 0.2 < 2/3 * 1.5 -> second-smallest wins
     assert prior["s"] == 0.9  # 0.9 corroborated by 1.0 -> min kept
 
@@ -129,7 +129,7 @@ def test_band_max_is_trimmed_against_outliers(tmp_path):
     (tmp_path / "BENCH_HISTORY.jsonl").write_text(
         "\n".join(json.dumps(r) for r in rows) + "\n"
     )
-    _, _, _, bands, _ = bench._load_prior(tmp_path, 0.1)
+    _, _, _, bands, _, _ = bench._load_prior(tmp_path, 0.1)
     lo, hi, n = bands["q"]
     assert n == 12 and lo == 1.0
     assert hi < 9.0  # outlier trimmed out of the band max
@@ -149,7 +149,7 @@ def test_load_prior_collects_pycalib_reference(tmp_path):
         )
         + "\n"
     )
-    *_, pycalib_ref = bench._load_prior(tmp_path, 0.1)
+    _, _, _, _, pycalib_ref, _ = bench._load_prior(tmp_path, 0.1)
     assert pycalib_ref == 0.8  # low quartile of [0.8, 1.6]
 
 
@@ -165,6 +165,106 @@ def test_final_line_counts_adjudicated_noise():
     assert doc["regressions"] == {"c": [1.0, 3.0]}
 
 
+def test_recency_band_flags_plateau_excursion(tmp_path):
+    """VERDICT r12 task 2 done-criterion: a +40% excursion off a
+    stable plateau must be flagged even though the all-history band
+    (widened by early slow rounds) still contains it."""
+    rows = []
+    # early rounds: slow (these keep the all-history band wide forever)
+    for i in range(4):
+        rows.append(
+            {"sf": 0.1, "ts": f"2026-08-0{i+1}T00:00:00",
+             "queries": {"q": 12.0 - i}}
+        )
+    # recent plateau: 4.4-4.7 s over the last 8 runs
+    for i in range(8):
+        rows.append(
+            {"sf": 0.1, "ts": f"2026-08-1{i}T00:00:00",
+             "queries": {"q": 4.4 + 0.04 * i}}
+        )
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n"
+    )
+    prior, _, _, bands, _, recent = bench._load_prior(tmp_path, 0.1)
+    lo, hi, n = recent["q"]
+    assert n == 8 and lo == 4.4
+    assert hi < 4.72  # second-largest of the window, not the max
+    t = 6.46  # the r12 stream_feed_windowed excursion (+44% vs plateau)
+    # all-history band absorbs it ...
+    assert bench._in_band(t, bands["q"])
+    # ... but the combined gate does not, and the excursion flag fires
+    assert not bench._in_both_bands(t, bands["q"], recent["q"])
+    assert bench._recent_excursion(t, recent["q"])
+    # note: 6.46 < 1.5 * 4.4 so the sticky-prior gate alone missed it
+    assert not bench._regressed(t, prior["q"])
+    # plateau-level measurements stay unflagged
+    assert bench._in_both_bands(4.7, bands["q"], recent["q"])
+    assert not bench._recent_excursion(4.7, recent["q"])
+    # host scaling relaxes the excursion gate like every other gate
+    assert not bench._recent_excursion(6.46, recent["q"], scale=2.0)
+
+
+def test_recent_excursion_ignores_subsecond_wobble():
+    """Sub-second queries wobble 1.5-2x on worker spin-up alone; the
+    absolute >0.5s excess guard keeps them out of the excursion flag."""
+    recent = (0.2, 0.3, 8)
+    assert not bench._recent_excursion(0.55, recent)  # 1.8x but +0.25s
+    assert bench._recent_excursion(0.9, recent)  # 3x and +0.6s
+    assert not bench._recent_excursion(9.9, (1.0, 8.0, 3))  # n < 4
+    assert not bench._recent_excursion(9.9, None)
+
+
+def test_small_history_band_max_drops_single_outlier(tmp_path):
+    """r12 advisor: for 4 <= n < 10 the p90 index degenerates to the
+    raw max, so one host-stall outlier among few recordings would
+    permanently widen a young band — the second-largest is the max."""
+    rows = [{"sf": 0.1, "queries": {"q": 1.0 + 0.1 * i}} for i in range(4)]
+    rows.append({"sf": 0.1, "queries": {"q": 7.0}})  # the stall
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n"
+    )
+    _, _, _, bands, _, _ = bench._load_prior(tmp_path, 0.1)
+    lo, hi, n = bands["q"]
+    assert n == 5 and lo == 1.0 and hi == 1.3
+    assert not bench._in_band(6.8, bands["q"])
+
+
+def test_same_code_runs_envelope(tmp_path):
+    """VERDICT r12 task 7: totals of every full run on the same git
+    HEAD at the same sf are surfaced; other-HEAD / other-sf / dirty
+    runs stay out."""
+    rows = [
+        {"sf": 0.1, "git_head": "abc1234", "calib_sec": 0.3,
+         "ts": "t1", "queries": {"a": 1.0, "b": 2.0}},
+        {"sf": 0.1, "git_head": "abc1234", "calib_sec": 0.4,
+         "ts": "t2", "queries": {"a": 1.1, "b": 2.2}},
+        {"sf": 0.1, "git_head": "old9999", "ts": "t0",
+         "queries": {"a": 9.0}},
+        {"sf": 0.001, "git_head": "abc1234", "ts": "t3",
+         "queries": {"a": 0.1}},
+        {"sf": 0.1, "git_head": "abc1234-dirty", "ts": "t4",
+         "queries": {"a": 5.0}},
+        {"sf": 0.1, "ts": "t5", "queries": {"a": 3.0}},  # pre-r13: no head
+    ]
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n"
+    )
+    runs = bench._same_code_runs(tmp_path, 0.1, "abc1234")
+    assert [r["total"] for r in runs] == [3.0, 3.3]
+    assert runs[0]["calib_sec"] == 0.3 and runs[0]["ts"] == "t1"
+    assert bench._same_code_runs(tmp_path, 0.1, None) == []
+
+
+def test_final_line_carries_run_envelope():
+    detail = _detail()
+    detail["runs"] = [{"total": 205.6}, {"total": 215.9}]
+    doc = json.loads(bench._final_line(detail, {}, {}, {}))
+    assert doc["runs"] == [205.6, 215.9]
+    # a single run is not worth the line bytes
+    detail["runs"] = [{"total": 215.9}]
+    assert "runs" not in json.loads(bench._final_line(detail, {}, {}, {}))
+
+
 def test_load_prior_carries_the_baseline_runs_calib(tmp_path):
     """Each sticky prior must remember the host-speed floor of the run
     that set it, and the host normalization must relax the flag gate by
@@ -175,7 +275,7 @@ def test_load_prior_carries_the_baseline_runs_calib(tmp_path):
         + json.dumps({"sf": 0.1, "calib_sec": 0.6, "queries": {"q": 1.4}})
         + "\n"
     )
-    prior, prior_calib, calib_ref, _, _ = bench._load_prior(tmp_path, 0.1)
+    prior, prior_calib, calib_ref, _, _, _ = bench._load_prior(tmp_path, 0.1)
     assert prior == {"q": 1.0}
     assert prior_calib == {"q": 0.3}  # the 1.0 came from the 0.3 run
     assert calib_ref == 0.3  # low quartile of [0.3, 0.6]
