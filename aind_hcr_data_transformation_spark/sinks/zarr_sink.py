@@ -86,7 +86,15 @@ def read_checksums(url: str) -> dict[str, str] | None:
     JSON parsing as a whole and is skipped — its retry re-wrote a
     complete shard with identical digests, and the verifier separately
     requires every chunk to be covered, so a skipped shard can never
-    hide corruption."""
+    hide corruption.
+
+    Two shards carrying CONFLICTING digests for the same chunk key
+    raise instead of resolving in shard-name order (r12 advisor): the
+    whole retry-idempotence story rests on chunk writes being
+    byte-deterministic, so a conflict means either that assumption was
+    violated or an array was rewritten in place without
+    ``init_array`` — both must fail loudly, not verify
+    nondeterministically against whichever shard sorted last."""
     store, path = resolve(url)
     cdir = store.join(path, CHECKSUM_DIR)
     names = store.list_dir(cdir)
@@ -100,8 +108,19 @@ def read_checksums(url: str) -> dict[str, str] | None:
             shard = json.loads(store.read_bytes(store.join(cdir, name)))
         except (json.JSONDecodeError, UnicodeDecodeError):
             continue
-        if isinstance(shard, dict):
-            merged.update(shard)
+        if not isinstance(shard, dict):
+            continue
+        for key, digest in shard.items():
+            have = merged.get(key)
+            if have is not None and have != digest:
+                raise ValueError(
+                    f"{url}: chunk {key} has CONFLICTING manifest "
+                    f"digests across shards ({have} vs {digest}) — "
+                    "either the array was rewritten without init_array "
+                    "or a retry broke the byte-determinism the "
+                    "manifest relies on; treat the array as suspect"
+                )
+            merged[key] = digest
     return merged or None
 
 
@@ -424,7 +443,13 @@ def write_blocks_to_zarr(
                     fault(n)
         # one manifest shard per task, AFTER all its chunks are durable
         # (a task killed mid-write leaves no shard; its retry re-writes
-        # identical chunks and a complete shard)
+        # identical chunks and a complete shard). A death in the
+        # chunks-present / shard-absent window below is likewise
+        # repaired by task retry — proven by the chaos probe's
+        # ``worker_death_manifest_gap`` stage, which injects exactly
+        # that kill through the ``pre_shard`` hook point here.
+        if fault is not None:
+            fault("pre_shard", n)
         write_checksum_shard(array_url, digests)
         yield pa.RecordBatch.from_pydict(
             {"n_written": [n]},

@@ -250,3 +250,24 @@ def test_pipeline_levels_all_verify(spark, tmp_path):
         url = os.path.join(group, lvl)
         assert verify_array_checksums(url) > 0
         read_array(url, verify=True)
+
+
+def test_conflicting_shard_digests_raise(tmp_path):
+    """r12 advisor: two shards disagreeing on one chunk's digest must
+    raise, not resolve arbitrarily in shard-name order — a conflict
+    means the array was rewritten without init_array or a retry broke
+    byte-determinism, and verification must not pass-or-fail
+    nondeterministically depending on which shard sorts last."""
+    url = _make_array(tmp_path)
+    write_checksum_shard(url, {"0/0": "deadbeefdeadbeef"})
+    with pytest.raises(ValueError, match="CONFLICTING"):
+        read_checksums(url)
+    with pytest.raises(ValueError, match="CONFLICTING"):
+        verify_array_checksums(url)
+    # agreeing duplicate entries (a retried attempt's identical shard
+    # under a different name would be content-addressed to the SAME
+    # name, but an agreeing subset shard is still legal) stay fine
+    ok_digest = read_checksums(_make_array(tmp_path, "b"))["0/0"]
+    url2 = _make_array(tmp_path, "c")
+    write_checksum_shard(url2, {"0/0": ok_digest})
+    assert verify_array_checksums(url2) == 4

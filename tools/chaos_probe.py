@@ -117,6 +117,8 @@ class KillFirstTaskAttempt:
     def __call__(self, *args) -> None:
         from pyspark import TaskContext
 
+        if args and isinstance(args[0], str):
+            return  # named hook points are for point-specific injectors
         tc = TaskContext.get()
         if tc is None:
             return
@@ -148,6 +150,8 @@ class HardKillWorkerFirstAttempt:
     def __call__(self, *args) -> None:
         from pyspark import TaskContext
 
+        if args and isinstance(args[0], str):
+            return  # named hook points are for point-specific injectors
         tc = TaskContext.get()
         if tc is None:
             return
@@ -165,6 +169,37 @@ class HardKillWorkerFirstAttempt:
             ) as f:
                 f.write(str(os.getpid()))
             os._exit(137)
+
+
+class HardKillWorkerAtManifestGap:
+    """``os._exit(137)`` the python worker at the ``pre_shard`` hook —
+    AFTER a task's last chunk write, BEFORE its checksum-shard PUT (the
+    one window where chunks exist durably with no manifest coverage;
+    r13, VERDICT r12 task 3). Fires only on first attempts of
+    even-numbered partitions. The marker file records how many region
+    writes the task completed, proving the kill's TIMING: a positive
+    count means chunks were already durable when the process died."""
+
+    def __init__(self, marker_dir: str):
+        self.marker_dir = marker_dir
+
+    def __call__(self, *args) -> None:
+        from pyspark import TaskContext
+
+        if not args or args[0] != "pre_shard":
+            return
+        tc = TaskContext.get()
+        if tc is None or tc.attemptNumber() != 0 or tc.partitionId() % 2:
+            return
+        n_written = args[1] if len(args) > 1 else -1
+        with open(
+            os.path.join(
+                self.marker_dir, f"gapkill_p{tc.partitionId()}"
+            ),
+            "w",
+        ) as f:
+            f.write(str(n_written))
+        os._exit(137)
 
 
 class RaiseOncePerPoint:
@@ -438,6 +473,84 @@ def stage_worker_death_retry(spark, sf_dir: str) -> dict:
             "ok": n_clean == n_chaos
             and len(kills) >= 1
             and tree_hash(clean_url) == tree_hash(chaos_url),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def stage_worker_death_manifest_gap(spark, sf_dir: str) -> dict:
+    """r13 (VERDICT r12 task 3): the checksum manifest is written one
+    shard per task AFTER that task's chunk writes — a worker death in
+    the window between the last chunk write and the shard PUT leaves
+    durable chunks with NO manifest coverage. Spark task retry must
+    re-run the whole task (chunks re-written byte-identical, shard
+    completed), leaving the tree byte-equal to a clean run's and the
+    scrub green. Controls: (1) kill markers record the per-task write
+    count at death — a positive count proves the kill fired after
+    chunks were durable, i.e. the gap state really existed; (2) the
+    scrub must FIRE on the un-repaired gap state, forged by deleting a
+    manifest shard from a copy of the clean tree."""
+    from aind_hcr_data_transformation_spark.sinks.zarr_sink import (
+        CHECKSUM_DIR,
+        verify_array_checksums,
+        write_blocks_to_zarr,
+    )
+    from aind_hcr_data_transformation_spark.sources.czi import (
+        block_index,
+        read_blocks,
+    )
+
+    catalog = spark.createDataFrame(
+        [("chaos_gap", 48, 64, 64)],
+        "stack_name string, z_extent int, y_extent int, x_extent int",
+    )
+    blocks = read_blocks(
+        block_index(catalog, (16, 32, 32)).repartition(6), "synthetic"
+    )
+    shape, chunks = (1, 1, 48, 64, 64), (1, 1, 16, 32, 32)
+    base = tempfile.mkdtemp(prefix="chaos_gap_")
+    clean_url = os.path.join(base, "clean")
+    chaos_url = os.path.join(base, "chaos")
+    markers = os.path.join(base, "markers")
+    os.makedirs(markers)
+    try:
+        n_clean = write_blocks_to_zarr(
+            blocks, clean_url, shape, chunks, "uint16"
+        )
+        n_chaos = write_blocks_to_zarr(
+            blocks, chaos_url, shape, chunks, "uint16",
+            fault=HardKillWorkerAtManifestGap(markers),
+        )
+        kills = sorted(os.listdir(markers))
+        writes_at_death = [
+            int(Path(markers, k).read_text()) for k in kills
+        ]
+        verified = verify_array_checksums(chaos_url)
+        # control: forge the un-repaired gap state (chunks present,
+        # one shard missing) and prove the scrub catches it
+        forged = os.path.join(base, "forged")
+        shutil.copytree(clean_url, forged)
+        shard = next(Path(forged, CHECKSUM_DIR).glob("*.json"))
+        shard.unlink()
+        try:
+            verify_array_checksums(forged)
+            control_fired = False
+        except ValueError:
+            control_fired = True
+        return {
+            "blocks_written": [n_clean, n_chaos],
+            "workers_killed": kills,
+            "writes_at_death": writes_at_death,
+            "chunks_verified": verified,
+            "hash_clean": tree_hash(clean_url),
+            "hash_chaos": tree_hash(chaos_url),
+            "control_scrub_fires_on_gap": control_fired,
+            "ok": n_clean == n_chaos
+            and len(kills) >= 1
+            and all(w >= 1 for w in writes_at_death)
+            and verified > 0
+            and tree_hash(clean_url) == tree_hash(chaos_url)
+            and control_fired,
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -969,9 +1082,47 @@ def stage_driver_kill_feed(spark, sf_dir: str) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _run_stage(fn, spark, sf_dir: str, tmp_root: str, namespace: str) -> dict:
+    """One stage attempt inside its own tempdir namespace: every
+    ``tempfile.mkdtemp`` the stage (and its child drivers, via the
+    inherited ``TMPDIR``) performs lands under ``tmp_root/namespace``."""
+    stage_tmp = os.path.join(tmp_root, namespace)
+    os.makedirs(stage_tmp, exist_ok=True)
+    tempfile.tempdir = stage_tmp
+    os.environ["TMPDIR"] = stage_tmp  # child driver processes inherit
+    try:
+        return fn(spark, sf_dir)
+    except Exception:
+        return {"ok": False, "error": traceback.format_exc(limit=8)}
+
+
+#: error signatures of infrastructure-class aborts — failures of the
+#: read/shuffle machinery on files NO stage corrupts (the probe's kills
+#: can leave a sibling task holding a half-written temp parquet in
+#: view under full-suite load; r12's one flaky judge run was exactly a
+#: footer abort that passed clean in isolation). Assertion-class
+#: failures (exactly-once violated, rows diverged) never match these.
+_INFRA_SIGNATURES = (
+    "Could not read footer",
+    "is not a Parquet file",
+    "ParquetFileFormat",
+    "FileNotFoundException",
+    "EOFException",
+    "Connection reset",
+    "FetchFailed",
+    "java.io.IOException",
+)
+
+
+def _infra_class_abort(res: dict) -> bool:
+    err = str(res.get("error", ""))
+    return bool(err) and any(sig in err for sig in _INFRA_SIGNATURES)
+
+
 STAGES = {
     "zarr_task_retry": stage_zarr_task_retry,
     "worker_death_retry": stage_worker_death_retry,
+    "worker_death_manifest_gap": stage_worker_death_manifest_gap,
     "pyramid_task_retry": stage_pyramid_task_retry,
     "feed_read_retry": stage_feed_read_retry,
     "feed_commit_kill": stage_feed_commit_kill,
@@ -1009,15 +1160,34 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # per-stage tmp namespace (VERDICT r12 task 1a): every stage's
+    # tempfile.mkdtemp trees land under its OWN subdirectory, so a
+    # zombie task from an earlier stage (the probe kills workers and
+    # drivers mid-write by design) can never leave a half-written file
+    # in a path a later stage globs. The namespace is also what makes
+    # the infra-retry below sound: attempt 2 runs in a fresh subtree.
+    tmp_root = tempfile.mkdtemp(prefix="chaos_probe_tmp_")
+
     results, any_fail = {}, False
     for name, fn in STAGES.items():
         if only and name not in only:
             continue
         t0 = time.time()
-        try:
-            res = fn(spark, sf_dir)
-        except Exception:
-            res = {"ok": False, "error": traceback.format_exc(limit=8)}
+        res = _run_stage(fn, spark, sf_dir, tmp_root, name)
+        if not res["ok"] and _infra_class_abort(res):
+            # VERDICT r12 task 1c: a Parquet-footer / IO abort on a
+            # file no stage corrupts is collateral of the injected
+            # kills under full-suite load, not a verdict on the
+            # exactly-once property. ONE retry in a fresh namespace;
+            # the first error is kept for the record. A stage that
+            # fails its own assertions (ok=False without an infra
+            # error signature) is never retried.
+            first_tail = str(res.get("error", ""))[-600:]
+            print(f"[{name}] infra-class abort, retrying once:\n"
+                  f"{first_tail}", flush=True)
+            res = _run_stage(fn, spark, sf_dir, tmp_root, name + "_retry")
+            res["infra_retried"] = True
+            res["first_attempt_error_tail"] = first_tail
         res["sec"] = round(time.time() - t0, 2)
         results[name] = res
         any_fail = any_fail or not res["ok"]
@@ -1025,6 +1195,8 @@ def main() -> int:
               f"({res['sec']}s)", flush=True)
         if not res["ok"]:
             print(json.dumps(res, indent=2, default=str), flush=True)
+    tempfile.tempdir = None
+    shutil.rmtree(tmp_root, ignore_errors=True)
 
     out = {
         "sf_dir": sf_dir,
