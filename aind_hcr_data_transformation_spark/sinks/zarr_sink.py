@@ -186,6 +186,136 @@ def scrub_group(group_url: str) -> dict[str, int]:
     }
 
 
+def _scrub_work_list(group_url: str) -> tuple[list, dict[str, int]]:
+    """Driver-side half of the distributed scrub: per level, merge the
+    manifest, enforce both coverage directions (every manifest entry
+    has a chunk file, every chunk file a manifest entry), and emit the
+    ``(array_url, chunk_key, want_digest)`` rows whose byte re-reads
+    the Spark tasks will do. Cheap relative to the data: metadata-only
+    (one LIST per chunk dir, no chunk bytes touched)."""
+    store, path = resolve(group_url)
+    levels = [n for n in store.list_dir(path) if n.isdigit()]
+    if not levels:
+        raise ValueError(f"{group_url}: no level arrays to scrub")
+    rows: list[tuple[str, str, str]] = []
+    expected: dict[str, int] = {}
+    for lvl in sorted(levels, key=int):
+        url = group_url.rstrip("/") + "/" + lvl
+        manifest = read_checksums(url)
+        if manifest is None:
+            raise ValueError(f"{url}: no checksum manifest to verify against")
+        meta = _array_meta(url, store, store.join(path, lvl))
+        seen: set[str] = set()
+        for sl in gen_slices(tuple(meta["shape"]), tuple(meta["chunks"])):
+            idx = [s.start // c for s, c in zip(sl, meta["chunks"])]
+            key = "/".join(str(i) for i in idx)
+            if store.exists(store.join(path, lvl, *[str(i) for i in idx])):
+                seen.add(key)
+        lost = sorted(set(manifest) - seen)
+        if lost:
+            raise ValueError(
+                f"{url}: {len(lost)} manifest entr"
+                f"{'y has' if len(lost) == 1 else 'ies have'} no chunk "
+                f"file (first: {lost[0]}) — written chunks were lost "
+                "after write"
+            )
+        for key in sorted(seen):
+            want = manifest.get(key)
+            if want is None:
+                raise ValueError(
+                    f"{url}: chunk {key} has no checksum manifest entry "
+                    "(incomplete manifest — treat the array as suspect)"
+                )
+            rows.append((url, key, want))
+        expected[lvl] = len(seen)
+    return rows, expected
+
+
+def scrub_group_spark(
+    spark, group_url: str, parallelism: int | None = None
+) -> dict[str, int]:
+    """Distributed :func:`scrub_group`: same contract, Spark-scale.
+
+    The driver-side scrub re-reads and re-hashes every chunk serially —
+    fine for one stack, a non-starter for a 100-TB transfer scrub. Here
+    the driver builds the work list (cheap: manifests + per-level chunk
+    EXISTENCE, both coverage directions enforced before any byte is
+    read), then Spark tasks re-read and re-hash the chunk bytes in
+    parallel; per-chunk verdicts reduce to a count. Raises on the first
+    lost chunk, uncovered chunk, or digest mismatch, like the serial
+    scrub; returns ``{level: chunks_verified}``.
+
+    For a FLEET of converted stacks use :func:`scrub_groups_spark` —
+    one Spark job over every group, so per-job overhead amortizes
+    across the whole transfer instead of repeating per stack.
+    """
+    per_group = scrub_groups_spark(spark, [group_url], parallelism)
+    return per_group[group_url]
+
+
+def scrub_groups_spark(
+    spark, group_urls: list[str], parallelism: int | None = None
+) -> dict[str, dict[str, int]]:
+    """Scrub MANY OME-Zarr groups in one Spark job (the post-transfer
+    shape: hundreds of converted stacks verified before the sources are
+    deleted). Returns ``{group_url: {level: chunks_verified}}``; raises
+    on the first integrity failure anywhere in the fleet."""
+    rows: list[tuple[str, str, str]] = []
+    expected: dict[str, dict[str, int]] = {}
+    for group_url in group_urls:
+        grows, gexpected = _scrub_work_list(group_url)
+        rows.extend(grows)
+        expected[group_url] = gexpected
+
+    def verify_batches(batches: Iterable[Any]):
+        import pyarrow as pa
+
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            keys = batch.column("key").to_pylist()
+            wants = batch.column("want").to_pylist()
+            errs = []
+            for u, k, w in zip(urls, keys, wants):
+                st, pth = resolve(u)
+                got = chunk_digest(
+                    st.read_bytes(st.join(pth, *k.split("/")))
+                )
+                if got != w:
+                    errs.append(f"{u}: chunk {k} stored {w}, recomputed {got}")
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "n": [batch.num_rows],
+                    "errors": [errs],
+                },
+                schema=pa.schema(
+                    [("n", pa.int64()), ("errors", pa.list_(pa.string()))]
+                ),
+            )
+
+    df = spark.createDataFrame(rows, "url string, key string, want string")
+    if parallelism:
+        df = df.repartition(parallelism)
+    out = df.mapInArrow(
+        verify_batches, "n long, errors array<string>"
+    ).collect()
+    errors = [e for r in out for e in r.errors]
+    if errors:
+        raise ValueError(
+            f"{len(errors)} chunk(s) failed checksum verification — "
+            f"first: {errors[0]}"
+        )
+    n_verified = sum(r.n for r in out)
+    n_expected = sum(
+        n for per_level in expected.values() for n in per_level.values()
+    )
+    if n_verified != n_expected:  # pragma: no cover
+        raise ValueError(
+            f"scrub verified {n_verified} chunks but the work list had "
+            f"{n_expected}"
+        )
+    return expected
+
+
 def _verify_chunk(
     raw: bytes, key: str, manifest: dict[str, str], url: str
 ) -> None:

@@ -271,3 +271,80 @@ def test_conflicting_shard_digests_raise(tmp_path):
     url2 = _make_array(tmp_path, "c")
     write_checksum_shard(url2, {"0/0": ok_digest})
     assert verify_array_checksums(url2) == 4
+
+
+def test_scrub_group_spark_matches_serial_and_catches_flip(spark, tmp_path):
+    """r13 (VERDICT r12 task 6): the distributed scrub — the 100-TB
+    path, where a driver-side serial re-hash is a non-starter — must
+    return the serial scrub's exact per-level counts, fail on a lost
+    chunk, and fail on a mid-frame flip."""
+    from aind_hcr_data_transformation_spark.config import (
+        ZarrConversionSettings,
+    )
+    from aind_hcr_data_transformation_spark.pipeline import (
+        convert_synthetic_stack,
+    )
+    from aind_hcr_data_transformation_spark.sinks.zarr_sink import (
+        scrub_group,
+        scrub_group_spark,
+    )
+
+    settings = ZarrConversionSettings(
+        output_directory=str(tmp_path),
+        chunk_size=(8, 16, 16),
+        scale_factor=(2, 2, 2),
+        downsample_levels=2,
+    )
+    group = convert_synthetic_stack(spark, settings, "dscrub", 16, 32, 32)
+    assert scrub_group_spark(spark, group) == scrub_group(group)
+
+    chunks = [
+        p
+        for p in (Path(group) / "0").rglob("*")
+        if p.is_file() and not p.name.startswith(".")
+        and CHECKSUM_DIR not in p.parts
+    ]
+    # lost chunk (manifest entry, file gone): caught on the driver
+    # before any task runs
+    chunks[0].rename(chunks[0].with_name("hidden"))
+    with pytest.raises(ValueError, match="no chunk file"):
+        scrub_group_spark(spark, group)
+    chunks[0].with_name("hidden").rename(chunks[0])
+    # mid-frame flip: caught by the distributed re-hash
+    raw = bytearray(chunks[-1].read_bytes())
+    raw[len(raw) // 2] ^= 0x01
+    chunks[-1].write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="failed checksum"):
+        scrub_group_spark(spark, group)
+
+
+def test_scrub_rate_floor(tmp_path):
+    """r13 (VERDICT r12 task 6): the serial scrub's re-hash rate has a
+    pinned floor so a structural slowdown (per-chunk overhead creeping
+    into the hash loop) fails in CI, not in a 100-TB transfer window.
+    Incompressible data so stored bytes ~= voxel bytes and the rate is
+    not an artifact of compression ratio; the floor is ~50x under the
+    measured rate (SCRUB_THROUGHPUT.json) to ride out loaded hosts."""
+    import time
+
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 2**16, size=(64, 128, 128), dtype=np.uint16)
+    url = str(tmp_path / "rate")
+    init_array(url, data.shape, (32, 64, 64), "uint16")
+    rec: dict[str, str] = {}
+    write_region(url, (0, 0, 0), data, record=rec)
+    write_checksum_shard(url, rec)
+    t0 = time.perf_counter()
+    n = verify_array_checksums(url)
+    sec = time.perf_counter() - t0
+    stored = sum(
+        p.stat().st_size
+        for p in Path(url).rglob("*")
+        if p.is_file() and CHECKSUM_DIR not in p.parts
+        and not p.name.startswith(".")
+    )
+    assert n == 8
+    assert stored / 2**20 / sec > 10, (
+        f"scrub rate {stored / 2**20 / sec:.1f} MiB/s under the 10 MiB/s "
+        "floor"
+    )
