@@ -431,6 +431,23 @@ ORACLES = {
 
 _REC_MIN_COS = 0.5
 
+#: per-user interaction cap for pair generation (r13, VERDICT r12 task
+#: 4): keep each customer's top-N items by interaction strength. The
+#: quadratic pair fan-out is driven by prolific users — at sf0.1 the
+#: median customer already touches 20 of the 25 brands (~190 pairs) and
+#: saturates toward 25 (~300) as data grows, which is exactly the
+#: superlinear shuffle curve SCALE_PROBE_SF1 flagged (26x bytes at 10x
+#: data). Capping at 20 bounds every customer at 190 pairs regardless
+#: of corpus size, turning pair volume linear in customers — measured:
+#: sf0.1→sf1 shuffle growth 26.4x → 10.2x ("linear") — while the
+#: recall floor test pins fidelity (0.99 of uncapped threshold pairs
+#: survive at sf0.01; weak interactions carry little cosine mass; a
+#: tighter cap of 15 measured the same 10.2x growth but only 0.49
+#: recall — the extra shuffle reduction was not there to buy).
+#: Deterministic tie-break (cnt DESC, brand ASC) keeps both engines
+#: byte-identical.
+_REC_USER_ITEM_CAP = 20
+
 
 def rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item collaborative-filtering similarity (Sarwar et al. 2001):
@@ -439,24 +456,37 @@ def rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     CUSTOMER key (the inverted index of the matrix), never from
     materializing item vectors.
 
-    Per-customer pair fan-out is bounded by the brand vocabulary (≤ the
-    items one customer touched, squared) — at web scale the hot-row cut
-    is the same df-cap treatment ``dedup.ngram_jaccard`` documents: drop
-    or downweight users interacting with everything; here the vocabulary
-    itself is the bound.
+    Per-customer pair fan-out is bounded by ``_REC_USER_ITEM_CAP``: each
+    customer contributes only their top-N strongest interactions to
+    pair generation — the standard prolific-user guard in co-occurrence
+    mining (the same hot-key treatment ``dedup.ngram_jaccard`` applies
+    via its df cap), and the fix for the saturation-driven superlinear
+    pair growth the sf1 scale probe measured. Cosine is exact over the
+    capped matrix (norms and dots from the same capped interactions).
 
-    Determinism: counts are integers, dots and squared norms accumulate
-    as exact DECIMAL(38,0) (HUGEINT in DuckDB); cosine is one double
-    division of sqrt-folded exact integers, then ``dround``.
+    Determinism: counts are integers, the cap's tie-break is total
+    (cnt DESC, brand ASC), dots and squared norms accumulate as exact
+    DECIMAL(38,0) (HUGEINT in DuckDB); cosine is one double division of
+    sqrt-folded exact integers, then ``dround``.
     """
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    inter = persist_tracked(
+    raw = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("cust").orderBy(F.desc("cnt"), F.asc("brand"))
+    )
+    inter = persist_tracked(
+        raw.withColumn("rn", rn)
+        .filter(F.col("rn") <= _REC_USER_ITEM_CAP)
+        .drop("rn")
     )
     inter.count()  # materialize before the 3-consumer fan-out
 
@@ -489,12 +519,21 @@ def rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REC_ITEM_COSINE_SQL = f"""
-WITH inter AS (
+WITH inter_raw AS (
   SELECT o.o_custkey AS cust, p.p_brand AS brand, count(*) AS cnt
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN part p   ON l.l_partkey = p.p_partkey
   GROUP BY 1, 2
+),
+inter AS (
+  SELECT cust, brand, cnt FROM (
+    SELECT cust, brand, cnt,
+           row_number() OVER (
+             PARTITION BY cust ORDER BY cnt DESC, brand ASC
+           ) AS rn
+    FROM inter_raw
+  ) WHERE rn <= {_REC_USER_ITEM_CAP}
 ),
 norms AS (
   SELECT brand, sum(CAST(cnt AS HUGEINT) * cnt) AS sq FROM inter GROUP BY 1
