@@ -497,4 +497,7 @@ def test_feed_throughput_floor(spark):
     res = ft.run_config(spark, sf_dir, 3, stateful=False)
     wall = time.time() - t0
     assert res["rows"] == 1000  # every event exactly once
-    assert res["rows"] / res["wall_s"] > 100, (res, wall)
+    # floor raised r13 (async progress + tmpfs checkpoint landed; the
+    # sf0.001 fixture is fixed-cost-dominated, so the gate stays far
+    # under the ~1400 ev/s this config measures warm)
+    assert res["rows"] / res["wall_s"] > 250, (res, wall)
