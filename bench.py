@@ -294,6 +294,49 @@ def _load_prior(
     return prior, prior_calib, calib_ref, bands, pycalib_ref, recent_bands
 
 
+def _adjudicate_flag(
+    t: float,
+    prior_best: float,
+    band: tuple[float, float, int] | None,
+    recent: tuple[float, float, int] | None,
+    scale: float,
+    run_once,
+    n_samples: int = 4,
+) -> dict:
+    """One flagged measurement through the full adjudication ladder
+    (pure logic + an injected ``run_once`` so tests can drive it with a
+    fake query — the r13 done-criterion for the recency band is an
+    end-to-end check that a +40% plateau excursion comes out
+    ``real_out_of_band`` when the re-measure confirms it): in BOTH
+    bands → noise; out of either → ``n_samples`` re-measure; median
+    back in band or under both flag gates → noise; else real."""
+    entry: dict = {
+        "prior_best": prior_best,
+        "now": t,
+        "band": list(band[:2]) if band else None,
+        "n_history": band[2] if band else 0,
+        "recent_band": list(recent[:2]) if recent else None,
+        "n_recent": recent[2] if recent else 0,
+        "in_band": _in_both_bands(t, band, recent),
+    }
+    if entry["in_band"]:
+        entry["verdict"] = "noise_in_band"
+        return entry
+    samples = [run_once() for _ in range(n_samples)]
+    med = _median(samples)
+    entry["samples"] = samples
+    entry["median"] = round(med, 3)
+    entry["adjudication_scale"] = round(scale, 2)
+    still_bad = _regressed(med, prior_best, scale) or _recent_excursion(
+        med, recent, scale
+    )
+    if _in_both_bands(med, band, recent) or not still_bad:
+        entry["verdict"] = "noise_remeasured"
+    else:
+        entry["verdict"] = "real_out_of_band"
+    return entry
+
+
 def _git_head(repo: Path) -> str | None:
     """Short HEAD hash with a ``-dirty`` suffix when the tree has
     uncommitted changes — the identity key for the same-code run
@@ -942,34 +985,16 @@ def main(attribute: str | None = None) -> None:
     regressions: dict[str, list[float]] = {}
     adjudications: dict[str, dict] = {}
     for q, t in flagged.items():
-        band = bands.get(q)
-        recent = recent_bands.get(q)
-        entry: dict = {
-            "prior_best": prior[q],
-            "now": t,
-            "band": list(band[:2]) if band else None,
-            "n_history": band[2] if band else 0,
-            "recent_band": list(recent[:2]) if recent else None,
-            "n_recent": recent[2] if recent else 0,
-            "in_band": _in_both_bands(t, band, recent),
-        }
-        if entry["in_band"]:
-            entry["verdict"] = "noise_in_band"
-        else:
-            samples = [run_once(q, bench_queries[q]) for _ in range(4)]
-            med = _median(samples)
-            entry["samples"] = samples
-            entry["median"] = round(med, 3)
-            scale = adjudication_scale(q)
-            entry["adjudication_scale"] = round(scale, 2)
-            still_bad = _regressed(med, prior[q], scale) or _recent_excursion(
-                med, recent, scale
-            )
-            if _in_both_bands(med, band, recent) or not still_bad:
-                entry["verdict"] = "noise_remeasured"
-            else:
-                entry["verdict"] = "real_out_of_band"
-                regressions[q] = [prior[q], round(med, 3)]
+        entry = _adjudicate_flag(
+            t,
+            prior[q],
+            bands.get(q),
+            recent_bands.get(q),
+            adjudication_scale(q),
+            lambda: run_once(q, bench_queries[q]),
+        )
+        if entry["verdict"] == "real_out_of_band":
+            regressions[q] = [prior[q], entry["median"]]
         adjudications[q] = entry
         print(f"adjudicate {q}: {entry}", file=sys.stderr)
     # transparency: what the UNNORMALIZED gate would have flagged —

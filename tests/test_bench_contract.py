@@ -286,3 +286,34 @@ def test_load_prior_carries_the_baseline_runs_calib(tmp_path):
     assert not bench._regressed(1.9, 1.0, scale=2.0)
     # a true structural blowup stays visible even at the scale cap
     assert bench._regressed(4.5, 1.0, scale=2.0)
+
+
+def test_adjudication_confirms_persistent_plateau_excursion():
+    """End-to-end r13 done-criterion: a query that plateaued at ~4.5 s
+    and now persistently runs +40% (the injected-sleep shape) must come
+    out real_out_of_band through the full ladder — flag gate,
+    out-of-both-bands check, 4-sample re-measure — even though the
+    all-history band (max 12.7 from early slow rounds) contains it."""
+    band = (4.4, 12.7, 30)  # all-history: early rounds were 2-3x slower
+    recent = (4.43, 4.69, 8)  # the plateau
+    prior = 4.43
+    # the flag fires via the recency gate (sticky-prior gate alone
+    # would miss: 6.3 < 1.5 * 4.43)
+    assert bench._recent_excursion(6.3, recent)
+    entry = bench._adjudicate_flag(
+        6.3, prior, band, recent, scale=1.0, run_once=lambda: 6.3
+    )
+    assert entry["verdict"] == "real_out_of_band"
+    assert entry["samples"] == [6.3] * 4
+    assert entry["recent_band"] == [4.43, 4.69]
+    # a transient stall re-measures back to the plateau -> noise
+    entry = bench._adjudicate_flag(
+        6.3, prior, band, recent, scale=1.0, run_once=lambda: 4.5
+    )
+    assert entry["verdict"] == "noise_remeasured"
+    # a plateau-level measurement never re-measures at all
+    entry = bench._adjudicate_flag(
+        4.6, prior, band, recent, scale=1.0,
+        run_once=lambda: (_ for _ in ()).throw(AssertionError("no re-measure")),
+    )
+    assert entry["verdict"] == "noise_in_band"
