@@ -993,6 +993,19 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     every rank — hence every segment — is deterministic.  Monetary sums
     in exact DECIMAL, recency in integer microseconds: no float
     anywhere near an ordering.
+
+    Plan shape (r13): the three global ranks share ONE two-phase rank
+    pass. The r12 formulation chained three ``grouped_row_number``
+    calls, each paying its own range-bound sampling job, census
+    collect, and broadcast join over a plan that re-embedded the
+    previous ranks — 15 shuffles and ~2.8 s of driver-side analysis
+    alone. Instead each user row explodes into three ``(metric_id,
+    key)`` rows — the key a ``(decimal value, user_id)`` struct, cast
+    exactly (long → DECIMAL(38,10) and DECIMAL(30,10) → DECIMAL(38,10)
+    are value-preserving, so per-metric ordering is unchanged) — and
+    ONE ``grouped_row_number`` partitioned by metric ranks all three
+    (3n rows, one range shuffle, one census), then a groupBy on
+    user_id pivots the ranks back. Identical ranks, identical output.
     """
     from ..plans.partitioning import grouped_row_number
 
@@ -1006,13 +1019,32 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("decimal(30,10)"),
         ).alias("mon"),
     )
-    pu = per_user.withColumn("_g", F.lit(1))
-    pu = pu.withColumn("_ro_r", F.struct("last_ts_us", "user_id"))
-    pu = grouped_row_number(pu, "_g", "_ro_r", "r_rank")
-    pu = pu.withColumn("_ro_f", F.struct("freq", "user_id"))
-    pu = grouped_row_number(pu, "_g", "_ro_f", "f_rank")
-    pu = pu.withColumn("_ro_m", F.struct("mon", "user_id"))
-    pu = grouped_row_number(pu, "_g", "_ro_m", "m_rank")
+
+    def metric(mid: int, col) -> F.Column:
+        return F.struct(
+            F.lit(mid).alias("m"),
+            F.struct(
+                col.cast("decimal(38,10)").alias("v"),
+                F.col("user_id").alias("u"),
+            ).alias("k"),
+        )
+
+    exploded = per_user.select(
+        "user_id",
+        F.explode(
+            F.array(
+                metric(1, F.col("last_ts_us")),
+                metric(2, F.col("freq")),
+                metric(3, F.col("mon")),
+            )
+        ).alias("e"),
+    ).select("user_id", F.col("e.m").alias("_m"), F.col("e.k").alias("_k"))
+    ranked = grouped_row_number(exploded, "_m", "_k", "_rnk")
+    pu = ranked.groupBy("user_id").agg(
+        F.max(F.when(F.col("_m") == 1, F.col("_rnk"))).alias("r_rank"),
+        F.max(F.when(F.col("_m") == 2, F.col("_rnk"))).alias("f_rank"),
+        F.max(F.when(F.col("_m") == 3, F.col("_rnk"))).alias("m_rank"),
+    )
     # n_users = the top rank of the already-computed (persisted) rank
     # chain — NOT a second scan+aggregate of the events table
     n = pu.agg(F.max("r_rank").alias("n_users"))

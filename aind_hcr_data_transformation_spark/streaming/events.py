@@ -83,7 +83,16 @@ def _run_to_memory_sink(
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     sink_name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
+    # tmpfs checkpoint (r13): same rationale as feed._ephemeral_ckpt_dir —
+    # the bounded run deletes its checkpoint in ``finally``, so durability
+    # across reboot buys nothing, while the per-batch offset/commit WAL
+    # fsyncs on disk-backed /tmp stretch every micro-batch (feed
+    # throughput attribution measured ~80 ms/batch of
+    # walCommit+commitOffsets). Production callers own their checkpoint
+    # location and its durability; this helper is the harness path.
+    from .feed import _ephemeral_ckpt_dir
+
+    checkpoint = _ephemeral_ckpt_dir(sink_name)
     # default 4, not 8: each state-store instance pays per-batch
     # checkpoint churn, and the r11 trigger-floor audit measured 8->4
     # saving ~0.3-0.7 s per JVM-stateful query at test scale with
@@ -604,7 +613,12 @@ def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     store_dir = os.path.join(
         tempfile.gettempdir(), f"upsert_store_{uuid.uuid4().hex[:8]}"
     )
-    checkpoint = store_dir + "_ckpt"
+    # checkpoint on tmpfs (deleted in finally — see _run_to_memory_sink);
+    # the STORE stays on the real filesystem: its crash-safe directory
+    # swap is the demonstrated sink semantics, not harness scaffolding
+    from .feed import _ephemeral_ckpt_dir
+
+    checkpoint = _ephemeral_ckpt_dir(os.path.basename(store_dir))
     merge_batch = make_upsert_merger(store_dir)
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
