@@ -2184,19 +2184,16 @@ def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = _bsj_m(o_urgent.count())
 
+    # xxhash64 probe positions (r13): the Bloom stage's hash choice is
+    # OUTPUT-INVARIANT — false positives are removed by the exact semi
+    # join below and false negatives are impossible for any hash — so
+    # the position function is free to be the production one. One
+    # seeded native 64-bit hash replaces the md5 → hex-substring →
+    # base-conv → cast chain (the same 4-expression kernel the
+    # dedup_minhash_fast twin measured ~2x slower than xxhash64);
+    # pmod keeps the signed xxhash64 in [0, m).
     def pos(seed: int, key_col: str) -> F.Column:
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % m
-        )
+        return F.pmod(F.xxhash64(F.lit(seed), F.col(key_col)), F.lit(m))
 
     words = (
         o_urgent.select(
