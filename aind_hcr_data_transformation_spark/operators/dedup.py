@@ -1121,7 +1121,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     component labelled by its minimum doc_id."""
     return _cc_labels(spark, sf_dir).select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
-    ).orderBy("doc_id")
+    )
 
 
 def _cc_oracle() -> str:
@@ -1218,13 +1218,9 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     unseen = new.join(F.broadcast(seen), "fingerprint", "left_anti")
-    return (
-        unseen.groupBy("fingerprint")
-        .agg(
-            F.min("doc_id").alias("keeper_id"),
-            F.count(F.lit(1)).alias("n_in_batch"),
-        )
-        .orderBy("keeper_id")
+    return unseen.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_in_batch"),
     )
 
 
@@ -1307,9 +1303,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return jac.filter(F.col("jaccard") >= _JACCARD_THRESHOLD).orderBy(
-        "doc_new", "doc_hist"
-    )
+    return jac.filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
 
 
 DEDUP_MINHASH_INCR_SQL = f"""
@@ -1624,7 +1618,6 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("run").alias("n_gram_matches"),
         )
         .filter(F.col("longest_shared_tokens") >= _SUBSTR_MIN)
-        .orderBy("id_a", "id_b")
     )
 
 

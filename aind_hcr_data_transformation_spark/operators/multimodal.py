@@ -188,12 +188,16 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = media.mapInPandas(sample, FRAME_SCHEMA)
     from ..functions.compat import dround
 
+    # No trailing orderBy (guide §2.4): the global sort's range sampling
+    # re-executes the mapInPandas decode subtree — the whole Python
+    # stage ran twice for a cosmetic ordering the order-insensitive
+    # driver/oracle comparison never sees.
     return sampled.select(
         "doc_id",
         "frame_idx",
         dround(F.col("ts_sec"), 4).alias("ts_sec"),
         "frame_digest",
-    ).orderBy("doc_id", "frame_idx")
+    )
 
 
 def _frame_sample_sql() -> str:
@@ -276,9 +280,11 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled = media.mapInPandas(thumb, THUMB_SCHEMA)
     from ..functions.compat import dround
 
+    # No trailing orderBy (guide §2.4): range sampling would re-execute
+    # the mapInPandas pooling; ordering is cosmetic to the oracle.
     return pooled.select(
         "doc_id", "ry", "rx", dround(F.col("mean_px"), 4).alias("mean_px")
-    ).orderBy("doc_id", "ry", "rx")
+    )
 
 
 def _thumbnail_sql() -> str:
@@ -364,12 +370,14 @@ def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..functions.compat import dround
 
+    # No trailing orderBy (guide §2.4): range sampling would re-execute
+    # the mapInPandas RMS windows; ordering is cosmetic to the oracle.
     return out.select(
         "doc_id",
         "win_idx",
         "n_samples",
         dround(F.col("rms_raw"), 4).alias("rms"),
-    ).orderBy("doc_id", "win_idx")
+    )
 
 
 def _audio_rms_sql() -> str:
@@ -426,18 +434,20 @@ def udaf_user_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         return len(v)
 
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("user_id")
-        .agg(
-            count_udf("value").alias("n_events"),
-            median_udf("value").alias("median_raw"),
-        )
-        .select(
-            "user_id",
-            "n_events",
-            dround(F.col("median_raw"), 4).alias("median_value"),
-        )
-        .orderBy("user_id")
+    # No trailing orderBy (guide §2.4 "an orderBy used only to make
+    # output deterministic"): the global sort's range-partitioner
+    # SAMPLES its child, re-executing the whole AggregateInPandas
+    # subtree — measured 1.27 s → 2.61 s at sf0.1, i.e. the pandas
+    # aggregation ran twice to sort 1500 rows. The driver/oracle
+    # comparison is order-insensitive, and at 100 TB a global sort of
+    # the per-user aggregate is a pure-overhead extra range shuffle.
+    return ev.groupBy("user_id").agg(
+        count_udf("value").alias("n_events"),
+        median_udf("value").alias("median_raw"),
+    ).select(
+        "user_id",
+        "n_events",
+        dround(F.col("median_raw"), 4).alias("median_value"),
     )
 
 
@@ -478,27 +488,47 @@ def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle re-derives the same statistics with SQL window functions —
     pinning that the Arrow group transform and the JVM window agree.
+
+    r13 (guide §4.5/§2.5): the grouped-map key is a HASH BUCKET of the
+    user, not the raw user_id — one Python call per bucket, with the
+    per-user statistics computed by pandas' C-level ``groupby.transform``
+    inside the call, instead of one Python call (plus one pandas
+    DataFrame construction) per user. At sf0.1 that is ~64 calls instead
+    of ~1500; at 100 TB it is what keeps the Python-call count
+    proportional to parallelism rather than to user cardinality. The
+    bucket count derives from ``spark.sql.shuffle.partitions`` (scale
+    config), never a local constant.
     """
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events")
 
+    n_buckets = max(
+        64, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 2
+    )
+
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = pdf["value"].mean()
-        s = pdf["value"].std()  # ddof=1 == stddev_samp
-        if s and s == s:
-            z = (pdf["value"] - m) / s
-        else:
-            # SQL semantics for degenerate groups (r8 tiny-fixture
-            # probe): a 1-row group has stddev_samp NULL, a constant
-            # group divides by NULLIF(0) — zscore is NULL, not 0.
-            # Nullable Float64 so Arrow carries real nulls (a float64
-            # NaN would hash-diverge from the oracle's NULL).
-            z = pd.array([None] * len(pdf), dtype="Float64")
+        g = pdf.groupby("user_id")["value"]
+        m = g.transform("mean")
+        s = g.transform("std")  # ddof=1 == stddev_samp
+        # SQL semantics for degenerate groups (r8 tiny-fixture probe): a
+        # 1-row group has stddev_samp NULL, a constant group divides by
+        # NULLIF(0) — zscore is NULL, not 0. Nullable Float64 so Arrow
+        # carries real nulls (a float64 NaN would hash-diverge from the
+        # oracle's NULL); NULL inputs are NaN here and also map to NA.
+        z = pd.array(((pdf["value"] - m) / s).to_numpy(), dtype="Float64")
+        z[(s.isna() | (s == 0)).to_numpy()] = pd.NA
         return pd.DataFrame({"event_id": pdf["event_id"], "zscore_raw": z})
 
-    out = ev.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
-        zscore, "event_id long, zscore_raw double"
+    out = (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .applyInPandas(zscore, "event_id long, zscore_raw double")
     )
     return out.select(
         "event_id",

@@ -323,7 +323,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n3").alias("n_3grams"),
         dup3.alias("dup_3gram_frac"),
         ((top2 >= 0.2) | (dup3 >= 0.18)).alias("flagged"),
-    ).orderBy("doc_id")
+    )
 
 
 TEXT_REPETITION_SQL = f"""
@@ -405,7 +405,6 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(score, 6).alias("score"),
             "rank",
         )
-        .orderBy("doc_id", "rank")
     )
 
 
@@ -497,7 +496,6 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_join(F.array_sort(F.collect_set("wmin")), ",")
             ).alias("digest"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -563,7 +561,7 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_short",
         "min_chars",
         "max_chars",
-    ).orderBy("source", "lang")
+    )
 
 
 CORPUS_DATACARD_SQL = """
@@ -710,7 +708,6 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "chars_per_bpe_token"
             ),
         )
-        .orderBy("source")
     )
 
 
@@ -823,7 +820,6 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("mean_logit"),
         )
-        .orderBy("source")
     )
 
 

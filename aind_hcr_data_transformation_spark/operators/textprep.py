@@ -97,7 +97,6 @@ def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("cum_before") < start, 1).otherwise(0)
             ).alias("n_straddlers"),
         )
-        .orderBy("source", "chunk_id")
     )
 
 
@@ -206,7 +205,6 @@ def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(ratio, 4).alias("hit_ratio"),
             (ratio >= _CONTAM_FLAG).alias("flagged"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -316,6 +314,12 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("bit_or(mask)").alias("word"))
     )
 
+    # NOTE (r13): a K-chained-broadcast-probe rewrite (one join per
+    # seed, no explode, no (doc_id, shingle) regroup) was tried and
+    # MEASURED SLOWER (2.6 → 3.7 s at sf0.1): the explode's ×K rows
+    # collapse map-side in the partial bool_and aggregation, so the
+    # exchange already carries ~1 row per shingle, while the chained
+    # form paid K broadcast builds. Kept the explode+regroup shape.
     corpus_sh = _doc_shingles(docs.filter(F.col("doc_id") % _CONTAM_MOD != 0))
     probes = corpus_sh.select(
         "doc_id", "shingle", F.explode(probe_arr).alias("pos")
@@ -354,7 +358,6 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(ratio, 4).alias("hit_ratio"),
             (ratio >= _CONTAM_FLAG).alias("flagged"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -456,13 +459,15 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PHONE_RE,
         "<PHONE>",
     )
+    # No trailing orderBy (guide §2.4): range sampling re-executes the
+    # regex plant/redact projection; ordering is cosmetic to the oracle.
     return docs.select(
         "doc_id",
         F.regexp_count(planted, F.lit(_EMAIL_RE)).alias("n_emails"),
         F.regexp_count(planted, F.lit(_PHONE_RE)).alias("n_phones"),
         F.md5(redacted).alias("redacted_md5"),
         F.length(redacted).alias("redacted_len"),
-    ).orderBy("doc_id")
+    )
 
 
 PII_REDACT_SQL = rf"""
@@ -532,7 +537,7 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chunk_tokens"
         ),
         F.md5(chunk_text).alias("chunk_md5"),
-    ).orderBy("doc_id", "chunk_idx")
+    )
 
 
 DOC_CHUNK_SQL = f"""
@@ -598,7 +603,6 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(kept).alias("n_kept"),
             dround(F.sum(kept) / F.count(F.lit(1)), 4).alias("realized_rate"),
         )
-        .orderBy("lang")
     )
 
 

@@ -70,14 +70,12 @@ def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v.cast("double") / F.col("raw_norm"),
     )
-    return (
-        emb.select("vec_id", "embedding", norm.alias("raw_norm"))
-        .select(
-            "vec_id",
-            dround("raw_norm", 6).alias("l2_norm"),
-            dround(comp_sum, 6).alias("unit_comp_sum"),
-        )
-        .orderBy("vec_id")
+    # No trailing orderBy (guide §2.4): the range sampling re-executes
+    # the 64-dim fold projection; ordering is cosmetic to the oracle.
+    return emb.select("vec_id", "embedding", norm.alias("raw_norm")).select(
+        "vec_id",
+        dround("raw_norm", 6).alias("l2_norm"),
+        dround(comp_sum, 6).alias("unit_comp_sum"),
     )
 
 
@@ -147,7 +145,7 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(F.transform("q", lambda v: v.cast("string")), ","))
         .alias("codes_md5"),
         dround(F.sqrt(err), 8).alias("recon_err"),
-    ).orderBy("vec_id")
+    )
 
 
 _SQL_MAXABS = "greatest(" + ", ".join(
@@ -197,15 +195,11 @@ def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = emb.select(
         "label", F.posexplode("embedding").alias("dim", "v")
     )
-    return (
-        cells.groupBy("label", "dim")
-        .agg(
-            dround(
-                dsum(F.col("v").cast("double")) / F.count(F.lit(1)), 6
-            ).alias("centroid"),
-            F.count(F.lit(1)).alias("n_vectors"),
-        )
-        .orderBy("label", "dim")
+    return cells.groupBy("label", "dim").agg(
+        dround(
+            dsum(F.col("v").cast("double")) / F.count(F.lit(1)), 6
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
     )
 
 

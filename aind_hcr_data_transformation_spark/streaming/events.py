@@ -222,7 +222,13 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL-vs-NaN is decidable only JVM-side: F.isnull is true for a
     # missing value and false for float NaN, while pandas float64 shows
     # both as NaN. Ship the verdict with the row.
-    events = events.withColumn("value_null", F.isnull("value"))
+    # Project to exactly the columns the state function reads (guide
+    # §4.1): the grouped state boundary is opaque to Spark, so without
+    # this select every event column — including the wide ``props``
+    # payload — crosses JVM→Arrow→Python per micro-batch.
+    events = events.select(
+        "user_id", "value", F.isnull("value").alias("value_null")
+    )
 
     def update(key, pdfs, state: GroupState):
         import numpy as np
@@ -909,7 +915,11 @@ def stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.windows import EVENTS_PATTERN_MATCH_SQL  # noqa: F401
 
-    events = streaming_events(spark, sf_dir)
+    # only the columns the matcher reads cross the Python state
+    # boundary (guide §4.1) — not value/props
+    events = streaming_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
 
     out_schema = T.StructType(
         [
@@ -1003,7 +1013,11 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    events = streaming_events(spark, sf_dir)
+    # only the columns the enricher reads cross the Python state
+    # boundary (guide §4.1) — not props
+    events = streaming_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
 
     out_schema = T.StructType(
         [
