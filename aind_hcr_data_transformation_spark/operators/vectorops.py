@@ -279,25 +279,18 @@ def embed_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment + reconstruction error) is differentially tested via
     unrolled CTEs, like the IVF oracle (the oracle states the identical
     VALUES per subspace; plan shape is free)."""
-    _cb, final = _pq_train(spark, sf_dir)
-    agg = final.groupBy("vec_id").agg(
-        *[
-            F.max(F.when(F.col("m") == m, F.col("cluster")))
-            .cast("int")
-            .alias(f"code{m}")
-            for m in range(_PQ_M)
-        ],
-        *[
-            F.max(F.when(F.col("m") == m, F.col("err"))).alias(f"_err{m}")
-            for m in range(_PQ_M)
-        ],
-    )
-    err = F.col("_err0")
+    _cb, flat = _pq_train(spark, sf_dir)
+    # map-only over the wide assignment (r13): no explode-then-regroup,
+    # zero exchanges — codes and the error sum read cl{m}/e{m} directly
+    err = F.col("e0")
     for m in range(1, _PQ_M):
-        err = err + F.col(f"_err{m}")
-    return agg.select(
+        err = err + F.col(f"e{m}")
+    return flat.select(
         "vec_id",
-        *[f"code{m}" for m in range(_PQ_M)],
+        *[
+            F.col(f"cl{m}").cast("int").alias(f"code{m}")
+            for m in range(_PQ_M)
+        ],
         dround(err, 6).alias("sq_err"),
     )
 
@@ -399,11 +392,12 @@ def _pq_train_values(spark: SparkSession, sf_dir: str) -> list:
 
 
 def _pq_train(spark: SparkSession, sf_dir: str):
-    """Shared PQ trainer: returns ``(cb, final)`` — the (m, cluster,
-    cemb) codebook after ``_PQ_ITERS`` Lloyd rounds and the
-    (vec_id, m, cluster, err) assignment against it.  Consumed by
-    :func:`embed_pq_quantize` (codes + reconstruction error) and
-    :func:`pq_adc_topk` (ADC search lookup tables).
+    """Shared PQ trainer: returns ``(cb, flat)`` — the (m, cluster,
+    cemb) codebook after ``_PQ_ITERS`` Lloyd rounds and the WIDE
+    per-vector assignment against it (vec_id, cl0..cl{M-1},
+    e0..e{M-1}).  Consumed by :func:`embed_pq_quantize` (codes +
+    reconstruction error) and :func:`pq_adc_topk` (ADC search lookup
+    tables).
 
     The final assignment inlines the trained sub-codebooks as literal
     expressions, so it is a single map-only projection over the
@@ -440,29 +434,20 @@ def _pq_train(spark: SparkSession, sf_dir: str):
             )
         return F.expr("array_min(array(" + ", ".join(cands) + "))")
 
-    # two-step select: struct-field extraction cannot share a select
-    # with a generator (see ivf._train_values)
+    # r13 (guide §2.4): return the WIDE assignment (one row per vector,
+    # cl0..cl3 / e0..e3 columns) instead of exploding it to
+    # (vec_id, m, cluster, err) rows — both consumers used to re-pivot
+    # the explode straight back with a groupBy(vec_id) hash aggregate,
+    # paying a full exchange over 4x|vectors| rows to undo a generator.
+    # Values are identical: max(when(m == m, cluster)) over the 4
+    # exploded rows of a vector IS cl{m}, and the err sum is the same
+    # left fold over the same doubles.
     flat = emb.select(
         "vec_id",
         *[_win(m)["cluster"].alias(f"cl{m}") for m in range(_PQ_M)],
         *[_win(m)["err"].alias(f"e{m}") for m in range(_PQ_M)],
     )
-    final = flat.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.col(f"cl{m}").alias("cluster"),
-                        F.col(f"e{m}").alias("err"),
-                    )
-                    for m in range(_PQ_M)
-                ]
-            )
-        ).alias("s"),
-    ).select("vec_id", "s.m", "s.cluster", "s.err")
-    return cb, final
+    return cb, flat
 
 
 def _sql_pq_dot_off(a: str, b: str, off: int) -> str:
@@ -592,15 +577,24 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookups keyed by its PQ code — the vectors themselves are never
     touched at search time.
 
-    Plan: the LUT is (queries × M × k) = 80 rows — BROADCAST; the code
-    table (one row per vector, 4 small ints) flows through 4 broadcast
-    hash joins (one per subspace) with ZERO shuffles until the final
-    per-query top-k window. At 100 TB the codes are 4 bytes/vector
-    (64× smaller than raw), which is the entire point: scan codes, not
-    vectors. The 4-term distance sum is exact decimal in a fixed textual
-    order, so both engines rank identically.
+    Plan (r13, guide §3/§2.4): the LUT is (queries × M × k) = 80 rows —
+    corpus-independent, so it is computed by ONE tiny Spark job (the
+    exact ``_sq_l2`` fold, bit-identical to the oracle's), collected,
+    and INLINED as per-(query, subspace) literal arrays indexed by code
+    — exactly how FAISS holds the ADC tables in registers at search
+    time. The code table (one row per vector, 4 small ints) then pays
+    zero joins and zero scans beyond its own: a map-only
+    ``element_at`` projection per query, one exchange for the final
+    per-query top-k window. The previous shape ran 4 broadcast hash
+    joins whose build sides each re-scanned the query vectors
+    (8 BroadcastExchanges, 5 parquet scans). The collect is O(M·k·|Q|)
+    rows — bounded by the index shape, never the corpus, the same class
+    as the codebook collect above. At 100 TB the codes are 4
+    bytes/vector (64× smaller than raw), which is the entire point:
+    scan codes, not vectors. The 4-term distance sum is exact decimal
+    in the same fixed textual order, so both engines rank identically.
     """
-    cb, final = _pq_train(spark, sf_dir)
+    cb, flat = _pq_train(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qsub = (
         emb.filter(F.col("vec_id") < _ADC_QUERIES)
@@ -625,35 +619,59 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut = qsub.join(F.broadcast(cb), "m").select(
         "qid", "m", "cluster", _sq_l2(F.col("qemb"), F.col("cemb")).alias("d")
     )
-    codes = final.groupBy("vec_id").agg(
+    lut_rows = lut.collect()  # O(M*k*|Q|) = 80 rows, corpus-independent
+    d_by: dict[int, dict[int, dict[int, float]]] = {}
+    for r in lut_rows:
+        d_by.setdefault(int(r["qid"]), {}).setdefault(int(r["m"]), {})[
+            int(r["cluster"])
+        ] = float(r["d"])
+    # map-only codes off the wide assignment (r13): the explode-then-
+    # regroup pivot this replaced paid a hash-aggregate exchange over
+    # 4x|vectors| rows for values flat already carries per row
+    codes = flat.select(
+        "vec_id",
         *[
-            F.max(F.when(F.col("m") == m, F.col("cluster")))
-            .cast("int")
-            .alias(f"code{m}")
+            F.col(f"cl{m}").cast("int").alias(f"code{m}")
             for m in range(_PQ_M)
-        ]
+        ],
     )
-    res = codes
-    for m in range(_PQ_M):
-        lm = lut.filter(F.col("m") == m).select(
-            F.col("qid").alias(f"q{m}"),
-            F.col("cluster").alias(f"cl{m}"),
-            F.col("d").alias(f"d{m}"),
+    if not d_by:  # degenerate tiny fixture: no query vectors
+        return codes.select(
+            F.col("vec_id").alias("qid"),
+            "vec_id",
+            F.lit(1).alias("rank"),
+            F.lit(0.0).alias("adc"),
+        ).filter(F.lit(False))
+    structs = []
+    for qid in sorted(d_by):
+        # dense per-subspace distance array indexed by code; a cluster
+        # absent from the codebook is unreachable by any code (argmin
+        # only ranges over codebook clusters) — 0.0 filler is never read
+        terms = " + ".join(
+            "CAST(element_at("
+            + arr_lit(
+                [
+                    d_by[qid][m].get(c, 0.0)
+                    for c in range(
+                        max(d_by[qid][m], default=_PQ_K - 1) + 1
+                    )
+                ]
+            )
+            + f", code{m} + 1) AS DECIMAL(30,10))"
+            for m in range(_PQ_M)
         )
-        cond = F.col(f"code{m}") == F.col(f"cl{m}")
-        if m > 0:
-            cond = cond & (F.col("q0") == F.col(f"q{m}"))
-        res = res.join(F.broadcast(lm), cond).drop(f"cl{m}")
-    adc = (
-        F.col("d0").cast("decimal(30,10)")
-        + F.col("d1").cast("decimal(30,10)")
-        + F.col("d2").cast("decimal(30,10)")
-        + F.col("d3").cast("decimal(30,10)")
-    )
+        structs.append(
+            f"named_struct('qid', CAST({qid} AS BIGINT), "
+            f"'adc_dec', {terms})"
+        )
+    # two-step select: struct-field extraction cannot share a select
+    # with a generator
     scored = (
-        res.select(
-            F.col("q0").alias("qid"), "vec_id", adc.alias("adc_dec")
+        codes.select(
+            "vec_id",
+            F.expr("explode(array(" + ", ".join(structs) + "))").alias("s"),
         )
+        .select("vec_id", F.col("s.qid").alias("qid"), F.col("s.adc_dec").alias("adc_dec"))
         .filter(F.col("vec_id") != F.col("qid"))
     )
     w = Window.partitionBy("qid").orderBy("adc_dec", "vec_id")

@@ -137,10 +137,12 @@ BUDGETS = {
     # ONE brand shuffle + in-partition window sort — no self-join (the
     # quadratic NOT EXISTS spec lives only in the oracle)
     "skyline_pareto": (1, 0),
-    # steady-state read path (session PQ codebook primed below): code
-    # pivot + top-k window; the 80-row LUT and code joins must broadcast
-    # — the code table crosses ZERO shuffles between pivot and window
-    "pq_adc_topk": (8, 5),
+    # steady-state read path (session PQ codebook primed below): the
+    # 80-row ADC LUT is collected and INLINED as literal arrays (r13),
+    # so the code table pays zero joins — map-only element_at
+    # projection + per-query top-k window (spread repartition + window
+    # exchange; no broadcasts at all)
+    "pq_adc_topk": (3, 0),
     # ONE user shuffle: the partition-only min(ts) window and the moment
     # aggregate ride the same exchange
     "ts_linear_trend": (1, 0),
