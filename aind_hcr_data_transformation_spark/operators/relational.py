@@ -3680,8 +3680,10 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     is found by THRESHOLD PRUNING (the production top-k-at-scale
     pattern): fracs are uniform hashes, so a group's k-th smallest is
     below τ_g = 3k/n_g except with probability ~e^{-k} — filter to the
-    ~3k survivors per group (O(k) rows per group at ANY corpus size,
-    broadcast-joined group counts, no shuffle), rank only those, and
+    ~3k survivors per group (O(k) rows per group at ANY corpus size;
+    the O(|groups|) counts are collected once and τ_g/n_g inlined as
+    literals — the same driver-memory class as the broadcast joins
+    they replace, minus three broadcast builds), rank only those, and
     verify the bound held with one exact survivor-count check that
     falls back to the full two-phase `grouped_row_number` if it ever
     doesn't (deterministic given the data, so both engines' answers
@@ -3715,35 +3717,47 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.select(gk, "user_id", frac.alias("frac"))
     )
 
-    counts = hashed.groupBy("gk").agg(
-        F.count(F.lit(1)).alias("n_exact")
+    # r13 (guide §2.4/§5): the per-group exact counts are O(|groups|)
+    # rows and were ALREADY assumed driver-memory-sized (they fed three
+    # F.broadcast joins). Collect them ONCE and inline n_exact / τ_g as
+    # literal CASE chains instead — the three broadcast builds, their
+    # joins, and one of the two eager gate jobs disappear; every double
+    # op (min(1, 3k/n), IEEE division) is the same arithmetic the
+    # F.least/F.lit column expressions performed.
+    counts_rows = (
+        hashed.groupBy("gk").agg(F.count(F.lit(1)).alias("n_exact")).collect()
     )
-    tau = F.least(
-        F.lit(1.0),
-        F.lit(3.0 * _KMV_K) / F.col("n_exact").cast("double"),
+    n_by = {r["gk"]: int(r["n_exact"]) for r in counts_rows}
+
+    def _by_gk(vals: dict) -> F.Column:
+        col = None
+        for g, v in vals.items():
+            cond = F.col("gk") == F.lit(g)
+            col = (
+                F.when(cond, F.lit(v))
+                if col is None
+                else col.when(cond, F.lit(v))
+            )
+        return F.lit(None) if col is None else col
+
+    tau_lit = _by_gk(
+        {g: min(1.0, (3.0 * _KMV_K) / float(n)) for g, n in n_by.items()}
     )
-    surv = hashed.join(F.broadcast(counts), "gk").filter(
-        F.col("frac") <= tau
-    )
+    surv = hashed.filter(F.col("frac") <= tau_lit)
     # exactness gate: every group must keep at least min(k, n_g)
     # survivors, else the k-th min exceeded τ_g and the pruned rank
-    # would be wrong. One scalar to the driver; expected to pass with
-    # probability 1 - |groups|·e^{-Θ(k)}.
-    ok = (
-        surv.groupBy("gk")
+    # would be wrong. One O(|groups|) collect over the cached distinct;
+    # expected to pass with probability 1 - |groups|·e^{-Θ(k)}.
+    m_by = {
+        r["gk"]: int(r["m"])
+        for r in surv.groupBy("gk")
         .agg(F.count(F.lit(1)).alias("m"))
-        .join(F.broadcast(counts), "gk")
-        .agg(
-            F.min(
-                (
-                    F.col("m")
-                    >= F.least(F.lit(_KMV_K), F.col("n_exact"))
-                ).cast("int")
-            ).alias("ok")
-        )
-        .collect()[0]["ok"]
+        .collect()
+    }
+    ok = all(
+        m_by.get(g, 0) >= min(_KMV_K, n) for g, n in n_by.items()
     )
-    if ok == 1:
+    if ok:
         from pyspark.sql import Window
 
         # bounded partitions by construction (~3k rows per group at any
@@ -3761,12 +3775,11 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_group = (
         ranked.groupBy("gk")
         .agg(F.max(F.when(F.col("rn") <= _KMV_K, F.col("frac"))).alias("u_k"))
-        .join(F.broadcast(counts), "gk")
         .select(
             F.when(F.col("gk") == nul, F.lit(None).cast("string"))
             .otherwise(F.col("gk"))
             .alias("event_type"),
-            "n_exact",
+            _by_gk(n_by).cast("long").alias("n_exact"),
             "u_k",
         )
     )
