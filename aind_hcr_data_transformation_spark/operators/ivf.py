@@ -142,35 +142,43 @@ def _train_values(emb: DataFrame) -> list:
     values = sorted(
         (int(r["vec_id"]), [float(v) for v in r["embedding"]]) for r in init
     )
-    for _ in range(_ITERS):
-        rows = (
-            emb.select(
-                # two-step: a struct-field extraction cannot share a
-                # select with a generator (Spark resolves the generator
-                # first and loses the struct's field names)
-                F.array_min(_cell_candidates("embedding", values))[
-                    "cluster"
-                ].alias("cluster"),
-                "embedding",
+    from ..session import interpreted_eval
+
+    # interpreted eval for the Lloyd collects (r13): each iteration's
+    # literal-inlined assignment is a brand-new expression tree, so
+    # codegen pays a fresh Janino compile per iteration for a job over
+    # codebook-training data volumes — see session.interpreted_eval
+    with interpreted_eval(emb.sparkSession):
+        for _ in range(_ITERS):
+            rows = (
+                emb.select(
+                    # two-step: a struct-field extraction cannot share a
+                    # select with a generator (Spark resolves the
+                    # generator first and loses the struct's field names)
+                    F.array_min(_cell_candidates("embedding", values))[
+                        "cluster"
+                    ].alias("cluster"),
+                    "embedding",
+                )
+                .select("cluster", F.posexplode("embedding").alias("dim", "v"))
+                .select(
+                    "cluster",
+                    "dim",
+                    F.col("v").cast("double").cast("decimal(30,10)").alias("v"),
+                )
+                .groupBy("cluster", "dim")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
             )
-            .select("cluster", F.posexplode("embedding").alias("dim", "v"))
-            .select(
-                "cluster",
-                "dim",
-                F.col("v").cast("double").cast("decimal(30,10)").alias("v"),
+            byc: dict[int, dict[int, float]] = {}
+            for r in rows:
+                byc.setdefault(int(r["cluster"]), {})[int(r["dim"])] = (
+                    float(r["s"]) / r["n"]
+                )
+            values = sorted(
+                (c, [dims[d] for d in range(len(dims))])
+                for c, dims in byc.items()
             )
-            .groupBy("cluster", "dim")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        byc: dict[int, dict[int, float]] = {}
-        for r in rows:
-            byc.setdefault(int(r["cluster"]), {})[int(r["dim"])] = (
-                float(r["s"]) / r["n"]
-            )
-        values = sorted(
-            (c, [dims[d] for d in range(len(dims))]) for c, dims in byc.items()
-        )
     return values
 
 

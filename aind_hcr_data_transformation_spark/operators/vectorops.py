@@ -345,49 +345,56 @@ def _pq_train_values(spark: SparkSession, sf_dir: str) -> list:
         )
         for m in range(_PQ_M)
     }
-    for _ in range(_PQ_ITERS):
-        assigned = emb.select(
-            *[
-                F.array_min(
-                    _cell_candidates(
-                        f"slice(embedding, {m * _PQ_SUB + 1}, {_PQ_SUB})",
-                        by_m[m],
-                    )
-                )["cluster"].alias(f"c{m}")
-                for m in range(_PQ_M)
-            ],
-            "embedding",
-        )
-        long = assigned.select(
-            *[f"c{m}" for m in range(_PQ_M)],
-            F.posexplode("embedding").alias("dim", "v"),
-        )
-        m_col = F.expr(f"dim DIV {_PQ_SUB}").cast("int")
-        rows = (
-            long.select(
-                m_col.alias("m"),
-                F.element_at(
-                    F.array(*[f"c{m}" for m in range(_PQ_M)]), m_col + 1
-                ).alias("cluster"),
-                F.expr(f"dim % {_PQ_SUB}").alias("subdim"),
-                F.col("v").cast("double").cast("decimal(30,10)").alias("v"),
+    from ..session import interpreted_eval
+
+    # interpreted eval for the Lloyd collects (r13): each iteration's
+    # literal-inlined assignment is a brand-new expression tree, so
+    # codegen pays a fresh Janino compile per iteration for a job over
+    # codebook-training data volumes — see session.interpreted_eval
+    with interpreted_eval(spark):
+        for _ in range(_PQ_ITERS):
+            assigned = emb.select(
+                *[
+                    F.array_min(
+                        _cell_candidates(
+                            f"slice(embedding, {m * _PQ_SUB + 1}, {_PQ_SUB})",
+                            by_m[m],
+                        )
+                    )["cluster"].alias(f"c{m}")
+                    for m in range(_PQ_M)
+                ],
+                "embedding",
             )
-            .groupBy("m", "cluster", "subdim")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        acc: dict[int, dict[int, dict[int, float]]] = {}
-        for r in rows:
-            acc.setdefault(int(r["m"]), {}).setdefault(int(r["cluster"]), {})[
-                int(r["subdim"])
-            ] = float(r["s"]) / r["n"]
-        by_m = {
-            m: sorted(
-                (c, [dims[d] for d in range(len(dims))])
-                for c, dims in clusters.items()
+            long = assigned.select(
+                *[f"c{m}" for m in range(_PQ_M)],
+                F.posexplode("embedding").alias("dim", "v"),
             )
-            for m, clusters in acc.items()
-        }
+            m_col = F.expr(f"dim DIV {_PQ_SUB}").cast("int")
+            rows = (
+                long.select(
+                    m_col.alias("m"),
+                    F.element_at(
+                        F.array(*[f"c{m}" for m in range(_PQ_M)]), m_col + 1
+                    ).alias("cluster"),
+                    F.expr(f"dim % {_PQ_SUB}").alias("subdim"),
+                    F.col("v").cast("double").cast("decimal(30,10)").alias("v"),
+                )
+                .groupBy("m", "cluster", "subdim")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            acc: dict[int, dict[int, dict[int, float]]] = {}
+            for r in rows:
+                acc.setdefault(int(r["m"]), {}).setdefault(
+                    int(r["cluster"]), {}
+                )[int(r["subdim"])] = float(r["s"]) / r["n"]
+            by_m = {
+                m: sorted(
+                    (c, [dims[d] for d in range(len(dims))])
+                    for c, dims in clusters.items()
+                )
+                for m, clusters in acc.items()
+            }
     return [(m, c, cemb) for m in range(_PQ_M) for c, cemb in by_m[m]]
 
 
