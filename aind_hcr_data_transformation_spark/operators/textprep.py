@@ -805,11 +805,28 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _DSIR_BUCKETS
         ).alias("b"),
     )
-    grams = persist_tracked(grams)
+    # r13 (guide §2.3): aggregate to per-(doc, bucket) counts ONCE and
+    # persist THAT — both consumers (bucket models, per-doc scores) used
+    # to re-scan the raw exploded gram rows; the counts relation is ~3×
+    # smaller and the second full pass over cached gram rows disappears.
+    # Integer sums are associative, so tn/rn and the doc sums are the
+    # same values (lang is functionally dependent on doc_id).
+    counts = persist_tracked(
+        grams.groupBy("doc_id", "lang", "b").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
     # bucket models: add-one smoothed counts for target (en) and raw pool
-    stats = grams.groupBy("b").agg(
-        (F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) + 1).alias("tn"),
-        (F.count(F.lit(1)) + 1).alias("rn"),
+    stats = counts.groupBy("b").agg(
+        (
+            F.sum(
+                F.when(F.col("lang") == "en", F.col("c")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+            + 1
+        ).alias("tn"),
+        (F.sum("c") + 1).alias("rn"),
     )
     totals = stats.agg(
         F.sum("tn").alias("tt"), F.sum("rn").alias("rt")
@@ -824,8 +841,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "longest target-ish doc"; the per-gram mean is the length-normalized
     # deterministic stand-in for the paper's Gumbel resampling
     per_doc = (
-        grams.groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        counts.select("doc_id", "b", "c")
         .join(F.broadcast(scores), "b")
         .groupBy("doc_id")
         .agg(
