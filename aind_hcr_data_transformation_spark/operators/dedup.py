@@ -1412,21 +1412,53 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("ck"),
-    ).distinct()
-    chunks = persist_tracked(chunks)
+    )
     # cap derived from the RAW documents count (same base as the SQL
     # twin's subquery — the mutant-augmented corpus would give n + n/20)
     cap = _ngram_df_cap(table_count(spark, sf_dir, "documents"))
-    common = chunks.groupBy("ck").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= cap
+    # r13 (guide §2.4): ONE exchange by chunk key does everything the
+    # old persist + df-aggregate + membership join + inverted-index
+    # self-join chain did.  ``repartition(ck)`` clusters each chunk
+    # key's rows; HashPartitioning(ck) satisfies the distribution
+    # required by the (doc_id, ck) distinct, the per-ck window count,
+    # and the per-ck collect, so none of them adds a shuffle.  The df
+    # cut runs on the window COUNT before any posting list exists
+    # (WindowExec buffers with spilling, and ``collect_list`` only ever
+    # sees df ≤ cap groups — bounded at any scale), and the pair
+    # explode emits exactly the doc1 < doc2 pairs the self-join
+    # produced (doc ids are distinct per chunk and ``array_sort``
+    # makes i < j ⇔ doc1 < doc2).
+    posting = (
+        chunks.repartition("ck")
+        .dropDuplicates(["doc_id", "ck"])
+        .withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("ck"))
+        )
+        .filter(F.col("df") <= cap)
+        .groupBy("ck")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
     )
-    keyed = chunks.join(common.select("ck"), "ck")
-    a = keyed.select(F.col("doc_id").alias("doc1"), "ck")
-    b = keyed.select(F.col("doc_id").alias("doc2"), "ck")
+    pairs = posting.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("docs"),
+                    lambda d1, i: F.transform(
+                        F.slice(
+                            F.col("docs"), i + 2, F.size(F.col("docs"))
+                        ),
+                        lambda d2: F.struct(
+                            d1.alias("doc1"), d2.alias("doc2")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     return (
-        a.join(b, "ck")
-        .filter(F.col("doc1") < F.col("doc2"))
-        .groupBy("doc1", "doc2")
+        pairs.groupBy(
+            F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2")
+        )
         .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
         .filter(F.col("n_shared_chunks") >= _CDC_MIN_SHARED)
     )
