@@ -1254,9 +1254,13 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate equi-join, and verification touches only bucket-mate
     pairs. Complements :func:`dedup_incremental_batch` (exact content)
     and :func:`dedup_minhash_lsh` (intra-corpus near-dup)."""
-    corpus = _corpus_with_mutants(spark, sf_dir)
-    sh = persist_tracked(_shingles(corpus))
-    bands = _minhash_bands(sh)
+    # r13 (guide §2.3): probe the SESSION-SHARED shingle/band index
+    # (identical relations — same `_shingles(_corpus_with_mutants(...))`
+    # lineage) instead of rebuilding and persisting a private copy; the
+    # incremental query is exactly the "nightly batch probes the
+    # standing archive index" shape the shared materialization models.
+    sh = _shared_shingles(spark, sf_dir)
+    bands = _shared_bands(spark, sf_dir)
     newb = bands.filter(F.col("doc_id") % _BATCH_MOD == 0).alias("a")
     histb = bands.filter(F.col("doc_id") % _BATCH_MOD != 0).alias("b")
     candidates = (
