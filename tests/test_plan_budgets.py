@@ -101,18 +101,13 @@ BUDGETS = {
     # (user, hour) agg + spine⋈observed join; the per-user bounds frame
     # must broadcast onto the spine side
     "ts_gapfill_interp": (2, 1),
-    # lineitem⋈orders⋈customer shuffles + 3 broadcast-rank iterations;
-    # the persisted edge subplan reprints under every consumer
-    "graph_pagerank": (26, 3),
-    # r8 checkpointed Pregel loops: the |V|-row state vector is cut per
-    # round, so the returned plan is the final 25-row join only — the
-    # real per-round join+agg shuffles run at construction (benched)
-    "graph_bfs_hops": (0, 1),
-    # LAZY per-round persist (eager checkpoint was 0.6s of job overhead
-    # at sf0.1): the persisted round subplans reprint under both
-    # consumers, so the census over-counts; true runtime shuffles are
-    # one tally agg per round over the persisted edge frame
-    "graph_label_propagation": (12, 1),
+    # r13: the shared lineitem⋈orders⋈customer⋈supplier edge aggregate
+    # runs at construction (one session-shared collect, 625 rows max —
+    # a fixed nation-dimension bound); the declared plan is a nation
+    # scan + literal CASE projection, so zero exchanges of any kind
+    "graph_pagerank": (0, 0),
+    "graph_bfs_hops": (0, 0),
+    "graph_label_propagation": (0, 0),
     # vocabulary fold rounds stay lazy map-only over the persisted
     # (source, word) frame; explode + two aggs + final join remain
     "bpe_tokenize_corpus": (4, 1),
