@@ -654,10 +654,16 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _png_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """The PNG encode→decode kernel shared verbatim by the batch query
     and ``streaming.events.stream_png_decode`` (the batch/streaming twin
-    pattern — one implementation, two runtimes)."""
+    pattern — one implementation, two runtimes).
+
+    Encode is per image (each PNG's DEFLATE stream is its own), decode
+    runs through :func:`decode_png_gray8_batch`: the sequential
+    Paeth-reconstruction scan is vectorized ACROSS the images of the
+    Arrow batch, so its Python-loop cost is paid once per batch instead
+    of once per row (same parse/CRC/unfilter semantics per image)."""
     import numpy as np
 
-    from ..functions.png import encode_png_gray8
+    from ..functions.png import decode_png_gray8_batch, encode_png_gray8
 
     g = _PNG_GRID
     flat = np.arange(g * g)
@@ -665,22 +671,22 @@ def _png_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = len(pdf)
         if n == 0:
             continue
-        ids, sums, digests = [], [], []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        pngs = []
+        for payload in pdf["payload"]:
             b = np.frombuffer(payload, np.uint8)
             img = b[flat % len(b)].reshape(g, g)
-            png = encode_png_gray8(img, filter_type=4)
-            arr = decode_image(png)
-            ids.append(doc_id)
-            sums.append(int(arr.astype(np.int64).sum()))
-            digests.append(hashlib.md5(arr.tobytes()).hexdigest())
+            pngs.append(encode_png_gray8(img, filter_type=4))
+        arrs = decode_png_gray8_batch(pngs)
         yield pd.DataFrame(
             {
-                "doc_id": np.asarray(ids, np.int64),
+                "doc_id": pdf["doc_id"].to_numpy(np.int64),
                 "width": np.full(n, g, np.int32),
                 "height": np.full(n, g, np.int32),
-                "pix_sum": np.asarray(sums, np.int64),
-                "pix_md5": digests,
+                "pix_sum": arrs.astype(np.int64).sum(axis=(1, 2)),
+                "pix_md5": [
+                    hashlib.md5(arrs[i].tobytes()).hexdigest()
+                    for i in range(n)
+                ],
             }
         )
 
