@@ -488,10 +488,28 @@ def rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _REC_USER_ITEM_CAP)
         .drop("rn")
     )
-    inter.count()  # materialize before the 3-consumer fan-out
-
-    norms = inter.groupBy("brand").agg(
-        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt")).alias("sq")
+    # Collect the per-brand norm denominators ONCE and inline them as a
+    # map literal (the KMV/ADC-LUT pattern, #11/#10): |brand| is a
+    # model-sized constant (~25), yet the join form computed the same
+    # groupBy("brand") aggregate TWICE — one Exchange + BroadcastExchange
+    # per side of the dots relation.  The sqrt(CAST(sq AS DOUBLE)) fold
+    # runs IN SPARK at collect time, so every IEEE step (exact decimal
+    # sum → double cast → sqrt) produces the op-for-op same value the
+    # broadcast joins fed the cosine; the collect also materializes the
+    # cache (it replaces the old eager count()).
+    norm_rows = (
+        inter.groupBy("brand")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    F.col("cnt").cast("decimal(38,0)") * F.col("cnt")
+                ).cast("double")
+            ).alias("sn")
+        )
+        .collect()
+    )
+    norm_map = F.create_map(
+        *[x for r in norm_rows for x in (F.lit(r["brand"]), F.lit(r["sn"]))]
     )
     a = inter.select("cust", F.col("brand").alias("brand_a"), F.col("cnt").alias("ca"))
     b = inter.select("cust", F.col("brand").alias("brand_b"), F.col("cnt").alias("cb"))
@@ -503,15 +521,11 @@ def rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("ca").cast("decimal(38,0)") * F.col("cb")).alias("dot")
         )
     )
-    na = F.broadcast(norms.select(F.col("brand").alias("brand_a"), F.col("sq").alias("sqa")))
-    nb = F.broadcast(norms.select(F.col("brand").alias("brand_b"), F.col("sq").alias("sqb")))
     cos = F.col("dot").cast("double") / (
-        F.sqrt(F.col("sqa").cast("double")) * F.sqrt(F.col("sqb").cast("double"))
+        norm_map[F.col("brand_a")] * norm_map[F.col("brand_b")]
     )
     return (
-        dots.join(na, "brand_a")
-        .join(nb, "brand_b")
-        .select(
+        dots.select(
             "brand_a", "brand_b", dround(cos, 6).alias("cosine")
         )
         .filter(F.col("cosine") >= _REC_MIN_COS)
