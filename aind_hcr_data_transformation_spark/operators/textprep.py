@@ -1025,16 +1025,28 @@ def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_hit").alias("n_hits"),
         )
         .filter(F.col("n_hits") / F.col("n_grams") >= _CONTAM_FLAG)
-        .select("doc_id", F.lit(True).alias("flagged"))
+        .select("doc_id")
     )
-    final = base.join(flagged, "doc_id", "left")
+    # No base⋈flagged join: flagged doc_ids are BY CONSTRUCTION a subset
+    # of the dedup survivors (surv_sh shingles exactly the dedup_keep
+    # docs) and distinct (groupBy doc_id), so
+    # ``n_clean = n_dedup − |flagged|`` — the old LEFT JOIN shuffled the
+    # full corpus-sized ``base`` by doc_id just to subtract a count.
+    # Two one-row aggregates and a broadcast cross join replace it.
     b = lambda c: F.sum(c.cast("long"))  # noqa: E731
-    return final.agg(
+    totals = base.agg(
         F.count(F.lit(1)).alias("n_total"),
         b(F.col("qual_ok")).alias("n_quality"),
         b(F.col("nonbench")).alias("n_nonbench"),
         b(F.col("dedup_keep")).alias("n_dedup"),
-        b(F.col("dedup_keep") & F.col("flagged").isNull()).alias("n_clean"),
+    )
+    n_flagged = flagged.agg(F.count(F.lit(1)).alias("n_flagged"))
+    return totals.crossJoin(F.broadcast(n_flagged)).select(
+        "n_total",
+        "n_quality",
+        "n_nonbench",
+        "n_dedup",
+        (F.col("n_dedup") - F.col("n_flagged")).alias("n_clean"),
     )
 
 

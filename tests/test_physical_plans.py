@@ -124,6 +124,10 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
         # one-row u_k (union-sketch k-th minimum) broadcast onto the
         # one-row distinct-count aggregate
         "agg_kmv_distinct",
+        # one-row flagged-count broadcast onto the one-row funnel totals
+        # (n_clean = n_dedup − |flagged|; replaces the corpus-sized
+        # base⋈flagged left join)
+        "corpus_prep_funnel",
         # one-row τ (threshold priority) broadcast onto the n-row sample
         "mix_priority_sample",
         # one-row vocabulary-size broadcast (the V in add-one smoothing)
