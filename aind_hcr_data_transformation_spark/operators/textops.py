@@ -256,61 +256,84 @@ QUERIES["sample_hash_split"] = sample_hash_split
 ORACLES["sample_hash_split"] = SAMPLE_HASH_SQL
 
 
-def _gram_structs(t, n: int):
-    """array<struct<n,gram>> of word n-grams over token array ``t``
-    (1-based ``element_at``, same construction as text_ngram_stats)."""
-    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
-    return F.transform(
-        idx,
-        lambda i: F.struct(
-            F.lit(n).alias("n"),
-            F.concat_ws(
-                " ", *[F.element_at(t, i + j) for j in range(n)]
-            ).alias("gram"),
-        ),
-    )
-
-
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter: fraction of 2-grams taken by the
     single most common 2-gram, fraction of 2-/3-gram occurrences that are
     repeats — the "excessive repetition" quality rules (Rae et al. 2021,
     appendix A1.1) every pretraining pipeline applies.
 
-    Shape: one explode of (n, gram) structs for both n in a single pass,
-    a (doc_id, n, gram) hash-aggregate (map-side combinable), a
-    (doc_id, n) rollup, then a conditional pivot — two shuffles total,
-    state bounded by distinct grams per document.  Fractions are single
-    IEEE divisions (bit-equal cross-engine); the flag compares the
-    ROUNDED fractions so the boundary is deterministic.
-    Docs with <3 tokens are excluded (both engines)."""
-    # spread: two n-gram explosions per doc dominate pre-shuffle CPU
+    Shape: MAP-ONLY — each doc's repetition stats depend only on its own
+    grams, so they are computed inside the array domain: build the gram
+    array per n, ``array_sort`` it, and fold run lengths with a
+    higher-order ``aggregate`` (a sorted array's run lengths ARE the
+    per-gram counts the old explode → (doc_id, n, gram) hash-aggregate
+    → (doc_id, n) rollup produced — integer-identical, with zero gram
+    rows ever exchanged; the r13 plan diff shows 3 Exchanges → 0 after
+    the spread scan).  Fractions are single IEEE divisions (bit-equal
+    cross-engine); the flag compares the ROUNDED fractions so the
+    boundary is deterministic. Docs with <3 tokens are excluded (both
+    engines)."""
+    # spread: the per-doc gram sort/fold dominates pre-result CPU
     docs = load_table(spark, sf_dir, "documents", spread=True)
     toks = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("t")
     ).filter(F.size("t") >= 3)
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.concat(
-                _gram_structs(F.col("t"), 2), _gram_structs(F.col("t"), 3)
+
+    def rep_stats(n: int):
+        """(total, mx, dup) for the doc's n-grams: total grams, count of
+        the most frequent gram, and occurrences belonging to grams seen
+        more than once — from run lengths over the sorted gram array."""
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(F.col("t")) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("t"), i + j) for j in range(n)]
+            ),
+        )
+        zero = F.lit(0).cast("long")
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            zero.alias("run"),
+            zero.alias("mx"),
+            zero.alias("dup"),
+        )
+
+        def step(acc, g):
+            same = F.coalesce(acc["prev"] == g, F.lit(False))
+            return F.struct(
+                g.alias("prev"),
+                F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+                F.when(same, acc["mx"])
+                .otherwise(F.greatest(acc["mx"], acc["run"]))
+                .alias("mx"),
+                F.when(same, acc["dup"])
+                .otherwise(
+                    acc["dup"]
+                    + F.when(acc["run"] > 1, acc["run"]).otherwise(zero)
+                )
+                .alias("dup"),
             )
-        ).alias("g"),
-    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-    counts = grams.groupBy("doc_id", "n", "gram").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    per_n = counts.groupBy("doc_id", "n").agg(
-        F.sum("c").alias("total"),
-        F.max("c").alias("mx"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup"),
-    )
-    piv = per_n.groupBy("doc_id").agg(
-        F.max(F.when(F.col("n") == 2, F.col("total"))).alias("n2"),
-        F.max(F.when(F.col("n") == 2, F.col("mx"))).alias("mx2"),
-        F.max(F.when(F.col("n") == 2, F.col("dup"))).alias("dup2"),
-        F.max(F.when(F.col("n") == 3, F.col("total"))).alias("n3"),
-        F.max(F.when(F.col("n") == 3, F.col("dup"))).alias("dup3"),
+
+        def finish(acc):
+            return F.struct(
+                F.greatest(acc["mx"], acc["run"]).alias("mx"),
+                (
+                    acc["dup"]
+                    + F.when(acc["run"] > 1, acc["run"]).otherwise(zero)
+                ).alias("dup"),
+            )
+
+        st = F.aggregate(F.array_sort(grams), init, step, finish)
+        return F.size(grams).cast("long"), st["mx"], st["dup"]
+
+    t2, m2, d2 = rep_stats(2)
+    t3, _m3, d3 = rep_stats(3)
+    piv = toks.select(
+        "doc_id",
+        t2.alias("n2"),
+        m2.alias("mx2"),
+        d2.alias("dup2"),
+        t3.alias("n3"),
+        d3.alias("dup3"),
     )
     top2 = dround(F.col("mx2") / F.col("n2"), 6)
     dup2 = dround(F.col("dup2") / F.col("n2"), 6)
