@@ -687,14 +687,20 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     m = vals.agg(*aggs)
 
-    pair_rows = []
+    # ONE select over the single moment row, the pairs unpacked by a
+    # 3-element explode: the previous per-pair ``m.select`` + unionAll
+    # duplicated the whole moment-aggregate subtree per pair (3 scans,
+    # 3 aggregates, 3 exchanges for identical values — Spark does not
+    # share subtrees across union branches). Same corr expressions over
+    # the same aggregate values.
+    pair_structs = []
     for i, (a, _) in enumerate(_CORR_COLS):
         for b, _b in _CORR_COLS[i + 1 :]:
             cov = (F.col("n") * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast("double")
             var_a = (F.col("n") * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast("double")
             var_b = (F.col("n") * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast("double")
-            pair_rows.append(
-                m.select(
+            pair_structs.append(
+                F.struct(
                     F.lit(a).alias("col_x"),
                     F.lit(b).alias("col_y"),
                     dround(cov / (F.sqrt(var_a) * F.sqrt(var_b)), 6).alias(
@@ -702,10 +708,9 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                 )
             )
-    out = pair_rows[0]
-    for r in pair_rows[1:]:
-        out = out.unionAll(r)
-    return out
+    return m.select(F.explode(F.array(*pair_structs)).alias("p")).select(
+        "p.col_x", "p.col_y", "p.corr"
+    )
 
 
 def _corr_matrix_sql() -> str:
