@@ -891,22 +891,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("embedding", 2, EMB_DIM - 1),
         ).alias("embedding"),
     )
-    corpus = (
+    corpus = persist_tracked(
         emb.select("vec_id", "embedding")
         .unionByName(mutants)
         # squared norm once per vector, not once per pair
         .withColumn("n2", spark_dot(F.col("embedding"), F.col("embedding")))
     )
     stack_args = ", ".join(f"{b}, key{b}" for b in range(_EMB_BANDS))
-    bands = corpus.select(
-        "vec_id",
-        *[
-            _emb_band_key("embedding", b, bits).alias(f"key{b}")
-            for b in range(_EMB_BANDS)
-        ],
-    ).select(
-        "vec_id",
-        F.expr(f"stack({_EMB_BANDS}, {stack_args}) as (band, bkey)"),
+    # corpus (vectors + n2) feeds bands and BOTH verify sides, bands
+    # feeds both sides of the candidate self-join: unpersisted, each
+    # consumer re-scanned embeddings + rebuilt the union (8 parquet
+    # scans) and the sign-LSH band keys (the 64-dim dot folds) were
+    # computed twice — cache both (r13; the band relation is
+    # (vec_id, band, bkey) rows, vectors stay out of it)
+    bands = persist_tracked(
+        corpus.select(
+            "vec_id",
+            *[
+                _emb_band_key("embedding", b, bits).alias(f"key{b}")
+                for b in range(_EMB_BANDS)
+            ],
+        ).select(
+            "vec_id",
+            F.expr(f"stack({_EMB_BANDS}, {stack_args}) as (band, bkey)"),
+        )
     )
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
