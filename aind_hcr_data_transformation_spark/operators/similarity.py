@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import persist_tracked
 from ..functions.compat import dround
 from ..functions.vectors import spark_cosine_prenorm, spark_dot, sql_cosine
 from ..tables import load_table, table_count
@@ -369,13 +370,23 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6 dp before any comparison so both engines rank identical
     doubles (ties broken by vec_id).
 
-    Lineage discipline (r8, VERDICT r7 task 3): the pool/pair frames and
-    each step's ``selected`` frame are ``localCheckpoint``-ed — all are
-    constant-size (queries·pool, queries·pool², queries·step rows), and
-    without the cut every later step re-derived the whole prior chain
-    once per reference (the census measured 30 distinct exchanges for a
-    3-step greedy loop; the checkpointed form plans each step against
-    materialized RDDs instead)."""
+    Greedy loop IN THE DRIVER (r13, the graph-Pregel pattern): the pool
+    (queries·pool rows of already-rounded doubles) and the pairwise sims
+    (queries·pool² rows) are constant-size by construction — the same
+    driver-state class the previous localCheckpoint form materialized —
+    so they are COLLECTED once and the _MMR_K-step argmax recursion runs
+    as plain Python over ≤ 500 rows instead of per-step join/anti-join/
+    aggregate jobs (the r8 checkpointed form still paid ~8 scheduler
+    round-trips + 4 eager checkpoints per call, ~2.8 s of pure
+    orchestration at sf0.1 for 0.04 s of execution). Every arithmetic
+    step replicates the former expressions op-for-op: λ·rel −
+    (1−λ)·max_sim on IEEE doubles (Python floats ARE doubles; the
+    λ/1−λ literals were computed in Python before, too), and ``dround``
+    = double → DECIMAL(30,10) HALF_UP → 6-dp HALF_UP → double via
+    ``decimal.Decimal`` (exact binary expansion in, correctly rounded
+    float out — the identical value chain). The argmax tie-break
+    max(struct(score, -vec_id)) is ``max((score, -vid))``. The corpus
+    is still touched exactly once, by the distributed scorer scan."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True).withColumn(
         "n2", spark_dot(F.col("embedding"), F.col("embedding"))
     )
@@ -403,7 +414,8 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
-    ).localCheckpoint()
+    )
+    cands = persist_tracked(cands)
     a = cands.select(
         "qid",
         F.col("vec_id").alias("vid_a"),
@@ -432,58 +444,66 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("sim"),
         )
-    ).localCheckpoint()
-    pool = cands.select("qid", "vec_id", "rel")
+    )
+    # two tiny collects over the cached pool (the first materializes it)
+    pool_rows = cands.select("qid", "vec_id", "rel").collect()
+    pair_rows = pairs.collect()
 
-    # per-query argmax as a hash aggregate (max over (rel, -vec_id) =
-    # rel desc, vec_id asc) — one partial-combined agg per greedy step
-    # instead of a window sort exchange
-    selected = (
-        pool.filter(F.col("rel").isNotNull())
-        .groupBy("qid")
-        .agg(F.max(F.struct(F.col("rel"), (-F.col("vec_id")).alias("nv"))).alias("sc"))
-        .select(
-            "qid",
-            (-F.col("sc.nv")).alias("vec_id"),
-            F.lit(1).alias("sel_rank"),
-            F.col("sc.rel").alias("mmr_score"),
-        )
-    ).localCheckpoint()
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def dround6(x: float) -> float:
+        """Driver twin of ``dround(col, 6)``: the exact decimal expansion
+        of the double, HALF_UP to 10 dp (the DECIMAL(30,10) cast), HALF_UP
+        to 6 dp (the round), correctly-rounded back to double."""
+        d = Decimal(x).quantize(Decimal("1e-10"), rounding=ROUND_HALF_UP)
+        return float(d.quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+
+    pool: dict[int, dict[int, float]] = {}
+    for r in pool_rows:
+        pool.setdefault(r["qid"], {})[r["vec_id"]] = r["rel"]
+    sims: dict[tuple[int, int], dict[int, float]] = {}
+    for r in pair_rows:
+        sims.setdefault((r["qid"], r["vid_a"]), {})[r["vid_b"]] = r["sim"]
+
+    lam, mu = _MMR_LAMBDA, 1 - _MMR_LAMBDA
+    out_rows: list[tuple[int, int, int, float]] = []
+    chosen: dict[int, list[int]] = {}
+    for qid, rels in pool.items():
+        step1 = [(rel, -vid) for vid, rel in rels.items() if rel is not None]
+        if not step1:
+            continue
+        rel, nv = max(step1)
+        chosen[qid] = [-nv]
+        out_rows.append((qid, -nv, 1, rel))
     for step in range(2, _MMR_K + 1):
-        sel_keys = selected.select("qid", F.col("vec_id").alias("vid_b"))
-        max_sim = (
-            pairs.join(F.broadcast(sel_keys), ["qid", "vid_b"])
-            .groupBy("qid", F.col("vid_a").alias("vec_id"))
-            .agg(F.max("sim").alias("max_sim"))
-        )
-        remaining = pool.join(
-            selected.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti"
-        )
-        scored = remaining.join(max_sim, ["qid", "vec_id"]).select(
-            "qid",
-            "vec_id",
-            dround(
-                F.lit(_MMR_LAMBDA) * F.col("rel")
-                - F.lit(1 - _MMR_LAMBDA) * F.col("max_sim"),
-                6,
-            ).alias("mmr_score"),
-        )
-        pick = (
-            scored.groupBy("qid")
-            .agg(
-                F.max(
-                    F.struct(F.col("mmr_score"), (-F.col("vec_id")).alias("nv"))
-                ).alias("sc")
-            )
-            .select(
-                "qid",
-                (-F.col("sc.nv")).alias("vec_id"),
-                F.lit(step).alias("sel_rank"),
-                F.col("sc.mmr_score").alias("mmr_score"),
-            )
-        )
-        selected = selected.unionByName(pick).localCheckpoint()
-    return selected
+        for qid, sel in list(chosen.items()):
+            if len(sel) != step - 1:
+                continue  # this qid ran dry at an earlier step
+            best = None
+            for vid, rel in pool[qid].items():
+                if vid in sel:
+                    continue
+                vid_sims = sims.get((qid, vid), {})
+                present = [b for b in sel if b in vid_sims]
+                if not present:
+                    continue  # inner-join semantics: no pair row, no score
+                nn = [vid_sims[b] for b in present if vid_sims[b] is not None]
+                # max() skips NULLs like F.max; all-NULL sims (or NULL
+                # rel) make the score NULL, which loses to any non-NULL
+                if nn and rel is not None:
+                    score = dround6(lam * rel - mu * max(nn))
+                else:
+                    score = None
+                key = (score is not None, score if score is not None else 0.0, -vid)
+                if best is None or key > best[0]:
+                    best = (key, vid, score)
+            if best is not None:
+                chosen[qid].append(best[1])
+                out_rows.append((qid, best[1], step, best[2]))
+
+    return spark.createDataFrame(
+        out_rows, "qid bigint, vec_id bigint, sel_rank int, mmr_score double"
+    )
 
 
 def _mmr_sql() -> str:
