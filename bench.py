@@ -36,9 +36,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-# Hard cap for the final stdout line; the driver's tail capture is
-# 2000 bytes and may include preceding log noise.
-_MAX_LINE_BYTES = 1200
+# Hard cap for the final stdout line. VERDICT r13 task 2: the driver's
+# round-over-round machinery reads per-query timings from this line
+# (PERF_r13 came back empty because the line carried only module
+# subtotals), and the judge confirmed a few-KB line is acceptable — so
+# the cap now budgets for the full 228-entry queries map (~7 KB)
+# plus every pre-existing field, with the same trim ladder past it.
+_MAX_LINE_BYTES = 16000
 
 # Deliberate perf trades: queries slower than their best historical
 # recording BY DESIGN, with the reason. Excluded from the flagged
@@ -1094,16 +1098,24 @@ def _final_line(
     detail: dict, regressions: dict, pipe: dict, czi: dict
 ) -> str:
     """The ONE driver-visible stdout line, guaranteed parseable and under
-    ``_MAX_LINE_BYTES`` (the driver tail-captures ~2000 bytes; round 2
-    shipped an unparseable bench line once — never again). Oversized
-    regression maps are trimmed to the worst 8 by slowdown ratio with an
-    explicit ``regressions_truncated`` count."""
+    ``_MAX_LINE_BYTES`` (round 2 shipped an unparseable bench line once —
+    never again). Carries the full per-query ``queries`` map — the
+    driver's per-query comparison contract (VERDICT r13 task 2; ~7 KB at
+    228 queries, confirmed acceptable). Oversized regression maps are
+    trimmed to the worst 8 by slowdown ratio with an explicit
+    ``regressions_truncated`` count; the ``queries`` map is never
+    trimmed — it IS the contract."""
     line_doc = {
         "metric": "total_query_wall_seconds",
         "value": detail["value"],
         "unit": "sec",
         "sf": detail["sf"],
         "n_queries": len(detail["queries"]),
+        # per-query timings: the driver contract's ``queries`` map
+        # (PERF r13 had per_query empty / geomean null because this
+        # line only carried module subtotals — VERDICT r13 task 2
+        # restores it; BENCH_DETAIL.json keeps the identical map)
+        "queries": detail["queries"],
         "calib_sec": detail["calib_sec"],
         "module_subtotals": detail.get("module_subtotals", {}),
         "regressions": regressions,

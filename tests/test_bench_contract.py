@@ -31,15 +31,37 @@ def test_final_line_is_one_parseable_json_line():
     assert doc["regressions"] == {"q1": [0.5, 1.2]}
 
 
-def test_final_line_truncates_oversized_regression_maps():
+def test_final_line_carries_per_query_timings():
+    """VERDICT r13 task 2: the driver reads per-query timings from the
+    final line (PERF_r13.per_query came back empty without them). The
+    full registry-sized map must survive every trim path."""
+    n = 240  # more than the current registry
+    detail = {
+        "value": 120.0,
+        "sf": 0.1,
+        "queries": {f"some_longish_query_name_{i:03d}": 0.527 for i in range(n)},
+        "calib_sec": 0.4,
+        "module_subtotals": {f"mod{i}": 1.0 for i in range(16)},
+    }
     huge = {f"query_with_a_long_name_{i:04d}": [1.0, 2.0 + i] for i in range(200)}
+    line = bench._final_line(detail, huge, {}, {})
+    assert len(line) <= bench._MAX_LINE_BYTES
+    doc = json.loads(line)
+    assert len(doc["queries"]) == n
+    assert doc["queries"]["some_longish_query_name_000"] == 0.527
+
+
+def test_final_line_truncates_oversized_regression_maps():
+    # 600 entries (~25 KB) exceeds the few-KB cap even though the cap
+    # now budgets for the full per-query timings map
+    huge = {f"query_with_a_long_name_{i:04d}": [1.0, 2.0 + i] for i in range(600)}
     line = bench._final_line(_detail(), huge, {}, {})
     assert len(line) <= bench._MAX_LINE_BYTES
     doc = json.loads(line)
     assert len(doc["regressions"]) == 8
-    assert doc["regressions_truncated"] == 192
+    assert doc["regressions_truncated"] == 592
     # worst slowdown ratios survive the trim
-    assert "query_with_a_long_name_0199" in doc["regressions"]
+    assert "query_with_a_long_name_0599" in doc["regressions"]
 
 
 def test_final_line_carries_pipeline_sidecars():
