@@ -891,19 +891,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("embedding", 2, EMB_DIM - 1),
         ).alias("embedding"),
     )
-    corpus = persist_tracked(
+    corpus = (
         emb.select("vec_id", "embedding")
         .unionByName(mutants)
         # squared norm once per vector, not once per pair
         .withColumn("n2", spark_dot(F.col("embedding"), F.col("embedding")))
     )
     stack_args = ", ".join(f"{b}, key{b}" for b in range(_EMB_BANDS))
-    # corpus (vectors + n2) feeds bands and BOTH verify sides, bands
-    # feeds both sides of the candidate self-join: unpersisted, each
-    # consumer re-scanned embeddings + rebuilt the union (8 parquet
-    # scans) and the sign-LSH band keys (the 64-dim dot folds) were
-    # computed twice — cache both (r13; the band relation is
-    # (vec_id, band, bkey) rows, vectors stay out of it)
+    # bands feeds both sides of the candidate self-join: unpersisted,
+    # the sign-LSH band keys (4 bands x up-to-16 element_at folds per
+    # vector — the expensive recompute) were built twice, so cache the
+    # small (vec_id, band, bkey) relation. The corpus (vectors + n2)
+    # deliberately stays UNPERSISTED (r14, resolving the r13-flagged
+    # regression): caching the float-array embedding column forces a
+    # row-based in-memory materialization whose memory pressure buys
+    # nothing over re-scanning page-cached columnar parquet — the §5
+    # cache rule — and the interleaved A/B (7 rounds at 32c AND 8c)
+    # measured bands-only at the best median of all three variants.
     bands = persist_tracked(
         corpus.select(
             "vec_id",
