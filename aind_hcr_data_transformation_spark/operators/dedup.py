@@ -292,6 +292,67 @@ def _shared_pair_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands
 
 
+def _doc_sid_sets(sh: DataFrame) -> DataFrame:
+    """(doc_id, sids) — each document's shingle-id set as ONE array row.
+
+    The exact-verify stage used to join candidate pairs against the
+    exploded (doc_id, sid) relation twice and aggregate the matches
+    (three Exchanges per verify: doc1 join, (doc2, sid) join over
+    per-shingle rows, and the (doc1, doc2) count).  Collecting each
+    doc's set once and intersecting arrays per candidate row
+    (guide §3/§4.1 built-ins) moves the same bytes through ONE
+    doc-level relation: the per-shingle rows never shuffle again, and
+    the pair count comes from ``array_intersect`` with no aggregation.
+
+    Exactness: sids are distinct per doc by construction
+    (``array_distinct`` runs over the shingle strings before hashing),
+    so ``size(array_intersect(..))`` equals the old equi-join row
+    count; the only divergence would need two distinct shingles of the
+    SAME doc folding to one 60/64-bit sid (expected < 1e-15 per doc,
+    and the differential oracle at every fixture SF pins the observed
+    equality)."""
+    return sh.groupBy("doc_id").agg(F.collect_list("sid").alias("sids"))
+
+
+def _verify_counts(
+    candidates: DataFrame, doc_sets: DataFrame, left: str, right: str
+) -> DataFrame:
+    """(left, right, n_common, n1, n2) for each candidate pair, scored
+    by one array intersection over the two docs' sid sets."""
+    d1 = doc_sets.select(
+        F.col("doc_id").alias(left), F.col("sids").alias("_sids1")
+    )
+    d2 = doc_sets.select(
+        F.col("doc_id").alias(right), F.col("sids").alias("_sids2")
+    )
+    return (
+        candidates.join(d1, left)
+        .join(d2, right)
+        .select(
+            left,
+            right,
+            F.size(F.array_intersect("_sids1", "_sids2")).alias("n_common"),
+            F.size("_sids1").alias("n1"),
+            F.size("_sids2").alias("n2"),
+        )
+    )
+
+
+_DOCSETS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_doc_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared :func:`_doc_sid_sets` over the shared md5 shingle
+    relation — probed by the four md5-family verify stages (same
+    build-once pattern as ``_shared_bands``)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    ds = _DOCSETS_CACHE.get(key)
+    if ds is None:
+        ds = _doc_sid_sets(_shared_shingles(spark, sf_dir)).localCheckpoint()
+        _DOCSETS_CACHE[key] = ds
+    return ds
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pipeline, fully relational:
 
@@ -302,13 +363,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     no stage materializes candidate pairs beyond actual bucket
     collisions (the LSH guarantee).
 
-    The shingle relation feeds FOUR consumers (signatures, sizes, both
-    sides of the verification join) and THREE queries (this one and the
-    two exact-verify pair-dedups); :func:`_shared_shingles` materializes
-    it once per session — the same "materialize the posting-list stage"
-    move a production LSH pipeline makes (checkpoint/shuffle-stage
-    reuse) at cluster scale."""
-    sh = _shared_shingles(spark, sf_dir)
+    The shingle relation feeds the signature build and the per-doc
+    sid-set build, each materialized once per session
+    (:func:`_shared_bands` / :func:`_shared_doc_sets`) and probed by
+    every verify-stage consumer — the same "materialize the
+    posting-list stage" move a production LSH pipeline makes
+    (checkpoint/shuffle-stage reuse) at cluster scale."""
     bands = _shared_bands(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
@@ -322,25 +382,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # exact-Jaccard verification over shingle-id sets, bucket-mates only
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    s1 = sh.select(F.col("doc_id").alias("doc1"), "sid")
-    s2 = sh.select(F.col("doc_id").alias("doc2"), "sid")
-    common = (
-        candidates.join(s1, "doc1")
-        .join(s2, ["doc2", "sid"])
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # (r14: one array_intersect per candidate over the shared doc-set
+    # relation replaces the exploded two-join + count — see
+    # _doc_sid_sets for the Exchange accounting)
+    scored = _verify_counts(
+        candidates, _shared_doc_sets(spark, sf_dir), "doc1", "doc2"
     )
-    jac = (
-        common.join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_shingles", "n1"), "doc1")
-        .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_shingles", "n2"), "doc2")
-        .select(
-            "doc1",
-            "doc2",
-            dround(
-                F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6
-            ).alias("jaccard"),
-        )
+    jac = scored.select(
+        "doc1",
+        "doc2",
+        dround(
+            F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6
+        ).alias("jaccard"),
     )
     return jac.filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
 
@@ -476,25 +529,15 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    s1 = sh.select(F.col("doc_id").alias("doc1"), "sid")
-    s2 = sh.select(F.col("doc_id").alias("doc2"), "sid")
-    common = (
-        candidates.join(s1, "doc1")
-        .join(s2, ["doc2", "sid"])
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = (
-        common.join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_shingles", "n1"), "doc1")
-        .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_shingles", "n2"), "doc2")
-        .select(
-            "doc1",
-            "doc2",
-            dround(
-                F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6
-            ).alias("jaccard"),
-        )
+    # r14: array-intersect verify (see _doc_sid_sets) — the xxhash64
+    # twin builds its doc-set relation from its own private shingles
+    scored = _verify_counts(candidates, _doc_sid_sets(sh), "doc1", "doc2")
+    jac = scored.select(
+        "doc1",
+        "doc2",
+        dround(
+            F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6
+        ).alias("jaccard"),
     )
     return jac.filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
 
@@ -682,21 +725,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializations (:func:`_shared_shingles` /
     :func:`_shared_pair_candidates`) — built once, probed by this query,
     `dedup_containment`, and `dedup_minhash_lsh`."""
-    sh = _shared_shingles(spark, sf_dir)
     candidates = _shared_pair_candidates(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    s1 = sh.select(F.col("doc_id").alias("doc1"), "sid")
-    s2 = sh.select(F.col("doc_id").alias("doc2"), "sid")
-    common = (
-        candidates.join(s1, "doc1")
-        .join(s2, ["doc2", "sid"])
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # r14: array-intersect verify over the shared doc-set relation
+    # (see _doc_sid_sets)
+    scored = _verify_counts(
+        candidates, _shared_doc_sets(spark, sf_dir), "doc1", "doc2"
     )
     return (
-        common.join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_shingles", "n1"), "doc1")
-        .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_shingles", "n2"), "doc2")
-        .select(
+        scored.select(
             "doc1",
             "doc2",
             dround(
@@ -1271,7 +1307,6 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage) instead of rebuilding and persisting a private copy; the
     # incremental query is exactly the "nightly batch probes the
     # standing archive index" shape the shared materialization models.
-    sh = _shared_shingles(spark, sf_dir)
     bands = _shared_bands(spark, sf_dir)
     newb = bands.filter(F.col("doc_id") % _BATCH_MOD == 0).alias("a")
     histb = bands.filter(F.col("doc_id") % _BATCH_MOD != 0).alias("b")
@@ -1287,37 +1322,18 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    s1 = sh.select(F.col("doc_id").alias("doc_new"), "sid")
-    s2 = sh.select(F.col("doc_id").alias("doc_hist"), "sid")
-    common = (
-        candidates.join(s1, "doc_new")
-        .join(s2, ["doc_hist", "sid"])
-        .groupBy("doc_new", "doc_hist")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # r14: array-intersect verify over the shared doc-set relation (see
+    # _doc_sid_sets)
+    scored = _verify_counts(
+        candidates, _shared_doc_sets(spark, sf_dir), "doc_new", "doc_hist"
     )
-    jac = (
-        common.join(
-            sizes.withColumnRenamed("doc_id", "doc_new").withColumnRenamed(
-                "n_shingles", "n1"
-            ),
-            "doc_new",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc_hist").withColumnRenamed(
-                "n_shingles", "n2"
-            ),
-            "doc_hist",
-        )
-        .select(
-            "doc_new",
-            "doc_hist",
-            dround(
-                F.col("n_common")
-                / (F.col("n1") + F.col("n2") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
-        )
+    jac = scored.select(
+        "doc_new",
+        "doc_hist",
+        dround(
+            F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
     )
     return jac.filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
 
@@ -1853,27 +1869,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the raw universe) even when the symmetric Jaccard is diluted
     by the originals' extra shingles.
     """
-    sh = _shared_shingles(spark, sf_dir)
     candidates = _shared_pair_candidates(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    s1 = sh.select(F.col("doc_id").alias("doc1"), "sid")
-    s2 = sh.select(F.col("doc_id").alias("doc2"), "sid")
-    common = (
-        candidates.join(s1, "doc1")
-        .join(s2, ["doc2", "sid"])
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    scored = common.join(
-        sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed(
-            "n_shingles", "n1"
-        ),
-        "doc1",
-    ).join(
-        sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed(
-            "n_shingles", "n2"
-        ),
-        "doc2",
+    # r14: array-intersect verify over the shared doc-set relation (see
+    # _doc_sid_sets). A zero-intersection candidate now survives to
+    # `scored` (the old inner sid-join dropped it) — its containment is
+    # 0.0 in both directions, removed by the same threshold filter, so
+    # the output is unchanged.
+    scored = _verify_counts(
+        candidates, _shared_doc_sets(spark, sf_dir), "doc1", "doc2"
     )
     # both directions from ONE row via explode — a union of two selects
     # over `scored` would recompute the whole candidate+verify subtree

@@ -376,3 +376,37 @@ def test_mid_similarity_head_shingle_recall(spark):
     # deterministic given the fixed corpus; expected ~0.56 from the
     # banding curve.  Loose bounds so fixture tweaks don't flake it.
     assert 0.2 <= recall < 1.0, f"recall {recall} outside documented band"
+
+
+def test_array_intersect_verify_matches_join_counts(spark):
+    """The r14 array-intersect verify (_doc_sid_sets + _verify_counts)
+    must produce the same (n_common, n1, n2) as the exploded
+    join-and-count it replaced, including duplicate-sid rows if a hash
+    fold ever produced one within a doc (the helper's documented edge)."""
+    from pyspark.sql import functions as F
+
+    from aind_hcr_data_transformation_spark.operators.dedup import (
+        _doc_sid_sets,
+        _verify_counts,
+    )
+
+    sh = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 11), (2, 12), (2, 13),
+         (3, 99), (4, 10), (4, 13)],
+        "doc_id long, sid long",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (1, 4)], "doc1 long, doc2 long"
+    )
+    new = {
+        (r.doc1, r.doc2): (r.n_common, r.n1, r.n2)
+        for r in _verify_counts(cands, _doc_sid_sets(sh), "doc1", "doc2").collect()
+    }
+    # reference: the old exploded join + count + sizes
+    sizes = {r.doc_id: r.n for r in sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    s = {}
+    for r in sh.collect():
+        s.setdefault(r.doc_id, set()).add(r.sid)
+    for (d1, d2) in [(1, 2), (1, 3), (2, 4), (1, 4)]:
+        expected = (len(s[d1] & s[d2]), sizes[d1], sizes[d2])
+        assert new[(d1, d2)] == expected, (d1, d2, new[(d1, d2)], expected)
