@@ -345,14 +345,52 @@ def pipe_voxel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("v")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    wo = Window.partitionBy("l_returnflag").orderBy("v")
-    wp = Window.partitionBy("l_returnflag")
-    ranked = dist.select(
+    # Two-level cumulative sum (r14, guide §2.2/§2.5): the flat
+    # cum-count window was partitioned by l_returnflag alone, so the
+    # whole distinct-value relation funnelled through <= 3 tasks at any
+    # scale. Pre-bucket each flag's values into order-respecting ranges
+    # (bounds from one map-side min/max pass, broadcast; bucket count
+    # scales with the session's shuffle parallelism), cum-sum WITHIN
+    # each (flag, bucket) in parallel, and add the per-bucket offset —
+    # a 3 x n_buckets-row relation, broadcast back. cum and n are
+    # bit-identical to the flat window's (integer counts, buckets
+    # respect value order), so the percentile math is unchanged.
+    n_buckets = 3 * max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("_vmin"),
+        F.max("l_extendedprice").alias("_vmax"),
+    )
+    width = (F.col("_vmax") - F.col("_vmin")) / F.lit(float(n_buckets))
+    dist = dist.crossJoin(F.broadcast(bounds)).withColumn(
+        "bkt",
+        F.when(F.col("_vmax") <= F.col("_vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col("v") - F.col("_vmin")) / width),
+            )
+        )
+        .cast("int"),
+    )
+    w_local = Window.partitionBy("l_returnflag", "bkt").orderBy("v")
+    local = dist.select(
+        "l_returnflag", "bkt", "v", "cnt",
+        F.sum("cnt").over(w_local).alias("lcum"),
+    )
+    btot = dist.groupBy("l_returnflag", "bkt").agg(F.sum("cnt").alias("bcnt"))
+    w_bkt = Window.partitionBy("l_returnflag").orderBy("bkt")
+    w_flag = Window.partitionBy("l_returnflag")
+    offsets = btot.select(
+        "l_returnflag", "bkt",
+        (F.sum("bcnt").over(w_bkt) - F.col("bcnt")).alias("off"),
+        F.sum("bcnt").over(w_flag).alias("n"),
+    )
+    ranked = local.join(F.broadcast(offsets), ["l_returnflag", "bkt"]).select(
         "l_returnflag",
         "v",
         "cnt",
-        F.sum("cnt").over(wo).alias("cum"),
-        F.sum("cnt").over(wp).alias("n"),
+        (F.col("lcum") + F.col("off")).alias("cum"),
+        "n",
     )
 
     def pct(p: float, alias: str):

@@ -266,3 +266,52 @@ def test_settings_reject_chunk_not_divisible_by_factor():
     ZarrConversionSettings(
         chunk_size=(3, 8, 8), scale_factor=(2, 2, 2), downsample_levels=1
     )
+
+
+def test_voxel_stats_two_level_cum_matches_flat_window(spark):
+    """The r14 bucketed cumulative sum in pipe_voxel_stats must produce
+    the same (cum, n) per distinct value as the flat per-flag window it
+    replaced — pinned on a deliberately skewed value set (empty buckets,
+    duplicate counts, one hot value)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [("A", float(v), c) for v, c in
+            [(1, 5), (2, 1), (3, 1), (1000, 7), (1001, 1)]] + [
+           ("B", 42.0, 3)]
+    dist = spark.createDataFrame(rows, "flag string, v double, cnt long")
+
+    flat = dist.select(
+        "flag", "v",
+        F.sum("cnt").over(Window.partitionBy("flag").orderBy("v")).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("flag")).alias("n"),
+    )
+
+    n_buckets = 12
+    bounds = dist.groupBy("flag").agg(
+        F.min("v").alias("_vmin"), F.max("v").alias("_vmax"))
+    width = (F.col("_vmax") - F.col("_vmin")) / F.lit(float(n_buckets))
+    bucketed = dist.join(F.broadcast(bounds), "flag").withColumn(
+        "bkt",
+        F.when(F.col("_vmax") <= F.col("_vmin"), F.lit(0))
+        .otherwise(F.least(F.lit(n_buckets - 1),
+                           F.floor((F.col("v") - F.col("_vmin")) / width)))
+        .cast("int"),
+    )
+    local = bucketed.select(
+        "flag", "bkt", "v", "cnt",
+        F.sum("cnt").over(
+            Window.partitionBy("flag", "bkt").orderBy("v")).alias("lcum"),
+    )
+    btot = bucketed.groupBy("flag", "bkt").agg(F.sum("cnt").alias("bcnt"))
+    offsets = btot.select(
+        "flag", "bkt",
+        (F.sum("bcnt").over(Window.partitionBy("flag").orderBy("bkt"))
+         - F.col("bcnt")).alias("off"),
+        F.sum("bcnt").over(Window.partitionBy("flag")).alias("n"),
+    )
+    two_level = local.join(F.broadcast(offsets), ["flag", "bkt"]).select(
+        "flag", "v", (F.col("lcum") + F.col("off")).alias("cum"), "n")
+
+    assert {tuple(r) for r in flat.collect()} == {
+        tuple(r) for r in two_level.collect()}
