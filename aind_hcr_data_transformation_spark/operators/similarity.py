@@ -445,16 +445,42 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim"),
         )
     )
-    # two tiny collects over the cached pool (the first materializes it)
+    # two tiny collects over the cached pool (the first materializes it).
+    # Bounded BY CONSTRUCTION: <= _N_QUERIES * _TOP_K pool rows and
+    # <= _N_QUERIES * _TOP_K * (_TOP_K - 1) pair rows — driver cost grows
+    # as queries * pool^2, so a future constant bump must re-justify the
+    # collect (r13 advisor note). The guards below turn a silent O(n^2)
+    # driver spill into a loud failure.
     pool_rows = cands.select("qid", "vec_id", "rel").collect()
+    assert len(pool_rows) <= _N_QUERIES * _TOP_K, (
+        f"MMR pool collect ({len(pool_rows)} rows) exceeds the "
+        f"_N_QUERIES*_TOP_K bound that justifies driver-side greedy"
+    )
     pair_rows = pairs.collect()
+    assert len(pair_rows) <= _N_QUERIES * _TOP_K * (_TOP_K - 1), (
+        f"MMR pair collect ({len(pair_rows)} rows) exceeds the "
+        f"_N_QUERIES*_TOP_K^2 bound that justifies driver-side greedy"
+    )
 
     from decimal import ROUND_HALF_UP, Decimal
 
     def dround6(x: float) -> float:
         """Driver twin of ``dround(col, 6)``: the exact decimal expansion
         of the double, HALF_UP to 10 dp (the DECIMAL(30,10) cast), HALF_UP
-        to 6 dp (the round), correctly-rounded back to double."""
+        to 6 dp (the round), correctly-rounded back to double.
+
+        Residual-risk note (r13 advisor): ``Decimal(x)`` quantizes the
+        exact binary expansion of the double, while Spark's
+        ``cast(double as decimal(30,10))`` goes through
+        ``BigDecimal.valueOf`` (shortest decimal repr) — the two can
+        diverge only when the shortest repr and the exact expansion
+        fall on opposite sides of an exact 10th-decimal HALF_UP tie,
+        which requires the double to have a decimal expansion agreeing
+        with a x.xxxxxxxxx5 boundary to >= 17 significant digits. No
+        observed value does (the full differential oracle sweep pins
+        every emitted score at every fixture SF); kept as the exact
+        form rather than repr() because the oracle, not the JVM, is the
+        contract this twin must match."""
         d = Decimal(x).quantize(Decimal("1e-10"), rounding=ROUND_HALF_UP)
         return float(d.quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
 

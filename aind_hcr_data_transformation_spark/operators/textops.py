@@ -323,7 +323,14 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         st = F.aggregate(F.array_sort(grams), init, step, finish)
-        return F.size(grams).cast("long"), st["mx"], st["dup"]
+        # total grams by arithmetic, NOT F.size(grams): the second
+        # reference to the `grams` transform expression rebuilt the
+        # whole array per doc when common-subexpression elimination
+        # did not cover the higher-order transform (r14, advisor note);
+        # size(transform(sequence(1, k), ..)) is k by construction and
+        # the >= 3-token filter guarantees k >= 1 for n in {2, 3}
+        total = (F.size(F.col("t")) - F.lit(n - 1)).cast("long")
+        return total, st["mx"], st["dup"]
 
     t2, m2, d2 = rep_stats(2)
     t3, _m3, d3 = rep_stats(3)

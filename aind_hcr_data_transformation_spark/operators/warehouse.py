@@ -7,6 +7,14 @@ warehouse workloads a production deployment of this engine runs beside
 the dedup / similarity / text layers, each expressed as one declarative
 DataFrame plan with a DuckDB differential oracle.
 
+Laziness note (r13 advisor): ``rec_item_cosine`` (like
+``similarity.rag_mmr_rerank``) runs Spark jobs EAGERLY at
+DataFrame-construction time — building the plan collects the model-sized
+per-brand norm map. Every harness path (bench, oracle, driver) always
+executes the frame it builds, so this costs nothing extra there; a
+caller using the operator registry for plan-only inspection would
+trigger those bounded jobs at construction.
+
 Scale notes (100 TB):
 
 * ``assoc_basket_rules`` — the pair-generation self-join is keyed on the
