@@ -130,6 +130,10 @@ def test_no_accidental_cartesian_anywhere(spark, queries):
         "corpus_prep_funnel",
         # one-row τ (threshold priority) broadcast onto the n-row sample
         "mix_priority_sample",
+        # one-row global (min, max) bounds broadcast onto the distinct-value
+        # relation (the r14 two-level cum-sum pre-bucketing; the heavy
+        # stages — distinct agg, per-(flag,bucket) windows — stay equi-keyed)
+        "pipe_voxel_stats",
         # one-row vocabulary-size broadcast (the V in add-one smoothing)
         "text_bigram_lm_score",
         # one-row token-total, (lo, hi) difficulty-range, and weight-total
