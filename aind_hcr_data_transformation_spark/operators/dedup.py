@@ -1069,12 +1069,20 @@ def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp"),
     )
-    keeper = fp.groupBy("fp").agg(
-        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n")
-    ).filter(F.col("n") > 1)
+    # keeper/count via ONE window over fp instead of groupBy + join back
+    # (r14, guide §1.2/§2.4): the agg+join form referenced the fp subtree
+    # twice, so the per-doc split+sort+distinct+md5 fingerprint ran TWICE
+    # over the corpus and the fp relation crossed two Exchanges; the
+    # window computes keeper and n in one pass over one hash exchange.
+    # Same values by definition (min/count per fp group); dup groups are
+    # tiny, so the fp partitioning cannot skew. Interleaved A/B on the
+    # edge build: 2.03 -> 1.14 s median, 5/5 pair wins, edge set
+    # identical (2732 rows at sf0.1).
+    w_fp = Window.partitionBy("fp")
     fp_edges = (
-        fp.join(keeper, "fp")
-        .filter(F.col("doc_id") != F.col("keeper"))
+        fp.withColumn("keeper", F.min("doc_id").over(w_fp))
+        .withColumn("n", F.count(F.lit(1)).over(w_fp))
+        .filter((F.col("n") > 1) & (F.col("doc_id") != F.col("keeper")))
         .select(F.col("doc_id").alias("a"), F.col("keeper").alias("b"))
     )
     planted = corpus.filter(
@@ -1117,12 +1125,18 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tree quadruples per round (labels feeds neigh AND prop; prop
         # feeds both jump sides), so Catalyst re-analysis goes 4^k and
         # hangs the driver by round 3 even for 122 nodes (observed).
-        # localCheckpoint(eager) swaps the lineage for a LogicalRDD so
-        # every round analyzes a constant-size plan — the same
-        # per-iteration truncation GraphX/MLlib perform.  Executor-local
-        # blocks (no checkpoint dir needed); at cluster scale use
-        # spark.sparkContext.setCheckpointDir + .checkpoint() if
-        # executor loss during the few CC rounds must be survivable.
+        # localCheckpoint swaps the lineage for a LogicalRDD so every
+        # round analyzes a constant-size plan — the same per-iteration
+        # truncation GraphX/MLlib perform.  eager=False (r14): the
+        # truncation happens at CALL time either way (Dataset.checkpoint
+        # builds the RDD and returns LogicalRDD immediately; eager only
+        # adds a blocking count()), so the lazy form keeps the bounded
+        # plans while collapsing 2×_CC_ITERS sequential driver-blocking
+        # jobs into the consumer's single action — interleaved A/B 5/5
+        # pair wins, median 5.91→4.04 s, labels bit-identical.
+        # Executor-local blocks (no checkpoint dir needed); at cluster
+        # scale use spark.sparkContext.setCheckpointDir + .checkpoint()
+        # if executor loss during the few CC rounds must be survivable.
         neigh = (
             edges.join(labels, edges.b == labels.node)
             .groupBy(F.col("a").alias("n2"))
@@ -1131,7 +1145,7 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         prop = labels.join(neigh, labels.node == F.col("n2"), "left").select(
             "node",
             F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         hop = prop.select(
             F.col("node").alias("h_node"), F.col("label").alias("h_label")
         )
@@ -1143,7 +1157,7 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce("h_label", "label")
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     _CC_CACHE[key] = labels
     return labels
