@@ -1211,19 +1211,35 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc_id partitioning. No Python, no collect.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "w"),
-    )
-    w2 = Window.partitionBy("doc_id").orderBy("pos")
-    bigrams = (
-        toks.select("doc_id", "w", F.lead("w").over(w2).alias("w_next"))
-        .filter(F.col("w_next").isNotNull())
-        .select("doc_id", F.col("w").alias("w1"), F.col("w_next").alias("w2"))
+    d2 = docs.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("t"))
+    # bigrams map-only (r14, guide §2.4): the old posexplode + lead()
+    # window shuffled AND sorted the full token stream by doc_id just to
+    # pair adjacent tokens — and the subtree was referenced three times
+    # (c12, c1, final join), so the window ran repeatedly. Adjacent
+    # pairs come straight off the token array (t[i], t[i+1]) — the same
+    # construction the DuckDB twin uses — so the token stream never
+    # shuffles at any scale. The size guard keeps sequence() ascending
+    # (sequence(1, 0) would count DOWN, not return empty).
+    pairs_arr = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("t"), i).alias("w1"),
+                F.element_at(F.col("t"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    bigrams = d2.select("doc_id", F.explode(pairs_arr).alias("b")).select(
+        "doc_id", "b.w1", "b.w2"
     )
     c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = toks.agg(F.countDistinct("w").alias("v"))
+    # c1 = Σ_w2 c12 by definition — aggregate the vocabulary²-sized c12
+    # relation, not the corpus-sized bigram stream a second time
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = d2.select(F.explode("t").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
     lm = (
         c12.join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
