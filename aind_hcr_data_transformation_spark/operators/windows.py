@@ -477,15 +477,27 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("unix_micros(ts) div 604800000000").alias("wk"),
         )
     )
-    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
-    active = ev.distinct()
-    ret = (
-        active.join(first, "user_id")
-        .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("week_offset"))
-        .agg(F.countDistinct("user_id").alias("n_active"))
+    # ONE user_id shuffle (r14, guide §2.4): the first-week aggregate,
+    # the (user, week) distinct, and their join all re-shuffled the fact
+    # stream; min + collect_set in a single per-user aggregate gives the
+    # same information in one pass, the set makes each user contribute
+    # exactly one row per (cohort, offset) — so the countDistinct expand
+    # collapses to a plain count — and cohort sizes are a count over the
+    # same per-user frame. Per-user state is bounded by the distinct
+    # active weeks of one user (calendar-bounded at any corpus size).
+    # Interleaved A/B at sf0.1: 0.64 -> 0.61 s median, 5/6 pair wins
+    # (floor-bound here; the shuffle count is the 100 TB win), output
+    # identical.
+    per_user = ev.groupBy("user_id").agg(
+        F.min("wk").alias("cohort"), F.collect_set("wk").alias("wks")
     )
-    sizes = first.groupBy("cohort").agg(
-        F.countDistinct("user_id").alias("cohort_size")
+    ret = (
+        per_user.select("cohort", F.explode("wks").alias("wk"))
+        .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = per_user.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
     )
     return (
         ret.join(F.broadcast(sizes), "cohort")
