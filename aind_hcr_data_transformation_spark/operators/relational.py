@@ -306,12 +306,25 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # two-phase parallel per-group rank: a Window.partitionBy("rf") sort
     # would funnel the whole fact table through 3 tasks (one per flag)
+    from ..cache import persist_tracked
     from ..plans.partitioning import grouped_row_number
 
     ranked = grouped_row_number(li.select("rf", "q"), "rf", "q", out="rn")
-    # group sizes from a plain count (== max(rn), but without forcing a
-    # second full sort-window pass over the fact table)
-    n = li.groupBy("rf").agg(F.count(F.lit(1)).alias("n"))
+    # ONE per-(rf, q) value-count relation serves every corpus-statistics
+    # consumer below (r14, guide §1.2/§2.3): group sizes n (Σc), the
+    # sketch-rank counts c50/c95 (weighted sums), and the tie mass
+    # (max c) each re-scanned and re-aggregated the fact table; vc is
+    # distinct-value-sized (|flags|·|distinct quantities| rows), so the
+    # three extra corpus passes collapse into this single aggregate.
+    # Persisted because the planner does not recognize the three
+    # consumers' exchange subtrees as reusable (verified: 0
+    # ReusedExchange in the unpersisted plan); same pattern as
+    # dsir_importance's r13 counts persist. Values are identical by
+    # associativity of integer counts.
+    vc = persist_tracked(
+        li.groupBy("rf", "q").agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = vc.groupBy("rf").agg(F.sum("c").alias("n"))
     r2 = ranked.join(F.broadcast(n), "rf")
 
     def pos(p):
@@ -340,15 +353,19 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ap")[1].alias("ap95"),
     )
     ranks = (
-        li.join(F.broadcast(g.select("rf", "ap50", "ap95")), "rf")
+        vc.join(F.broadcast(g.select("rf", "ap50", "ap95")), "rf")
         .groupBy("rf")
         .agg(
-            F.sum(F.when(F.col("q") <= F.col("ap50"), 1).otherwise(0)).alias(
-                "c50"
-            ),
-            F.sum(F.when(F.col("q") <= F.col("ap95"), 1).otherwise(0)).alias(
-                "c95"
-            ),
+            F.sum(
+                F.when(F.col("q") <= F.col("ap50"), F.col("c")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("c50"),
+            F.sum(
+                F.when(F.col("q") <= F.col("ap95"), F.col("c")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("c95"),
         )
     )
     # tolerance must carry the group's TIE MASS: a sketch answer is a
@@ -357,12 +374,7 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a degenerate group (tiny n, integer quantities) the step alone
     # can exceed a flat 5% and the two engines' (different) sketches
     # legitimately land on opposite sides of it (r8 tiny-fixture probe)
-    ties = (
-        li.groupBy("rf", "q")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("rf")
-        .agg(F.max("c").alias("mt"))
-    )
+    ties = vc.groupBy("rf").agg(F.max("c").alias("mt"))
 
     def exact(tag, p):
         frac = pos(p) - F.floor(pos(p))
