@@ -22,7 +22,7 @@ independent — see ``functions/compat.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.compat import (
@@ -680,15 +680,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    min_cost = costs.groupBy(F.col("p_partkey").alias("mc_key")).agg(
-        F.min("supp_cost").alias("min_cost")
-    )
+    # per-part min via ONE window over the costs relation (r14, guide
+    # §1.2/§2.4): the aggregate + equi-join-back form referenced the
+    # costs subtree (lineitem joins + aggregate) twice, so the whole
+    # fact-side pipeline ran twice; the window computes the same
+    # per-p_partkey min in one pass over one hash exchange, and the
+    # equality filter keeps exactly the rows the join kept (identical
+    # IEEE doubles both ways). Interleaved A/B at sf0.1: 0.72 -> 0.57 s
+    # median, 6/6 pair wins, output identical.
+    w_part = Window.partitionBy("p_partkey")
     return (
-        costs.join(
-            min_cost,
-            (F.col("p_partkey") == F.col("mc_key"))
-            & (F.col("supp_cost") == F.col("min_cost")),
-        )
+        costs.withColumn("min_cost", F.min("supp_cost").over(w_part))
+        .filter(F.col("supp_cost") == F.col("min_cost"))
         .select(
             "s_acctbal",
             "s_name",
