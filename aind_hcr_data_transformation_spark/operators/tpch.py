@@ -501,7 +501,11 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("l_quantity").alias("avg_qty")
     )
     return (
-        li_p.join(avg_qty, F.col("l_partkey") == F.col("ap_key"))
+        # broadcast the per-part mean (r14, guide §3.1): it is
+        # dimension-sized (one row per Brand#1 part), and the planner's
+        # estimate picked a SortMergeJoin that shuffled the filtered
+        # fact side on l_partkey — the hint removes that fact exchange
+        li_p.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_key"))
         .filter(F.col("l_quantity") * 5 < F.col("avg_qty"))
         .agg(
             dround(dsum("l_extendedprice") / 7, 2).alias("avg_yearly"),
